@@ -1,13 +1,403 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.prepared.PreparedStatements
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] demonstrates one operator from SURVEY.md §2 on
+  * the driver-generated parquet tables; [[oracleSql]] carries the DuckDB twin
+  * for the hash compare. Column aliases match between the two on purpose —
+  * the driver sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** prepare + execute helper: full Catalyst once, clone-and-substitute per
+    * execute (SURVEY.md §2 Tier A / §7 design decision 2).
+    */
+  private def prep(s: SparkSession, dir: String, sql: String)(params: (String, Any)*): DataFrame = {
+    Tables.register(s, dir)
+    Graft.install(s)
+    PreparedStatements.prepare(s, sql).execute(params.toMap)
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.df(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's headline capability: a prepared point lookup executed
+    * repeatedly with different keys, planned exactly once (README.md:5-21).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Tables.register(spark, dir)
+    Graft.install(spark)
+    val st = PreparedStatements.prepare(
+      spark,
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey = $1")
+    st.execute(Map("$1" -> 7L)).union(st.execute(Map("$1" -> 42L)))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Tier A/B — prepared-statement family (reference's own test surface)
+  // ---------------------------------------------------------------------------
+
+  private val preparedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B5: point lookup, int key (ref tests/preparable_context_basic_test.rs:68-103)
+    "q_prep_point" -> ((s, dir) =>
+      prep(s, dir, "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey = $1")("$1" -> 42L)),
+    // B12: repeated execution with rebinding (ref :106-145)
+    "q_prep_rebind" -> ((s, dir) => {
+      Tables.register(s, dir); Graft.install(s)
+      val st = PreparedStatements.prepare(
+        s, "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = $1")
+      st.execute(Map("$1" -> 7L)).union(st.execute(Map("$1" -> 42L)))
+    }),
+    // B6: string equality (ref :148-183)
+    "q_prep_string" -> ((s, dir) =>
+      prep(s, dir, "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = $1")("$1" -> "BUILDING")),
+    // B7: range conjunction, two params (ref :186-218)
+    "q_prep_range" -> ((s, dir) =>
+      prep(s, dir, "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= $1 AND o_totalprice <= $2")(
+        "$1" -> 100000.0, "$2" -> 110000.0)),
+    // B7 mixed-column variant (ref parquet test :192-232)
+    "q_prep_twocol" -> ((s, dir) =>
+      prep(s, dir, "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey >= $1 AND o_totalprice <= $2")(
+        "$1" -> 140L, "$2" -> 5000.0)),
+    // B9: COUNT(*) over filtered input (ref :276-303)
+    "q_prep_count" -> ((s, dir) =>
+      prep(s, dir, "SELECT count(*) AS cnt FROM orders WHERE o_custkey >= $1")("$1" -> 42L)),
+    // B10: empty result (ref :221-241)
+    "q_prep_empty" -> ((s, dir) =>
+      prep(s, dir, "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1")("$1" -> -1L)),
+    // B11: constant select, no table (ref :61-65)
+    "q_prep_const" -> ((s, dir) => prep(s, dir, "SELECT 1 AS one")()),
+    // B4: projection + alias; placeholder in projection too
+    "q_prep_proj" -> ((s, dir) =>
+      prep(s, dir, "SELECT o_orderkey AS k, round(o_totalprice * $1, 2) AS scaled FROM orders WHERE o_orderkey <= $2")(
+        "$1" -> 0.1, "$2" -> 100L)),
+    // B8: OR of placeholders (ref rule.rs:175-192)
+    "q_prep_or" -> ((s, dir) =>
+      prep(s, dir, "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1 OR o_orderkey = $2")(
+        "$1" -> 3L, "$2" -> 77L)),
+    // B13: IN-list lookup (ref README.md:46-51)
+    "q_prep_in" -> ((s, dir) =>
+      prep(s, dir, "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN ($1, $2, $3)")(
+        "$1" -> 5L, "$2" -> 17L, "$3" -> 42L)),
+    // Tier C through prepare(): join inside a prepared statement (README.md:3)
+    "q_prep_join" -> ((s, dir) =>
+      prep(s, dir,
+        """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+          |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+          |WHERE o.o_totalprice > $1""".stripMargin)("$1" -> 450000.0)),
+    // Tier C through prepare(): grouped aggregate inside a prepared statement
+    "q_prep_agg" -> ((s, dir) =>
+      prep(s, dir,
+        """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+          |FROM orders WHERE o_custkey >= $1 GROUP BY o_orderstatus""".stripMargin)("$1" -> 100L))
+  )
+
+  private val preparedOracles: Map[String, String] = Map(
+    "q_prep_point" -> "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey = 42",
+    "q_prep_rebind" -> ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 7 " +
+      "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 42"),
+    "q_prep_string" -> "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "q_prep_range" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 100000.0 AND o_totalprice <= 110000.0",
+    "q_prep_twocol" -> "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey >= 140 AND o_totalprice <= 5000.0",
+    "q_prep_count" -> "SELECT count(*) AS cnt FROM orders WHERE o_custkey >= 42",
+    "q_prep_empty" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = -1",
+    "q_prep_const" -> "SELECT 1 AS one",
+    "q_prep_proj" -> "SELECT o_orderkey AS k, round(o_totalprice * 0.1, 2) AS scaled FROM orders WHERE o_orderkey <= 100",
+    "q_prep_or" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = 3 OR o_orderkey = 77",
+    "q_prep_in" -> "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (5, 17, 42)",
+    "q_prep_join" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
+      "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),
+    "q_prep_agg" -> ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total " +
+      "FROM orders WHERE o_custkey >= 100 GROUP BY o_orderstatus")
+  )
+
+  // ---------------------------------------------------------------------------
+  // Tier B/C — relational breadth on the DataFrame API
+  // ---------------------------------------------------------------------------
+
+  private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1: in-memory (local) table scan — rows collected to the driver and
+    // re-registered as a local DataFrame, ≡ the reference's MemTable.
+    "q_scan_mem" -> ((s, dir) => {
+      val region = t(s, dir, "region")
+      val local = s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(region.collect(): _*)),
+        region.schema)
+      local.filter(col("r_regionkey") < 3).select("r_regionkey", "r_name")
+    }),
+    // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
+    "q_agg_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(min(col("l_quantity")), 2).as("min_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"))),
+    "q_agg_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))),
+    "q_agg_having" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 12)),
+    "q_agg_rollup" -> ((s, dir) =>
+      t(s, dir, "orders").rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))),
+    "q_agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))),
+    // Joins. Dimension sides (region/nation/customer-sized) are broadcast;
+    // fact-fact joins shuffle on the join key and scale linearly.
+    "q_join_inner" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "inner")
+        .filter(o("o_totalprice") > 450000.0)
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+    }),
+    "q_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"))
+    }),
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q_join_full" -> ((s, dir) => {
+      val cc = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sc = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cc.join(sc, Seq("nk"), "full")
+        .select(col("nk"), col("n_cust"), col("n_supp"))
+    }),
+    "q_join_cross" -> ((s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select("r_name", "n_name")),
+    // TPC-H Q5-style multi-way join: dims broadcast, facts shuffle on keys
+    "q_join_multi" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation"); val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2).as("revenue"))
+    }),
+    // Window functions
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          row_number().over(w).as("rn"), rank().over(w).as("rk"))
+        .filter(col("rn") <= 5)
+    }),
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+    }),
+    // Sort / top-k (Spark plans TakeOrderedAndProject — no full sort)
+    "q_sort_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)),
+    // Set operations
+    "q_set_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()),
+    "q_set_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))),
+    "q_set_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))),
+    // Scalar functions: string / date / math
+    "q_scalar_string" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 100).select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_u"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_c"),
+        length(col("o_orderpriority")).as("pri_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"))),
+    "q_scalar_date" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 200).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("mon_start"))),
+    "q_scalar_math" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 200).select(
+        col("o_orderkey"),
+        round(abs(col("o_totalprice") - 1000.0), 2).as("a"),
+        floor(col("o_totalprice")).as("fl"),
+        ceil(col("o_totalprice")).as("ce"),
+        round(sqrt(col("o_totalprice")), 6).as("sq"),
+        round(pow(col("o_totalprice"), 2), 2).as("p2"))),
+    // Subqueries: scalar, IN, correlated EXISTS
+    "q_subquery_scalar" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.9 FROM orders)""".stripMargin)
+    }),
+    "q_subquery_in" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders
+              |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9900)""".stripMargin)
+    }),
+    "q_subquery_exists" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""SELECT o_orderkey FROM orders o
+              |WHERE EXISTS (SELECT 1 FROM lineitem l
+              |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)""".stripMargin)
+    }),
+    // Generator / lateral: explode tokens
+    "q_explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))),
+    // Semi-structured: JSON field extraction
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_id") < 100).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+    // Scalar UDF (registered) + typed UDAF (Aggregator) — see functions pkg
+    "q_udf_scalar" -> ((s, dir) => {
+      val clip = udf((v: Double) => math.min(math.max(v, 10.0), 100.0))
+      t(s, dir, "events").filter(col("event_id") < 200)
+        .select(col("event_id"), round(clip(col("value")), 2).as("clipped"))
+    }),
+    "q_udaf_sumsq" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(functions.SumOfSquares.column(col("value")), 2).as("sumsq"),
+          count(lit(1)).as("cnt")))
+  )
+
+  private val relationalOracles: Map[String, String] = Map(
+    "q_scan_mem" -> "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3",
+    "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+      "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
+      "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+      "round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty " +
+      "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q_agg_distinct" -> ("SELECT count(DISTINCT l_orderkey) AS n_orders, " +
+      "count(DISTINCT l_partkey) AS n_parts FROM lineitem"),
+    "q_agg_having" -> ("SELECT o_custkey, count(*) AS cnt FROM orders " +
+      "GROUP BY o_custkey HAVING count(*) >= 12"),
+    "q_agg_rollup" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+      "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
+    "q_agg_cube" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+      "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+    "q_join_inner" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
+      "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),
+    "q_join_left" -> ("SELECT c.c_custkey, count(o.o_orderkey) AS n_orders " +
+      "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"),
+    "q_join_semi" -> ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+      "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"),
+    "q_join_anti" -> ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"),
+    "q_join_full" -> ("SELECT coalesce(c.nk, s.nk) AS nk, c.n_cust, s.n_supp FROM " +
+      "(SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c " +
+      "FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s " +
+      "ON c.nk = s.nk"),
+    "q_join_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_join_multi" -> ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name"),
+    "q_window_rank" -> ("SELECT * FROM (SELECT c_custkey, c_mktsegment, c_acctbal, " +
+      "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn, " +
+      "rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk " +
+      "FROM customer) WHERE rn <= 5"),
+    "q_window_lag" -> ("SELECT o_orderkey, o_custkey, o_totalprice, " +
+      "lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price, " +
+      "lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price " +
+      "FROM orders"),
+    "q_window_running" -> ("SELECT o_orderkey, o_custkey, " +
+      "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders"),
+    "q_sort_limit" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_set_union" -> ("SELECT c_nationkey AS nk FROM customer " +
+      "UNION SELECT s_nationkey AS nk FROM supplier"),
+    "q_set_intersect" -> ("SELECT c_nationkey AS nk FROM customer " +
+      "INTERSECT SELECT s_nationkey AS nk FROM supplier"),
+    "q_set_except" -> ("SELECT c_nationkey AS nk FROM customer " +
+      "EXCEPT SELECT s_nationkey AS nk FROM supplier"),
+    "q_scalar_string" -> ("SELECT o_orderkey, upper(o_orderpriority) AS pri_u, " +
+      "substring(o_orderpriority, 1, 1) AS pri_c, CAST(length(o_orderpriority) AS INTEGER) AS pri_len, " +
+      "concat(o_orderstatus, '-', o_orderpriority) AS tag FROM orders WHERE o_orderkey < 100"),
+    "q_scalar_date" -> ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, " +
+      "CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(day(o_orderdate) AS INTEGER) AS dom, " +
+      "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start FROM orders WHERE o_orderkey < 200"),
+    "q_scalar_math" -> ("SELECT o_orderkey, round(abs(o_totalprice - 1000.0), 2) AS a, " +
+      "CAST(floor(o_totalprice) AS BIGINT) AS fl, CAST(ceil(o_totalprice) AS BIGINT) AS ce, " +
+      "round(sqrt(o_totalprice), 6) AS sq, round(pow(o_totalprice, 2), 2) AS p2 " +
+      "FROM orders WHERE o_orderkey < 200"),
+    "q_subquery_scalar" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.9 FROM orders)"),
+    "q_subquery_in" -> ("SELECT o_orderkey, o_custkey FROM orders " +
+      "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9900)"),
+    "q_subquery_exists" -> ("SELECT o_orderkey FROM orders o WHERE EXISTS " +
+      "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)"),
+    "q_explode_tokens" -> ("SELECT token, count(*) AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token"),
+    "q_json_extract" -> ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+      "FROM events WHERE event_id < 100"),
+    "q_udf_scalar" -> ("SELECT event_id, round(least(greatest(value, 10.0), 100.0), 2) AS clipped " +
+      "FROM events WHERE event_id < 200"),
+    "q_udaf_sumsq" -> ("SELECT event_type, round(sum(value * value), 2) AS sumsq, count(*) AS cnt " +
+      "FROM events GROUP BY event_type")
+  )
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    preparedQueries ++ relationalQueries ++ pipeline.PipelineQueries.queries
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (driver records
+    * a weaker rows-only check for those).
+    */
+  def oracleSql: Map[String, String] =
+    preparedOracles ++ relationalOracles ++ pipeline.PipelineQueries.oracles
 }

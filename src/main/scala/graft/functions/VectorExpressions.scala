@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.graft.ColumnBridge.{colOf, exprOf}
+
+/** Native Catalyst expressions for vector similarity over `array<float>`
+  * embedding columns (SURVEY.md §7 phase 4; driver prompt "similarity
+  * search").
+  *
+  * A single fused pass over the two float arrays — no per-element lambda
+  * invocation like a `zip_with`/`aggregate` higher-order chain, and no Scala
+  * UDF serialization. CodegenFallback keeps them out of generated code but
+  * the eval itself is a tight primitive loop.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dot product over two `array<float>` columns (building block for IVF/LSH
+  * bucketing and re-ranking).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket id for an `array<float>` embedding: `bits`
+  * sign bits of dot products against hyperplanes derived deterministically
+  * from `seed` (splitmix64 stream — no RNG state, reproducible across
+  * executors). Cosine-similar vectors collide with high probability, so an
+  * ANN search only scans one bucket instead of the full table.
+  */
+case class HyperplaneBucket(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private def planes(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, _ => {
+      Array.tabulate(bits) { b =>
+        Array.tabulate(dim) { d =>
+          // uniform in [-1, 1) from a counter-mode splitmix64 stream
+          val h = splitmix64(seed + b.toLong * 1000003L + d.toLong)
+          (h.toDouble / Long.MaxValue.toDouble)
+        }
+      }
+    })
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val ps = planes(dim)
+    var bucket = 0
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      val p = ps(b)
+      var i = 0
+      while (i < dim) { dot += a.getFloat(i).toDouble * p(i); i += 1 }
+      if (dot >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object VectorFunctions {
+  def cosineSimilarity(a: Column, b: Column): Column =
+    colOf(CosineSimilarity(exprOf(a), exprOf(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    colOf(DotProduct(exprOf(a), exprOf(b)))
+  def hyperplaneBucket(v: Column, bits: Int, seed: Long): Column =
+    colOf(HyperplaneBucket(exprOf(v), bits, seed))
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (driver prompt;
+  * SURVEY.md §7 phase 4): token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All map-side, codegen-friendly
+  * built-in expressions except the rolling hash (a native Catalyst
+  * expression) — zero shuffles, linear scale.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics (whitespace tokenization). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+      expr("round(aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, v) -> a + v) " +
+        "/ cast(size(split(text, ' ')) AS double), 4)").as("avg_token_len"))
+
+  /** Quality heuristics from length / word-shape ratios; built from
+    * `replace`/`length` only so the DuckDB oracle is exact.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val spaces = len - length(regexp_replace(col("text"), " ", ""))
+    val words = spaces + lit(1)
+    val theCount = (length(lower(col("text"))) - length(regexp_replace(lower(col("text")), "the", ""))) / lit(3)
+    docs.select(
+      col("doc_id"),
+      len.as("n_chars"),
+      words.as("n_words"),
+      round((len - spaces).cast("double") / words.cast("double"), 4).as("avg_word_len"),
+      theCount.cast("int").as("the_count"),
+      round(theCount.cast("double") / words.cast("double"), 4).as("stopword_ratio"))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "人"))
+
+  /** Language-ID heuristic: stopword hit-count per language over the token
+    * stream, argmax wins (ties break lexicographically on the struct
+    * ordering — deterministic). Pure built-ins, single pass.
+    */
+  def langIdGuess(docs: DataFrame): DataFrame = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      s"struct(size(filter(split(lower(text), ' '), t -> array_contains($arr, t))) AS score, '$lang' AS lang)"
+    }.mkString("array(", ", ", ")")
+    docs.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      expr(s"array_max($scored).lang").as("predicted_lang"))
+  }
+
+  /** Labeled-language distribution (oracle-checkable companion of the
+    * language-ID heuristic).
+    */
+  def langDistribution(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+
+  /** Content fingerprints: md5 of the normalized text (cross-engine
+    * checkable) + the order-sensitive polynomial rolling hash (native
+    * Catalyst expression, streamable).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("md5_hex"),
+      rollingHash(lower(col("text"))).as("roll_hash"))
+}

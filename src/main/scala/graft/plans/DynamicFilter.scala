@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Predicate, PredicateHelper, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+import graft.prepared.Params
+
+/** The dynamic-filter operator family: a filter whose predicate contains SQL
+  * placeholders, kept opaque to Catalyst's standard rules so the
+  * parameterized predicate survives planning intact and is bound to concrete
+  * literals only at execute time.
+  *
+  * Engine-neutral re-creation of the reference crate's four custom
+  * constructs (SURVEY.md §2 Tier A):
+  *   - logical node      — reference `src/logical.rs:7-104`
+  *   - optimizer rule    — reference `src/rule.rs:8-76`
+  *   - planner strategy  — reference `src/planner.rs:9-46`
+  *   - physical operator — reference `src/physical.rs:20-343`
+  */
+
+/** A1 — logical marker node wrapping a parameterized filter predicate.
+  * Being a custom node (not a [[Filter]]), Catalyst's predicate-pushdown /
+  * constant-folding rules leave the condition alone, exactly like the
+  * reference's opaque extension node (`src/rule.rs:44-48`).
+  */
+case class DynamicFilterNode(condition: Expression, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): DynamicFilterNode =
+    copy(child = newChild)
+}
+
+/** A2 — optimizer rule: rewrite `Filter(pred, child)` where `pred` contains a
+  * placeholder into [[DynamicFilterNode]] (reference `src/rule.rs:32-49`).
+  *
+  * Improvement over the reference: the condition is split into conjuncts;
+  * only the parameterized conjuncts are shielded, static conjuncts stay in a
+  * plain [[Filter]] and keep full Catalyst treatment (pushdown, pruning).
+  */
+object DynamicFilterRule extends Rule[LogicalPlan] with PredicateHelper {
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, child) if Params.containsPlaceholder(cond) =>
+      val (dynamic, static) =
+        splitConjunctivePredicates(cond).partition(Params.containsPlaceholder)
+      val base = if (static.isEmpty) child else Filter(static.reduce(org.apache.spark.sql.catalyst.expressions.And), child)
+      DynamicFilterNode(dynamic.reduce(org.apache.spark.sql.catalyst.expressions.And), base)
+  }
+}
+
+/** A3 — planner strategy: [[DynamicFilterNode]] → [[DynamicFilterExec]]
+  * (reference `src/planner.rs:28-42`).
+  */
+object DynamicFilterStrategy extends SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case DynamicFilterNode(cond, child) =>
+      DynamicFilterExec(cond, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** A4 — physical dynamic filter. At execute time the condition must already
+  * be bound (the prepared-statement path substitutes placeholders on a clone
+  * of the plan before calling execute); an unbound placeholder is an error
+  * with the reference's message (`src/param_resolver.rs:90-94`).
+  *
+  * Inherits the child's partitioning and ordering (reference
+  * `src/physical.rs:40-46`) and filters with a compiled [[Predicate]]
+  * per-partition — no shared mutable state, so unlike the reference it is
+  * safe under any parallelism (their README.md:56 restriction).
+  */
+case class DynamicFilterExec(condition: Expression, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    Params.requireBound(condition)
+    val numOutputRows = longMetric("numOutputRows")
+    val cond = condition
+    val childOutput = child.output
+    child.execute().mapPartitionsWithIndex { (index, iter) =>
+      val predicate = Predicate.create(cond, childOutput)
+      predicate.initialize(index)
+      iter.filter { row =>
+        val keep = predicate.eval(row)
+        if (keep) numOutputRows += 1
+        keep
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): DynamicFilterExec =
+    copy(child = newChild)
+}
+
+/** Session wiring (≡ the reference's SessionStateBuilder wiring in every
+  * harness, e.g. `tests/preparable_context_basic_test.rs:19-25` — minus the
+  * `target_partitions = 1` restriction, which this design does not need).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => DynamicFilterRule)
+    e.injectPlannerStrategy(_ => DynamicFilterStrategy)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.prepared
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.graft.Internals
+
+/** A prepared statement: SQL parsed, analyzed, optimized, and physically
+  * planned exactly once; `execute(params)` re-binds placeholder values into a
+  * clone of the cached physical plan and runs it, skipping the entire
+  * Catalyst pipeline on the hot path.
+  *
+  * Engine-neutral equivalent of the reference's `ParameterizedStatement`
+  * (`src/parameterized_statement.rs:12-163`), with two deliberate design
+  * changes (SURVEY.md §7):
+  *
+  *   - Binding is a pure clone-and-substitute on the driver
+  *     (`transformAllExpressions`), not an update of a shared mutable filter
+  *     expression — so concurrent executes and multi-partition plans are
+  *     safe (the reference requires `target_partitions = 1`, README.md:56).
+  *   - No UDF snapshotting side channel: Spark function expressions live
+  *     directly in the cached plan tree.
+  *
+  * Parquet pruning parity: after binding, conjuncts of any dynamic filter are
+  * re-pushed into descendant parquet scans (`ScanRebind`), so row-group
+  * pruning sees the concrete literals — the moral equivalent of the
+  * reference's `DynamicFilterPhysicalExpr.update` pushdown
+  * (`src/physical.rs:240-264`).
+  */
+class PreparedStatement(
+    val spark: SparkSession,
+    val sql: String,
+    val physicalPlan: SparkPlan,
+    val output: Seq[Attribute]) {
+
+  /** Placeholder ids this statement expects (e.g. "$1", "$2"). */
+  lazy val parameterIds: Seq[String] = Params.placeholderIds(physicalPlan)
+
+  /** Bind `params` and return a lazy DataFrame over the bound physical plan.
+    * No Catalyst work happens here: one cheap plan-tree clone, then straight
+    * to execution when an action runs.
+    */
+  def execute(params: Map[String, Any] = Map.empty): DataFrame = {
+    val bound = Params.bind(physicalPlan, params)
+    val pruned = ScanRebind.rebind(bound)
+    Internals.dfFromPhysical(spark, pruned)
+  }
+
+  /** Convenience: positional binding — args(0) -> "$1", args(1) -> "$2", … */
+  def execute(args: Any*): DataFrame =
+    execute(args.zipWithIndex.map { case (v, i) => s"$$${i + 1}" -> v }.toMap)
+
+  def executeCollect(params: Map[String, Any]): Array[Row] =
+    execute(params).collect()
+}

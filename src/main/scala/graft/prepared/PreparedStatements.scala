@@ -1,0 +1,173 @@
+package graft.prepared
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamedParameter, PosParameter, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Expression, In}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.graft.Internals
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Entry point: `prepare(spark, sql, paramTypes)` → [[PreparedStatement]].
+  *
+  * Engine-neutral equivalent of the reference's
+  * `PreparableSessionContext::prepare` (`src/preparable_context.rs:9-38`):
+  * parse → reject DDL → plan all the way to the physical layer exactly once,
+  * with `$n` placeholders surviving into the physical plan as
+  * [[ParamPlaceholder]] leaves.
+  *
+  * Placeholder syntax: `$1`, `$2`, … (the reference's convention) or `?`
+  * positional markers (numbered left to right) or `:name` named markers
+  * (bound by `$name`-keyed… no — by `":name"`? they are keyed `"$name"`? see
+  * note) — all normalized to `$`-ids: `?`s become `$1..$n` in textual order,
+  * `:name` becomes `$name`.
+  *
+  * Types: looked up in `paramTypes` (keys `"$1"`, …); if absent, inferred
+  * from the comparison sibling's column type against the referenced tables'
+  * schemas; final fallback IntegerType.
+  */
+object PreparedStatements {
+
+  /** Rewrite `$N` markers to `:gpN` outside quoted strings so Spark's parser
+    * accepts them as named parameter markers.
+    */
+  private[prepared] def normalizePlaceholders(sql: String): String = {
+    val out = new StringBuilder(sql.length + 8)
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    var inBacktick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSingle) {
+        out.append(c); if (c == '\'') inSingle = false
+      } else if (inDouble) {
+        out.append(c); if (c == '"') inDouble = false
+      } else if (inBacktick) {
+        out.append(c); if (c == '`') inBacktick = false
+      } else c match {
+        case '\'' => inSingle = true; out.append(c)
+        case '"'  => inDouble = true; out.append(c)
+        case '`'  => inBacktick = true; out.append(c)
+        case '$' if i + 1 < sql.length && sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          out.append(":gp").append(sql.substring(i + 1, j))
+          i = j - 1
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  private def placeholderId(e: Expression, posOrdinals: Map[Int, Int]): Option[String] =
+    e match {
+      case NamedParameter(n) if n.startsWith("gp") => Some("$" + n.drop(2))
+      case NamedParameter(n)                       => Some("$" + n)
+      case PosParameter(pos)                       => Some("$" + posOrdinals(pos))
+      case _                                       => None
+    }
+
+  /** Infer placeholder types from `col <op> $n` / `col IN ($n,…)` shapes by
+    * resolving the sibling column name against the schemas of the referenced
+    * temp views / tables. Best-effort; explicit `paramTypes` wins.
+    */
+  private def inferTypes(
+      spark: SparkSession,
+      parsed: LogicalPlan,
+      posOrdinals: Map[Int, Int]): Map[String, DataType] = {
+    val colTypes: Map[String, DataType] = parsed
+      .collect { case r: UnresolvedRelation => r.name }
+      .distinct
+      .flatMap(n => Try(spark.table(n).schema).toOption.toSeq.flatMap(_.fields))
+      .map(f => f.name.toLowerCase -> f.dataType)
+      .toMap
+
+    def colType(e: Expression): Option[DataType] = e match {
+      case a: UnresolvedAttribute => colTypes.get(a.nameParts.last.toLowerCase)
+      case _                      => None
+    }
+
+    val inferred = Map.newBuilder[String, DataType]
+    def visit(e: Expression): Unit = {
+      e match {
+        case b: BinaryOperator =>
+          (placeholderId(b.left, posOrdinals), colType(b.right)) match {
+            case (Some(id), Some(t)) => inferred += id -> t
+            case _ =>
+          }
+          (placeholderId(b.right, posOrdinals), colType(b.left)) match {
+            case (Some(id), Some(t)) => inferred += id -> t
+            case _ =>
+          }
+        case In(v, list) =>
+          colType(v).foreach { t =>
+            list.flatMap(placeholderId(_, posOrdinals)).foreach(id => inferred += id -> t)
+          }
+        case _ =>
+      }
+      e.children.foreach(visit)
+    }
+    parsed.foreach(_.expressions.foreach(visit))
+    inferred.result()
+  }
+
+  private def rejectDdl(parsed: LogicalPlan, sql: String): Unit = {
+    val bad = parsed.exists {
+      case _: Command             => true
+      case _: InsertIntoStatement => true
+      case p =>
+        val n = p.nodeName
+        n.startsWith("Create") || n.startsWith("Drop") || n.startsWith("Alter") ||
+        n.startsWith("Merge") || n.startsWith("Update") || n.startsWith("Delete") ||
+        n.startsWith("Truncate")
+    }
+    if (bad) {
+      // Parity with the reference, which rejects DDL inside prepare()
+      // (preparable_context.rs:18-28).
+      throw new UnsupportedOperationException(
+        s"DDL/DML statements are not supported in prepared statements: $sql")
+    }
+  }
+
+  def prepare(
+      spark: SparkSession,
+      sql: String,
+      paramTypes: Map[String, DataType] = Map.empty): PreparedStatement = {
+    val cs = Internals.classicSession(spark)
+    val parsed = Internals.parsePlan(spark, normalizePlaceholders(sql))
+    rejectDdl(parsed, sql)
+
+    // `?` markers are numbered left to right by their textual position.
+    val positions = parsed
+      .flatMap(_.expressions.flatMap(_.collect { case PosParameter(p) => p }))
+      .distinct.sorted
+    val posOrdinals = positions.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+
+    val inferred = inferTypes(spark, parsed, posOrdinals)
+    def typeOf(id: String): DataType =
+      paramTypes.getOrElse(id, inferred.getOrElse(id, IntegerType))
+
+    val withPlaceholders = parsed.transformAllExpressions {
+      case e @ (_: NamedParameter | _: PosParameter) =>
+        val id = placeholderId(e, posOrdinals).get
+        ParamPlaceholder(id, typeOf(id))
+    }
+
+    // Plan once, through the full Catalyst pipeline. AQE is disabled for the
+    // cached plan: re-binding mutates a finished physical tree, and adaptive
+    // re-planning would re-introduce per-execute planning work — the very
+    // cost prepare() exists to amortize.
+    val qe = Internals.queryExecution(spark, withPlaceholders)
+    val adaptiveKey = "spark.sql.adaptive.enabled"
+    val previous = cs.conf.get(adaptiveKey)
+    cs.conf.set(adaptiveKey, "false")
+    val physical =
+      try qe.executedPlan
+      finally cs.conf.set(adaptiveKey, previous)
+
+    new PreparedStatement(spark, sql, physical, physical.output)
+  }
+}

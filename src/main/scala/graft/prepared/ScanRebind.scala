@@ -1,0 +1,40 @@
+package graft.prepared
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, PredicateHelper}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+
+import graft.plans.DynamicFilterExec
+
+/** Execute-time parquet pushdown for freshly bound predicates.
+  *
+  * At prepare time a parameterized predicate cannot be pushed into the scan
+  * (no concrete value yet). After `Params.bind` turns placeholders into
+  * literals, this pass re-pushes the now-concrete conjuncts into descendant
+  * parquet scans' `dataFilters`, so the scan's own filter translation gives
+  * row-group / page-level pruning on every execute.
+  *
+  * Moral equivalent of the reference's pushed `DynamicFilterPhysicalExpr`
+  * being `update()`d with bound values before the scan runs
+  * (`src/physical.rs:240-264`, `270-336`); here it is a pure copy of the
+  * scan node, so nothing shared is mutated.
+  */
+object ScanRebind extends PredicateHelper {
+
+  def rebind(bound: SparkPlan): SparkPlan = {
+    // Conjuncts of every (now concrete) dynamic filter in the plan.
+    val conjuncts: Seq[Expression] = bound.collect {
+      case DynamicFilterExec(cond, _) => splitConjunctivePredicates(cond)
+    }.flatten
+
+    if (conjuncts.isEmpty) bound
+    else bound.transformUp {
+      case scan: FileSourceScanExec =>
+        val applicable = conjuncts.filter { c =>
+          c.references.subsetOf(scan.outputSet) &&
+          !scan.dataFilters.exists(_.semanticEquals(c))
+        }
+        if (applicable.isEmpty) scan
+        else scan.copy(dataFilters = scan.dataFilters ++ applicable)
+    }
+  }
+}
