@@ -75,9 +75,12 @@ object SparkEntry {
       prep(s, dir, "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1")("$1" -> -1L)),
     // B11: constant select, no table (ref :61-65)
     "q_prep_const" -> ((s, dir) => prep(s, dir, "SELECT 1 AS one")()),
-    // B4: projection + alias; placeholder in projection too
+    // B4: projection + alias; placeholder in projection too. Result cast to
+    // decimal(18,4): the true product has 3 decimals, so a 4-decimal cast has
+    // no halfway cases and Spark/DuckDB round identically (round(x, 2) on a
+    // double diverges on .xx5 — the r1 q_prep_proj hash fail).
     "q_prep_proj" -> ((s, dir) =>
-      prep(s, dir, "SELECT o_orderkey AS k, round(o_totalprice * $1, 2) AS scaled FROM orders WHERE o_orderkey <= $2")(
+      prep(s, dir, "SELECT o_orderkey AS k, cast(o_totalprice * $1 AS decimal(18,4)) AS scaled FROM orders WHERE o_orderkey <= $2")(
         "$1" -> 0.1, "$2" -> 100L)),
     // B8: OR of placeholders (ref rule.rs:175-192)
     "q_prep_or" -> ((s, dir) =>
@@ -110,7 +113,7 @@ object SparkEntry {
     "q_prep_count" -> "SELECT count(*) AS cnt FROM orders WHERE o_custkey >= 42",
     "q_prep_empty" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = -1",
     "q_prep_const" -> "SELECT 1 AS one",
-    "q_prep_proj" -> "SELECT o_orderkey AS k, round(o_totalprice * 0.1, 2) AS scaled FROM orders WHERE o_orderkey <= 100",
+    "q_prep_proj" -> "SELECT o_orderkey AS k, CAST(o_totalprice * CAST(0.1 AS DOUBLE) AS DECIMAL(18,4)) AS scaled FROM orders WHERE o_orderkey <= 100",
     "q_prep_or" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = 3 OR o_orderkey = 77",
     "q_prep_in" -> "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (5, 17, 42)",
     "q_prep_join" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
@@ -141,7 +144,13 @@ object SparkEntry {
           count(lit(1)).as("cnt"),
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          // revenue's true value has 4 decimals — round(..., 2) on a double
+          // sits on .xx50 halfway cases. Exact decimal arithmetic on both
+          // sides instead: both engines compute the identical exact sum, then
+          // apply the same positive-halfway-up rounding in the final cast.
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,2)").as("revenue"),
           round(min(col("l_quantity")), 2).as("min_qty"),
           round(max(col("l_quantity")), 2).as("max_qty"))),
     "q_agg_distinct" -> ((s, dir) =>
@@ -205,7 +214,10 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(n("n_name"))
-        .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2).as("revenue"))
+        // decimal-exact revenue — same halfway-proofing as q_agg_group
+        .agg(sum(l("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - l("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("revenue"))
     }),
     // Window functions
     "q_window_rank" -> ((s, dir) => {
@@ -317,7 +329,9 @@ object SparkEntry {
     "q_scan_mem" -> "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3",
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
-      "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+      // DuckDB's decimal downscale CAST truncates, so round() first (half-away
+      // == Spark's HALF_UP for positive values), then cast only fixes the scale.
+      "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue, " +
       "round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty " +
       "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     "q_agg_distinct" -> ("SELECT count(DISTINCT l_orderkey) AS n_orders, " +
@@ -341,7 +355,7 @@ object SparkEntry {
       "FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s " +
       "ON c.nk = s.nk"),
     "q_join_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
-    "q_join_multi" -> ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+    "q_join_multi" -> ("SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name"),
