@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -11,9 +12,16 @@ import graft.functions.VectorFunctions._
   * transform built to scale:
   *
   *   - signatures (minhash / simhash / buckets) are computed map-side in one
-  *     pass, no shuffle;
+  *     pass, no shuffle, over DISTINCT texts only (exact-duplicate pre-pass:
+  *     a 100 TB crawl is full of identical documents, and collapsing them
+  *     first keeps them from forming quadratic LSH buckets);
   *   - candidate generation shuffles only on small bucket keys (band hash /
   *     simhash chunk / LSH bucket), never all-pairs;
+  *   - every bucket join is capped ([[defaultBucketCap]]): buckets larger
+  *     than the cap are dropped before the self-join, so one skewed key
+  *     (boilerplate, empty docs) cannot go quadratic — genuinely similar
+  *     members of an over-full bucket still pair through their other
+  *     bands/chunks;
   *   - the band-explode stream carries only (doc_id, band, hash) — wide
   *     signature arrays are joined back *after* candidate pruning, so the
   *     big shuffle stays narrow.
@@ -21,6 +29,22 @@ import graft.functions.VectorFunctions._
 object Dedup {
 
   private def tokens(textCol: String) = split(lower(col(textCol)), " ")
+
+  /** Skew guard for every LSH bucket self-join: buckets with more members
+    * than this are dropped before pairing. At the default minhash band count
+    * (16) a true near-dup pair in a dropped bucket is still caught by its
+    * 15 other bands with near-certainty; the cap only sheds the quadratic
+    * cost of degenerate keys.
+    */
+  val defaultBucketCap: Int = 1000
+
+  /** Drop rows whose bucket (the given key columns) exceeds `cap` members.
+    * One window count over the same shuffle key the join uses — linear.
+    */
+  private def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame =
+    df.withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bucket_n") <= cap)
+      .drop("__bucket_n")
 
   /** Exact dedup: hash-groupBy on the full text. Returns one row per
     * distinct text with the representative (minimum) id and the copy count.
@@ -30,12 +54,57 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col(textCol))
 
-  /** MinHash + LSH near-duplicate pairs.
-    *
-    * shingle→minhash (map-side) → band → bucket-join on (band, bandHash) →
-    * distinct candidate pairs → join signatures back → estimated Jaccard ≥
-    * `threshold`. With r rows per band and b bands, a pair of true Jaccard s
-    * is caught with probability 1-(1-s^r)^b.
+  /** One row per DISTINCT text: (id = min doc id, text). The exact-duplicate
+    * pre-pass all near-dup operators build on.
+    */
+  private def distinctTexts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol)).agg(min(col(idCol)).as("id"))
+
+  /** Map-side minhash signatures over distinct texts: (id, sig). Shared by
+    * [[minhashPairs]] and [[ngramJaccardPairs]] — compute once, persist, and
+    * both the band stream and the verify join read the cache instead of
+    * re-hashing every shingle (the r1 bottleneck: signatures were built
+    * up to three times per query).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      seed: Long = 42L): DataFrame =
+    distinctTexts(docs, idCol, textCol)
+      .select(col("id"), minhashSignature(tokens(textCol), numHashes, shingleSize, seed).as("sig"))
+
+  /** LSH candidate pairs from banded signatures: slim (id, band, band_hash)
+    * stream → bucket-capped self-join on (band, band_hash) → distinct id
+    * pairs. With r rows per band and b bands, a pair of true Jaccard s is
+    * caught with probability 1-(1-s^r)^b.
+    */
+  def bandCandidates(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      bucketCap: Int = defaultBucketCap): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val banded = sigs.select(
+      col("id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band", "band_hash")))
+    val capped = capBuckets(banded, bucketCap, "band", "band_hash")
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash + LSH near-duplicate pairs among distinct texts:
+    * shingle→minhash (map-side, once, cached) → band-bucket candidates →
+    * signature compare → estimated Jaccard ≥ `threshold`.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -43,28 +112,13 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      minhashSignature(tokens(textCol), numHashes, 3, 42L).as("sig"))
-
-    // slim band stream: (id, band, band_hash) only
-    val banded = sigs.select(
-      col("id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))"))
-        .as(Seq("band", "band_hash")))
-
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-
+      threshold: Double = 0.5,
+      bucketCap: Int = defaultBucketCap): DataFrame = {
+    // cached: read by the band stream and twice by the verify join. Tiny
+    // (numHashes longs per distinct doc), so the cache never pressures
+    // executor memory even at large n.
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes).persist()
+    val candidates = bandCandidates(sigs, numHashes, bands, bucketCap)
     candidates
       .join(sigs.select(col("id"), col("sig").as("sig_a")), col("id_a") === col("id"))
       .drop("id")
@@ -77,22 +131,36 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`.
-    * Bucketing on 16-bit chunks of the 64-bit simhash: by pigeonhole, any
-    * pair within distance ≤ 3 shares at least one of the 4 chunks, so the
-    * join only touches chunk-equal candidates.
+    *
+    * The 64-bit simhash is split into `maxHamming + 1` chunks — by
+    * pigeonhole, any pair within the distance budget shares at least one
+    * full chunk, so bucketing on (chunk index, chunk value) has guaranteed
+    * recall for the requested distance (the r1 version fixed 4 chunks and
+    * silently lost pairs when called with maxHamming > 3).
+    *
+    * No distinct-text pre-pass here: identical texts have Hamming distance 0
+    * and are legitimate output; the bucket cap bounds their join cost.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      bucketCap: Int = defaultBucketCap): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (chunks need >= 4 bits to stay selective), got $maxHamming")
+    val numChunks = maxHamming + 1
+    val width = 64 / numChunks // last chunk also takes the remainder bits
+    val mask = (1L << width) - 1
     val sims = docs.select(col(idCol).as("id"), simhash64(tokens(textCol)).as("sh"))
     val chunked = sims.select(
       col("id"), col("sh"),
-      posexplode(expr("transform(sequence(0, 3), c -> (sh >> (c * 16)) & 65535)"))
+      posexplode(expr(
+        s"transform(sequence(0, ${numChunks - 1}), c -> IF(c = ${numChunks - 1}, " +
+          s"shiftrightunsigned(sh, c * $width), shiftrightunsigned(sh, c * $width) & $mask))"))
         .as(Seq("chunk", "chunk_val")))
-
-    val a = chunked.as("a"); val b = chunked.as("b")
+    val capped = capBuckets(chunked, bucketCap, "chunk", "chunk_val")
+    val a = capped.as("a"); val b = capped.as("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
@@ -103,24 +171,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram (word shingle) Jaccard over LSH candidates: minhash bands
-    * prune to candidate pairs, then the true Jaccard is computed on the
-    * distinct shingle sets. Avoids the all-pairs O(n²) join.
+  /** Exact n-gram (word shingle) Jaccard over LSH candidates: one shared set
+    * of minhash signatures generates loose candidates (narrow bands → high
+    * recall), then the true Jaccard is computed on the distinct shingle
+    * sets. Avoids both the all-pairs O(n²) join and the r1 double
+    * signature computation (candidates reuse [[minhashSignatures]]).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
-    val shingled = docs.select(
-      col(idCol).as("id"),
+      threshold: Double = 0.3,
+      bucketCap: Int = defaultBucketCap): DataFrame = {
+    val shingled = distinctTexts(docs, idCol, textCol).select(
+      col("id"),
       expr(s"array_distinct(transform(sequence(1, greatest(size(split(lower($textCol), ' ')) - ${n - 1}, 0)), " +
         s"i -> concat_ws(' ', slice(split(lower($textCol), ' '), i, $n))))").as("shingles"))
 
-    // loose minhash candidates (low threshold → high recall), exact verify after
-    val candidates = minhashPairs(docs, idCol, textCol, numHashes = 64, bands = 32, threshold = 0.2)
-      .select("id_a", "id_b")
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes = 64).persist()
+    // 32 bands of 2 hashes: band-match probability s² per band — high recall
+    // down to low Jaccard, exact verify prunes false positives after.
+    val candidates = bandCandidates(sigs, numHashes = 64, bands = 32, bucketCap)
 
     candidates
       .join(shingled.select(col("id"), col("shingles").as("sh_a")), col("id_a") === col("id")).drop("id")
@@ -134,18 +206,25 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH: vectors
     * are bucketed by sign-bit codes from two independent hash tables (union
     * for recall), pairs are verified with exact cosine ≥ `threshold` inside
-    * each bucket only.
+    * each (capped) bucket only.
+    *
+    * Sizing at scale: buckets ≈ 2^bits, so choose
+    * bits ≈ log2(n / desired_bucket_size) — e.g. 10⁹ vectors and ~4k-vector
+    * buckets → bits ≈ 18. The cap bounds the worst bucket regardless.
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       bits: Int = 8,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      bucketCap: Int = defaultBucketCap): DataFrame = {
     def table(seed: Long): DataFrame = {
-      val bucketed = embeddings.select(
-        col(idCol).as("id"), col(vecCol).as("v"),
-        hyperplaneBucket(col(vecCol), bits, seed).as("bucket"))
+      val bucketed = capBuckets(
+        embeddings.select(
+          col(idCol).as("id"), col(vecCol).as("v"),
+          hyperplaneBucket(col(vecCol), bits, seed).as("bucket")),
+        bucketCap, "bucket")
       val a = bucketed.as("a"); val b = bucketed.as("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

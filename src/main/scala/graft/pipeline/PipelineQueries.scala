@@ -6,8 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Driver-contract registration of the phase-4 pipeline operators
-  * (SURVEY.md §7). Oracles are provided wherever DuckDB can express the
-  * same computation; signature/LSH operators get the weaker rows-only check.
+  * (SURVEY.md §7).
+  *
+  * Verification strategy: map-side analysis operators get a DuckDB oracle
+  * that replays the same computation; the LSH/signature operators — whose
+  * hash families DuckDB cannot reproduce — get *planted-pair recall
+  * queries*: a small doc/vector subset is unioned with constructed
+  * near-duplicate copies at `id + PlantOffset`, the operator runs over the
+  * mix, and the query returns exactly the planted pairs it found. The
+  * oracle is the full planted list, so a single missed pair (or any
+  * spurious id arithmetic) fails the driver's hash compare. The corpus-wide
+  * variants stay registered for scale evidence (rows-only check).
   */
 object PipelineQueries {
 
@@ -18,34 +27,115 @@ object PipelineQueries {
     embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
 
+  /** Planted copies live at base id + this offset, far above any real id. */
+  val PlantOffset = 1000000L
+
+  /** How many docs/vectors get a planted near-duplicate copy. */
+  private val NPlant = 100
+  /** Subset size: ids < NDistract participate (NPlant planted + distractors). */
+  private val NDistract = 200
+
+  /** documents subset with near-duplicate plants: ids < NDistract, plus for
+    * ids < NPlant a copy at id + PlantOffset with `suffix` appended (empty
+    * suffix = exact copy).
+    */
+  private def plantedDocs(docs: DataFrame, suffix: String): DataFrame = {
+    val base = docs.filter(col("doc_id") < NDistract).select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") < NPlant).select(
+      (col("doc_id") + PlantOffset).as("doc_id"),
+      concat(col("text"), lit(suffix)).as("text"))
+    base.union(copies)
+  }
+
+  /** embeddings subset with planted exact-copy vectors. */
+  private def plantedEmbs(embs: DataFrame): DataFrame = {
+    val base = embs.filter(col("vec_id") < NDistract).select(col("vec_id"), col("embedding"))
+    val copies = embs.filter(col("vec_id") < NPlant).select(
+      (col("vec_id") + PlantOffset).as("vec_id"), col("embedding"))
+    base.union(copies)
+  }
+
+  /** Keep only correctly identified planted pairs (id, id + PlantOffset). */
+  private def plantedFound(pairs: DataFrame): DataFrame =
+    pairs.filter(col("id_a") < NPlant && col("id_b") === col("id_a") + PlantOffset)
+      .select(col("id_a"), col("id_b"))
+
+  private val plantedOracle =
+    s"SELECT doc_id AS id_a, doc_id + $PlantOffset AS id_b FROM documents WHERE doc_id < $NPlant"
+  private val plantedEmbOracle =
+    s"SELECT vec_id AS id_a, vec_id + $PlantOffset AS id_b FROM embeddings WHERE vec_id < $NPlant"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // corpus-wide near-dup sweeps (rows-only evidence at scale)
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), threshold = 0.3)),
-    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.2)),
     "q_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDupPairs(embs(s, dir), threshold = 0.9)),
+    // planted-pair recall assertions (oracle = the full planted list)
+    "q_dedup_minhash_planted" -> ((s, dir) =>
+      plantedFound(Dedup.minhashPairs(plantedDocs(docs(s, dir), " graftdup"), threshold = 0.5))),
+    "q_dedup_simhash_planted" -> ((s, dir) =>
+      plantedFound(Dedup.simhashPairs(plantedDocs(docs(s, dir), ""), maxHamming = 3))),
+    "q_dedup_ngram_planted" -> ((s, dir) =>
+      plantedFound(Dedup.ngramJaccardPairs(plantedDocs(docs(s, dir), " graftdup"), threshold = 0.3))),
+    "q_dedup_embed_planted" -> ((s, dir) =>
+      plantedFound(Dedup.embeddingNearDupPairs(plantedEmbs(embs(s, dir)), threshold = 0.9))),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langIdGuess(docs(s, dir))),
     "q_text_lang_dist" -> ((s, dir) => TextAnalysis.langDistribution(docs(s, dir))),
-    "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    // md5 half is cross-engine checkable; the rolling hash is graft-native
+    "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)).select("doc_id", "md5_hex")),
+    "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)).select("doc_id", "roll_hash")),
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withPayload(docs(s, dir)).select("doc_id", "n_bytes", "sha256_hex")),
     "q_multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(docs(s, dir)).toDF())
   )
 
+  /** DuckDB replay of [[TextAnalysis.langIdGuess]]: per-language stopword hit
+    * counts, argmax with Spark's array_max-over-structs tie-break (highest
+    * score, ties to the lexicographically largest language code).
+    */
+  private val langIdOracle: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted // de, en, es, fr, zh
+    val scoreCols = langs.map { l =>
+      val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($words, t))) AS s_$l"
+    }.mkString(", ")
+    val cases = langs.reverse.init.map { l => // zh, fr, es, en; else de
+      val rest = langs.filter(_ < l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    s"SELECT doc_id, lang AS labeled_lang, CASE $cases ELSE '${langs.head}' END AS predicted_lang " +
+      s"FROM (SELECT doc_id, lang, $scoreCols FROM documents)"
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text " +
       "FROM documents GROUP BY text"),
+    "q_dedup_minhash_planted" -> plantedOracle,
+    "q_dedup_simhash_planted" -> plantedOracle,
+    "q_dedup_ngram_planted" -> plantedOracle,
+    "q_dedup_embed_planted" -> plantedEmbOracle,
+    "q_ann_brute" -> ("SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+      "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine " +
+      "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
+    "q_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct, " +
+      "CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) " +
+      "/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len FROM documents"),
     "q_text_quality" -> ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
       "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_words, " +
       "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_word_len, " +
       "CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3 AS INTEGER) AS the_count, " +
       "round(CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3 AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS stopword_ratio " +
       "FROM documents"),
+    "q_text_langid" -> langIdOracle,
     "q_text_lang_dist" -> "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+    "q_text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_hex FROM documents",
     "q_multimodal_meta" -> ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
       "sha256(text) AS sha256_hex FROM documents")
   )

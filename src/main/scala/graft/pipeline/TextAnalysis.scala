@@ -13,14 +13,18 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  /** Per-document token statistics (whitespace tokenization). */
+  /** Per-document token statistics (whitespace tokenization). The average is
+    * left as the raw IEEE division of two exact ints — both engines divide
+    * the same integers and get bitwise-identical doubles; rounding it would
+    * reintroduce the cross-engine halfway divergence.
+    */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(split(col("text"), " ")).as("n_tokens"),
       size(array_distinct(split(col("text"), " "))).as("n_distinct"),
-      expr("round(aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, v) -> a + v) " +
-        "/ cast(size(split(text, ' ')) AS double), 4)").as("avg_token_len"))
+      expr("cast(aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, v) -> a + v) AS double) " +
+        "/ cast(size(split(text, ' ')) AS double)").as("avg_token_len"))
 
   /** Quality heuristics from length / word-shape ratios; built from
     * `replace`/`length` only so the DuckDB oracle is exact.
@@ -39,7 +43,10 @@ object TextAnalysis {
       round(theCount.cast("double") / words.cast("double"), 4).as("stopword_ratio"))
   }
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** Visible to PipelineQueries so the DuckDB oracle is generated from the
+    * same word lists (no drift between engine and oracle).
+    */
+  private[pipeline] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "with"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
