@@ -100,7 +100,19 @@ object SparkEntry {
     "q_prep_agg" -> ((s, dir) =>
       prep(s, dir,
         """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
-          |FROM orders WHERE o_custkey >= $1 GROUP BY o_orderstatus""".stripMargin)("$1" -> 100L))
+          |FROM orders WHERE o_custkey >= $1 GROUP BY o_orderstatus""".stripMargin)("$1" -> 100L)),
+    // Placeholders INSIDE a scalar subquery's own plan: binding recurses
+    // through ExecSubqueryExpression (Params.bindChecked). $1 has no column
+    // sibling so its type is declared explicitly — inference would
+    // (deliberately) fail fast.
+    "q_prep_subquery" -> ((s, dir) => {
+      Tables.register(s, dir); Graft.install(s)
+      PreparedStatements.prepare(s,
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) * $1 FROM orders WHERE o_custkey >= $2)""".stripMargin,
+        Map("$1" -> org.apache.spark.sql.types.DoubleType))
+        .execute(Map("$1" -> 1.9, "$2" -> 42L))
+    })
   )
 
   private val preparedOracles: Map[String, String] = Map(
@@ -119,7 +131,9 @@ object SparkEntry {
     "q_prep_join" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),
     "q_prep_agg" -> ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total " +
-      "FROM orders WHERE o_custkey >= 100 GROUP BY o_orderstatus")
+      "FROM orders WHERE o_custkey >= 100 GROUP BY o_orderstatus"),
+    "q_prep_subquery" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_totalprice > (SELECT avg(o_totalprice) * CAST(1.9 AS DOUBLE) FROM orders WHERE o_custkey >= 42)")
   )
 
   // ---------------------------------------------------------------------------

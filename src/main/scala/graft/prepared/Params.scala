@@ -1,7 +1,9 @@
 package graft.prepared
 
+import java.util.IdentityHashMap
+
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{BaseSubqueryExec, ExecSubqueryExpression, ReusedSubqueryExec, SparkPlan}
 
 /** Placeholder detection and substitution (engine-neutral equivalent of the
   * reference's `replace_placeholders`, `src/param_resolver.rs:77-100`, and
@@ -11,6 +13,12 @@ import org.apache.spark.sql.execution.SparkPlan
   * there is no shared mutable filter expression and therefore no
   * single-partition restriction (the reference needs `target_partitions=1`,
   * its `README.md:56`; this design does not).
+  *
+  * Subqueries: a physical plan holds its subquery plans *inside*
+  * [[ExecSubqueryExpression]]s, which `transformAllExpressions` does not
+  * descend into — both detection and substitution recurse through them
+  * explicitly, so `... WHERE x > (SELECT avg(y) FROM t WHERE z = $1)`
+  * binds like any other placeholder.
   */
 object Params {
 
@@ -18,15 +26,28 @@ object Params {
   def containsPlaceholder(e: Expression): Boolean =
     e.exists(_.isInstanceOf[ParamPlaceholder])
 
-  /** All placeholder ids appearing in an expression tree. */
+  /** All placeholder ids appearing in an expression tree (not descending
+    * into physical subquery plans — see the SparkPlan overload for that).
+    */
   def placeholderIds(e: Expression): Seq[String] =
     e.collect { case ParamPlaceholder(id, _) => id }.distinct
 
-  /** All placeholder ids appearing anywhere in a physical plan. */
+  /** All placeholder ids appearing anywhere in a physical plan, including
+    * inside subquery plans. [[ReusedSubqueryExec]] is a leaf whose child is
+    * NOT in `children`, so it needs its own hop.
+    */
   def placeholderIds(plan: SparkPlan): Seq[String] = {
     val b = Seq.newBuilder[String]
-    plan.foreach { node =>
-      node.expressions.foreach(e => b ++= placeholderIds(e))
+    plan.foreach {
+      case reused: ReusedSubqueryExec => b ++= placeholderIds(reused.child)
+      case node =>
+        node.expressions.foreach { root =>
+          root.foreach {
+            case ParamPlaceholder(id, _)     => b += id
+            case sub: ExecSubqueryExpression => b ++= placeholderIds(sub.plan)
+            case _                           =>
+          }
+        }
     }
     b.result().distinct
   }
@@ -48,12 +69,43 @@ object Params {
     }
 
   /** Bind a cached physical plan: clone-and-substitute every placeholder with
-    * a literal. Fails fast if any referenced placeholder has no value.
+    * a literal, recursing into subquery plans. Fails fast if any referenced
+    * placeholder has no value.
     */
   def bind(plan: SparkPlan, params: Map[String, Any]): SparkPlan = {
     placeholderIds(plan).foreach(id => if (!params.contains(id)) missing(id))
-    plan.transformAllExpressions { case ParamPlaceholder(id, dt) =>
-      Literal.create(params(id), dt)
+    // identity cache: a subquery instance shared through ReusedSubqueryExec
+    // binds to ONE new instance, so subquery reuse survives the clone and
+    // the subquery still executes once per run
+    bindChecked(plan, params, new IdentityHashMap[BaseSubqueryExec, BaseSubqueryExec])
+  }
+
+  private def bindChecked(
+      plan: SparkPlan,
+      params: Map[String, Any],
+      cache: IdentityHashMap[BaseSubqueryExec, BaseSubqueryExec]): SparkPlan =
+    plan.transformAllExpressions {
+      case ParamPlaceholder(id, dt) =>
+        Literal.create(params(id), dt)
+      case sub: ExecSubqueryExpression if placeholderIds(sub.plan).nonEmpty =>
+        // clone the subquery plan with bound literals; the fresh instance
+        // re-executes on next run (its result future is per-instance)
+        sub.withNewPlan(bindSubquery(sub.plan, params, cache))
+    }
+
+  private def bindSubquery(
+      p: BaseSubqueryExec,
+      params: Map[String, Any],
+      cache: IdentityHashMap[BaseSubqueryExec, BaseSubqueryExec]): BaseSubqueryExec = {
+    val cached = cache.get(p)
+    if (cached != null) cached
+    else {
+      val bound = p match {
+        case r: ReusedSubqueryExec => ReusedSubqueryExec(bindSubquery(r.child, params, cache))
+        case other => bindChecked(other, params, cache).asInstanceOf[BaseSubqueryExec]
+      }
+      cache.put(p, bound)
+      bound
     }
   }
 

@@ -4,10 +4,10 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamedParameter, PosParameter, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Expression, In}
+import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Expression, In, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
 import org.apache.spark.sql.graft.Internals
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.DataType
 
 /** Entry point: `prepare(spark, sql, paramTypes)` → [[PreparedStatement]].
   *
@@ -70,6 +70,27 @@ object PreparedStatements {
       case _                                       => None
     }
 
+  /** The parsed plan plus every (transitively) nested subquery plan —
+    * subquery plans live inside [[SubqueryExpression]]s, which plan-level
+    * traversal does not descend into.
+    */
+  private def withSubqueryPlans(plan: LogicalPlan): Seq[LogicalPlan] =
+    plan +: plan.flatMap { node =>
+      node.expressions.flatMap(_.collect {
+        case s: SubqueryExpression => withSubqueryPlans(s.plan)
+      }.flatten)
+    }
+
+  /** Every expression root across the plan and its nested subquery plans. */
+  private def allExpressions(plan: LogicalPlan): Seq[Expression] =
+    withSubqueryPlans(plan).flatMap(_.flatMap(_.expressions))
+
+  /** Expression rewrite that also descends into subquery plans. */
+  private def rewriteAll(plan: LogicalPlan)(pf: PartialFunction[Expression, Expression]): LogicalPlan =
+    plan.transformAllExpressions(pf.orElse {
+      case s: SubqueryExpression => s.withNewPlan(rewriteAll(s.plan)(pf))
+    })
+
   /** Infer placeholder types from `col <op> $n` / `col IN ($n,…)` shapes by
     * resolving the sibling column name against the schemas of the referenced
     * temp views / tables. Best-effort; explicit `paramTypes` wins.
@@ -78,8 +99,8 @@ object PreparedStatements {
       spark: SparkSession,
       parsed: LogicalPlan,
       posOrdinals: Map[Int, Int]): Map[String, DataType] = {
-    val colTypes: Map[String, DataType] = parsed
-      .collect { case r: UnresolvedRelation => r.name }
+    val colTypes: Map[String, DataType] = withSubqueryPlans(parsed)
+      .flatMap(_.collect { case r: UnresolvedRelation => r.name })
       .distinct
       .flatMap(n => Try(spark.table(n).schema).toOption.toSeq.flatMap(_.fields))
       .map(f => f.name.toLowerCase -> f.dataType)
@@ -110,7 +131,7 @@ object PreparedStatements {
       }
       e.children.foreach(visit)
     }
-    parsed.foreach(_.expressions.foreach(visit))
+    allExpressions(parsed).foreach(visit)
     inferred.result()
   }
 
@@ -141,16 +162,22 @@ object PreparedStatements {
     rejectDdl(parsed, sql)
 
     // `?` markers are numbered left to right by their textual position.
-    val positions = parsed
-      .flatMap(_.expressions.flatMap(_.collect { case PosParameter(p) => p }))
+    val positions = allExpressions(parsed)
+      .flatMap(_.collect { case PosParameter(p) => p })
       .distinct.sorted
     val posOrdinals = positions.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
 
     val inferred = inferTypes(spark, parsed, posOrdinals)
+    // Fail fast at prepare time when a placeholder's type is neither
+    // declared nor inferable — a blind default would surface later as a
+    // confusing bind-time conversion failure (ADVICE r1).
     def typeOf(id: String): DataType =
-      paramTypes.getOrElse(id, inferred.getOrElse(id, IntegerType))
+      paramTypes.getOrElse(id, inferred.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"Cannot infer the type of placeholder '$id' from the query; " +
+            s"declare it explicitly via prepare(..., paramTypes = Map(\"$id\" -> <DataType>))")))
 
-    val withPlaceholders = parsed.transformAllExpressions {
+    val withPlaceholders = rewriteAll(parsed) {
       case e @ (_: NamedParameter | _: PosParameter) =>
         val id = placeholderId(e, posOrdinals).get
         ParamPlaceholder(id, typeOf(id))

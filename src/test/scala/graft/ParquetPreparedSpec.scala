@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.graft.Internals
+
+import graft.prepared.{Params, PreparedStatements, ScanRebind}
+
+/** End-to-end ports of the reference Parquet integration tests
+  * (`/root/reference/datafusion-dynamic-filter/tests/preparable_context_parquet_test.rs:86-232`),
+  * plus the execute-time pushdown proof: ScanRebind must make the parquet
+  * scan itself skip data, not merely keep results correct.
+  */
+class ParquetPreparedSpec extends SparkTestBase {
+
+  /** users parquet with MANY row groups (small block size), sorted by id so
+    * row-group statistics make point lookups prunable.
+    */
+  private lazy val parquetDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_parquet_users").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/users"
+    spark.range(0, 200000).map(i => (i, s"user_$i", (i % 1000).toDouble))
+      .toDF("id", "name", "score")
+      .coalesce(1)
+      .sortWithinPartitions("id")
+      .write.option("parquet.block.size", 64 * 1024).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("pusers")
+    path
+  }
+
+  private def prepare(sql: String) = { parquetDir; PreparedStatements.prepare(spark, sql) }
+
+  // parquet_test.rs:86-131 — PK lookup on a parquet table
+  test("parquet point lookup") {
+    val rows = prepare("SELECT id, name FROM pusers WHERE id = $1")
+      .execute(Map("$1" -> 4242L)).collect()
+    rows shouldBe Array(Row(4242L, "user_4242"))
+  }
+
+  // parquet_test.rs:134-189 — repeated execution with different keys
+  test("parquet repeated execution") {
+    val st = prepare("SELECT name FROM pusers WHERE id = $1")
+    st.execute(Map("$1" -> 7L)).collect() shouldBe Array(Row("user_7"))
+    st.execute(Map("$1" -> 199999L)).collect() shouldBe Array(Row("user_199999"))
+  }
+
+  // parquet_test.rs:192-232 — two params + projection
+  test("parquet two params with projection") {
+    val df = prepare("SELECT id FROM pusers WHERE id >= $1 AND id <= $2")
+      .execute(Map("$1" -> 100L, "$2" -> 104L))
+    df.columns shouldBe Array("id")
+    df.collect().map(_.getLong(0)).sorted shouldBe Array(100L, 101L, 102L, 103L, 104L)
+  }
+
+  /** The moral equivalent of parquet_test.rs:86-131's pushdown assertion:
+    * after binding, ScanRebind re-pushes the concrete conjuncts into the
+    * scan's dataFilters, and the scan's own numOutputRows metric shows
+    * row-group pruning actually fired. Fails if `ScanRebind.rebind` is
+    * replaced with identity.
+    */
+  test("ScanRebind makes the parquet scan prune") {
+    val st = prepare("SELECT id, name FROM pusers WHERE id = $1")
+    val total = 200000L
+
+    def scanRows(withRebind: Boolean): (Long, Long) = {
+      val bound = Params.bind(st.physicalPlan, Map("$1" -> 123456L))
+      val plan = if (withRebind) ScanRebind.rebind(bound) else bound
+      val df = Internals.dfFromPhysical(spark, plan)
+      val n = df.count()
+      val scan = plan.collectFirst { case s: FileSourceScanExec => s }.get
+      (n, scan.metrics("numOutputRows").value)
+    }
+
+    val (hit, prunedRows) = scanRows(withRebind = true)
+    hit shouldBe 1L
+    // with rebind the scan emits only the surviving row group(s)
+    prunedRows should be < total / 10
+
+    val (hitNo, fullRows) = scanRows(withRebind = false)
+    hitNo shouldBe 1L
+    // identity rebind: the scan reads everything, the filter runs above it
+    fullRows shouldBe total
+  }
+
+  test("rebound dataFilters appear in the scan") {
+    val st = prepare("SELECT id FROM pusers WHERE id = $1")
+    val bound = ScanRebind.rebind(Params.bind(st.physicalPlan, Map("$1" -> 5L)))
+    val scan = bound.collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.dataFilters.nonEmpty, "expected the bound conjunct in dataFilters")
+  }
+
+  // Placeholders inside a subquery's own physical plan (VERDICT r1 §4).
+  // $1 sits against max(score), not a column, so its type is declared.
+  private def subquerySt = {
+    parquetDir
+    PreparedStatements.prepare(
+      spark,
+      "SELECT count(*) AS n FROM pusers WHERE score > (SELECT max(score) - $1 FROM pusers)",
+      Map("$1" -> org.apache.spark.sql.types.DoubleType))
+  }
+
+  test("placeholder inside a scalar subquery binds") {
+    val st = subquerySt
+    // max(score) = 999; score in [0, 1000); threshold 999 - 0.5 → only score 999
+    st.execute(Map("$1" -> 0.5)).collect() shouldBe Array(Row(200L))
+    // rebind with a different margin: scores 998, 999 → 400 rows
+    st.execute(Map("$1" -> 1.5)).collect() shouldBe Array(Row(400L))
+  }
+
+  test("missing param inside a subquery is detected") {
+    val ex = intercept[IllegalArgumentException] { subquerySt.execute(Map.empty[String, Any]) }
+    ex.getMessage should include("'$1' was not provided a value")
+  }
+}

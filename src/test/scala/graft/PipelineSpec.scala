@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Operator-level checks for the phase-4 pipeline on small controlled data —
+  * the driver's planted-pair oracle queries cover these at sf scale; these
+  * specs pin the semantics on hand-built fixtures.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup of 0
+      (3L, "completely different text about apples oranges pears and plums today"),
+      (4L, "yet another unrelated document mentioning spark catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under the min id") {
+    val rows = Dedup.exact(docs).collect()
+    rows.length shouldBe 4
+    val dup = rows.find(_.getLong(1) == 2L).get
+    dup.getLong(0) shouldBe 0L // keep_id = min id of the duplicate group
+  }
+
+  test("minhash finds the near-duplicate and not the unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 2L))
+    pairs.exists { case (a, b) => a == 3L || b == 3L } shouldBe false
+    pairs.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
+
+  test("simhash finds exact copies at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))
+  }
+
+  test("simhash rejects an out-of-range maxHamming") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxHamming = 20)
+    }
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val rows = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3).collect()
+    val pair = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 2L).get
+    // 13 tokens → 11 shingles; the last differs → shared 10, union 12
+    pair.getDouble(2) shouldBe (10.0 / 12.0 +- 0.0001)
+  }
+
+  test("embedding near-dup finds planted identical vectors") {
+    import spark.implicits._
+    val base = (0L until 50L).map(i => (i, Array.tabulate(16)(d => math.sin(i * 17.0 + d).toFloat)))
+    val withDup = base :+ (999L, base(7)._2)
+    val embs = withDup.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(embs, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((7L, 999L))
+  }
+
+  test("brute-force topk ranks the query vector itself first") {
+    import spark.implicits._
+    val embs = (0L until 30L)
+      .map(i => (i, Array.tabulate(8)(d => math.cos(i * 3.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") === 5).head().getSeq[Float](1)
+    val top = Similarity.bruteForceTopK(embs, q, k = 3).collect()
+    top.head.getLong(0) shouldBe 5L
+    top.head.getDouble(1) shouldBe (1.0 +- 1e-9)
+  }
+
+  test("decode stub is deterministic and row-preserving") {
+    val a = Multimodal.decodeStub(docs).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeStub(docs).collect().sortBy(_.doc_id)
+    a shouldBe b
+    a.length shouldBe docs.count()
+    all(a.map(_.channels)) shouldBe 3
+  }
+
+  test("language id picks the stopword-heavy language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog is in the house", "en"),
+      (2L, "el perro y el gato en la casa con los amigos", "es")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdGuess(d).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out(1L) shouldBe "en"
+    out(2L) shouldBe "es"
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+import graft.prepared.PreparedStatements
+
+/** End-to-end ports of the reference MemTable integration tests
+  * (`/root/reference/datafusion-dynamic-filter/tests/preparable_context_basic_test.rs:61-303`)
+  * on an in-memory users table, plus prepare-time guard tests.
+  */
+class PreparedStatementsSpec extends SparkTestBase {
+
+  private lazy val users = {
+    import spark.implicits._
+    val df = Seq(
+      (1, "ada", 10.0), (2, "bo", 20.5), (3, "cy", 30.0),
+      (4, "dee", 4.25), (5, "ed", 55.0)
+    ).toDF("id", "name", "amount")
+    df.createOrReplaceTempView("users")
+    df
+  }
+
+  private def prepare(sql: String) = { users; PreparedStatements.prepare(spark, sql) }
+
+  // basic_test.rs:61-65 — trait smoke: constant select
+  test("prepare SELECT 1") {
+    prepare("SELECT 1 AS one").execute().collect() shouldBe Array(Row(1))
+  }
+
+  // basic_test.rs:68-103 — single int param point lookup
+  test("point lookup with one int param") {
+    val rows = prepare("SELECT id, name FROM users WHERE id = $1")
+      .execute(Map("$1" -> 3)).collect()
+    rows shouldBe Array(Row(3, "cy"))
+  }
+
+  // basic_test.rs:106-145 — repeated execution with different keys
+  test("repeated execution rebinds") {
+    val st = prepare("SELECT name FROM users WHERE id = $1")
+    st.execute(Map("$1" -> 1)).collect() shouldBe Array(Row("ada"))
+    st.execute(Map("$1" -> 5)).collect() shouldBe Array(Row("ed"))
+    st.execute(Map("$1" -> 1)).collect() shouldBe Array(Row("ada"))
+  }
+
+  // basic_test.rs:148-183 — string param
+  test("string equality param") {
+    val rows = prepare("SELECT id FROM users WHERE name = $1")
+      .execute(Map("$1" -> "dee")).collect()
+    rows shouldBe Array(Row(4))
+  }
+
+  // basic_test.rs:186-218 — two params, range conjunction
+  test("two params range") {
+    val rows = prepare("SELECT id FROM users WHERE id >= $1 AND id <= $2")
+      .execute(Map("$1" -> 2, "$2" -> 4)).collect().map(_.getInt(0)).sorted
+    rows shouldBe Array(2, 3, 4)
+  }
+
+  // basic_test.rs:221-241 — no matches
+  test("empty result for unmatched key") {
+    prepare("SELECT id FROM users WHERE id = $1")
+      .execute(Map("$1" -> 999)).collect() shouldBe empty
+  }
+
+  // basic_test.rs:244-273 — projection subset + column count
+  test("projection subset") {
+    val df = prepare("SELECT name FROM users WHERE id = $1").execute(Map("$1" -> 2))
+    df.columns shouldBe Array("name")
+    df.collect() shouldBe Array(Row("bo"))
+  }
+
+  // basic_test.rs:276-303 — COUNT(*) over filtered input
+  test("count over filtered input") {
+    prepare("SELECT count(*) AS cnt FROM users WHERE id >= $1")
+      .execute(Map("$1" -> 3)).collect() shouldBe Array(Row(3L))
+  }
+
+  test("positional execute maps args in order") {
+    val rows = prepare("SELECT id FROM users WHERE id >= $1 AND id <= $2")
+      .execute(2, 3).collect().map(_.getInt(0)).sorted
+    rows shouldBe Array(2, 3)
+  }
+
+  test("question-mark markers are numbered left to right") {
+    val rows = prepare("SELECT id FROM users WHERE id >= ? AND id <= ?")
+      .execute(Map("$1" -> 2, "$2" -> 3)).collect().map(_.getInt(0)).sorted
+    rows shouldBe Array(2, 3)
+  }
+
+  // preparable_context.rs:18-28 — DDL is rejected at prepare time
+  test("DDL rejected") {
+    users
+    val ex = intercept[UnsupportedOperationException] {
+      PreparedStatements.prepare(spark, "CREATE TABLE t2 (id INT)")
+    }
+    ex.getMessage should include("not supported in prepared statements")
+  }
+
+  test("INSERT rejected") {
+    users
+    intercept[UnsupportedOperationException] {
+      PreparedStatements.prepare(spark, "INSERT INTO users VALUES (9, 'x', 1.0)")
+    }
+  }
+
+  // param_resolver.rs:156-168 semantics at the statement level
+  test("missing param at execute errors with the placeholder name") {
+    val st = prepare("SELECT id FROM users WHERE id = $1")
+    val ex = intercept[IllegalArgumentException] { st.execute(Map.empty[String, Any]) }
+    ex.getMessage should include("'$1' was not provided a value")
+  }
+
+  test("type inferred from comparison sibling") {
+    // name = $1 infers StringType; amount > $2 infers DoubleType
+    val st = prepare("SELECT id FROM users WHERE name = $1 AND amount > $2")
+    st.execute(Map("$1" -> "ed", "$2" -> 50.0)).collect() shouldBe Array(Row(5))
+  }
+
+  test("uninferable placeholder type fails fast at prepare") {
+    users
+    val ex = intercept[IllegalArgumentException] {
+      PreparedStatements.prepare(spark, "SELECT $1 AS v FROM users")
+    }
+    ex.getMessage should include("Cannot infer the type of placeholder '$1'")
+  }
+
+  test("declared paramTypes override inference failure") {
+    users
+    val st = PreparedStatements.prepare(
+      spark, "SELECT $1 AS v FROM users WHERE id = 1", Map("$1" -> DoubleType))
+    st.execute(Map("$1" -> 2.5)).collect() shouldBe Array(Row(2.5))
+  }
+
+  test("IN-list of placeholders") {
+    val rows = prepare("SELECT id FROM users WHERE id IN ($1, $2)")
+      .execute(Map("$1" -> 1, "$2" -> 4)).collect().map(_.getInt(0)).sorted
+    rows shouldBe Array(1, 4)
+  }
+
+  test("concurrent executes of one statement are independent") {
+    // no shared mutable filter state (unlike the reference's
+    // target_partitions=1 restriction, README.md:56)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val st = prepare("SELECT id FROM users WHERE id = $1")
+    val results = Await.result(
+      Future.sequence((1 to 5).map { k =>
+        Future(st.execute(Map("$1" -> k)).collect().map(_.getInt(0)).toSeq)
+      }), 2.minutes)
+    results shouldBe (1 to 5).map(Seq(_))
+  }
+}
