@@ -100,6 +100,9 @@ object Similarity {
       vecCol: String = "embedding"): Unit =
     embeddings
       .withColumn("bucket", hyperplaneBucket(col(vecCol), bits, seed))
+      // co-locate each bucket in one task so the dynamic-partition write
+      // emits one file per bucket directory instead of one per (task, bucket)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** ANN top-k against a built index: partition pruning restricts the read

@@ -86,7 +86,10 @@ object Params {
       cache: IdentityHashMap[BaseSubqueryExec, BaseSubqueryExec]): SparkPlan =
     plan.transformAllExpressions {
       case ParamPlaceholder(id, dt) =>
-        Literal.create(params(id), dt)
+        // BoundParam (not Literal) so every execution of the statement hits
+        // the generated-code cache — a Literal would inline the value into
+        // the source and force a janino recompile per execute
+        BoundParam(id, dt, Literal.create(params(id), dt).value)
       case sub: ExecSubqueryExpression if placeholderIds(sub.plan).nonEmpty =>
         // clone the subquery plan with bound literals; the fresh instance
         // re-executes on next run (its result future is per-instance)

@@ -50,6 +50,13 @@ class PreparedStatement(
   def execute(args: Any*): DataFrame =
     execute(args.zipWithIndex.map { case (v, i) => s"$$${i + 1}" -> v }.toMap)
 
-  def executeCollect(params: Map[String, Any]): Array[Row] =
-    execute(params).collect()
+  /** Hot-path collect: bind and run the physical plan directly, skipping the
+    * DataFrame wrapper entirely (the reference's execute() likewise streams
+    * record batches straight from the physical plan,
+    * `parameterized_statement.rs:64-87`).
+    */
+  def executeCollect(params: Map[String, Any]): Array[Row] = {
+    val bound = Params.bind(physicalPlan, params)
+    Internals.collectPhysical(ScanRebind.rebind(bound))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.prepared
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, PredicateHelper}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 
 import graft.plans.DynamicFilterExec
@@ -21,9 +21,16 @@ import graft.plans.DynamicFilterExec
 object ScanRebind extends PredicateHelper {
 
   def rebind(bound: SparkPlan): SparkPlan = {
-    // Conjuncts of every (now concrete) dynamic filter in the plan.
+    // Conjuncts of every (now concrete) dynamic filter in the plan. The
+    // data-source filter translation only understands Literal, so BoundParam
+    // values are materialized here — the scan's pushdown sees plain
+    // literals while the row-level predicates keep the codegen-cache-
+    // friendly BoundParam form.
     val conjuncts: Seq[Expression] = bound.collect {
-      case DynamicFilterExec(cond, _) => splitConjunctivePredicates(cond)
+      case DynamicFilterExec(cond, _) =>
+        splitConjunctivePredicates(cond).map(_.transform {
+          case BoundParam(_, dt, v) => Literal(v, dt)
+        })
     }.flatten
 
     if (conjuncts.isEmpty) bound

@@ -48,4 +48,16 @@ object Internals {
 
   def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
     classicSession(spark).sessionState.sqlParser.parsePlan(sql)
+
+  /** Collect a physical plan's rows directly (no Dataset/LogicalRDD wrapper,
+    * which costs ~20 ms per call) — the prepared-statement hot path's analog
+    * of the reference streaming record batches straight out of
+    * `ExecutionPlan::execute`.
+    */
+  def collectPhysical(plan: SparkPlan): Array[org.apache.spark.sql.Row] = {
+    val schema = org.apache.spark.sql.types.StructType(
+      plan.output.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable, a.metadata)))
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(schema)
+    plan.executeCollect().map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row])
+  }
 }
