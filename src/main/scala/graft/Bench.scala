@@ -47,10 +47,15 @@ object Bench {
     pipeline.PipelineQueries.warmup(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time {
+      val sec = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
+      // drop caches persisted inside operators (dedup signature caches) so
+      // queries are timed independently and later queries don't inherit GC
+      // pressure from earlier ones
+      spark.catalog.clearCache()
+      name -> sec
     }
 
     // Amortization: the reference's own workload — 50 distinct point-lookup

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,6 +13,11 @@ import org.apache.spark.sql.graft.ColumnBridge.{colOf, exprOf}
   * phase 4). All are deterministic, seed-driven, and single-pass — each doc's
   * signature is computed map-side with no shuffle, so they scale linearly
   * with the corpus.
+  *
+  * Codegen: each expression emits a direct call to its own `compute` method
+  * through the codegen `references` array, so it participates in whole-stage
+  * codegen (a `CodegenFallback` would interpret the ENTIRE subtree per row,
+  * including the upstream `split`/`lower` — the r1 minhash bottleneck).
   */
 private[functions] object TextHashing {
   /** splitmix64 — stateless counter-mode 64-bit mixer. */
@@ -46,7 +51,7 @@ private[functions] object TextHashing {
   * token hashes) — shingle strings are never materialized.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -55,8 +60,15 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int,
       (TextHashing.mix(seed + 2L * i) | 1L, TextHashing.mix(seed + 2L * i + 1))
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c);")
+  }
+
+  def compute(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     if (n >= shingleSize) {
@@ -95,12 +107,18 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int,
   * buckets on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ ≥ 1 equal chunk).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
@@ -127,12 +145,19 @@ case class SimHash64(child: Expression)
   * md5, can be computed incrementally over a stream of chunks.
   */
 case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollhash", this, classOf[RollingHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
     var h = 0L
     var i = 0
     while (i < bytes.length) { h = h * 257L + (bytes(i) & 0xffL); i += 1 }

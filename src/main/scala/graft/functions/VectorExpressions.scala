@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -14,11 +14,11 @@ import org.apache.spark.sql.graft.ColumnBridge.{colOf, exprOf}
   *
   * A single fused pass over the two float arrays — no per-element lambda
   * invocation like a `zip_with`/`aggregate` higher-order chain, and no Scala
-  * UDF serialization. CodegenFallback keeps them out of generated code but
-  * the eval itself is a tight primitive loop.
+  * UDF serialization. Each expression emits a direct `compute` call through
+  * the codegen references array, so it stays inside whole-stage codegen.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
@@ -32,9 +32,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"$prettyName requires two array<float> arguments")
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosine", this, classOf[CosineSimilarity].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -55,13 +61,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * bucketing and re-ranking).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dot", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
@@ -80,9 +92,14 @@ case class DotProduct(left: Expression, right: Expression)
   * ANN search only scans one bucket instead of the full table.
   */
 case class HyperplaneBucket(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_bucket"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplane", this, classOf[HyperplaneBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   @transient private lazy val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
@@ -105,8 +122,9 @@ case class HyperplaneBucket(child: Expression, bits: Int, seed: Long)
       }
     })
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData): Int = {
     val dim = a.numElements()
     val ps = planes(dim)
     var bucket = 0
