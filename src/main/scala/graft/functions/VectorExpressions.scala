@@ -143,6 +143,50 @@ case class HyperplaneBucket(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IVF coarse quantizer: index of the centroid with the highest cosine
+  * similarity to the input vector. Centroids ride inside the expression
+  * (broadcast with the serialized plan — k×dim floats, tiny), so assignment
+  * is a pure map-side pass.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val cs: Array[Array[Float]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(a: ArrayData): Int = {
+    val dim = a.numElements()
+    var best = 0
+    var bestCos = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      val n = math.min(dim, ctr.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = ctr(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     colOf(CosineSimilarity(exprOf(a), exprOf(b)))
@@ -150,4 +194,6 @@ object VectorFunctions {
     colOf(DotProduct(exprOf(a), exprOf(b)))
   def hyperplaneBucket(v: Column, bits: Int, seed: Long): Column =
     colOf(HyperplaneBucket(exprOf(v), bits, seed))
+  def nearestCentroid(v: Column, centroids: Seq[Seq[Float]]): Column =
+    colOf(NearestCentroid(exprOf(v), centroids))
 }

@@ -25,6 +25,21 @@ object Multimodal {
       channels: Int,
       mean_intensity: Double)
 
+  /** Typed record produced by the (stubbed) resize step. */
+  case class ResizedMedia(
+      doc_id: Long,
+      src_width: Int,
+      src_height: Int,
+      dst_width: Int,
+      dst_height: Int,
+      scale: Double)
+
+  /** One sampled frame of a (stubbed) video payload. */
+  case class SampledFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_checksum: Long)
+
   /** Attach the opaque payload + cheap metadata (size, content hash). */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(
@@ -39,6 +54,48 @@ object Multimodal {
     * for an actual codec call in production. Runs fully distributed — one
     * task per partition, no driver involvement.
     */
+  /** Batch "resize": consumes the decode output and computes target
+    * dimensions for a max-256px bounding box (aspect preserved). The
+    * geometry is real; only the pixel work is stubbed out. Chained
+    * partition-wise transforms — no shuffle anywhere in the media pipeline.
+    */
+  def resizeStub(docs: DataFrame, maxSide: Int = 256): Dataset[ResizedMedia] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeStub(docs).mapPartitions { batch =>
+      batch.map { m =>
+        val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+        ResizedMedia(m.doc_id, m.width, m.height,
+          math.max(1, math.round(m.width * scale).toInt),
+          math.max(1, math.round(m.height * scale).toInt),
+          math.round(scale * 10000).toDouble / 10000)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: one frame per 1000 payload bytes,
+    * capped at `maxFrames` per document (flatMap — the row-explosion shape a
+    * real decoder produces). Frame checksum is the deterministic stand-in
+    * for decoded frame content.
+    */
+  def frameSampleStub(docs: DataFrame, maxFrames: Int = 5): Dataset[SampledFrame] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = math.min(bytes.length / 1000 + 1, maxFrames)
+        (0 until n).map { i =>
+          var h = 0xcbf29ce484222325L ^ i.toLong
+          val start = i * 1000
+          val end = math.min(start + 1000, bytes.length)
+          var j = start
+          while (j < end) { h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
+          SampledFrame(id, i, h)
+        }
+      }
+  }
+
   def decodeStub(docs: DataFrame): Dataset[DecodedMedia] = {
     val spark = docs.sparkSession
     import spark.implicits._

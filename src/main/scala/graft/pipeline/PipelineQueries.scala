@@ -60,16 +60,24 @@ object PipelineQueries {
     pairs.filter(col("id_a") < NPlant && col("id_b") === col("id_a") + PlantOffset)
       .select(col("id_a"), col("id_b"))
 
-  /** Offline preparation for a scale-factor dir: builds the ANN index once.
-    * Bench calls this in its warmup so probe timings measure probes, not
-    * one-time index construction.
+  /** Offline preparation for a scale-factor dir: builds the ANN indexes
+    * once. Bench calls this in its warmup so probe timings measure probes,
+    * not one-time index construction.
     */
-  def warmup(s: SparkSession, dir: String): Unit = { annIndexPath(s, dir); () }
+  def warmup(s: SparkSession, dir: String): Unit = { annIndexPath(s, dir); ivfIndexPath(s, dir); () }
 
-  /** ANN index build memoized per sf dir (one write per JVM; probes reuse
-    * the bucket-partitioned layout).
+  /** ANN index builds memoized per sf dir (one write per JVM; probes reuse
+    * the partitioned layouts).
     */
   private val annIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIndexes.getOrElseUpdate(dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}"
+      Similarity.buildIvfIndex(embs(s, dir), path)
+      path
+    })
   private def annIndexPath(s: SparkSession, dir: String): String =
     annIndexes.getOrElseUpdate(dir, {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_${math.abs(dir.hashCode)}"
@@ -101,7 +109,10 @@ object PipelineQueries {
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10)),
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(s, ivfIndexPath(s, dir), queryVec(s, dir), k = 10)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langIdGuess(docs(s, dir))),
     "q_text_lang_dist" -> ((s, dir) => TextAnalysis.langDistribution(docs(s, dir))),
@@ -110,7 +121,12 @@ object PipelineQueries {
     "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)).select("doc_id", "roll_hash")),
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withPayload(docs(s, dir)).select("doc_id", "n_bytes", "sha256_hex")),
-    "q_multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(docs(s, dir)).toDF())
+    "q_multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(docs(s, dir)).toDF()),
+    "q_multimodal_resize" -> ((s, dir) => Multimodal.resizeStub(docs(s, dir)).toDF()),
+    // frame indices are derivable from payload size alone, so the sampling
+    // fan-out (the flatMap shape) gets a real DuckDB oracle
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSampleStub(docs(s, dir)).toDF().select("doc_id", "frame_idx"))
   )
 
   /** DuckDB replay of [[TextAnalysis.langIdGuess]]: per-language stopword hit
@@ -153,6 +169,15 @@ object PipelineQueries {
       "FROM documents"),
     "q_text_langid" -> langIdOracle,
     "q_text_lang_dist" -> "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+    "q_text_bpe" -> {
+      val p = TextAnalysis.BpePattern.replace("'", "''")
+      s"SELECT doc_id, CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_bpe_tokens, " +
+        "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS INTEGER) AS n_word_runs, " +
+        "CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS INTEGER) AS n_num_runs FROM documents"
+    },
+    "q_multimodal_frames" -> ("SELECT doc_id, CAST(unnest(generate_series(0, " +
+      "least(CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) // 1000, 4))) AS INTEGER) AS frame_idx " +
+      "FROM documents"),
     "q_text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_hex FROM documents",
     "q_multimodal_meta" -> ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
       "sha256(text) AS sha256_hex FROM documents")

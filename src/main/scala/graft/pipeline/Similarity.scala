@@ -105,6 +105,88 @@ object Similarity {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Driver-side cosine between two small vectors (centroid ranking). */
+  private def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** IVF (inverted-file) ANN index: a k-centroid coarse quantizer (Lloyd
+    * iterations, deterministic seeding from the first k vectors) and the
+    * table written partitioned by assigned centroid. Probing reads only the
+    * `nprobe` nearest centroid lists — the classic IVF trade: recall vs the
+    * fraction of the corpus scanned. Centroid learning is two map-side
+    * passes + a (cid, dim)-keyed avg shuffle per iteration; assignment and
+    * the final write are one pass each. At 10⁹+ vectors choose
+    * k ≈ sqrt(n) and learn on a sample.
+    */
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      path: String,
+      k: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var centroids: Seq[Seq[Float]] = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+
+    for (_ <- 0 until iters) {
+      val means = embeddings
+        .select(nearestCentroid(col(vecCol), centroids).as("cid"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          case None       => centroids(cid) // empty cluster keeps its seed
+        }
+      }
+    }
+
+    embeddings
+      .withColumn("cid", nearestCentroid(col(vecCol), centroids))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "__centroids")
+  }
+
+  /** ANN top-k against an IVF index: rank centroids driver-side, read only
+    * the `nprobe` nearest centroid partitions, exact cosine within them.
+    */
+  def ivfTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queryVec: Seq[Float],
+      k: Int = 10,
+      nprobe: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(indexPath + "__centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    val probed = centroids.sortBy { case (_, c) => -cosineLocal(queryVec, c) }
+      .take(nprobe).map(_._1)
+    spark.read.parquet(indexPath)
+      .filter(col("cid").isin(probed: _*))
+      .select(col(idCol), round(cosineSimilarity(col(vecCol), typedLit(queryVec)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k against a built index: partition pruning restricts the read
     * to the probed bucket directories; exact cosine ranks within them.
     * `bits`/`seed` must match [[buildLshIndex]].

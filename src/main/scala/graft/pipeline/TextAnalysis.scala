@@ -26,6 +26,25 @@ object TextAnalysis {
       expr("cast(aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, v) -> a + v) AS double) " +
         "/ cast(size(split(text, ' ')) AS double)").as("avg_token_len"))
 
+  /** GPT-2-style BPE pre-tokenization pattern (contractions, letter runs,
+    * digit runs, punctuation runs, whitespace runs) — the standard proxy for
+    * LLM token counting without a merges table. Kept to RE2-compatible
+    * constructs so the DuckDB oracle matches Java regex semantics exactly.
+    */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Subword-ish token counts per document: total BPE-style pre-tokens plus
+    * word / number / other-run breakdowns. Map-side regex counting — the
+    * realistic "how many LLM tokens is this corpus" sweep at 100 TB.
+    */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(BpePattern)).cast("int").as("n_bpe_tokens"),
+      regexp_count(col("text"), lit(" ?[A-Za-z]+")).cast("int").as("n_word_runs"),
+      regexp_count(col("text"), lit(" ?[0-9]+")).cast("int").as("n_num_runs"))
+
   /** Quality heuristics from length / word-shape ratios; built from
     * `replace`/`length` only so the DuckDB oracle is exact.
     */

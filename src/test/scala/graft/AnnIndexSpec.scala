@@ -64,4 +64,34 @@ class AnnIndexSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     indexed shouldBe scanned
   }
+
+  test("IVF index finds the query vector through pruned partitions") {
+    import spark.implicits._
+    val embs = (0L until 200L)
+      .map(i => (i, Array.tabulate(16)(d => math.sin(i * 13.0 + d * 7.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_ivf_test").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/ivf"
+    Similarity.buildIvfIndex(embs, path, k = 8, iters = 2)
+
+    // index layout: one directory per centroid, plus the centroid table
+    val cidDirs = new java.io.File(path).listFiles().count(_.getName.startsWith("cid="))
+    cidDirs should be > 1
+    spark.read.parquet(path + "__centroids").count() shouldBe 8L
+
+    val q = embs.filter(col("vec_id") === 42).head().getSeq[Float](1)
+    val df = Similarity.ivfTopK(spark, path, q, k = 5, nprobe = 2)
+    val rows = df.collect()
+    rows.head.getLong(0) shouldBe 42L // the vector itself is in a probed list
+    rows.head.getDouble(1) shouldBe (1.0 +- 1e-6)
+
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.partitionFilters.nonEmpty, "cid filter must prune partitions")
+    scan.metrics("numPartitions").value should be <= 2L
+  }
 }

@@ -84,6 +84,38 @@ class PipelineSpec extends SparkTestBase {
     all(a.map(_.channels)) shouldBe 3
   }
 
+  test("resize stub preserves aspect ratio within the bounding box") {
+    val out = Multimodal.resizeStub(docs, maxSide = 100).collect()
+    out.length shouldBe docs.count()
+    all(out.map(r => math.max(r.dst_width, r.dst_height))) should be <= 100
+    out.foreach { r =>
+      if (math.max(r.src_width, r.src_height) <= 100) {
+        r.dst_width shouldBe r.src_width
+        r.dst_height shouldBe r.src_height
+      }
+    }
+  }
+
+  test("frame sampling emits one frame per 1000 bytes, capped, deterministic") {
+    val a = Multimodal.frameSampleStub(docs).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val b = Multimodal.frameSampleStub(docs).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    a shouldBe b
+    val byDoc = a.groupBy(_.doc_id)
+    docs.select("doc_id", "text").collect().foreach { row =>
+      val n = row.getString(1).getBytes("UTF-8").length
+      byDoc(row.getLong(0)).length shouldBe math.min(n / 1000 + 1, 5)
+    }
+  }
+
+  test("bpe token stats count subword-ish runs") {
+    import spark.implicits._
+    val d = Seq((1L, "I can't count 42 tokens, obviously!")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenStats(d).head()
+    // I | ' can' -> no: " can" | 't | " count" | " 42" | " tokens" | "," | " obviously" | "!"
+    r.getInt(1) shouldBe 9
+    r.getInt(3) shouldBe 1 // one digit run
+  }
+
   test("language id picks the stopword-heavy language") {
     import spark.implicits._
     val d = Seq(
