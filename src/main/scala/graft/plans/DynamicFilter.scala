@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Predicate, PredicateHelper, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Expression, Predicate, PredicateHelper, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -41,17 +41,35 @@ case class DynamicFilterNode(condition: Expression, child: LogicalPlan)
 /** A2 — optimizer rule: rewrite `Filter(pred, child)` where `pred` contains a
   * placeholder into [[DynamicFilterNode]] (reference `src/rule.rs:32-49`).
   *
-  * Improvement over the reference: the condition is split into conjuncts;
-  * only the parameterized conjuncts are shielded, static conjuncts stay in a
-  * plain [[Filter]] and keep full Catalyst treatment (pushdown, pruning).
+  * Improvements over the reference:
+  *
+  *   - the condition is split into conjuncts; only the parameterized
+  *     conjuncts are shielded, static conjuncts stay in a plain [[Filter]]
+  *     and keep full Catalyst treatment (pushdown, pruning);
+  *   - `Project` over a parameterized filter prunes columns THROUGH the
+  *     opaque node: a Project with exactly the referenced columns is placed
+  *     below it, so `FileSourceStrategy`'s `PhysicalOperation` still reaches
+  *     the relation with a minimal ReadSchema. Without this, every prepared
+  *     query would scan every column — a disqualifying cost at 100 TB.
   */
 object DynamicFilterRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def rewrite(cond: Expression, child: LogicalPlan): DynamicFilterNode = {
+    val (dynamic, static) =
+      splitConjunctivePredicates(cond).partition(Params.containsPlaceholder)
+    val base = if (static.isEmpty) child else Filter(static.reduce(And), child)
+    DynamicFilterNode(dynamic.reduce(And), base)
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond, child) if Params.containsPlaceholder(cond) =>
-      val (dynamic, static) =
-        splitConjunctivePredicates(cond).partition(Params.containsPlaceholder)
-      val base = if (static.isEmpty) child else Filter(static.reduce(org.apache.spark.sql.catalyst.expressions.And), child)
-      DynamicFilterNode(dynamic.reduce(org.apache.spark.sql.catalyst.expressions.And), base)
+    case p @ Project(projList, Filter(cond, child)) if Params.containsPlaceholder(cond) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++ cond.references
+      val prunedChild =
+        if (child.output.forall(needed.contains)) child
+        else Project(child.output.filter(needed.contains), child)
+      Project(projList, rewrite(cond, prunedChild))
+    case Filter(cond, child) if Params.containsPlaceholder(cond) =>
+      rewrite(cond, child)
   }
 }
 

@@ -86,6 +86,13 @@ class ParquetPreparedSpec extends SparkTestBase {
     fullRows shouldBe total
   }
 
+  test("column pruning survives the opaque dynamic-filter node") {
+    val st = prepare("SELECT id, name FROM pusers WHERE id = $1")
+    val scan = st.physicalPlan.collectFirst { case s: FileSourceScanExec => s }.get
+    // the scan must read only the referenced columns, not score
+    scan.requiredSchema.fieldNames.toSet shouldBe Set("id", "name")
+  }
+
   test("rebound dataFilters appear in the scan") {
     val st = prepare("SELECT id FROM pusers WHERE id = $1")
     val bound = ScanRebind.rebind(Params.bind(st.physicalPlan, Map("$1" -> 5L)))
