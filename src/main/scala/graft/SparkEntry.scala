@@ -336,7 +336,21 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(round(functions.SumOfSquares.column(col("value")), 2).as("sumsq"),
-          count(lit(1)).as("cnt")))
+          count(lit(1)).as("cnt"))),
+    // Custom Generator UDTF: word-trigram shingles, one row per shingle
+    // (planned through Generate, partition-local fan-out like explode)
+    "q_udtf_shingles" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          functions.WordShinglesFunction.wordShingles(col("text"), 3).as("shingle"))),
+    // Event-time tumbling window over the events stream table (batch form of
+    // the Structured Streaming windowed aggregation; ts arrives as epoch
+    // nanos, see Tables.register)
+    "q_time_tumbling" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(timestamp_micros(expr("ts div 1000")), "1 hour")
+          .getField("start").as("hr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
   )
 
   private val relationalOracles: Map[String, String] = Map(
@@ -415,7 +429,13 @@ object SparkEntry {
     "q_udf_scalar" -> ("SELECT event_id, round(least(greatest(value, 10.0), 100.0), 2) AS clipped " +
       "FROM events WHERE event_id < 200"),
     "q_udaf_sumsq" -> ("SELECT event_type, round(sum(value * value), 2) AS sumsq, count(*) AS cnt " +
-      "FROM events GROUP BY event_type")
+      "FROM events GROUP BY event_type"),
+    "q_udtf_shingles" -> ("SELECT doc_id, unnest(list_transform(" +
+      "generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)), " +
+      "i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' '))) AS shingle " +
+      "FROM documents WHERE doc_id < 20"),
+    "q_time_tumbling" -> ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, count(*) AS n, " +
+      "round(sum(value), 2) AS sum_value FROM events GROUP BY 1")
   )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.prepared.PreparedStatements
+
+/** The semantic invariant the whole reference implicitly asserts (its bench
+  * computes the same total_rows across all three paths,
+  * `benches/dynamic_filter_benchmark.rs:103-183`): for any parameter value,
+  * a prepared execute returns exactly what unprepared SQL with the literal
+  * inlined returns. SURVEY.md §5's property-based check.
+  */
+object PreparedEquivalenceProps extends Properties("PreparedEquivalence") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(25)
+
+  private lazy val spark = {
+    val s = SparkTestBase.session
+    import s.implicits._
+    (0L until 500L).map(i => (i, s"n_${i % 37}", (i % 91).toDouble))
+      .toDF("id", "tag", "score")
+      .createOrReplaceTempView("prop_items")
+    s
+  }
+
+  private lazy val pointSt = {
+    spark
+    PreparedStatements.prepare(
+      SparkTestBase.session, "SELECT id, tag, score FROM prop_items WHERE id = $1")
+  }
+
+  private lazy val rangeSt = {
+    spark
+    PreparedStatements.prepare(
+      SparkTestBase.session,
+      "SELECT count(*) AS n FROM prop_items WHERE id >= $1 AND id <= $2")
+  }
+
+  property("prepared point lookup == unprepared literal SQL") =
+    Prop.forAll(Gen.choose(-10L, 600L)) { k =>
+      val prepared = pointSt.executeCollect(Map("$1" -> k)).map(_.toString).sorted.toSeq
+      val unprepared = spark
+        .sql(s"SELECT id, tag, score FROM prop_items WHERE id = $k")
+        .collect().map(_.toString).sorted.toSeq
+      prepared == unprepared
+    }
+
+  property("prepared range count == unprepared literal SQL") =
+    Prop.forAll(Gen.choose(-10L, 600L), Gen.choose(-10L, 600L)) { (a, b) =>
+      val prepared = rangeSt.executeCollect(Map("$1" -> a, "$2" -> b)).head.getLong(0)
+      val unprepared = spark
+        .sql(s"SELECT count(*) AS n FROM prop_items WHERE id >= $a AND id <= $b")
+        .head().getLong(0)
+      prepared == unprepared
+    }
+}
