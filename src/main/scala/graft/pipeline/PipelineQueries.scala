@@ -126,7 +126,24 @@ object PipelineQueries {
     // frame indices are derivable from payload size alone, so the sampling
     // fan-out (the flatMap shape) gets a real DuckDB oracle
     "q_multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSampleStub(docs(s, dir)).toDF().select("doc_id", "frame_idx"))
+      Multimodal.frameSampleStub(docs(s, dir)).toDF().select("doc_id", "frame_idx")),
+    // end-to-end curation: exact dedup -> quality gate -> per-language token
+    // budget. The composition every training-data pipeline runs before
+    // tokenization; each stage is DuckDB-replayable so the whole chain gets
+    // a hash-checked oracle.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val deduped = Dedup.exact(d).select(col("keep_id").as("doc_id"), col("text"))
+      // integer-exact quality gate: chars-excluding-spaces <= 12 * words is
+      // avg_word_len <= 12 without any float threshold to diverge on
+      val quality = TextAnalysis.qualityScore(deduped)
+        .filter(col("n_words") >= 20 &&
+          (col("n_chars") - col("n_words") + 1) <= col("n_words") * 12)
+        .select(col("doc_id"), col("n_words"))
+      quality.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+    })
   )
 
   /** DuckDB replay of [[TextAnalysis.langIdGuess]]: per-language stopword hit
@@ -180,6 +197,13 @@ object PipelineQueries {
       "FROM documents"),
     "q_text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_hex FROM documents",
     "q_multimodal_meta" -> ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
-      "sha256(text) AS sha256_hex FROM documents")
+      "sha256(text) AS sha256_hex FROM documents"),
+    "q_pipeline_curate" -> ("SELECT d.lang, count(*) AS n_docs, sum(q.n_words) AS total_words FROM (" +
+      "SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_words " +
+      "FROM (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text) " +
+      "WHERE (length(text) - length(replace(text, ' ', '')) + 1) >= 20 " +
+      "AND (length(text) - (length(text) - length(replace(text, ' ', '')) + 1) + 1) <= " +
+      "(length(text) - length(replace(text, ' ', '')) + 1) * 12" +
+      ") q JOIN documents d ON q.doc_id = d.doc_id GROUP BY d.lang")
   )
 }

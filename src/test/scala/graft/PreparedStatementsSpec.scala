@@ -82,6 +82,12 @@ class PreparedStatementsSpec extends SparkTestBase {
     rows shouldBe Array(2, 3)
   }
 
+  test("named :param markers bind by name") {
+    val rows = prepare("SELECT id FROM users WHERE name = :who")
+      .execute(Map("$who" -> "cy")).collect()
+    rows shouldBe Array(Row(3))
+  }
+
   test("question-mark markers are numbered left to right") {
     val rows = prepare("SELECT id FROM users WHERE id >= ? AND id <= ?")
       .execute(Map("$1" -> 2, "$2" -> 3)).collect().map(_.getInt(0)).sorted
