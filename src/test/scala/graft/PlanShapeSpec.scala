@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Locks the physical-plan shapes the round-2 audit established — a perf
+  * regression (lost broadcast, lost top-k pruning, lost partial agg) fails
+  * here even while results stay correct.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(SimpleMode)
+
+  test("multi-way join broadcasts the dimension sides") {
+    val p = planOf("q_join_multi")
+    p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") should be >= 3
+    p should include("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    planOf("q_sort_limit") should include("TakeOrderedAndProject")
+  }
+
+  test("ranked window prunes to top-5 before the shuffle") {
+    planOf("q_window_rank") should include("WindowGroupLimit")
+  }
+
+  test("grouped aggregate is partial before the exchange") {
+    planOf("q_agg_group") should include("partial_count")
+  }
+
+  test("scalar filters reach the parquet scan") {
+    planOf("q_scalar_math") should include("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,200)]")
+  }
+
+  test("driver smoke: entry returns rows") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+}
