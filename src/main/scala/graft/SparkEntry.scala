@@ -233,6 +233,18 @@ object SparkEntry {
             (lit(1).cast("decimal(18,2)") - l("l_discount").cast("decimal(18,2)")))
           .cast("decimal(18,2)").as("revenue"))
     }),
+    // Bucketed (co-located) join: both sides pre-bucketed on the join key,
+    // so the join and the following same-key aggregation plan with no
+    // exchange at all (see PlanShapeSpec assertion)
+    "q_join_bucketed" -> ((s, dir) => {
+      val (cName, oName) = Tables.bucketed(s, dir)
+      val c = s.table(cName); val o = s.table(oName)
+      // merge hint = the strategy a fact⋈fact join needs at scale; with both
+      // sides bucketed+sorted on the key it plans with zero exchanges
+      c.hint("merge").join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(c("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(o("o_totalprice")), 2).as("total"))
+    }),
     // Window functions
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -383,6 +395,8 @@ object SparkEntry {
       "FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s " +
       "ON c.nk = s.nk"),
     "q_join_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_join_bucketed" -> ("SELECT c.c_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total " +
+      "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"),
     "q_join_multi" -> ("SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +

@@ -35,4 +35,38 @@ object Tables {
     register(spark, sfDir)
     spark.table(name)
   }
+
+  /** Bucketed copies of customer/orders on their join key, memoized per
+    * (session, dir): both sides hash-bucketed into the same bucket count, so
+    * a key join between them is co-located and plans with NO exchange — the
+    * pre-partitioning strategy that at 100 TB turns the repeated fact⋈fact
+    * join from a full shuffle into a local merge. Returns the (customer,
+    * orders) table names.
+    */
+  private val bucketedFor = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  def bucketed(spark: SparkSession, sfDir: String): (String, String) =
+    bucketedFor.getOrElseUpdate((spark, sfDir), {
+      val suffix = math.abs(sfDir.hashCode).toString
+      val (cName, oName) = (s"b_customer_$suffix", s"b_orders_$suffix")
+      // a previous JVM may have left the managed location behind while this
+      // session's (in-memory) catalog has no such table — clear both
+      Seq(cName, oName).foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val loc = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, n)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      df(spark, sfDir, "customer")
+        .write.mode("overwrite").bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(cName)
+      df(spark, sfDir, "orders")
+        .write.mode("overwrite").bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(oName)
+      (cName, oName)
+    })
 }

@@ -35,6 +35,13 @@ class PlanShapeSpec extends SparkTestBase {
     planOf("q_scalar_math") should include("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,200)]")
   }
 
+  test("bucketed join is co-located: no exchange anywhere in the plan") {
+    val p = planOf("q_join_bucketed")
+    p should include("SortMergeJoin")
+    p should not include "Exchange hashpartitioning"
+    p should not include "BroadcastExchange"
+  }
+
   test("driver smoke: entry returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }
