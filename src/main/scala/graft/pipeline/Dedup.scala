@@ -73,8 +73,20 @@ object Dedup {
       numHashes: Int = 64,
       shingleSize: Int = 3,
       seed: Long = 42L): DataFrame =
-    distinctTexts(docs, idCol, textCol)
-      .select(col("id"), minhashSignature(tokens(textCol), numHashes, shingleSize, seed).as("sig"))
+    signaturesOfReps(distinctTexts(docs, idCol, textCol), textCol, numHashes, shingleSize, seed)
+
+  /** Signatures over an already-deduplicated (id, text) representative set —
+    * lets callers that need several per-text derivations (e.g.
+    * [[ngramJaccardPairs]]: shingle sets AND signatures) pay the full-text
+    * shuffle of the dedup pre-pass once instead of once per derivation.
+    */
+  private def signaturesOfReps(
+      reps: DataFrame,
+      textCol: String,
+      numHashes: Int,
+      shingleSize: Int = 3,
+      seed: Long = 42L): DataFrame =
+    reps.select(col("id"), minhashSignature(tokens(textCol), numHashes, shingleSize, seed).as("sig"))
 
   /** LSH candidate pairs from banded signatures: slim (id, band, band_hash)
     * stream → bucket-capped self-join on (band, band_hash) → distinct id
@@ -184,12 +196,14 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.3,
       bucketCap: Int = defaultBucketCap): DataFrame = {
-    val shingled = distinctTexts(docs, idCol, textCol).select(
+    // one dedup pre-pass (full-text shuffle) feeds BOTH derivations
+    val reps = distinctTexts(docs, idCol, textCol).persist()
+    val shingled = reps.select(
       col("id"),
       expr(s"array_distinct(transform(sequence(1, greatest(size(split(lower($textCol), ' ')) - ${n - 1}, 0)), " +
         s"i -> concat_ws(' ', slice(split(lower($textCol), ' '), i, $n))))").as("shingles"))
 
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes = 64).persist()
+    val sigs = signaturesOfReps(reps, textCol, numHashes = 64).persist()
     // 32 bands of 2 hashes: band-match probability s² per band — high recall
     // down to low Jaccard, exact verify prunes false positives after.
     val candidates = bandCandidates(sigs, numHashes = 64, bands = 32, bucketCap)
