@@ -4,6 +4,8 @@ import java.util.IdentityHashMap
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.execution.{BaseSubqueryExec, ExecSubqueryExpression, ReusedSubqueryExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.HashedRelationBroadcastMode
 
 /** Placeholder detection and substitution (engine-neutral equivalent of the
   * reference's `replace_placeholders`, `src/param_resolver.rs:77-100`, and
@@ -38,16 +40,24 @@ object Params {
     */
   def placeholderIds(plan: SparkPlan): Seq[String] = {
     val b = Seq.newBuilder[String]
+    def scanExpr(root: Expression): Unit = root.foreach {
+      case ParamPlaceholder(id, _)     => b += id
+      case sub: ExecSubqueryExpression => b ++= placeholderIds(sub.plan)
+      case _                           =>
+    }
     plan.foreach {
       case reused: ReusedSubqueryExec => b ++= placeholderIds(reused.child)
       case node =>
-        node.expressions.foreach { root =>
-          root.foreach {
-            case ParamPlaceholder(id, _)     => b += id
-            case sub: ExecSubqueryExpression => b ++= placeholderIds(sub.plan)
-            case _                           =>
-          }
+        node match {
+          // broadcast key expressions live in the mode, outside `expressions`
+          case bc: BroadcastExchangeExec =>
+            bc.mode match {
+              case HashedRelationBroadcastMode(keys, _) => keys.foreach(scanExpr)
+              case _                                    =>
+            }
+          case _ =>
         }
+        node.expressions.foreach(scanExpr)
     }
     b.result().distinct
   }
@@ -83,8 +93,8 @@ object Params {
   private def bindChecked(
       plan: SparkPlan,
       params: Map[String, Any],
-      cache: IdentityHashMap[BaseSubqueryExec, BaseSubqueryExec]): SparkPlan =
-    plan.transformAllExpressions {
+      cache: IdentityHashMap[BaseSubqueryExec, BaseSubqueryExec]): SparkPlan = {
+    val exprRule: PartialFunction[Expression, Expression] = {
       case ParamPlaceholder(id, dt) =>
         // BoundParam (not Literal) so every execution of the statement hits
         // the generated-code cache — a Literal would inline the value into
@@ -95,6 +105,17 @@ object Params {
         // re-executes on next run (its result future is per-instance)
         sub.withNewPlan(bindSubquery(sub.plan, params, cache))
     }
+    plan.transformUp {
+      // broadcast key expressions live in the mode, outside `expressions`,
+      // so a placeholder in a broadcast-side join key needs its own rewrite
+      case bc: BroadcastExchangeExec =>
+        bc.mode match {
+          case m @ HashedRelationBroadcastMode(keys, _) if keys.exists(containsPlaceholder) =>
+            bc.copy(mode = m.copy(key = keys.map(_.transform(exprRule))))
+          case _ => bc
+        }
+    }.transformAllExpressions(exprRule)
+  }
 
   private def bindSubquery(
       p: BaseSubqueryExec,

@@ -3,8 +3,8 @@ package graft.prepared
 import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamedParameter, PosParameter, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Expression, In, SubqueryExpression}
+import org.apache.spark.sql.catalyst.analysis.{NamedParameter, PosParameter, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, In, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
 import org.apache.spark.sql.graft.Internals
 import org.apache.spark.sql.types.DataType
@@ -112,20 +112,31 @@ object PreparedStatements {
     }
 
     val inferred = Map.newBuilder[String, DataType]
+
+    // every placeholder id anywhere under `e`
+    def nestedPhs(e: Expression): Seq[String] =
+      e.collect { case p @ (_: NamedParameter | _: PosParameter) => placeholderId(p, posOrdinals) }
+        .flatten
+
     def visit(e: Expression): Unit = {
       e match {
-        case b: BinaryOperator =>
-          (placeholderId(b.left, posOrdinals), colType(b.right)) match {
-            case (Some(id), Some(t)) => inferred += id -> t
-            case _ =>
-          }
-          (placeholderId(b.right, posOrdinals), colType(b.left)) match {
-            case (Some(id), Some(t)) => inferred += id -> t
-            case _ =>
-          }
+        // comparisons, arithmetic-in-comparisons, LIKE, …: a typed column on
+        // one side types the placeholders anywhere under the other side
+        // (`id = $1 + 1`, `name LIKE $1`, `u.id = b.uid + $1`)
+        case b: BinaryExpression =>
+          colType(b.right).foreach(t => nestedPhs(b.left).foreach(id => inferred += id -> t))
+          colType(b.left).foreach(t => nestedPhs(b.right).foreach(id => inferred += id -> t))
         case In(v, list) =>
           colType(v).foreach { t =>
             list.flatMap(placeholderId(_, posOrdinals)).foreach(id => inferred += id -> t)
+          }
+        // `x BETWEEN $1 AND $2` parses as the unresolved function
+        // between(x, $1, $2)
+        case f: UnresolvedFunction
+            if f.nameParts.lastOption.exists(_.equalsIgnoreCase("between")) &&
+              f.arguments.nonEmpty =>
+          colType(f.arguments.head).foreach { t =>
+            f.arguments.tail.flatMap(nestedPhs).foreach(id => inferred += id -> t)
           }
         case _ =>
       }

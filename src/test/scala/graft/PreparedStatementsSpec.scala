@@ -144,6 +144,34 @@ class PreparedStatementsSpec extends SparkTestBase {
     rows shouldBe Array(1, 4)
   }
 
+  test("BETWEEN with placeholders") {
+    val rows = prepare("SELECT id FROM users WHERE id BETWEEN $1 AND $2")
+      .execute(Map("$1" -> 2, "$2" -> 3)).collect().map(_.getInt(0)).sorted
+    rows shouldBe Array(2, 3)
+  }
+
+  test("LIKE with a placeholder pattern") {
+    val rows = prepare("SELECT id FROM users WHERE name LIKE $1")
+      .execute(Map("$1" -> "d%")).collect().map(_.getInt(0))
+    rows shouldBe Array(4)
+  }
+
+  test("arithmetic on a placeholder") {
+    val rows = prepare("SELECT id FROM users WHERE id = $1 + 1")
+      .execute(Map("$1" -> 2)).collect().map(_.getInt(0))
+    rows shouldBe Array(3)
+  }
+
+  test("placeholder in a join condition") {
+    import spark.implicits._
+    users
+    Seq((1, 100), (2, 200), (3, 300)).toDF("uid", "bonus").createOrReplaceTempView("bonuses")
+    val st = prepare(
+      "SELECT u.id, b.bonus FROM users u JOIN bonuses b ON u.id = b.uid + $1")
+    st.execute(Map("$1" -> 1)).collect().map(r => (r.getInt(0), r.getInt(1))).sorted shouldBe
+      Array((2, 100), (3, 200), (4, 300)).toSeq
+  }
+
   test("concurrent executes of one statement are independent") {
     // no shared mutable filter state (unlike the reference's
     // target_partitions=1 restriction, README.md:56)
