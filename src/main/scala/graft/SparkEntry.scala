@@ -362,7 +362,14 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(window(timestamp_micros(expr("ts div 1000")), "1 hour")
           .getField("start").as("hr"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+    // Gap-based session windows per user (same operator runs over the event
+    // stream — see streaming.EventStreams + StreamingSpec)
+    "q_time_sessions" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"), col("value"))
+      graft.streaming.EventStreams.userSessions(e, gap = "30 minutes")
+    })
   )
 
   private val relationalOracles: Map[String, String] = Map(
@@ -449,7 +456,16 @@ object SparkEntry {
       "i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' '))) AS shingle " +
       "FROM documents WHERE doc_id < 20"),
     "q_time_tumbling" -> ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, count(*) AS n, " +
-      "round(sum(value), 2) AS sum_value FROM events GROUP BY 1")
+      "round(sum(value), 2) AS sum_value FROM events GROUP BY 1"),
+    // session replay: a session break is an idle gap >= 30 min (Spark's
+    // session_window treats an event at exactly start+gap as a new session)
+    "q_time_sessions" -> ("WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events), " +
+      "m AS (SELECT ts, user_id, value, CASE WHEN lag(ts) OVER w IS NULL " +
+      "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+      "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+      "SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+      "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, sid")
   )
 
   /** One per implemented operator from SURVEY.md §2. */

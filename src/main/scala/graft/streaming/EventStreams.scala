@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream (the driver's
+  * `events` table is "a stream table" — TESTDATA.md). The reference engine is
+  * bounded-batch only (its `Boundedness::Bounded`, SURVEY.md §1), so this
+  * module is beyond-reference capability for the training-data pipeline: the
+  * same transforms run `readStream → transform → writeStream` with
+  * event-time watermarks, or over a batch DataFrame unchanged.
+  *
+  * Scale notes: all stateful operators key their state by a high-cardinality
+  * column (user_id / event_id), so state partitions across executors; the
+  * watermark bounds state size (expired windows/sessions/dedup keys are
+  * dropped), which is what keeps a continuous 100 TB/day ingest from
+  * accumulating unbounded state.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** File-source entry point: stream the events parquet directory with the
+    * batch table's schema (`readStream` needs it declared).
+    */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  /** Event-time tumbling-window counts with a watermark: late events beyond
+    * `lateness` are dropped and closed windows are emitted exactly once in
+    * append mode.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      // group by the window STRUCT — extracting .start before the groupBy
+      // would sever the watermark linkage the append-mode check needs
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Exactly-once streaming dedup on event_id within the watermark horizon —
+    * the streaming form of the pipeline's exact dedup; state for ids older
+    * than the watermark is dropped.
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows per user (built-in `session_window`, gap-based): a new
+    * session starts when a user is idle longer than `gap`. Works identically
+    * over batch and stream input.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Custom keyed state via flatMapGroupsWithState: a per-user running
+    * (count, total) emitted on every update — the arbitrary-state hook for
+    * logic session_window can't express.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(user, n, math.round(total * 100).toDouble / 100)
+          state.update(next)
+          Iterator(next)
+        })
+  }
+}

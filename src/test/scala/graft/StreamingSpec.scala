@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Drives the streaming operators through real micro-batches with a
+  * MemoryStream source and memory sinks: watermark-driven window emission,
+  * exactly-once dedup, session windows, and custom keyed state.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(hour: Int, minute: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-15 $hour%02d:$minute%02d:00")
+
+  private def ev(id: Long, t: Timestamp, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    Event(id, t, user, typ, v)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("windowed counts emit closed windows once the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wnd").outputMode("append").start()
+    withQuery(query) {
+      input.addData(ev(1, ts(1, 5)), ev(2, ts(1, 20)), ev(3, ts(1, 40), typ = "view"))
+      query.processAllAvailable()
+      // advance the watermark far past the hour-1 window, twice (watermark
+      // updates at batch end; emission happens the batch after)
+      input.addData(ev(4, ts(3, 0)))
+      query.processAllAvailable()
+      input.addData(ev(5, ts(3, 30)))
+      query.processAllAvailable()
+      val rows = s.table("wnd").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      rows should contain((ts(1, 0), "click", 2L))
+      rows should contain((ts(1, 0), "view", 1L))
+    }
+  }
+
+  test("streaming dedup drops repeated event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupedEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    withQuery(query) {
+      input.addData(ev(1, ts(1)), ev(1, ts(1)), ev(2, ts(1, 1)))
+      query.processAllAvailable()
+      input.addData(ev(2, ts(1, 2)), ev(3, ts(1, 3)))
+      query.processAllAvailable()
+      val ids = s.table("dedup").collect().map(_.getLong(0)).sorted
+      ids shouldBe Array(1L, 2L, 3L)
+    }
+  }
+
+  test("session windows split on the idle gap (batch form)") {
+    val s = spark
+    import s.implicits._
+    // session_window is the same operator over batch input — assert values there
+    val events = Seq(
+      ev(1, ts(1, 0)), ev(2, ts(1, 10)), ev(3, ts(1, 25)), // one session
+      ev(4, ts(2, 30)), ev(5, ts(2, 40)) // idle > 30 min → second session
+    ).toDF()
+    val sessions = EventStreams.userSessions(events, gap = "30 minutes")
+      .collect().sortBy(_.getTimestamp(1).getTime)
+    sessions.length shouldBe 2
+    sessions(0).getLong(3) shouldBe 3L
+    sessions(1).getLong(3) shouldBe 2L
+  }
+
+  test("custom keyed state accumulates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    withQuery(query) {
+      input.addData(ev(1, ts(1), user = 7, v = 2.5), ev(2, ts(1, 1), user = 7, v = 1.5))
+      query.processAllAvailable()
+      input.addData(ev(3, ts(1, 2), user = 7, v = 6.0), ev(4, ts(1, 3), user = 8, v = 1.0))
+      query.processAllAvailable()
+      val byUser = s.table("running").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+      byUser(7L) shouldBe ((3L, 10.0))
+      byUser(8L) shouldBe ((1L, 1.0))
+    }
+  }
+}
