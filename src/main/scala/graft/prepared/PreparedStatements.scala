@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamedParameter, PosParameter, Unr
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, In, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
 import org.apache.spark.sql.graft.Internals
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Entry point: `prepare(spark, sql, paramTypes)` → [[PreparedStatement]].
   *
@@ -108,7 +108,25 @@ object PreparedStatements {
 
     def colType(e: Expression): Option[DataType] = e match {
       case a: UnresolvedAttribute => colTypes.get(a.nameParts.last.toLowerCase)
-      case _                      => None
+      // result types of common functions, so HAVING count(*) >= $1 and
+      // friends infer without a declaration
+      case f: UnresolvedFunction =>
+        f.nameParts.last.toLowerCase match {
+          case "count" | "count_distinct"        => Some(LongType)
+          case "avg" | "mean"                    => Some(DoubleType)
+          case "length" | "char_length" | "size" => Some(IntegerType)
+          case "sum" =>
+            f.arguments.headOption.flatMap(colType).map {
+              case ByteType | ShortType | IntegerType | LongType => LongType
+              case FloatType | DoubleType                        => DoubleType
+              case d: DecimalType                                => d
+              case other                                         => other
+            }
+          case "min" | "max" | "abs" | "round" | "floor" | "ceil" =>
+            f.arguments.headOption.flatMap(colType)
+          case _ => None
+        }
+      case _ => None
     }
 
     val inferred = Map.newBuilder[String, DataType]

@@ -144,6 +144,13 @@ class PreparedStatementsSpec extends SparkTestBase {
     rows shouldBe Array(1, 4)
   }
 
+  test("placeholder in HAVING over an aggregate") {
+    val st = prepare(
+      "SELECT count(*) AS n FROM users GROUP BY id % 2 HAVING count(*) >= $1")
+    st.execute(Map("$1" -> 3L)).collect() shouldBe Array(Row(3L))
+    st.execute(Map("$1" -> 1L)).collect().map(_.getLong(0)).sorted shouldBe Array(2L, 3L)
+  }
+
   test("BETWEEN with placeholders") {
     val rows = prepare("SELECT id FROM users WHERE id BETWEEN $1 AND $2")
       .execute(Map("$1" -> 2, "$2" -> 3)).collect().map(_.getInt(0)).sorted
