@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Expression, Predicate, PredicateHelper, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, BindReferences, Expression, Predicate, PredicateHelper, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 import graft.prepared.Params
@@ -95,13 +96,38 @@ object DynamicFilterStrategy extends SparkStrategy {
   * safe under any parallelism (their README.md:56 restriction).
   */
 case class DynamicFilterExec(condition: Expression, child: SparkPlan)
-    extends UnaryExecNode {
+    extends UnaryExecNode with CodegenSupport {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  // Whole-stage codegen participation: the bound predicate compiles into the
+  // surrounding span (BoundParam keeps the generated source binding-
+  // independent), so scan → dynamic filter → project fuses into ONE stage
+  // instead of the exec breaking the pipeline with per-row virtual calls.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    Params.requireBound(condition)
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val bound = BindReferences.bindReference(condition, child.output)
+    ctx.currentVars = input
+    val ev = bound.genCode(ctx)
+    s"""
+       |${ev.code}
+       |if (!${ev.isNull} && ${ev.value}) {
+       |  $numOutput.add(1);
+       |  ${consume(ctx, input)}
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     Params.requireBound(condition)

@@ -87,7 +87,13 @@ object Params {
     // identity cache: a subquery instance shared through ReusedSubqueryExec
     // binds to ONE new instance, so subquery reuse survives the clone and
     // the subquery still executes once per run
-    bindChecked(plan, params, new IdentityHashMap[BaseSubqueryExec, BaseSubqueryExec])
+    val bound = bindChecked(plan, params, new IdentityHashMap[BaseSubqueryExec, BaseSubqueryExec])
+    // deep-clone: transform is copy-on-write, so unchanged subtrees would be
+    // SHARED between concurrent bound plans — and whole-stage codegen
+    // mutates a `parent` pointer on child nodes during produce/consume,
+    // which cross-contaminates concurrently generated spans. A full clone
+    // gives every execution a private tree (cheap: pure driver-side copy).
+    bound.clone()
   }
 
   private def bindChecked(
@@ -126,7 +132,9 @@ object Params {
     else {
       val bound = p match {
         case r: ReusedSubqueryExec => ReusedSubqueryExec(bindSubquery(r.child, params, cache))
-        case other => bindChecked(other, params, cache).asInstanceOf[BaseSubqueryExec]
+        case other =>
+          // same sharing hazard as the top-level plan: private tree per bind
+          bindChecked(other, params, cache).clone().asInstanceOf[BaseSubqueryExec]
       }
       cache.put(p, bound)
       bound
