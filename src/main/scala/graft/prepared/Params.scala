@@ -4,7 +4,7 @@ import java.util.IdentityHashMap
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.execution.{BaseSubqueryExec, ExecSubqueryExpression, ReusedSubqueryExec, SparkPlan}
-import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, Exchange, ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.HashedRelationBroadcastMode
 
 /** Placeholder detection and substitution (engine-neutral equivalent of the
@@ -47,6 +47,7 @@ object Params {
     }
     plan.foreach {
       case reused: ReusedSubqueryExec => b ++= placeholderIds(reused.child)
+      case reused: ReusedExchangeExec => b ++= placeholderIds(reused.child)
       case node =>
         node match {
           // broadcast key expressions live in the mode, outside `expressions`
@@ -112,6 +113,11 @@ object Params {
         sub.withNewPlan(bindSubquery(sub.plan, params, cache))
     }
     plan.transformUp {
+      // a reused exchange is a leaf whose referenced exchange is NOT in
+      // `children` — bind through it (reuse is dropped for parameterized
+      // exchanges; correctness over the marginal recompute)
+      case r: ReusedExchangeExec if placeholderIds(r.child).nonEmpty =>
+        r.copy(child = bindChecked(r.child, params, cache).asInstanceOf[Exchange])
       // broadcast key expressions live in the mode, outside `expressions`,
       // so a placeholder in a broadcast-side join key needs its own rewrite
       case bc: BroadcastExchangeExec =>

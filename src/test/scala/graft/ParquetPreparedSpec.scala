@@ -122,4 +122,15 @@ class ParquetPreparedSpec extends SparkTestBase {
     val ex = intercept[IllegalArgumentException] { subquerySt.execute(Map.empty[String, Any]) }
     ex.getMessage should include("'$1' was not provided a value")
   }
+
+  // identical parameterized subtrees on both sides of a self-join can be
+  // planned through ReusedExchangeExec — a leaf whose referenced exchange is
+  // NOT in `children`, so binding must reach through it explicitly
+  test("placeholder inside a reused exchange binds") {
+    val st = prepare(
+      """SELECT count(*) AS n FROM pusers a JOIN pusers b ON a.id = b.id
+        |WHERE a.score >= $1 AND b.score >= $1""".stripMargin)
+    st.execute(Map("$1" -> 999.0)).collect() shouldBe Array(Row(200L))
+    st.execute(Map("$1" -> 998.0)).collect() shouldBe Array(Row(400L))
+  }
 }
