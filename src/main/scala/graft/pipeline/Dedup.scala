@@ -66,6 +66,14 @@ object Dedup {
     * re-hashing every shingle (the r1 bottleneck: signatures were built
     * up to three times per query).
     */
+  /** Signatures are computed MAP-SIDE for every row, then exact duplicates
+    * collapse by grouping on a 128-bit content hash — the shuffle carries
+    * (md5, id, signature) ≈ 0.5 KB per doc instead of the full text, which
+    * at 10-100 KB/doc is the difference that matters at corpus scale.
+    * (Duplicate copies recompute their signature; CPU is the cheap resource
+    * next to shuffle bytes.) Identical texts produce identical signatures,
+    * so `first(sig)` is deterministic.
+    */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -73,7 +81,13 @@ object Dedup {
       numHashes: Int = 64,
       shingleSize: Int = 3,
       seed: Long = 42L): DataFrame =
-    signaturesOfReps(distinctTexts(docs, idCol, textCol), textCol, numHashes, shingleSize, seed)
+    docs.select(
+        col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("content_hash"),
+        minhashSignature(tokens(textCol), numHashes, shingleSize, seed).as("sig"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("id")).as("id"), first(col("sig")).as("sig"))
+      .select(col("id"), col("sig"))
 
   /** Signatures over an already-deduplicated (id, text) representative set —
     * lets callers that need several per-text derivations (e.g.
