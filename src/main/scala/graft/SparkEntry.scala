@@ -101,6 +101,18 @@ object SparkEntry {
       prep(s, dir,
         """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
           |FROM orders WHERE o_custkey >= $1 GROUP BY o_orderstatus""".stripMargin)("$1" -> 100L)),
+    // B13 through the DSv2 keyed source: a prepared IN-list lookup against
+    // an indexed in-memory table — ScanRebind turns each execute into an
+    // index lookup shipping only the matching rows (the reference's
+    // provider-optimized IN clause, README.md:46-51)
+    "q_prep_keyed" -> ((s, dir) => {
+      Tables.register(s, dir); Graft.install(s)
+      graft.sources.KeyedMemTables.register(s, "kt_part",
+        Tables.df(s, dir, "part").select("p_partkey", "p_name", "p_retailprice"), "p_partkey")
+      PreparedStatements.prepare(s,
+        "SELECT p_partkey, p_name, p_retailprice FROM kt_part WHERE p_partkey IN ($1, $2, $3)")
+        .execute(Map("$1" -> 3L, "$2" -> 7L, "$3" -> 11L))
+    }),
     // Placeholders INSIDE a scalar subquery's own plan: binding recurses
     // through ExecSubqueryExpression (Params.bindChecked). $1 has no column
     // sibling so its type is declared explicitly — inference would
@@ -132,6 +144,8 @@ object SparkEntry {
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),
     "q_prep_agg" -> ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total " +
       "FROM orders WHERE o_custkey >= 100 GROUP BY o_orderstatus"),
+    "q_prep_keyed" -> ("SELECT p_partkey, p_name, p_retailprice FROM part " +
+      "WHERE p_partkey IN (3, 7, 11)"),
     "q_prep_subquery" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
       "WHERE o_totalprice > (SELECT avg(o_totalprice) * CAST(1.9 AS DOUBLE) FROM orders WHERE o_custkey >= 42)")
   )

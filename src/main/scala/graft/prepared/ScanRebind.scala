@@ -1,9 +1,12 @@
 package graft.prepared
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, Literal, PredicateHelper}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 
 import graft.plans.DynamicFilterExec
+import graft.sources.KeyedMemScan
 
 /** Execute-time parquet pushdown for freshly bound predicates.
   *
@@ -42,6 +45,31 @@ object ScanRebind extends PredicateHelper {
         }
         if (applicable.isEmpty) scan
         else scan.copy(dataFilters = scan.dataFilters ++ applicable)
+      // DSv2 keyed mem table: bound key equality/IN conjuncts become an
+      // index lookup — the scan ships only the matching rows, the prepared
+      // analog of the reference provider serving pushed point lookups
+      case b: BatchScanExec =>
+        b.scan match {
+          case ks: KeyedMemScan if ks.keys.isEmpty =>
+            val keyCol = graft.sources.KeyedMemTables.registry(ks.table).keyCol
+            def external(l: Literal): Any =
+              CatalystTypeConverters.convertToScala(l.value, l.dataType)
+            val keySets = conjuncts.collect {
+              case EqualTo(a: AttributeReference, l: Literal)
+                  if a.name.equalsIgnoreCase(keyCol) && a.references.subsetOf(b.outputSet) =>
+                Set(external(l))
+              case EqualTo(l: Literal, a: AttributeReference)
+                  if a.name.equalsIgnoreCase(keyCol) && a.references.subsetOf(b.outputSet) =>
+                Set(external(l))
+              case In(a: AttributeReference, vs)
+                  if a.name.equalsIgnoreCase(keyCol) && a.references.subsetOf(b.outputSet) &&
+                    vs.forall(_.isInstanceOf[Literal]) =>
+                vs.map(v => external(v.asInstanceOf[Literal])).toSet
+            }
+            if (keySets.isEmpty) b
+            else b.copy(scan = ks.withKeys(keySets.reduce(_ intersect _).toSeq))
+          case _ => b
+        }
     }
   }
 }
