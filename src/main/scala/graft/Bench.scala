@@ -72,8 +72,10 @@ object Bench {
     val keyedJson =
       f"""{"keys":${bigKeys.length},"rows":$nKeyed,"table_rows":$bigN,""" +
         f""""rows_shipped_indexed":$nKeyed,"rows_scanned_plain":${bigKeys.length * bigN},""" +
+        // local wall-clock is job-scheduling-floored for both paths — the
+        // rows_* fields above are the metric that scales
         f""""indexed_sec":$keyedSec%.4f,"scan_sec":$plainSec%.4f,""" +
-        f""""speedup_indexed_vs_scan":${plainSec / keyedSec}%.2f}"""
+        f""""wallclock_ratio_local":${plainSec / keyedSec}%.2f}"""
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = time {
