@@ -93,6 +93,14 @@ class ParquetPreparedSpec extends SparkTestBase {
     scan.requiredSchema.fieldNames.toSet shouldBe Set("id", "name")
   }
 
+  test("dynamic filter participates in whole-stage codegen") {
+    val st = prepare("SELECT id, name FROM pusers WHERE id = $1")
+    val bound = ScanRebind.rebind(Params.bind(st.physicalPlan, Map("$1" -> 5L)))
+    // the exec carries a codegen-stage star — scan → filter → project fuse
+    // into one generated span instead of breaking at the dynamic filter
+    bound.toString should include regex """\*\(\d+\) DynamicFilter"""
+  }
+
   test("rebound dataFilters appear in the scan") {
     val st = prepare("SELECT id FROM pusers WHERE id = $1")
     val bound = ScanRebind.rebind(Params.bind(st.physicalPlan, Map("$1" -> 5L)))
