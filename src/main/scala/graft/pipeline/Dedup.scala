@@ -210,12 +210,15 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.3,
       bucketCap: Int = defaultBucketCap): DataFrame = {
-    // one dedup pre-pass (full-text shuffle) feeds BOTH derivations
+    // one dedup pre-pass (full-text shuffle) feeds BOTH derivations.
+    // Shingles are stored as 64-bit hashes, not strings: set operations and
+    // shuffles carry 8 bytes per shingle instead of the n-gram text
+    // (hash-collision error on Jaccard is ~2^-64 per pair — negligible).
     val reps = distinctTexts(docs, idCol, textCol).persist()
     val shingled = reps.select(
       col("id"),
       expr(s"array_distinct(transform(sequence(1, greatest(size(split(lower($textCol), ' ')) - ${n - 1}, 0)), " +
-        s"i -> concat_ws(' ', slice(split(lower($textCol), ' '), i, $n))))").as("shingles"))
+        s"i -> xxhash64(concat_ws(' ', slice(split(lower($textCol), ' '), i, $n)))))").as("shingles"))
 
     val sigs = signaturesOfReps(reps, textCol, numHashes = 64).persist()
     // 32 bands of 2 hashes: band-match probability s² per band — high recall
