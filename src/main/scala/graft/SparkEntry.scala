@@ -75,12 +75,15 @@ object SparkEntry {
       prep(s, dir, "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1")("$1" -> -1L)),
     // B11: constant select, no table (ref :61-65)
     "q_prep_const" -> ((s, dir) => prep(s, dir, "SELECT 1 AS one")()),
-    // B4: projection + alias; placeholder in projection too. Result cast to
-    // decimal(18,4): the true product has 3 decimals, so a 4-decimal cast has
-    // no halfway cases and Spark/DuckDB round identically (round(x, 2) on a
-    // double diverges on .xx5 — the r1 q_prep_proj hash fail).
+    // B4: projection + alias; placeholder in projection too. The product is
+    // rounded through an exact decimal(18,4) cast — the true value has 3
+    // decimals, so there are no halfway cases and Spark/DuckDB round
+    // identically (round(x, 2) on a double diverges on .xx5 — the r1 fail) —
+    // then the FINAL column goes back to double: DECIMAL output columns hash
+    // differently in the driver's type-sensitive compare even when every
+    // value matches (the r2 fail).
     "q_prep_proj" -> ((s, dir) =>
-      prep(s, dir, "SELECT o_orderkey AS k, cast(o_totalprice * $1 AS decimal(18,4)) AS scaled FROM orders WHERE o_orderkey <= $2")(
+      prep(s, dir, "SELECT o_orderkey AS k, cast(cast(o_totalprice * $1 AS decimal(18,4)) AS double) AS scaled FROM orders WHERE o_orderkey <= $2")(
         "$1" -> 0.1, "$2" -> 100L)),
     // B8: OR of placeholders (ref rule.rs:175-192)
     "q_prep_or" -> ((s, dir) =>
@@ -137,7 +140,7 @@ object SparkEntry {
     "q_prep_count" -> "SELECT count(*) AS cnt FROM orders WHERE o_custkey >= 42",
     "q_prep_empty" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = -1",
     "q_prep_const" -> "SELECT 1 AS one",
-    "q_prep_proj" -> "SELECT o_orderkey AS k, CAST(o_totalprice * CAST(0.1 AS DOUBLE) AS DECIMAL(18,4)) AS scaled FROM orders WHERE o_orderkey <= 100",
+    "q_prep_proj" -> "SELECT o_orderkey AS k, CAST(CAST(o_totalprice * CAST(0.1 AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS scaled FROM orders WHERE o_orderkey <= 100",
     "q_prep_or" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = 3 OR o_orderkey = 77",
     "q_prep_in" -> "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (5, 17, 42)",
     "q_prep_join" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
@@ -176,9 +179,13 @@ object SparkEntry {
           // sits on .xx50 halfway cases. Exact decimal arithmetic on both
           // sides instead: both engines compute the identical exact sum, then
           // apply the same positive-halfway-up rounding in the final cast.
+          // The FINAL output is cast to double (both sides — the identical
+          // 2-decimal value converts bitwise-identically): DECIMAL output
+          // columns hash differently in the driver's type-sensitive compare
+          // even when every value matches (r2 hash fail).
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(18,2)").as("revenue"),
+            .cast("decimal(18,2)").cast("double").as("revenue"),
           round(min(col("l_quantity")), 2).as("min_qty"),
           round(max(col("l_quantity")), 2).as("max_qty"))),
     "q_agg_distinct" -> ((s, dir) =>
@@ -242,10 +249,11 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(n("n_name"))
-        // decimal-exact revenue — same halfway-proofing as q_agg_group
+        // decimal-exact revenue, double output — same halfway-proofing and
+        // type normalization as q_agg_group
         .agg(sum(l("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - l("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,2)").as("revenue"))
+          .cast("decimal(18,2)").cast("double").as("revenue"))
     }),
     // Bucketed (co-located) join: both sides pre-bucketed on the join key,
     // so the join and the following same-key aggregation plan with no
@@ -391,8 +399,9 @@ object SparkEntry {
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away
-      // == Spark's HALF_UP for positive values), then cast only fixes the scale.
-      "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue, " +
+      // == Spark's HALF_UP for positive values), then cast only fixes the
+      // scale; the outer DOUBLE cast matches the Spark side's output type.
+      "CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue, " +
       "round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty " +
       "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     "q_agg_distinct" -> ("SELECT count(DISTINCT l_orderkey) AS n_orders, " +
@@ -418,7 +427,7 @@ object SparkEntry {
     "q_join_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
     "q_join_bucketed" -> ("SELECT c.c_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"),
-    "q_join_multi" -> ("SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue " +
+    "q_join_multi" -> ("SELECT n_name, CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name"),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -140,6 +140,254 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct, ASCENDING-SORTED 64-bit hashes of the doc's `shingleSize`-token
+  * shingles — the exact-Jaccard companion of [[MinHashSignature]]: one
+  * tokenization, one rolling combine pass, shingle strings never
+  * materialized. Output is sorted so [[JaccardLongSorted]] merge-counts the
+  * intersection in O(|a|+|b|) with no per-row hash-set allocation.
+  *
+  * Replaces the r2 `transform(sequence(...), i -> xxhash64(concat_ws(' ',
+  * slice(split(...), i, n))))` form, which re-split the whole document per
+  * shingle index (O(words²)) AND interpreted the entire subtree per row
+  * (higher-order functions are CodegenFallback) — 65 of BENCH_r02's 148
+  * seconds.
+  */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c);")
+  }
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < shingleSize) return new GenericArrayData(Array.emptyLongArray)
+    val tokenHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      tokenHashes(i) = TextHashing.hashUtf8(tokens.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](n - shingleSize + 1)
+    var s = 0
+    while (s <= n - shingleSize) {
+      var h = 0L
+      var j = 0
+      while (j < shingleSize) { h = TextHashing.mix(h ^ tokenHashes(s + j)); j += 1 }
+      out(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact Jaccard similarity of two ascending-sorted distinct long arrays
+  * ([[ShingleHashes]] output): single merge pass, no allocation. Two empty
+  * sets score 0.0 (they carry no shared content worth pairing).
+  *
+  * Replaces `size(array_intersect(a, b)) / size(array_union(a, b))`, which
+  * builds two hash sets and two result arrays per candidate pair.
+  */
+case class JaccardLongSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccard", this, classOf[JaccardLongSorted].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fraction of positions where two equal-length signature arrays agree —
+  * the minhash Jaccard estimate. Replaces the per-candidate-pair
+  * `aggregate(zip_with(sig_a, sig_b, ...))` form (CodegenFallback + two
+  * 64-element array allocations per pair — the other half of the r2 dedup
+  * regression).
+  */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "signature_agreement"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigagree", this, classOf[SignatureAgreement].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"signature lengths differ: $n vs ${b.numElements()}")
+    if (n == 0) return 0.0
+    var i = 0
+    var eq = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** LSH band hashes of a minhash signature: the signature is cut into `bands`
+  * equal runs and each run is mix-combined into one 64-bit value. Replaces
+  * `transform(sequence(0, b-1), i -> hash(slice(sig, i*r+1, r)))`
+  * (CodegenFallback, per-band array slices).
+  */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandhashes", this, classOf[BandHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c);")
+  }
+
+  def compute(sig: ArrayData): ArrayData = {
+    val n = sig.numElements()
+    require(n % bands == 0, s"signature length $n not divisible by $bands bands")
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var i = 0
+    while (b < bands) {
+      var h = 0L
+      var j = 0
+      while (j < r) { h = TextHashing.mix(h ^ sig.getLong(i)); i += 1; j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Two-level pigeonhole bucket keys for SimHash Hamming search, as
+  * (maxHamming+1)² mixed 64-bit keys.
+  *
+  * Level 1 cuts the 64-bit simhash into c = maxHamming+1 chunks: a pair
+  * within the distance budget has ≥ 1 chunk with zero differing bits
+  * (pigeonhole). Level 2 re-applies the same argument inside each chunk's
+  * candidate set: the OTHER 64-width(i) bits still differ in ≤ maxHamming
+  * positions, so cutting them into c sub-chunks guarantees ≥ 1 equal
+  * sub-chunk. Key (i, j, chunk_i, subchunk_j) is therefore shared by every
+  * true pair for some (i, j) — and carries width(i)+width(j) ≈ 28 bits of
+  * value (vs 16 for level 1 alone), which is what keeps buckets from
+  * saturating on big corpora (the r2 scale-killer: ≤ 65,536 distinct
+  * level-1 buckets meant every bucket overflowed at sf0.1 already).
+  *
+  * The four parts are mix-combined into a single long key; a hash collision
+  * between different (i, j, chunk, sub) tuples only adds a candidate that
+  * the exact-Hamming verify then discards (~2⁻⁶⁴ per pair — no recall
+  * loss, since equal tuples always produce equal keys).
+  */
+case class SimHashBucketKeys(child: Expression, maxHamming: Int)
+    extends UnaryExpression {
+  require(maxHamming >= 0 && maxHamming <= 15,
+    s"maxHamming must be in [0, 15], got $maxHamming")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_bucket_keys"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashkeys", this, classOf[SimHashBucketKeys].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c);")
+  }
+
+  def compute(sh: Long): ArrayData = {
+    val c = maxHamming + 1
+    val w = 64 / c
+    val out = new Array[Long](c * c)
+    var idx = 0
+    var i = 0
+    while (i < c) {
+      val lo = i * w
+      val hi = if (i == c - 1) 64 else (i + 1) * w // last chunk takes the remainder bits
+      val chunkLen = hi - lo
+      val chunkVal = if (chunkLen == 64) sh else (sh >>> lo) & ((1L << chunkLen) - 1)
+      // remaining bits (chunk i removed), packed low-to-high in original order
+      var rem = 0L
+      var remLen = 0
+      var b = 0
+      while (b < 64) {
+        if (b < lo || b >= hi) {
+          if (((sh >>> b) & 1L) == 1L) rem |= (1L << remLen)
+          remLen += 1
+        }
+        b += 1
+      }
+      val sw = remLen / c
+      var j = 0
+      while (j < c) {
+        val slo = j * sw
+        val shi = if (j == c - 1) remLen else (j + 1) * sw
+        val subLen = shi - slo
+        val subVal = if (subLen <= 0) 0L else (rem >>> slo) & ((1L << subLen) - 1)
+        out(idx) = TextHashing.mix(
+          TextHashing.mix(TextHashing.mix(i.toLong * 0x9e3779b97f4a7c15L + j) ^ chunkVal) ^ subVal)
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Polynomial rolling-hash fingerprint of a string (Rabin-style, base 257
   * mod 2^64) — an order-sensitive whole-document fingerprint that, unlike
   * md5, can be computed incrementally over a stream of chunks.
@@ -172,4 +420,14 @@ object TextFunctions {
     colOf(MinHashSignature(exprOf(tokens), numHashes, shingleSize, seed))
   def simhash64(tokens: Column): Column = colOf(SimHash64(exprOf(tokens)))
   def rollingHash(text: Column): Column = colOf(RollingHash(exprOf(text)))
+  def shingleHashes(tokens: Column, shingleSize: Int = 3): Column =
+    colOf(ShingleHashes(exprOf(tokens), shingleSize))
+  def jaccardSorted(a: Column, b: Column): Column =
+    colOf(JaccardLongSorted(exprOf(a), exprOf(b)))
+  def signatureAgreement(a: Column, b: Column): Column =
+    colOf(SignatureAgreement(exprOf(a), exprOf(b)))
+  def bandHashes(sig: Column, bands: Int): Column =
+    colOf(BandHashes(exprOf(sig), bands))
+  def simhashBucketKeys(sh: Column, maxHamming: Int): Column =
+    colOf(SimHashBucketKeys(exprOf(sh), maxHamming))
 }

@@ -198,7 +198,10 @@ object PipelineQueries {
     "q_text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_hex FROM documents",
     "q_multimodal_meta" -> ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
       "sha256(text) AS sha256_hex FROM documents"),
-    "q_pipeline_curate" -> ("SELECT d.lang, count(*) AS n_docs, sum(q.n_words) AS total_words FROM (" +
+    // CAST(sum(int) AS BIGINT): DuckDB's sum(INTEGER) yields HUGEINT, which
+    // the driver's type-sensitive hash treats as different from Spark's
+    // BIGINT even at equal values (r2 hash fail).
+    "q_pipeline_curate" -> ("SELECT d.lang, count(*) AS n_docs, CAST(sum(q.n_words) AS BIGINT) AS total_words FROM (" +
       "SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_words " +
       "FROM (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text) " +
       "WHERE (length(text) - length(replace(text, ' ', '')) + 1) >= 20 " +
