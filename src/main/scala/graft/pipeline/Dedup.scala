@@ -30,21 +30,56 @@ object Dedup {
 
   private def tokens(textCol: String) = split(lower(col(textCol)), " ")
 
-  /** Skew guard for every LSH bucket self-join: buckets with more members
-    * than this are dropped before pairing. At the default minhash band count
-    * (16) a true near-dup pair in a dropped bucket is still caught by its
-    * 15 other bands with near-certainty; the cap only sheds the quadratic
-    * cost of degenerate keys.
+  /** Skew guard for every LSH bucket self-join: buckets keep at most this
+    * many members before pairing, so one bucket contributes at most
+    * cap·(cap−1)/2 pairs — 8,128 at the default 128, a bounded pair budget
+    * regardless of corpus size (the r2 cap of 1,000 *members* still admitted
+    * ~500k pairs from a single degenerate key). A true near-dup pair whose
+    * bucket is truncated is still caught through its other bands / chunks /
+    * tables with near-certainty.
     */
-  val defaultBucketCap: Int = 1000
+  val defaultBucketCap: Int = 128
 
-  /** Drop rows whose bucket (the given key columns) exceeds `cap` members.
-    * One window count over the same shuffle key the join uses — linear.
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Keep the first `cap` members (by ascending id — deterministic) of each
+    * bucket keyed by `keys`; rows beyond the cap are shed. One window over
+    * the same shuffle key the join uses — linear. Truncating (rather than
+    * dropping the whole bucket, as r1-r3 did) preserves partial recall
+    * inside oversized buckets while bounding the self-join at
+    * cap·(cap−1)/2 pairs per bucket. The shed row count is published as an
+    * `observe` metric (`graft_cap_*`, column `rows_shed`) so recall loss at
+    * scale is visible to listeners instead of silent.
     */
   private def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame =
-    df.withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__bucket_n") <= cap)
-      .drop("__bucket_n")
+    df.withColumn("__bucket_i",
+        row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(col("id"))))
+      .observe(s"graft_cap_${capSeq.incrementAndGet()}",
+        sum(when(col("__bucket_i") > cap, 1L).otherwise(0L)).as("rows_shed"))
+      .filter(col("__bucket_i") <= cap)
+      .drop("__bucket_i")
+
+  /** Frames persisted by the operators below (signature caches that several
+    * joins of one query read). Spark offers no reliable unpersist-after-
+    * terminal-action hook on a returned-but-not-yet-executed DataFrame, so
+    * the contract is caller-must-clear: call [[clearCaches]] (or
+    * `spark.catalog.clearCache()`) once the results of a dedup call have
+    * been consumed. Unpersisting early is always safe — downstream reads
+    * just recompute.
+    */
+  private val cachedFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def cache(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    cachedFrames += p
+    p
+  }
+
+  /** Unpersist every frame cached by previous dedup calls (see [[cache]]). */
+  def clearCaches(): Unit = synchronized {
+    cachedFrames.foreach(_.unpersist(blocking = false))
+    cachedFrames.clear()
+  }
 
   /** Exact dedup: hash-groupBy on the full text. Returns one row per
     * distinct text with the representative (minimum) id and the copy count.
@@ -113,11 +148,12 @@ object Dedup {
       bands: Int,
       bucketCap: Int = defaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
+    // bandHashes is a native codegen'd expression: one pass over the
+    // signature, no per-band array slices (the r2 transform/hash(slice)
+    // form was CodegenFallback — interpreted per row).
     val banded = sigs.select(
       col("id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))"))
-        .as(Seq("band", "band_hash")))
+      posexplode(bandHashes(col("sig"), bands)).as(Seq("band", "band_hash")))
     val capped = capBuckets(banded, bucketCap, "band", "band_hash")
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b,
@@ -142,27 +178,34 @@ object Dedup {
       bucketCap: Int = defaultBucketCap): DataFrame = {
     // cached: read by the band stream and twice by the verify join. Tiny
     // (numHashes longs per distinct doc), so the cache never pressures
-    // executor memory even at large n.
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes).persist()
+    // executor memory even at large n. Caller clears via [[clearCaches]].
+    val sigs = cache(minhashSignatures(docs, idCol, textCol, numHashes))
     val candidates = bandCandidates(sigs, numHashes, bands, bucketCap)
     candidates
       .join(sigs.select(col("id"), col("sig").as("sig_a")), col("id_a") === col("id"))
       .drop("id")
       .join(sigs.select(col("id"), col("sig").as("sig_b")), col("id_b") === col("id"))
       .drop("id")
-      .withColumn("est_jaccard",
-        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($numHashes AS double)"))
+      // native single-pass agreement count — same value as the r2
+      // aggregate(zip_with(...)) form, without its per-pair interpretation
+      // and two 64-element array allocations.
+      .withColumn("est_jaccard", signatureAgreement(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`.
     *
-    * The 64-bit simhash is split into `maxHamming + 1` chunks — by
-    * pigeonhole, any pair within the distance budget shares at least one
-    * full chunk, so bucketing on (chunk index, chunk value) has guaranteed
-    * recall for the requested distance (the r1 version fixed 4 chunks and
-    * silently lost pairs when called with maxHamming > 3).
+    * Bucketing uses [[graft.functions.SimHashBucketKeys]]' two-level
+    * pigeonhole keys: any pair within the distance budget is guaranteed to
+    * share at least one of the (maxHamming+1)² keys, and each key carries
+    * ~28 bits of simhash value instead of the r2 single-level 16 — the
+    * difference between ≤ 65,536 distinct buckets (every bucket saturates
+    * at corpus scale, recall collapses against the cap) and ~2²⁸ buckets
+    * that stay selective at 10⁹ docs. Candidates are verified with the
+    * exact `bit_count` Hamming distance after pruning, mirroring the
+    * reference's verify-after-prune shape
+    * (datafusion-dynamic-filter physical.rs:257-263).
     *
     * No distinct-text pre-pass here: identical texts have Hamming distance 0
     * and are legitimate output; the bucket cap bounds their join cost.
@@ -175,22 +218,13 @@ object Dedup {
       bucketCap: Int = defaultBucketCap): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (chunks need >= 4 bits to stay selective), got $maxHamming")
-    val numChunks = maxHamming + 1
-    val width = 64 / numChunks // last chunk also takes the remainder bits
-    val mask = (1L << width) - 1
     val sims = docs.select(col(idCol).as("id"), simhash64(tokens(textCol)).as("sh"))
-    val chunked = sims.select(
+    val keyed = sims.select(
       col("id"), col("sh"),
-      posexplode(expr(
-        s"transform(sequence(0, ${numChunks - 1}), c -> IF(c = ${numChunks - 1}, " +
-          s"shiftrightunsigned(sh, c * $width), shiftrightunsigned(sh, c * $width) & $mask))"))
-        .as(Seq("chunk", "chunk_val")))
-    val capped = capBuckets(chunked, bucketCap, "chunk", "chunk_val")
+      explode(simhashBucketKeys(col("sh"), maxHamming)).as("bkey"))
+    val capped = capBuckets(keyed, bucketCap, "bkey")
     val a = capped.as("a"); val b = capped.as("b")
-    a.join(b,
-        col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
+    a.join(b, col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .distinct()
@@ -214,13 +248,16 @@ object Dedup {
     // Shingles are stored as 64-bit hashes, not strings: set operations and
     // shuffles carry 8 bytes per shingle instead of the n-gram text
     // (hash-collision error on Jaccard is ~2^-64 per pair — negligible).
-    val reps = distinctTexts(docs, idCol, textCol).persist()
-    val shingled = reps.select(
-      col("id"),
-      expr(s"array_distinct(transform(sequence(1, greatest(size(split(lower($textCol), ' ')) - ${n - 1}, 0)), " +
-        s"i -> xxhash64(concat_ws(' ', slice(split(lower($textCol), ' '), i, $n)))))").as("shingles"))
+    // shingleHashes tokenizes once and rolling-combines (native codegen);
+    // the r2 transform(sequence(...), i -> xxhash64(concat_ws(slice(split(
+    // ...))))) form re-split the whole document per shingle index —
+    // O(words²) per doc AND interpreted (higher-order fns are
+    // CodegenFallback). Its sorted-distinct output feeds jaccardSorted's
+    // O(|a|+|b|) merge below.
+    val reps = cache(distinctTexts(docs, idCol, textCol))
+    val shingled = reps.select(col("id"), shingleHashes(tokens(textCol), n).as("shingles"))
 
-    val sigs = signaturesOfReps(reps, textCol, numHashes = 64).persist()
+    val sigs = cache(signaturesOfReps(reps, textCol, numHashes = 64))
     // 32 bands of 2 hashes: band-match probability s² per band — high recall
     // down to low Jaccard, exact verify prunes false positives after.
     val candidates = bandCandidates(sigs, numHashes = 64, bands = 32, bucketCap)
@@ -228,8 +265,10 @@ object Dedup {
     candidates
       .join(shingled.select(col("id"), col("shingles").as("sh_a")), col("id_a") === col("id")).drop("id")
       .join(shingled.select(col("id"), col("shingles").as("sh_b")), col("id_b") === col("id")).drop("id")
-      .withColumn("jaccard",
-        expr("size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) AS double)"))
+      // exact Jaccard via a single merge pass over the two sorted-distinct
+      // hash arrays — no per-pair hash sets (the array_intersect/union form
+      // built two sets and two result arrays per candidate).
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
