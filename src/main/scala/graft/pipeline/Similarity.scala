@@ -85,25 +85,38 @@ object Similarity {
     qBucket +: (0 until bits).map(b => qBucket ^ (1 << b))
   }
 
-  /** Build the ANN index: the table written partitioned by hyperplane bucket.
-    * One shuffle-free pass over the vectors; the layout is the index — a
-    * probe then reads only the matching bucket directories (Spark partition
-    * pruning), which at 100 TB is the difference between an index lookup and
-    * a full scan. Sizing: directories ≈ 2^bits; pick
-    * bits ≈ log2(n / desired_bucket_rows).
+  /** Seed for hash table `t` — each table is an independent plane family. */
+  private def tableSeed(seed: Long, t: Int): Long = seed + t.toLong * 10007L
+
+  /** Build the ANN index: the table written partitioned by
+    * (hash table, hyperplane bucket). One pass over the vectors per table;
+    * the layout is the index — a probe then reads only the matching bucket
+    * directories (Spark partition pruning), which at 100 TB is the
+    * difference between an index lookup and a full scan.
+    *
+    * `tables` independent plane families trade storage (each vector is
+    * written once per table) for recall: a true neighbor missed by one
+    * family's bucket is caught by another, so per-neighbor recall is
+    * 1-(1-p)^tables for per-table hit rate p — the standard LSH lever when
+    * radius-1 multi-probe alone isn't enough. Sizing: directories
+    * ≈ tables·2^bits; pick bits ≈ log2(n / desired_bucket_rows).
     */
   def buildLshIndex(
       embeddings: DataFrame,
       path: String,
       bits: Int = 8,
       seed: Long = 7L,
+      tables: Int = 2,
       vecCol: String = "embedding"): Unit =
-    embeddings
-      .withColumn("bucket", hyperplaneBucket(col(vecCol), bits, seed))
+    (0 until tables)
+      .map(t => embeddings
+        .withColumn("tbl", lit(t))
+        .withColumn("bucket", hyperplaneBucket(col(vecCol), bits, tableSeed(seed, t))))
+      .reduce(_ unionByName _)
       // co-locate each bucket in one task so the dynamic-partition write
       // emits one file per bucket directory instead of one per (task, bucket)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .repartition(col("tbl"), col("bucket"))
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
 
   /** Driver-side cosine between two small vectors (centroid ranking). */
   private def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
@@ -188,8 +201,9 @@ object Similarity {
   }
 
   /** ANN top-k against a built index: partition pruning restricts the read
-    * to the probed bucket directories; exact cosine ranks within them.
-    * `bits`/`seed` must match [[buildLshIndex]].
+    * to the probed (table, bucket) directories; exact cosine ranks within
+    * them. A vector found through several tables is deduplicated before the
+    * top-k. `bits`/`seed`/`tables` must match [[buildLshIndex]].
     */
   def lshTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
@@ -198,12 +212,19 @@ object Similarity {
       k: Int = 10,
       bits: Int = 8,
       seed: Long = 7L,
+      tables: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val probeBuckets = probesOf(queryVec, bits, seed)
+    val probe = (0 until tables)
+      .map(t => col("tbl") === t &&
+        col("bucket").isin(probesOf(queryVec, bits, tableSeed(seed, t)): _*))
+      .reduce(_ || _)
     spark.read.parquet(indexPath)
-      .filter(col("bucket").isin(probeBuckets: _*))
+      .filter(probe)
       .select(col(idCol), round(cosineSimilarity(col(vecCol), typedLit(queryVec)), 6).as("cosine"))
+      // same id through several tables has the same cosine; the aggregate
+      // dedups over only the few probed-bucket rows, not the corpus
+      .groupBy(col(idCol)).agg(max(col("cosine")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

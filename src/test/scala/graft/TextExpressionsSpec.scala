@@ -1,0 +1,138 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.pipeline.Dedup
+
+/** Unit specs for the native dedup expressions (TextExpressions.scala) —
+  * the hot path of every near-dup operator, exercised here through real
+  * DataFrame plans so the codegen path (references-array call) is what runs.
+  */
+class TextExpressionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tokensOf(s: String) = split(lower(lit(s)), " ")
+
+  test("shingleHashes output is ascending-sorted and distinct") {
+    // repeated trigrams ("a b c" appears 3 times) must collapse
+    val text = "a b c a b c a b c d e"
+    val out = spark.range(1)
+      .select(shingleHashes(tokensOf(text), 3).as("sh"))
+      .head().getSeq[Long](0)
+    out shouldBe out.sorted
+    out.distinct.size shouldBe out.size
+    // 9 shingle positions, but "a b c" x3 and "b c a"/"c a b" x2 each
+    out.size shouldBe 5
+  }
+
+  test("shingleHashes is empty below shingle size and stable for equal input") {
+    val short = spark.range(1).select(shingleHashes(tokensOf("a b"), 3)).head().getSeq[Long](0)
+    short shouldBe empty
+    val a = spark.range(1).select(shingleHashes(tokensOf("x y z w"), 3)).head().getSeq[Long](0)
+    val b = spark.range(1).select(shingleHashes(tokensOf("x y z w"), 3)).head().getSeq[Long](0)
+    a shouldBe b
+  }
+
+  test("jaccardSorted matches a naive set computation on random arrays") {
+    val rnd = new Random(7)
+    val cases = Seq.tabulate(50) { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct.sorted
+      (a, b)
+    }
+    val got = cases.toDF("a", "b")
+      .select(jaccardSorted(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b), j) =>
+      val sa = a.toSet; val sb = b.toSet
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      j shouldBe expected +- 1e-12
+    }
+  }
+
+  test("signatureAgreement counts equal positions and rejects length mismatch") {
+    val agree = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L))).toDF("a", "b")
+      .select(signatureAgreement(col("a"), col("b"))).head().getDouble(0)
+    agree shouldBe 0.5 +- 1e-12
+
+    // constant-folded literals throw driver-side (IllegalArgumentException);
+    // executor-side the same require surfaces wrapped in a SparkException
+    val err = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(signatureAgreement(col("a"), col("b"))).collect()
+    }
+    err.getMessage should include("signature lengths differ")
+  }
+
+  test("bandHashes: equal signatures give equal bands; band count and locality hold") {
+    val sig = Seq.tabulate(16)(i => (i * 37 + 5).toLong)
+    val rows = Seq(Tuple1(sig), Tuple1(sig), Tuple1(sig.updated(15, 999L))).toDF("sig")
+      .select(bandHashes(col("sig"), 4).as("bands"))
+      .collect().map(_.getSeq[Long](0))
+    rows(0).size shouldBe 4
+    rows(0) shouldBe rows(1)
+    // only the run containing the changed position may differ
+    rows(0).take(3) shouldBe rows(2).take(3)
+    rows(0)(3) should not be rows(2)(3)
+  }
+
+  test("simhashBucketKeys: equal hashes share all keys; pairs within budget share a key") {
+    val maxHamming = 3
+    val keysOf = (sh: Long) =>
+      Seq(Tuple1(sh)).toDF("sh")
+        .select(simhashBucketKeys(col("sh"), maxHamming)).head().getSeq[Long](0)
+    val base = 0x0123456789abcdefL
+    keysOf(base) shouldBe keysOf(base)
+    keysOf(base).size shouldBe (maxHamming + 1) * (maxHamming + 1)
+  }
+
+  test("simhashBucketKeys planted recall: no pair within maxHamming=3 is lost") {
+    // 200 random simhashes, each paired with a copy perturbed in <= 3 bit
+    // positions; the two-level pigeonhole guarantees >= 1 shared bucket key
+    // for EVERY such pair — recall must be exactly 100%, not probabilistic.
+    val maxHamming = 3
+    val rnd = new Random(42)
+    val pairs = Seq.tabulate(200) { _ =>
+      val sh = rnd.nextLong()
+      val flips = rnd.nextInt(maxHamming + 1)
+      val perturbed = (0 until flips).foldLeft(sh)((h, _) => h ^ (1L << rnd.nextInt(64)))
+      (sh, perturbed)
+    }
+    val shared = pairs.toDF("a", "b")
+      .select(
+        arrays_overlap(
+          simhashBucketKeys(col("a"), maxHamming),
+          simhashBucketKeys(col("b"), maxHamming)).as("shared"))
+      .collect().map(_.getBoolean(0))
+    all(shared) shouldBe true
+  }
+
+  test("simhash pair search through Dedup recovers every planted near-copy") {
+    // end-to-end over the wired operator: docs plus copies that simhash
+    // within the budget (identical text => hamming 0) must all pair up.
+    val docs = (0 until 40).map(i => (i.toLong, s"sentence number $i with shared words " +
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa ${i % 7}"))
+    val planted = docs.take(20).map { case (id, t) => (id + 1000L, t) }
+    val df = (docs ++ planted).toDF("doc_id", "text")
+    val found = Dedup.simhashPairs(df, maxHamming = 3)
+      .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 1000L)
+      .count()
+    found shouldBe 20
+  }
+
+  test("dedup operators leave no persisted RDDs after clearCaches") {
+    val df = (0 until 30).map(i => (i.toLong, s"document text body $i one two three four five"))
+      .toDF("doc_id", "text")
+    Dedup.minhashPairs(df, threshold = 0.5).count()
+    Dedup.ngramJaccardPairs(df, threshold = 0.3).count()
+    spark.sparkContext.getPersistentRDDs should not be empty
+    Dedup.clearCaches()
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
+}
