@@ -55,20 +55,28 @@ object Multimodal {
     * task per partition, no driver involvement.
     */
   /** Batch "resize": consumes the decode output and computes target
-    * dimensions for a max-256px bounding box (aspect preserved). The
+    * dimensions for a max-`maxSide`-px bounding box (aspect preserved). The
     * geometry is real; only the pixel work is stubbed out. Chained
     * partition-wise transforms — no shuffle anywhere in the media pipeline.
+    *
+    * Target sides use integer arithmetic (`src * maxSide div longest`) and
+    * the reported scale is a single IEEE division, so the output is exactly
+    * replayable by an independent engine (no float round-to-nearest step
+    * whose tie-breaking could differ across implementations).
     */
   def resizeStub(docs: DataFrame, maxSide: Int = 256): Dataset[ResizedMedia] = {
     val spark = docs.sparkSession
     import spark.implicits._
     decodeStub(docs).mapPartitions { batch =>
       batch.map { m =>
-        val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
-        ResizedMedia(m.doc_id, m.width, m.height,
-          math.max(1, math.round(m.width * scale).toInt),
-          math.max(1, math.round(m.height * scale).toInt),
-          math.round(scale * 10000).toDouble / 10000)
+        val longest = math.max(m.width, m.height)
+        if (longest <= maxSide)
+          ResizedMedia(m.doc_id, m.width, m.height, m.width, m.height, 1.0)
+        else
+          ResizedMedia(m.doc_id, m.width, m.height,
+            math.max(1, m.width * maxSide / longest),
+            math.max(1, m.height * maxSide / longest),
+            maxSide.toDouble / longest)
       }
     }
   }
@@ -96,6 +104,20 @@ object Multimodal {
       }
   }
 
+  /** The fake decode derives every output from the payload byte sum and
+    * length so an independent engine can replay it exactly and hash-compare
+    * the result (the r1-r3 FNV-derived dimensions were deterministic but
+    * only this JVM could compute them — rows-only checkable):
+    *
+    *   - width  = 64 + byte_sum mod 1024
+    *   - height = 64 + (byte_sum div 7 + n_bytes) mod 1024
+    *   - mean_intensity = byte_sum / n_bytes as ONE IEEE-754 division of two
+    *     exactly-representable integers — bitwise identical in any engine,
+    *     no rounding step to diverge on.
+    *
+    * The per-byte loop is still a real pass over the payload (the shape a
+    * codec call has); only the arithmetic after it is the stub.
+    */
   def decodeStub(docs: DataFrame): Dataset[DecodedMedia] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -103,19 +125,15 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          // deterministic fake decode standing in for an image codec
-          var h = 0xcbf29ce484222325L
           var sum = 0L
           var i = 0
           while (i < bytes.length) {
-            h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
             sum += bytes(i) & 0xffL
             i += 1
           }
-          val width = 64 + (((h >>> 8) & 0x3ffL)).toInt
-          val height = 64 + (((h >>> 24) & 0x3ffL)).toInt
-          val mean = if (bytes.isEmpty) 0.0
-            else math.round(sum.toDouble / bytes.length * 10000).toDouble / 10000
+          val width = 64 + (sum % 1024L).toInt
+          val height = 64 + ((sum / 7L + bytes.length) % 1024L).toInt
+          val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
           DecodedMedia(id, bytes.length, width, height, 3, mean)
         }
       }

@@ -164,6 +164,15 @@ object PipelineQueries {
       s"FROM (SELECT doc_id, lang, $scoreCols FROM documents)"
   }
 
+  /** Shared decode-oracle base: UTF-8 byte count and byte sum per document,
+    * as BIGINTs so the downstream modular arithmetic matches the Scala
+    * Long math in [[Multimodal.decodeStub]].
+    */
+  private val multimodalByteSums: String =
+    "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+      "CAST(list_aggregate(list_transform(string_split(text, ''), x -> ascii(x)), 'sum') AS BIGINT) AS bsum " +
+      "FROM documents"
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text " +
       "FROM documents GROUP BY text"),
@@ -195,6 +204,27 @@ object PipelineQueries {
     "q_multimodal_frames" -> ("SELECT doc_id, CAST(unnest(generate_series(0, " +
       "least(CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) // 1000, 4))) AS INTEGER) AS frame_idx " +
       "FROM documents"),
+    // Replays decodeStub's byte-sum arithmetic. ascii() per split character
+    // equals the UTF-8 byte value only for an ASCII corpus — which the
+    // synthetic documents are (the fake payload is the text itself; a real
+    // binary payload column would be summed directly).
+    "q_multimodal_decode" -> (s"SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes, " +
+      "CAST(64 + (bsum % 1024) AS INTEGER) AS width, " +
+      "CAST(64 + ((bsum // 7 + n_bytes) % 1024) AS INTEGER) AS height, " +
+      "CAST(3 AS INTEGER) AS channels, " +
+      "CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(bsum AS DOUBLE) / CAST(n_bytes AS DOUBLE) END AS mean_intensity " +
+      s"FROM ($multimodalByteSums)"),
+    "q_multimodal_resize" -> ("SELECT doc_id, CAST(width AS INTEGER) AS src_width, " +
+      "CAST(height AS INTEGER) AS src_height, " +
+      "CAST(CASE WHEN longest <= 256 THEN width ELSE greatest(1, width * 256 // longest) END AS INTEGER) AS dst_width, " +
+      "CAST(CASE WHEN longest <= 256 THEN height ELSE greatest(1, height * 256 // longest) END AS INTEGER) AS dst_height, " +
+      "CASE WHEN longest <= 256 THEN CAST(1 AS DOUBLE) " +
+      "ELSE CAST(256 AS DOUBLE) / CAST(longest AS DOUBLE) END AS scale " +
+      "FROM (SELECT doc_id, width, height, greatest(width, height) AS longest " +
+      "FROM (SELECT doc_id, 64 + (bsum % 1024) AS width, " +
+      "64 + ((bsum // 7 + n_bytes) % 1024) AS height " +
+      s"FROM ($multimodalByteSums)))"),
     "q_text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_hex FROM documents",
     "q_multimodal_meta" -> ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
       "sha256(text) AS sha256_hex FROM documents"),
