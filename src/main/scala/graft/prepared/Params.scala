@@ -2,7 +2,8 @@ package graft.prepared
 
 import java.util.IdentityHashMap
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.{BaseSubqueryExec, ExecSubqueryExpression, ReusedSubqueryExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, Exchange, ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.HashedRelationBroadcastMode
@@ -67,6 +68,39 @@ object Params {
   private def missing(id: String): Nothing =
     throw new IllegalArgumentException(
       s"Placeholder '$id' was not provided a value")
+
+  /** All placeholder ids in a LOGICAL plan, descending into subquery plans
+    * (the logical analog of the SparkPlan overload — [[SubqueryExpression]]
+    * holds its plan outside the node's `children`).
+    */
+  def placeholderIds(plan: LogicalPlan): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    def scanExpr(root: Expression): Unit = root.foreach {
+      case ParamPlaceholder(id, _) => b += id
+      case s: SubqueryExpression   => b ++= placeholderIds(s.plan)
+      case _                       =>
+    }
+    plan.foreach(_.expressions.foreach(scanExpr))
+    b.result().distinct
+  }
+
+  /** Bind a cached LOGICAL plan (adaptive prepared statements): plain
+    * literal substitution, recursing into subquery plans. Literals (not
+    * [[BoundParam]]) are correct here — the plan goes back through the
+    * optimizer per execute, and literals let it constant-fold and push down
+    * with the concrete values.
+    */
+  def bindLogical(plan: LogicalPlan, params: Map[String, Any]): LogicalPlan = {
+    placeholderIds(plan).foreach(id => if (!params.contains(id)) missing(id))
+    bindLogicalUnchecked(plan, params)
+  }
+
+  private def bindLogicalUnchecked(plan: LogicalPlan, params: Map[String, Any]): LogicalPlan =
+    plan.transformAllExpressions {
+      case ParamPlaceholder(id, dt) => Literal.create(params(id), dt)
+      case s: SubqueryExpression if placeholderIds(s.plan).nonEmpty =>
+        s.withNewPlan(bindLogicalUnchecked(s.plan, params))
+    }
 
   /** Replace every [[ParamPlaceholder]] in the expression with a literal from
     * `params`; error on a missing id.

@@ -31,19 +31,33 @@ class PreparedStatement(
     val spark: SparkSession,
     val sql: String,
     val physicalPlan: SparkPlan,
-    val output: Seq[Attribute]) {
+    val output: Seq[Attribute],
+    adaptiveLogical: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None) {
 
   /** Placeholder ids this statement expects (e.g. "$1", "$2"). */
   lazy val parameterIds: Seq[String] = Params.placeholderIds(physicalPlan)
 
-  /** Bind `params` and return a lazy DataFrame over the bound physical plan.
-    * No Catalyst work happens here: one cheap plan-tree clone, then straight
-    * to execution when an action runs.
+  /** True when this statement was prepared with `adaptive = true` — each
+    * execute re-plans from the cached analyzed plan under AQE instead of
+    * re-binding the frozen physical plan (see
+    * [[PreparedStatements.prepare]] for the trade).
     */
-  def execute(params: Map[String, Any] = Map.empty): DataFrame = {
-    val bound = Params.bind(physicalPlan, params)
-    val pruned = ScanRebind.rebind(bound)
-    Internals.dfFromPhysical(spark, pruned)
+  def isAdaptive: Boolean = adaptiveLogical.isDefined
+
+  /** Bind `params` and return a lazy DataFrame over the bound plan.
+    *
+    * Static mode (default): no Catalyst work here — one cheap plan-tree
+    * clone of the cached physical plan, then straight to execution when an
+    * action runs. Adaptive mode: literals substitute into the cached
+    * analyzed plan, which re-plans through the optimizer + AQE.
+    */
+  def execute(params: Map[String, Any] = Map.empty): DataFrame = adaptiveLogical match {
+    case Some(logical) =>
+      Internals.ofRows(spark, Params.bindLogical(logical, params))
+    case None =>
+      val bound = Params.bind(physicalPlan, params)
+      val pruned = ScanRebind.rebind(bound)
+      Internals.dfFromPhysical(spark, pruned)
   }
 
   /** Convenience: positional binding — args(0) -> "$1", args(1) -> "$2", … */
@@ -55,8 +69,10 @@ class PreparedStatement(
     * record batches straight from the physical plan,
     * `parameterized_statement.rs:64-87`).
     */
-  def executeCollect(params: Map[String, Any]): Array[Row] = {
-    val bound = Params.bind(physicalPlan, params)
-    Internals.collectPhysical(ScanRebind.rebind(bound))
+  def executeCollect(params: Map[String, Any]): Array[Row] = adaptiveLogical match {
+    case Some(_) => execute(params).collect()
+    case None =>
+      val bound = Params.bind(physicalPlan, params)
+      Internals.collectPhysical(ScanRebind.rebind(bound))
   }
 }

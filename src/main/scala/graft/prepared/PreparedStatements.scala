@@ -5,7 +5,7 @@ import scala.util.Try
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamedParameter, PosParameter, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, In, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, GlobalLimit, InsertIntoStatement, LocalLimit, LogicalPlan, Offset, Tail}
 import org.apache.spark.sql.graft.Internals
 import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
@@ -182,13 +182,55 @@ object PreparedStatements {
     }
   }
 
+  /** Prepare `sql` for repeated execution.
+    *
+    * `adaptive = false` (default): the full Catalyst pipeline runs once and
+    * every execute re-binds the frozen physical plan — the amortization
+    * path, right for high-rate point lookups. AQE is off for the cached
+    * plan by necessity: adaptive re-planning would mutate the tree the
+    * statement re-binds.
+    *
+    * `adaptive = true`: parse + analysis are still amortized, but each
+    * execute substitutes literals into the cached analyzed plan and
+    * re-plans through the optimizer and AQE. Per-execute planning costs
+    * ~10s of ms — negligible for heavy shapes (a prepared fact⋈fact join
+    * over skewed keys) where losing AQE's skew-join splitting and runtime
+    * coalescing would cost far more at cluster scale. Pick per statement:
+    * static for lookups, adaptive for analytical shapes.
+    */
+  /** Placeholders are supported anywhere a runtime value is legal —
+    * predicates, projections, join conditions, subqueries, function
+    * arguments. LIMIT/OFFSET/TAIL counts are NOT: Spark requires those to
+    * be constants at analysis time (they shape the plan itself), so a
+    * placeholder there fails here, at prepare, with an actionable message
+    * instead of surfacing Spark's generic IS_UNFOLDABLE analysis error.
+    */
+  private def rejectUnsupportedPositions(parsed: LogicalPlan, sql: String): Unit = {
+    def hasMarker(e: Expression): Boolean = e.exists {
+      case _: NamedParameter | _: PosParameter => true
+      case _                                   => false
+    }
+    val bad = withSubqueryPlans(parsed).exists(_.exists {
+      case GlobalLimit(le, _) => hasMarker(le)
+      case LocalLimit(le, _)  => hasMarker(le)
+      case Offset(oe, _)      => hasMarker(oe)
+      case Tail(te, _)        => hasMarker(te)
+      case _                  => false
+    })
+    if (bad) throw new UnsupportedOperationException(
+      "Placeholders are not supported in LIMIT/OFFSET positions (Spark requires a " +
+        s"constant there at analysis time); inline the value into the SQL instead: $sql")
+  }
+
   def prepare(
       spark: SparkSession,
       sql: String,
-      paramTypes: Map[String, DataType] = Map.empty): PreparedStatement = {
+      paramTypes: Map[String, DataType] = Map.empty,
+      adaptive: Boolean = false): PreparedStatement = {
     val cs = Internals.classicSession(spark)
     val parsed = Internals.parsePlan(spark, normalizePlaceholders(sql))
     rejectDdl(parsed, sql)
+    rejectUnsupportedPositions(parsed, sql)
 
     // `?` markers are numbered left to right by their textual position.
     val positions = allExpressions(parsed)
@@ -215,7 +257,9 @@ object PreparedStatements {
     // Plan once, through the full Catalyst pipeline. AQE is disabled for the
     // cached plan: re-binding mutates a finished physical tree, and adaptive
     // re-planning would re-introduce per-execute planning work — the very
-    // cost prepare() exists to amortize.
+    // cost prepare() exists to amortize. (The physical plan is also built in
+    // adaptive mode — one-time cost — so parameterIds and plan introspection
+    // behave identically in both modes.)
     val qe = Internals.queryExecution(spark, withPlaceholders)
     val adaptiveKey = "spark.sql.adaptive.enabled"
     val previous = cs.conf.get(adaptiveKey)
@@ -224,6 +268,7 @@ object PreparedStatements {
       try qe.executedPlan
       finally cs.conf.set(adaptiveKey, previous)
 
-    new PreparedStatement(spark, sql, physical, physical.output)
+    new PreparedStatement(spark, sql, physical, physical.output,
+      adaptiveLogical = if (adaptive) Some(qe.analyzed) else None)
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, Literal, PredicateHelper}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.graft.Internals
 
 import graft.plans.DynamicFilterExec
 import graft.sources.KeyedMemScan
@@ -68,6 +70,24 @@ object ScanRebind extends PredicateHelper {
             }
             if (keySets.isEmpty) b
             else b.copy(scan = ks.withKeys(keySets.reduce(_ intersect _).toSeq))
+          // DSv2 parquet: the protocol is source-agnostic (the reference
+          // pushes its DynamicFilterPhysicalExpr to ANY provider,
+          // physical.rs:270-336), so a session reading parquet through v2
+          // gets the same execute-time row-group pruning as the v1 path
+          // above — bound conjuncts are translated to source Filters and a
+          // copied scan carries them into the reader factory.
+          case ps: ParquetScan =>
+            val applicable = conjuncts.filter { c =>
+              c.references.subsetOf(b.outputSet) &&
+              !ps.dataFilters.exists(_.semanticEquals(c))
+            }
+            val translated = applicable.flatMap(
+              Internals.translateFilter(_, supportNestedPredicatePushdown = true))
+              .filterNot(f => ps.pushedFilters.contains(f))
+            if (translated.isEmpty) b
+            else b.copy(scan = ps.copy(
+              pushedFilters = ps.pushedFilters ++ translated,
+              dataFilters = ps.dataFilters ++ applicable))
           case _ => b
         }
     }

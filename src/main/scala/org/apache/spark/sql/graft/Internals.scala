@@ -49,6 +49,16 @@ object Internals {
   def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
     classicSession(spark).sessionState.sqlParser.parsePlan(sql)
 
+  /** Catalyst predicate → data-source `Filter` (`DataSourceStrategy
+    * .translateFilter` is `protected[sql]`). Used by the execute-time
+    * pushdown to hand freshly bound conjuncts to DSv2 file scans.
+    */
+  def translateFilter(
+      predicate: org.apache.spark.sql.catalyst.expressions.Expression,
+      supportNestedPredicatePushdown: Boolean): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown)
+
   /** Collect a physical plan's rows directly (no Dataset/LogicalRDD wrapper,
     * which costs ~20 ms per call) — the prepared-statement hot path's analog
     * of the reference streaming record batches straight out of

@@ -103,6 +103,38 @@ class PreparedStatementsSpec extends SparkTestBase {
     ex.getMessage should include("not supported in prepared statements")
   }
 
+  // Placeholder-position pinning (VERDICT r3 §10): LIMIT/OFFSET counts must
+  // be analysis-time constants in Spark, so a placeholder there is rejected
+  // at prepare with an actionable message — not at first execute with
+  // Spark's generic IS_UNFOLDABLE error.
+  test("LIMIT placeholder rejected at prepare with a clear message") {
+    users
+    val ex = intercept[UnsupportedOperationException] {
+      PreparedStatements.prepare(spark, "SELECT id FROM users ORDER BY id LIMIT $1",
+        Map("$1" -> org.apache.spark.sql.types.IntegerType))
+    }
+    ex.getMessage should include("LIMIT/OFFSET")
+    ex.getMessage should include("inline the value")
+  }
+
+  test("OFFSET placeholder rejected at prepare") {
+    users
+    intercept[UnsupportedOperationException] {
+      PreparedStatements.prepare(spark, "SELECT id FROM users ORDER BY id LIMIT 5 OFFSET $1",
+        Map("$1" -> org.apache.spark.sql.types.IntegerType))
+    }
+  }
+
+  // ...while a placeholder in a projection (a legal value position outside
+  // any predicate) prepares and binds fine
+  test("placeholder in the select list binds") {
+    users
+    val st = PreparedStatements.prepare(spark, "SELECT id, $1 AS tag FROM users WHERE id = 1",
+      Map("$1" -> org.apache.spark.sql.types.StringType))
+    st.execute(Map("$1" -> "run_a")).collect().map(_.getString(1)) shouldBe Array("run_a")
+    st.execute(Map("$1" -> "run_b")).collect().map(_.getString(1)) shouldBe Array("run_b")
+  }
+
   test("INSERT rejected") {
     users
     intercept[UnsupportedOperationException] {
