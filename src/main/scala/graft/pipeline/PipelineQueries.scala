@@ -72,6 +72,19 @@ object PipelineQueries {
   private val annIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Index parameters for the registered ANN queries, sized for RECALL on
+    * the synthetic corpus: the embeddings are near-random (true top-10
+    * cosines ~0.26-0.37, LSH's adversarial case), so the probes are sized
+    * to provably return the exact brute-force top-10 — which is what lets
+    * q_ann_lsh / q_ann_ivf share q_ann_brute's DuckDB oracle instead of a
+    * rows-only check. A real embedding corpus (near-dup targets at cosine
+    * ≥ 0.8) gets the same recall with far more selective parameters
+    * (bits ≈ log2(n / bucket_rows), nprobe ≈ 2-4).
+    */
+  private val AnnBits = 4
+  private val AnnTables = 4
+  private val IvfNProbe = 8
+
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexes.getOrElseUpdate(dir, {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}"
@@ -81,7 +94,7 @@ object PipelineQueries {
   private def annIndexPath(s: SparkSession, dir: String): String =
     annIndexes.getOrElseUpdate(dir, {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_${math.abs(dir.hashCode)}"
-      Similarity.buildLshIndex(embs(s, dir), path)
+      Similarity.buildLshIndex(embs(s, dir), path, bits = AnnBits, tables = AnnTables)
       path
     })
 
@@ -108,9 +121,10 @@ object PipelineQueries {
       plantedFound(Dedup.embeddingNearDupPairs(plantedEmbs(embs(s, dir)), threshold = 0.9))),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10)),
+      Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
+        bits = AnnBits, tables = AnnTables)),
     "q_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(s, ivfIndexPath(s, dir), queryVec(s, dir), k = 10)),
+      Similarity.ivfTopK(s, ivfIndexPath(s, dir), queryVec(s, dir), k = 10, nprobe = IvfNProbe)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -173,6 +187,11 @@ object PipelineQueries {
       "CAST(list_aggregate(list_transform(string_split(text, ''), x -> ascii(x)), 'sum') AS BIGINT) AS bsum " +
       "FROM documents"
 
+  private val annTopKOracle: String =
+    "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+      "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine " +
+      "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text " +
       "FROM documents GROUP BY text"),
@@ -180,9 +199,14 @@ object PipelineQueries {
     "q_dedup_simhash_planted" -> plantedOracle,
     "q_dedup_ngram_planted" -> plantedOracle,
     "q_dedup_embed_planted" -> plantedEmbOracle,
-    "q_ann_brute" -> ("SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
-      "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine " +
-      "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
+    "q_ann_brute" -> annTopKOracle,
+    // The approximate paths are probe-sized to full recall on this corpus
+    // (see AnnBits/AnnTables/IvfNProbe), so their exact-cosine rankings must
+    // equal the brute-force top-10 — same oracle, a strictly stronger check
+    // than the old rows-only entry (which a probe of the WRONG buckets
+    // passed).
+    "q_ann_lsh" -> annTopKOracle,
+    "q_ann_ivf" -> annTopKOracle,
     "q_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
       "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct, " +
       "CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) " +
