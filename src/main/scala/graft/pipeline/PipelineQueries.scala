@@ -187,6 +187,27 @@ object PipelineQueries {
       "CAST(list_aggregate(list_transform(string_split(text, ''), x -> ascii(x)), 'sum') AS BIGINT) AS bsum " +
       "FROM documents"
 
+  private val rollHashOracle: String = {
+    val m64 = "18446744073709551616::HUGEINT" // 2^64
+    val a = "11400714819323198485" // 0x9e3779b97f4a7c15 unsigned
+    val c1 = "13787848793156543929" // 0xbf58476d1ce4e5b9 unsigned
+    val c2 = "10723151780598845931" // 0x94d049bb133111eb unsigned
+    def mul64(x: String, c: String): String =
+      s"(($x % 4294967296) * $c::HUGEINT + ((($x // 4294967296) * $c::HUGEINT) % 4294967296) * 4294967296) % $m64"
+    "SELECT doc_id, CAST(CASE WHEN m3 >= 9223372036854775808::HUGEINT " +
+      s"THEN m3 - $m64 ELSE m3 END AS BIGINT) AS roll_hash FROM (" +
+      "SELECT doc_id, " +
+      s"(poly + $a::HUGEINT) % $m64 AS x0, " +
+      "xor(x0, x0 >> 30) AS y1, " +
+      s"${mul64("y1", c1)} AS m1, " +
+      "xor(m1, m1 >> 27) AS y2, " +
+      s"${mul64("y2", c2)} AS m2, " +
+      "xor(m2, m2 >> 31) AS m3 FROM (" +
+      "SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, " +
+      "list_transform(string_split(lower(text), ''), c -> ascii(c)::HUGEINT)), " +
+      s"(acc, c) -> (acc * 257::HUGEINT + c) % $m64) AS poly FROM documents))"
+  }
+
   private val annTopKOracle: String =
     "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
       "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine " +
@@ -250,6 +271,13 @@ object PipelineQueries {
       "64 + ((bsum // 7 + n_bytes) % 1024) AS height " +
       s"FROM ($multimodalByteSums)))"),
     "q_text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_hex FROM documents",
+    // Exact replay of RollingHash (TextExpressions.scala): polynomial
+    // h = h*257 + byte over the lowercased UTF-8 bytes with 64-bit
+    // wraparound, then the splitmix64 finalizer. HUGEINT carries the
+    // mod-2^64 arithmetic; the two 64×64-bit multiplies are split into
+    // 32-bit halves so intermediates stay inside 128 bits; the final CASE
+    // maps the unsigned value back onto Spark's signed LongType.
+    "q_text_rollhash" -> rollHashOracle,
     "q_multimodal_meta" -> ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
       "sha256(text) AS sha256_hex FROM documents"),
     // CAST(sum(int) AS BIGINT): DuckDB's sum(INTEGER) yields HUGEINT, which

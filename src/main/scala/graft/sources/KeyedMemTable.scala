@@ -40,6 +40,15 @@ object KeyedMemTables {
 
   /** Materialize `df` as a keyed mem table and register a temp view reading
     * through the V2 source.
+    *
+    * Scale story: this `collect()`s the table to the driver by design — it
+    * is the analog of the reference's in-memory provider (a MemTable the
+    * "temporal database" serves lookups from), i.e. a DIMENSION-sized
+    * side table (≲ a few GB), not a fact table. The value demonstrated is
+    * the pushdown protocol: a prepared point lookup ships only the matching
+    * rows from the provider instead of scanning. A 100 TB source would keep
+    * the same `SupportsPushDownFilters` + `ScanRebind` surface but back it
+    * with a partitioned/indexed store instead of a driver map.
     */
   def register(spark: SparkSession, name: String, df: DataFrame, keyCol: String): Unit = {
     val schema = df.schema
