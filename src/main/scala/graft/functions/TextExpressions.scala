@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -153,7 +153,8 @@ case class SimHash64(child: Expression)
   * seconds.
   */
 case class ShingleHashes(child: Expression, shingleSize: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
@@ -204,7 +205,8 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
   * builds two hash sets and two result arrays per candidate pair.
   */
 case class JaccardLongSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
 
@@ -222,16 +224,27 @@ case class JaccardLongSorted(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var inter = 0
+    // prev trackers: the merge is only correct on ascending-sorted distinct
+    // input ([[ShingleHashes]] output); a violation on the visited prefix
+    // fails loud instead of silently under-counting the intersection
+    var prevA = Long.MinValue
+    var prevB = Long.MinValue
     while (i < na && j < nb) {
       val x = a.getLong(i)
       val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if ((i > 0 && x <= prevA) || (j > 0 && y <= prevB)) notSorted()
+      if (x == y) { inter += 1; prevA = x; prevB = y; i += 1; j += 1 }
+      else if (x < y) { prevA = x; i += 1 }
+      else { prevB = y; j += 1 }
     }
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  private def notSorted(): Nothing =
+    throw new IllegalArgumentException(
+      "jaccard_sorted requires ascending-sorted distinct arrays " +
+        "(shingle_hashes output); got an unsorted or duplicated element")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -244,7 +257,8 @@ case class JaccardLongSorted(left: Expression, right: Expression)
   * regression).
   */
 case class SignatureAgreement(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "signature_agreement"
 
@@ -279,7 +293,8 @@ case class SignatureAgreement(left: Expression, right: Expression)
   * (CodegenFallback, per-band array slices).
   */
 case class BandHashes(child: Expression, bands: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_hashes"
 
@@ -331,10 +346,11 @@ case class BandHashes(child: Expression, bands: Int)
   * loss, since equal tuples always produce equal keys).
   */
 case class SimHashBucketKeys(child: Expression, maxHamming: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(maxHamming >= 0 && maxHamming <= 15,
     s"maxHamming must be in [0, 15], got $maxHamming")
 
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "simhash_bucket_keys"
 

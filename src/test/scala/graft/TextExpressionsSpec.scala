@@ -56,6 +56,33 @@ class TextExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("jaccardSorted fails loud on unsorted input instead of under-counting") {
+    // the merge is only correct on sorted-distinct arrays; feeding it the
+    // output of a different producer must error on the visited prefix, not
+    // silently score wrong (the check is best-effort: elements past the
+    // point where one side is exhausted are never read)
+    val err = intercept[Exception] {
+      Seq((Seq(1L, 5L, 3L), Seq(1L, 3L, 9L))).toDF("a", "b")
+        .select(jaccardSorted(col("a"), col("b"))).collect()
+    }
+    err.getMessage should include("ascending-sorted")
+  }
+
+  test("dedup expressions reject wrong input types at analysis time") {
+    // array<string> where array<long> is expected → AnalysisException from
+    // ExpectsInputTypes, not a ClassCastException mid-stage
+    val bad = Seq((Seq("a", "b"), Seq("a"))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(jaccardSorted(col("a"), col("b"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(signatureAgreement(col("a"), col("b"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(bandHashes(col("a"), 2)).collect()
+    }
+  }
+
   test("signatureAgreement counts equal positions and rejects length mismatch") {
     val agree = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L))).toDF("a", "b")
       .select(signatureAgreement(col("a"), col("b"))).head().getDouble(0)
