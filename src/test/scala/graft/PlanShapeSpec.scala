@@ -45,4 +45,33 @@ class PlanShapeSpec extends SparkTestBase {
   test("driver smoke: entry returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }
+
+  // The round-3 failure mode: native codegen expressions existed but the
+  // dedup pipeline still planned the interpreted CodegenFallback
+  // higher-order-function forms (transform/aggregate/zip_with — 75% of the
+  // r3 bench). These assertions fail if a refactor silently reverts a hot
+  // path to the SQL forms.
+  test("ngram dedup plans the native shingle/jaccard/band expressions") {
+    val p = planOf("q_dedup_ngram")
+    p should include("shingle_hashes")
+    p should include("jaccard_sorted")
+    p should include("band_hashes")
+    p should not include "transform("
+    p should not include "aggregate("
+  }
+
+  test("minhash dedup plans the native agreement/band expressions") {
+    val p = planOf("q_dedup_minhash")
+    p should include("signature_agreement")
+    p should include("band_hashes")
+    p should not include "zip_with"
+    p should not include "aggregate("
+  }
+
+  test("simhash dedup plans the two-level bucket keys") {
+    val p = planOf("q_dedup_simhash")
+    p should include("simhash_bucket_keys")
+    // exact verify stays: prune-then-verify, reference physical.rs:257-263
+    p should include("bit_count")
+  }
 }
