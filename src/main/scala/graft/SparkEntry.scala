@@ -182,7 +182,10 @@ object SparkEntry {
           // The FINAL output is cast to double (both sides — the identical
           // 2-decimal value converts bitwise-identically): DECIMAL output
           // columns hash differently in the driver's type-sensitive compare
-          // even when every value matches (r2 hash fail).
+          // even when every value matches (r2 hash fail). Bitwise identity
+          // holds while the unscaled value stays ≤ 2^53 (~9e13 at scale 2 —
+          // orders of magnitude above any sf here); past that, the two
+          // engines' decimal→double conversions may round differently.
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("decimal(18,2)").cast("double").as("revenue"),
