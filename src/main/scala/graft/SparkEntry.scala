@@ -270,6 +270,19 @@ object SparkEntry {
         .groupBy(c("c_custkey"))
         .agg(count(lit(1)).as("n_orders"), round(sum(o("o_totalprice")), 2).as("total"))
     }),
+    // Skew-salted join: the hot-key lever when broadcast and AQE skew-join
+    // don't apply (see operators/SkewJoin.scala). The salted result must
+    // equal the plain join — asserted here against the DuckDB oracle, and
+    // the salt mechanics in SkewJoinSpec.
+    "q_join_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.operators.SkewJoin
+        .autoSaltedInnerJoin(li, ords, "l_orderkey", threshold = 5L, buckets = 8)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast("long")).as("total_qty"))
+    }),
     // Window functions
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -430,6 +443,10 @@ object SparkEntry {
     "q_join_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
     "q_join_bucketed" -> ("SELECT c.c_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"),
+    // the salted join must be row-for-row the plain join
+    "q_join_salted" -> ("SELECT o.o_custkey, count(*) AS n_items, " +
+      "CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey"),
     "q_join_multi" -> ("SELECT n_name, CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling equi-join via differential key salting.
+  *
+  * When one join key carries a disproportionate share of the rows (a hot
+  * customer, boilerplate document, null-ish default), the shuffle hash-routes
+  * every such row to ONE reducer: at cluster scale that task runs hours while
+  * the rest of the stage idles. The standard levers, in preference order:
+  *
+  *   1. `broadcast()` the small side — no shuffle at all;
+  *   2. AQE skew-join (`spark.sql.adaptive.skewJoin.enabled`) — splits
+  *      oversized partitions at runtime, free and automatic;
+  *   3. salting (this operator) — for the residual case: both sides too big
+  *      to broadcast AND a single key so hot that even a split partition is
+  *      dominated by it, or AQE unavailable (e.g. inside the frozen-plan
+  *      prepared path, where adaptive re-planning is off by design).
+  *
+  * Differential salting, not blanket salting: only the detected hot keys are
+  * split across `buckets` sub-keys, and the build side replicates ONLY its
+  * hot-key rows `buckets`×. Blanket salting would replicate the entire build
+  * side — a `buckets`-fold shuffle-volume regression on the 99.9% of keys
+  * that were never skewed.
+  */
+object SkewJoin {
+
+  /** Keys of `df.key` whose row count exceeds `threshold` — the candidates
+    * that would dominate a reducer. One aggregation job; the result is
+    * driver-sized by construction (a key set above any sane threshold is
+    * small — if it isn't, the join is cross-product-shaped and no shuffle
+    * strategy saves it).
+    */
+  def hotKeys(df: DataFrame, key: String, threshold: Long): Seq[Any] =
+    df.groupBy(col(key)).count()
+      .filter(col("count") > threshold)
+      .collect().map(_.get(0)).toSeq
+
+  /** Inner equi-join on `key` (same column name on both sides) with the hot
+    * keys salted across `buckets` sub-keys.
+    *
+    * Probe side: hot rows get salt = hash(row-id) mod buckets — spreading
+    * the hot key over `buckets` reducers; cold rows keep salt 0. Build side:
+    * hot rows replicate with every salt value; cold rows carry salt 0 only.
+    * Every probe row therefore meets exactly the build rows of its key, and
+    * the result equals the unsalted join row-for-row.
+    *
+    * The salt is deterministic (xxhash64 of key + a per-row id), so retried
+    * tasks re-derive the same routing.
+    */
+  def saltedInnerJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      hot: Seq[Any],
+      buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    if (hot.isEmpty) return probe.join(build, Seq(key))
+    val isHot = col(key).isin(hot: _*)
+    val salted = probe.withColumn("__graft_salt",
+      when(isHot, pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
+        .otherwise(lit(0)))
+    val replicated = build.withColumn("__graft_salt",
+      explode(when(isHot, lit((0 until buckets).toArray)).otherwise(array(lit(0)))))
+    salted.join(replicated, Seq(key, "__graft_salt")).drop("__graft_salt")
+  }
+
+  /** Convenience: detect hot keys on the probe side (count > `threshold`)
+    * and salt-join against them. Costs one extra aggregation pass over
+    * `probe` — cache it if it is expensive to produce.
+    */
+  def autoSaltedInnerJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      threshold: Long,
+      buckets: Int = 16): DataFrame =
+    saltedInnerJoin(probe, build, key, hotKeys(probe, key, threshold), buckets)
+}

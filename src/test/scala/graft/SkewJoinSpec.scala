@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+
+/** The salted join must (1) equal the plain join row-for-row, (2) actually
+  * spread a hot key over multiple salt sub-keys, and (3) not replicate the
+  * build side's cold keys.
+  */
+class SkewJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // 10,000 probe rows on key 1 (hot), 1 row each on keys 2..100 (cold)
+  private lazy val probe = (Seq.fill(10000)(1L) ++ (2L to 100L)).zipWithIndex
+    .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+  private lazy val build = (1L to 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+  test("hotKeys finds exactly the skewed key") {
+    SkewJoin.hotKeys(probe, "k", threshold = 1000L) shouldBe Seq(1L)
+  }
+
+  test("salted join equals the plain join") {
+    val salted = SkewJoin.autoSaltedInnerJoin(probe, build, "k", threshold = 1000L, buckets = 8)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = probe.join(build, Seq("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    salted shouldBe plain
+  }
+
+  test("the hot key spreads over multiple salts; cold keys are not replicated") {
+    val salted = probe.withColumn("__graft_salt",
+      when(col("k").isin(1L), pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8L)).cast("int"))
+        .otherwise(lit(0)))
+    // the 10,000 hot rows land on all 8 sub-keys, so no reducer sees more
+    // than ~1/8th of the hot key
+    val saltsOfHot = salted.filter(col("k") === 1L)
+      .select(countDistinct(col("__graft_salt"))).head().getLong(0)
+    saltsOfHot shouldBe 8L
+    val maxPerSalt = salted.filter(col("k") === 1L)
+      .groupBy(col("__graft_salt")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    maxPerSalt should be < 3000L
+
+    // build side: hot key replicated 8x, cold keys exactly once
+    val replicated = build.withColumn("__graft_salt",
+      explode(when(col("k").isin(1L), lit((0 until 8).toArray)).otherwise(array(lit(0)))))
+    replicated.filter(col("k") === 1L).count() shouldBe 8L
+    replicated.filter(col("k") =!= 1L).count() shouldBe 99L
+  }
+
+  test("no hot keys degrades to the plain join") {
+    val df = SkewJoin.autoSaltedInnerJoin(probe, build, "k", threshold = 100000L)
+    df.columns should not contain "__graft_salt"
+    df.count() shouldBe probe.count()
+  }
+}
