@@ -278,8 +278,12 @@ object SparkEntry {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       val ords = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      // threshold 10 + the maxKeys=64 cap salt the genuinely hottest orders
+      // only; a low threshold alone would classify thousands of warm keys
+      // as hot on this distribution and replicate far more than the skew
+      // ever cost (the cap is the operator's safety contract)
       graft.operators.SkewJoin
-        .autoSaltedInnerJoin(li, ords, "l_orderkey", threshold = 5L, buckets = 8)
+        .autoSaltedInnerJoin(li, ords, "l_orderkey", threshold = 10L, buckets = 8)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast("long")).as("total_qty"))
     }),

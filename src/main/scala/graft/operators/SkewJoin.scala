@@ -26,15 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Keys of `df.key` whose row count exceeds `threshold` — the candidates
-    * that would dominate a reducer. One aggregation job; the result is
-    * driver-sized by construction (a key set above any sane threshold is
-    * small — if it isn't, the join is cross-product-shaped and no shuffle
-    * strategy saves it).
+  /** The (at most `maxKeys`) hottest keys of `df.key` whose row count
+    * exceeds `threshold` — the candidates that would dominate a reducer.
+    * One aggregation job + a top-k.
+    *
+    * `maxKeys` is the safety contract that keeps everything downstream
+    * bounded NO MATTER what threshold the caller picks: driver memory
+    * (≤ maxKeys values collected), the probe-side routing predicate
+    * (≤ maxKeys-element hash set, codegen'd as InSet), and build-side
+    * replication (≤ maxKeys·buckets extra rows). Keys beyond the cap are by
+    * definition no hotter than the ones in it — if the maxKeys-th key still
+    * overloads a reducer, raise `buckets`, not the cap. (The cap exists
+    * because a mis-sized threshold on a heavy-tailed corpus can classify
+    * thousands of merely-warm keys as hot, and blanket-replicating those
+    * costs more than the skew did.)
     */
-  def hotKeys(df: DataFrame, key: String, threshold: Long): Seq[Any] =
+  def hotKeys(df: DataFrame, key: String, threshold: Long, maxKeys: Int = 64): Seq[Any] =
     df.groupBy(col(key)).count()
       .filter(col("count") > threshold)
+      .orderBy(col("count").desc, col(key))
+      .limit(maxKeys)
       .collect().map(_.get(0)).toSeq
 
   /** Inner equi-join on `key` (same column name on both sides) with the hot
@@ -75,6 +86,7 @@ object SkewJoin {
       build: DataFrame,
       key: String,
       threshold: Long,
-      buckets: Int = 16): DataFrame =
-    saltedInnerJoin(probe, build, key, hotKeys(probe, key, threshold), buckets)
+      buckets: Int = 16,
+      maxKeys: Int = 64): DataFrame =
+    saltedInnerJoin(probe, build, key, hotKeys(probe, key, threshold, maxKeys), buckets)
 }

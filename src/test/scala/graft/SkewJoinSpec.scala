@@ -21,6 +21,14 @@ class SkewJoinSpec extends SparkTestBase {
     SkewJoin.hotKeys(probe, "k", threshold = 1000L) shouldBe Seq(1L)
   }
 
+  test("hotKeys caps at the maxKeys hottest regardless of threshold") {
+    // threshold 0 admits every key; the cap keeps the result bounded and
+    // ordered hottest-first
+    val keys = SkewJoin.hotKeys(probe, "k", threshold = 0L, maxKeys = 5)
+    keys should have size 5
+    keys.head shouldBe 1L // the 10,000-row key ranks first
+  }
+
   test("salted join equals the plain join") {
     val salted = SkewJoin.autoSaltedInnerJoin(probe, build, "k", threshold = 1000L, buckets = 8)
       .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
