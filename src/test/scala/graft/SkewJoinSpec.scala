@@ -65,4 +65,28 @@ class SkewJoinSpec extends SparkTestBase {
     df.columns should not contain "__graft_salt"
     df.count() shouldBe probe.count()
   }
+
+  test("salted ≡ plain join over randomized skew shapes") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 0 until 3) {
+      // a zipf-ish probe: key k appears ~ N/k times, plus random noise keys
+      val n = 50 + rnd.nextInt(50)
+      val probeRows = (1 to n).flatMap(k =>
+        Seq.fill(math.max(1, 2000 / (k * (1 + rnd.nextInt(3)))))((k.toLong, rnd.nextLong())))
+      val p = probeRows.toDF("k", "v")
+      val b = (1L to n.toLong).filter(_ => rnd.nextBoolean()).map(k => (k, s"d_$k")).toDF("k", "name")
+      val threshold = 1L + rnd.nextInt(200)
+      val buckets = 1 + rnd.nextInt(12)
+      val maxKeys = 1 + rnd.nextInt(20)
+      val salted = SkewJoin.autoSaltedInnerJoin(p, b, "k", threshold, buckets, maxKeys)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = p.join(b, Seq("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"round=$round threshold=$threshold buckets=$buckets maxKeys=$maxKeys: ") {
+        salted shouldBe plain
+      }
+    }
+  }
 }
