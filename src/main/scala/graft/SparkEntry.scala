@@ -157,6 +157,26 @@ object SparkEntry {
   // Tier B/C — relational breadth on the DataFrame API
   // ---------------------------------------------------------------------------
 
+  private val NationSchema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+  /** nation written once per (sf dir, format) to /tmp; queries read it back
+    * through the non-parquet source (memoized like the ANN index builds —
+    * Bench's warmup pays the write, probes measure the read).
+    */
+  private val convertedNationDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def convertedNation(s: SparkSession, dir: String, fmt: String): String =
+    convertedNationDirs.getOrElseUpdate((dir, fmt), {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_src_${fmt}_${math.abs(dir.hashCode)}"
+      val w = t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+      fmt match {
+        case "csv"  => w.option("header", "true").csv(path)
+        case "json" => w.json(path)
+      }
+      path
+    })
+
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1: in-memory (local) table scan — rows collected to the driver and
     // re-registered as a local DataFrame, ≡ the reference's MemTable.
@@ -167,6 +187,19 @@ object SparkEntry {
         region.schema)
       local.filter(col("r_regionkey") < 3).select("r_regionkey", "r_name")
     }),
+    // Source-format breadth: the same table read back through the CSV and
+    // JSON sources. The oracle reads the original parquet, so a hash match
+    // proves the write→read round-trip is lossless (nation is all
+    // int/string — no float-text precision hazards). Explicit schema on
+    // read keeps the column types identical to parquet's.
+    "q_source_csv" -> ((s, dir) =>
+      s.read.option("header", "true").schema(NationSchema)
+        .csv(convertedNation(s, dir, "csv"))
+        .filter(col("n_regionkey") >= 0)),
+    "q_source_json" -> ((s, dir) =>
+      s.read.schema(NationSchema)
+        .json(convertedNation(s, dir, "json"))
+        .filter(col("n_regionkey") >= 0)),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -416,6 +449,10 @@ object SparkEntry {
 
   private val relationalOracles: Map[String, String] = Map(
     "q_scan_mem" -> "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3",
+    // oracle reads the ORIGINAL parquet: equality proves the csv/json
+    // round-trip lost nothing
+    "q_source_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
+    "q_source_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away
