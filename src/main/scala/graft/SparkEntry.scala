@@ -116,6 +116,35 @@ object SparkEntry {
         "SELECT p_partkey, p_name, p_retailprice FROM kt_part WHERE p_partkey IN ($1, $2, $3)")
         .execute(Map("$1" -> 3L, "$2" -> 7L, "$3" -> 11L))
     }),
+    // AQE opt-in mode: the statement re-plans from the cached analyzed plan
+    // per execute (skew mitigation for heavy prepared shapes; see
+    // PreparedStatements.prepare scaladoc for the trade)
+    "q_prep_adaptive" -> ((s, dir) => {
+      Tables.register(s, dir); Graft.install(s)
+      PreparedStatements.prepare(s,
+        """SELECT o_orderpriority, count(*) AS cnt FROM orders
+          |WHERE o_totalprice > $1 GROUP BY o_orderpriority""".stripMargin,
+        adaptive = true)
+        .execute(Map("$1" -> 1000.0))
+    }),
+    // Prepared pushdown through the DSv2 read path: with the v1 source list
+    // cleared, the same prepare/bind/execute machinery re-pushes the bound
+    // conjunct into a BatchScanExec(ParquetScan) (ScanRebind's
+    // provider-agnostic protocol; row-group pruning metric-asserted in
+    // ParquetV2PreparedSpec). The source choice is baked at plan time, so
+    // restoring the conf after prepare leaves the returned frame intact.
+    "q_prep_dsv2" -> ((s, dir) => {
+      Tables.register(s, dir); Graft.install(s)
+      val key = "spark.sql.sources.useV1SourceList"
+      val old = s.conf.get(key)
+      s.conf.set(key, "")
+      try {
+        s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders_v2")
+        PreparedStatements.prepare(s,
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v2 WHERE o_orderkey = $1")
+          .execute(Map("$1" -> 42L))
+      } finally s.conf.set(key, old)
+    }),
     // Placeholders INSIDE a scalar subquery's own plan: binding recurses
     // through ExecSubqueryExpression (Params.bindChecked). $1 has no column
     // sibling so its type is declared explicitly — inference would
@@ -150,7 +179,10 @@ object SparkEntry {
     "q_prep_keyed" -> ("SELECT p_partkey, p_name, p_retailprice FROM part " +
       "WHERE p_partkey IN (3, 7, 11)"),
     "q_prep_subquery" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
-      "WHERE o_totalprice > (SELECT avg(o_totalprice) * CAST(1.9 AS DOUBLE) FROM orders WHERE o_custkey >= 42)")
+      "WHERE o_totalprice > (SELECT avg(o_totalprice) * CAST(1.9 AS DOUBLE) FROM orders WHERE o_custkey >= 42)"),
+    "q_prep_adaptive" -> ("SELECT o_orderpriority, count(*) AS cnt FROM orders " +
+      "WHERE o_totalprice > 1000.0 GROUP BY o_orderpriority"),
+    "q_prep_dsv2" -> "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 42"
   )
 
   // ---------------------------------------------------------------------------
