@@ -335,6 +335,25 @@ object SparkEntry {
         .groupBy(c("c_custkey"))
         .agg(count(lit(1)).as("n_orders"), round(sum(o("o_totalprice")), 2).as("total"))
     }),
+    // Non-equi range (banded) join: each order matched to its price band by
+    // interval containment. The band table is dimension-sized, so Spark
+    // plans a broadcast nested-loop — the right physical strategy for a
+    // non-equi condition against a small side (an equi-shuffle can't
+    // express BETWEEN).
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("tiny", 0.0, 50000.0), ("small", 50000.0, 150000.0),
+        ("mid", 150000.0, 300000.0), ("large", 300000.0, 450000.0),
+        ("huge", 450000.0, 1e9)).toDF("band", "lo", "hi")
+      t(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+    }),
     // Skew-salted join: the hot-key lever when broadcast and AQE skew-join
     // don't apply (see operators/SkewJoin.scala). The salted result must
     // equal the plain join — asserted here against the DuckDB oracle, and
@@ -516,6 +535,11 @@ object SparkEntry {
     "q_join_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
     "q_join_bucketed" -> ("SELECT c.c_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"),
+    "q_join_range" -> ("SELECT band, count(*) AS n_orders, " +
+      "round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price " +
+      "FROM orders JOIN (VALUES ('tiny', 0.0, 50000.0), ('small', 50000.0, 150000.0), " +
+      "('mid', 150000.0, 300000.0), ('large', 300000.0, 450000.0), ('huge', 450000.0, 1e9)) " +
+      "AS bands(band, lo, hi) ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band"),
     // the salted join must be row-for-row the plain join
     "q_join_salted" -> ("SELECT o.o_custkey, count(*) AS n_items, " +
       "CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +
