@@ -354,6 +354,20 @@ object SparkEntry {
           round(min(col("o_totalprice")), 2).as("min_price"),
           round(max(col("o_totalprice")), 2).as("max_price"))
     }),
+    // Backward as-of join (operators/AsOfJoin.scala): each purchase event
+    // matched to the user's most recent prior-or-same-instant click. One
+    // shuffle + window, no join operator (AsOfJoinSpec asserts the plan);
+    // the oracle is DuckDB's native ASOF LEFT JOIN — matching semantics
+    // must agree exactly, including ties and no-match NULLs.
+    "q_join_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asofJoinBackward(purchases, clicks, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+    }),
     // Skew-salted join: the hot-key lever when broadcast and AQE skew-join
     // don't apply (see operators/SkewJoin.scala). The salted result must
     // equal the plain join — asserted here against the DuckDB oracle, and
@@ -535,6 +549,10 @@ object SparkEntry {
     "q_join_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
     "q_join_bucketed" -> ("SELECT c.c_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"),
+    "q_join_asof" -> ("SELECT p.event_id, p.user_id, c.value AS asof_value " +
+      "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+      "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c " +
+      "ON p.user_id = c.user_id AND p.ts >= c.ts"),
     "q_join_range" -> ("SELECT band, count(*) AS n_orders, " +
       "round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price " +
       "FROM orders JOIN (VALUES ('tiny', 0.0, 50000.0), ('small', 50000.0, 150000.0), " +
