@@ -13,6 +13,23 @@ import graft.prepared.PreparedStatements
   * analyzer-bound parameterized SQL
   * (`/root/reference/datafusion-dynamic-filter/benches/dynamic_filter_benchmark.rs:103-183`,
   * published `README.md:29-33`).
+  *
+  * Statistical protocol (the reference uses criterion `sample_size = 10`,
+  * `dynamic_filter_benchmark.rs:18-21`; rounds 1-5 timed each query ONCE and
+  * identical binaries swung 2.5× run to run):
+  *   - every query is run `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
+  *     MEDIAN is reported — one GC pause or compilation stall no longer
+  *     defines a query's number;
+  *   - the amortization experiment runs in two brackets, before and after
+  *     the 80-query loop, several cycles each; the headline is the median
+  *     over all cycles and both bracket medians are reported, so a
+  *     session-state drift between brackets is visible instead of silently
+  *     folded into one number;
+  *   - a query that throws reports `null` (and lands in `"failed"`), never a
+  *     wall-time — a broken query must not show up as a fast one.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY` (regex) restricts the query loop for local
+  * iteration, e.g. `SPARK_GRAFT_BENCH_ONLY='q_dedup_.*'`.
   */
 object Bench {
 
@@ -22,9 +39,19 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  private def fmt(d: Double): String = f"$d%.4f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,29 +92,27 @@ object Bench {
       spark, "SELECT k, name, score FROM bench_plain WHERE k = $1")
     stKeyed.executeCollect(Map("$1" -> 1L)); stPlain.executeCollect(Map("$1" -> 1L))
     val bigKeys = (0 until 50).map(i => (i * 1997L) % bigN)
-    var (nKeyed, nPlain) = (0, 0)
-    val keyedSec = time { bigKeys.foreach(k => nKeyed += stKeyed.executeCollect(Map("$1" -> k)).length) }
-    val plainSec = time { bigKeys.foreach(k => nPlain += stPlain.executeCollect(Map("$1" -> k)).length) }
-    require(nKeyed == nPlain, s"keyed/plain row counts disagree: $nKeyed vs $nPlain")
+    val keyedRuns = (0 until reps).map { _ =>
+      var (nKeyed, nPlain) = (0, 0)
+      val k = time { bigKeys.foreach(k => nKeyed += stKeyed.executeCollect(Map("$1" -> k)).length) }
+      val p = time { bigKeys.foreach(k => nPlain += stPlain.executeCollect(Map("$1" -> k)).length) }
+      require(nKeyed == nPlain, s"keyed/plain row counts disagree: $nKeyed vs $nPlain")
+      (k, p, nKeyed)
+    }
+    val keyedSec = median(keyedRuns.map(_._1))
+    val plainSec = median(keyedRuns.map(_._2))
+    val keyedRows = keyedRuns.head._3
     val keyedJson =
-      f"""{"keys":${bigKeys.length},"rows":$nKeyed,"table_rows":$bigN,""" +
-        f""""rows_shipped_indexed":$nKeyed,"rows_scanned_plain":${bigKeys.length * bigN},""" +
+      s"""{"keys":${bigKeys.length},"rows":$keyedRows,"table_rows":$bigN,""" +
+        s""""rows_shipped_indexed":$keyedRows,"rows_scanned_plain":${bigKeys.length * bigN},""" +
         // local wall-clock is job-scheduling-floored for both paths — the
         // rows_* fields above are the metric that scales
-        f""""indexed_sec":$keyedSec%.4f,"scan_sec":$plainSec%.4f,""" +
-        f""""wallclock_ratio_local":${plainSec / keyedSec}%.2f}"""
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      }
-      // drop caches persisted inside operators (dedup signature caches) so
-      // queries are timed independently and later queries don't inherit GC
-      // pressure from earlier ones
-      spark.catalog.clearCache()
-      name -> sec
-    }
+        s""""indexed_sec":${fmt(keyedSec)},"scan_sec":${fmt(plainSec)},""" +
+        f""""wallclock_ratio_local":${plainSec / keyedSec}%.2f,"reps":$reps}"""
+    // the 1M-row driver-side index is bench scaffolding — free it before the
+    // query loop instead of letting it live (and GC-pressure) the session
+    graft.sources.KeyedMemTables.unregister(spark, "bench_keyed")
+    spark.catalog.dropTempView("bench_plain")
 
     // Amortization: the reference's own workload — 50 distinct point-lookup
     // keys against a 1,000-row in-memory users table
@@ -106,32 +131,80 @@ object Bench {
     val keys = (0 until 50).map(i => 1L + (i * 37L) % 1000L)
     val base = "SELECT id, name, amount FROM bench_users WHERE id = "
     val st = PreparedStatements.prepare(spark, base + "$1")
-    var (nPrep, nUnprep, nParam) = (0, 0, 0)
     st.executeCollect(Map("$1" -> keys.head)) // warm each path once
     spark.sql(base + keys.head).collect()
     spark.sql(base + ":k", Map("k" -> keys.head)).collect()
-    val preparedSec = time { keys.foreach { k => nPrep += st.executeCollect(Map("$1" -> k)).length } }
-    val unpreparedSec = time { keys.foreach { k => nUnprep += spark.sql(base + k).collect().length } }
-    val parameterizedSec = time { keys.foreach { k => nParam += spark.sql(base + ":k", Map("k" -> k)).collect().length } }
-    // semantic invariant of the reference bench: all three paths return the
-    // same total row count
-    require(nPrep == nUnprep && nUnprep == nParam,
-      s"amortization paths disagree: prepared=$nPrep unprepared=$nUnprep parameterized=$nParam")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val ratio = unpreparedSec / preparedSec
+    // one cycle = all 50 keys down each of the three paths; the row-count
+    // equality is the reference bench's semantic invariant
+    def amortCycle(): (Double, Double, Double) = {
+      var (nPrep, nUnprep, nParam) = (0, 0, 0)
+      val p = time { keys.foreach { k => nPrep += st.executeCollect(Map("$1" -> k)).length } }
+      val u = time { keys.foreach { k => nUnprep += spark.sql(base + k).collect().length } }
+      val a = time { keys.foreach { k => nParam += spark.sql(base + ":k", Map("k" -> k)).collect().length } }
+      require(nPrep == nUnprep && nUnprep == nParam,
+        s"amortization paths disagree: prepared=$nPrep unprepared=$nUnprep parameterized=$nParam")
+      (p, u, a)
+    }
+    def bracket(): Seq[(Double, Double, Double)] = (0 until math.max(3, reps)).map(_ => amortCycle())
+    def bracketJson(cycles: Seq[(Double, Double, Double)]): String = {
+      val (p, u, a) = (median(cycles.map(_._1)), median(cycles.map(_._2)), median(cycles.map(_._3)))
+      s"""{"prepared_sec":${fmt(p)},"unprepared_sec":${fmt(u)},"parameterized_sec":${fmt(a)},""" +
+        f""""speedup_prepared_vs_unprepared":${u / p}%.2f}"""
+    }
+    val amortFirst = bracket() // bracket 1: fresh session, before the query loop
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+    val results: Seq[(String, Option[Double])] = selected.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var r = 0
+      while (!failed && r < reps) {
+        try times += time(fn(spark, sfDir).count())
+        catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        // drop caches persisted inside operators (dedup signature caches) so
+        // reps are timed independently and later queries don't inherit GC
+        // pressure from earlier ones
+        spark.catalog.clearCache()
+        r += 1
+      }
+      name -> (if (failed) None else Some(median(times.toSeq)))
+    }
+    val failedNames = results.collect { case (n, None) => n }
+
+    val amortLast = bracket() // bracket 2: after the query loop, same session
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(fmt).getOrElse("null") }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val all = amortFirst ++ amortLast
+    val medPrep = median(all.map(_._1)); val medUnprep = median(all.map(_._2))
     val amortization =
-      f"""{"keys":${keys.length},"rows":$nPrep,"prepared_sec":$preparedSec%.4f,""" +
-        f""""unprepared_sec":$unpreparedSec%.4f,"parameterized_sec":$parameterizedSec%.4f,""" +
-        f""""speedup_prepared_vs_unprepared":$ratio%.2f}"""
+      s"""{"keys":${keys.length},"cycles":${all.length},""" +
+        s""""prepared_sec":${fmt(medPrep)},"unprepared_sec":${fmt(medUnprep)},""" +
+        s""""parameterized_sec":${fmt(median(all.map(_._3)))},""" +
+        f""""speedup_prepared_vs_unprepared":${medUnprep / medPrep}%.2f,""" +
+        s""""bracket_before_queries":${bracketJson(amortFirst)},""" +
+        s""""bracket_after_queries":${bracketJson(amortLast)}}"""
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
+        s""""failed":$failedJson,"queries":$qs,""" +
         s""""amortization":$amortization,"keyed_lookup":$keyedJson,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
+    // failures are reported as null + "failed" in the JSON (and on stderr),
+    // not via exit code: the partial artifact is still worth recording
+    if (failedNames.nonEmpty)
+      System.err.println(s"[bench] ${failedNames.size} queries failed: ${failedNames.mkString(", ")}")
   }
 }

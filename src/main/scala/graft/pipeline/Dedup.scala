@@ -138,9 +138,18 @@ object Dedup {
     reps.select(col("id"), minhashSignature(tokens(textCol), numHashes, shingleSize, seed).as("sig"))
 
   /** LSH candidate pairs from banded signatures: slim (id, band, band_hash)
-    * stream → bucket-capped self-join on (band, band_hash) → distinct id
-    * pairs. With r rows per band and b bands, a pair of true Jaccard s is
-    * caught with probability 1-(1-s^r)^b.
+    * stream → bucket-capped self-join on (band, band_hash) → id pairs. With
+    * r rows per band and b bands, a pair of true Jaccard s is caught with
+    * probability 1-(1-s^r)^b.
+    *
+    * Returns a MULTISET: a pair colliding in several bands appears once per
+    * colliding band. Deduplicating here would cost a full extra shuffle of
+    * the candidate stream (the r2-r5 `.distinct()` — ~24% of the whole
+    * bench); since the downstream verify (signature agreement / exact
+    * Jaccard) is idempotent per pair, callers instead dedup the far smaller
+    * post-verify pair set. Random collisions appear in one band, so the
+    * duplicate work forwarded to the verify join is at most `bands`× the
+    * (few) true near-dup pairs — cheap next to a corpus-wide shuffle.
     */
   def bandCandidates(
       sigs: DataFrame,
@@ -161,7 +170,6 @@ object Dedup {
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 
   /** MinHash + LSH near-duplicate pairs among distinct texts:
@@ -191,7 +199,12 @@ object Dedup {
       // and two 64-element array allocations.
       .withColumn("est_jaccard", signatureAgreement(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      // candidates are a multiset (one row per colliding band); duplicates of
+      // a pair carry the same signatures, so max = the single true estimate.
+      // Deduplicating HERE shuffles only the pairs that passed the threshold,
+      // not the corpus-wide candidate stream.
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
   }
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`.
@@ -227,8 +240,11 @@ object Dedup {
     a.join(b, col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: the Hamming filter is map-side and idempotent,
+      // so the distinct shuffles only surviving pairs instead of every
+      // (pair × shared pigeonhole key) candidate row.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram (word shingle) Jaccard over LSH candidates: one shared set
@@ -270,7 +286,10 @@ object Dedup {
       // built two sets and two result arrays per candidate).
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // multiset candidates (see [[bandCandidates]]): dedup the small
+      // post-verify pair set, not the corpus-wide candidate stream.
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(max(col("jaccard")), 4).as("jaccard"))
   }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH: vectors

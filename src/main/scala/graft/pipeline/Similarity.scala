@@ -137,45 +137,67 @@ object Similarity {
     * `nprobe` nearest centroid lists — the classic IVF trade: recall vs the
     * fraction of the corpus scanned. Centroid learning is two map-side
     * passes + a (cid, dim)-keyed avg shuffle per iteration; assignment and
-    * the final write are one pass each. At 10⁹+ vectors choose
-    * k ≈ sqrt(n) and learn on a sample.
+    * the final write are one pass each.
+    *
+    * `learnFraction` is the scale lever: the quantizer needs a
+    * REPRESENTATIVE sample, not the corpus, so at 10⁹+ vectors choose
+    * k ≈ sqrt(n) and learnFraction ≈ trainRows/n (e.g. 256·k rows) — every
+    * Lloyd pass then scans only the cached sample while assignment and the
+    * partitioned write remain full-corpus, exactly like FAISS-style
+    * train-on-sample/add-all. Sampling is seeded (deterministic for a fixed
+    * input partitioning); if the sample comes back with fewer than k
+    * vectors, seeding falls back to the full corpus rather than producing
+    * degenerate empty clusters.
     */
   def buildIvfIndex(
       embeddings: DataFrame,
       path: String,
       k: Int = 16,
       iters: Int = 2,
+      learnFraction: Double = 1.0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    require(learnFraction > 0.0 && learnFraction <= 1.0,
+      s"learnFraction must be in (0, 1], got $learnFraction")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    var centroids: Seq[Seq[Float]] = embeddings
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+    val sampled = learnFraction < 1.0
+    val learner =
+      if (!sampled) embeddings
+      else embeddings.sample(withReplacement = false, learnFraction, seed = 42L).persist()
+    try {
+      var seedRows: Seq[Seq[Float]] = learner
+        .orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+      if (seedRows.length < k)
+        seedRows = embeddings.orderBy(col(idCol)).limit(k)
+          .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+      var centroids: Seq[Seq[Float]] = seedRows
 
-    for (_ <- 0 until iters) {
-      val means = embeddings
-        .select(nearestCentroid(col(vecCol), centroids).as("cid"),
-          posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
-        .collect()
-      val byCid = means.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { cid =>
-        byCid.get(cid) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
-          case None       => centroids(cid) // empty cluster keeps its seed
+      for (_ <- 0 until iters) {
+        val means = learner
+          .select(nearestCentroid(col(vecCol), centroids).as("cid"),
+            posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+          .collect()
+        val byCid = means.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { cid =>
+          byCid.get(cid) match {
+            case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+            case None       => centroids(cid) // empty cluster keeps its seed
+          }
         }
       }
-    }
 
-    embeddings
-      .withColumn("cid", nearestCentroid(col(vecCol), centroids))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    centroids.zipWithIndex.map { case (v, i) => (i, v) }
-      .toDF("cid", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path + "__centroids")
+      embeddings
+        .withColumn("cid", nearestCentroid(col(vecCol), centroids))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cid", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path + "__centroids")
+    } finally if (sampled) learner.unpersist(blocking = false)
   }
 
   /** ANN top-k against an IVF index: rank centroids driver-side, read only

@@ -59,6 +59,20 @@ object KeyedMemTables {
       .createOrReplaceTempView(name)
   }
 
+  /** Drop one keyed table: removes the driver-side index (freeing its rows —
+    * a registered table otherwise lives for the session) and the temp view.
+    * Queries planned before the unregister fail on next execute, like any
+    * dropped table.
+    */
+  def unregister(spark: SparkSession, name: String): Boolean = {
+    spark.catalog.dropTempView(name)
+    registry.remove(name).isDefined
+  }
+
+  /** Drop every registered keyed table (see [[unregister]]). */
+  def clear(spark: SparkSession): Unit =
+    registry.keys.toSeq.foreach(unregister(spark, _))
+
   private[sources] def intersectKeys(sets: Seq[Set[Any]]): Seq[Any] =
     sets.reduce(_ intersect _).toSeq
 }

@@ -113,6 +113,44 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("IVF sample-based centroid learning keeps recall and index shape") {
+    // the scale lever: Lloyd passes scan only a seeded sample while
+    // assignment + write stay full-corpus. The index must still hold every
+    // vector exactly once and keep brute-force-level recall.
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val exact = Similarity.bruteForceTopK(embs, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+
+    val dir = Files.createTempDirectory("graft_ivf_sample").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/ivf"
+    Similarity.buildIvfIndex(embs, path, learnFraction = 0.5)
+
+    spark.read.parquet(path + "__centroids").count() shouldBe 16L
+    spark.read.parquet(path).count() shouldBe embs.count()
+    val ivf = Similarity.ivfTopK(spark, path, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    withClue(s"sample-learned IVF overlap@10 vs brute force (exact=$exact ivf=$ivf): ") {
+      exact.intersect(ivf).size should be >= 8
+    }
+  }
+
+  test("IVF sample smaller than k falls back to full-corpus seeding") {
+    import spark.implicits._
+    val embs = (0L until 200L)
+      .map(i => (i, Array.tabulate(16)(d => math.sin(i * 13.0 + d * 7.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_ivf_tiny_sample").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/ivf"
+    // ~2 sampled rows < k=8 seeds: must not produce a degenerate quantizer
+    Similarity.buildIvfIndex(embs, path, k = 8, iters = 1, learnFraction = 0.01)
+    spark.read.parquet(path + "__centroids").count() shouldBe 8L
+    spark.read.parquet(path).count() shouldBe 200L
+  }
+
   test("IVF index finds the query vector through pruned partitions") {
     import spark.implicits._
     val embs = (0L until 200L)

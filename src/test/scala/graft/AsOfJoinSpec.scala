@@ -57,6 +57,38 @@ class AsOfJoinSpec extends SparkTestBase {
     got shouldBe expected
   }
 
+  test("skew: a pathological hot key serializes onto one task but stays correct") {
+    // The operator windows by key alone, so one dominant key (a stuck
+    // symbol, a default tenant) flows through a SINGLE task — wall-clock
+    // degrades to that task but results must not. 50k left + 5k right rows
+    // on the hot key, an analytic oracle (greatest multiple of 10 <= ts),
+    // and an executable assertion of the caveat itself.
+    val hotLeft = spark.range(0, 50000)
+      .select(lit(1L).as("k"), col("id").as("ts"), col("id").as("v"))
+    val hotRight = spark.range(0, 5000)
+      .select(lit(1L).as("k"), (col("id") * 10).as("rts"), (col("id") * 10).cast("double").as("price"))
+    val coldLeft = spark.range(0, 100)
+      .select((col("id") % 5 + 2).as("k"), col("id").as("ts"), col("id").as("v"))
+    val coldRight = spark.range(0, 50)
+      .select((col("id") % 5 + 2).as("k"), col("id").as("rts"), col("id").cast("double").as("price"))
+
+    val out = AsOfJoin.asofJoinBackward(
+      hotLeft.union(coldLeft), hotRight.union(coldRight), "k", "ts", "rts")
+    out.count() shouldBe 50100L
+    val hotMismatches = out.filter(col("k") === 1)
+      .filter(col("asof_price") =!= floor(col("ts") / 10) * 10)
+      .count()
+    hotMismatches shouldBe 0L
+    // the caveat, made executable: every hot-key row lands in ONE window
+    // partition (salting would need a two-level carry-forward; doc'd trade).
+    // asof_price must stay in the projection — selecting pid alone lets
+    // Catalyst prune the whole Window and report the pre-shuffle splits.
+    val hotPartitions = out.filter(col("k") === 1)
+      .select(spark_partition_id().as("pid"), col("asof_price"))
+      .collect().map(_.getInt(0)).distinct.length
+    hotPartitions shouldBe 1
+  }
+
   test("plans as one shuffle + window, no join operator") {
     val l = Seq((1L, 10L, 1L)).toDF("k", "ts", "v")
     val r = Seq((1L, 5L, 2.0)).toDF("k", "rts", "p")

@@ -71,6 +71,40 @@ class KeyedMemTableSpec extends SparkTestBase {
     unbound.keys shouldBe None
   }
 
+  test("unregister frees the driver-side index and drops the view") {
+    import spark.implicits._
+    val df = (0L until 10L).map(i => (i, s"x_$i")).toDF("k", "name")
+    KeyedMemTables.register(spark, "kt_tmp", df, "k")
+    spark.table("kt_tmp").count() shouldBe 10L
+    KeyedMemTables.registry.contains("kt_tmp") shouldBe true
+
+    KeyedMemTables.unregister(spark, "kt_tmp") shouldBe true
+    KeyedMemTables.registry.contains("kt_tmp") shouldBe false
+    spark.catalog.tableExists("kt_tmp") shouldBe false
+    // idempotent: a second unregister reports nothing-to-do, no throw
+    KeyedMemTables.unregister(spark, "kt_tmp") shouldBe false
+  }
+
+  test("clear drops every registered keyed table") {
+    import spark.implicits._
+    val df = (0L until 5L).map(i => (i, i * 2)).toDF("k", "v")
+    KeyedMemTables.register(spark, "kt_a", df, "k")
+    KeyedMemTables.register(spark, "kt_b", df, "k")
+    KeyedMemTables.clear(spark)
+    KeyedMemTables.registry.isEmpty shouldBe true
+    spark.catalog.tableExists("kt_a") shouldBe false
+    spark.catalog.tableExists("kt_b") shouldBe false
+    // the shared fixture for the other tests is gone too — re-register
+    setup2()
+  }
+
+  // re-registration hook for tests ordered after clear()
+  private def setup2(): Unit = {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"item_$i", (i % 50).toDouble)).toDF("k", "name", "score")
+    KeyedMemTables.register(spark, "kt", df, "k")
+  }
+
   test("prepared IN-list rebind intersects multiple key conjuncts") {
     setup
     val st = PreparedStatements.prepare(
