@@ -368,6 +368,22 @@ object SparkEntry {
       graft.operators.AsOfJoin.asofJoinBackward(purchases, clicks, "user_id", "ts", "ts")
         .select(col("event_id"), col("user_id"), col("asof_value"))
     }),
+    // Salted as-of join: the skew remedy (AsOfJoin.asofJoinBackwardSalted)
+    // must be result-equal to the plain operator — asserted against the SAME
+    // DuckDB ASOF oracle. The 4 heaviest purchase keys are genuinely salted
+    // (threshold 0 → top-k by count), so the salted path, not the degenerate
+    // empty-hot fallback, is what the oracle checks.
+    "q_join_asof_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val hot = graft.operators.SkewJoin.hotKeys(purchases, "user_id", threshold = 0L, maxKeys = 4)
+      graft.operators.AsOfJoin.asofJoinBackwardSalted(
+          purchases, clicks, "user_id", "ts", "ts", hot, buckets = 8)
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+    }),
     // Skew-salted join: the hot-key lever when broadcast and AQE skew-join
     // don't apply (see operators/SkewJoin.scala). The salted result must
     // equal the plain join — asserted here against the DuckDB oracle, and
@@ -550,6 +566,11 @@ object SparkEntry {
     "q_join_bucketed" -> ("SELECT c.c_custkey, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"),
     "q_join_asof" -> ("SELECT p.event_id, p.user_id, c.value AS asof_value " +
+      "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+      "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c " +
+      "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    // the salted variant is result-equal by construction — same oracle
+    "q_join_asof_salted" -> ("SELECT p.event_id, p.user_id, c.value AS asof_value " +
       "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
       "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c " +
       "ON p.user_id = c.user_id AND p.ts >= c.ts"),

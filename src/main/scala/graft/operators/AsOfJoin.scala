@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   * Left rows with no prior right row keep NULL matched columns (left-join
   * semantics). Matched columns are prefixed `asof_` — left columns with
   * that prefix would collide and are rejected.
+  *
+  * The window partitions by key alone, so ONE pathologically hot key
+  * serializes onto one task; [[asofJoinBackwardSalted]] is the remedy
+  * (differential salting, result-equal by construction).
   */
 object AsOfJoin {
 
@@ -31,21 +35,62 @@ object AsOfJoin {
       right: DataFrame,
       key: String,
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String): DataFrame =
+    asofJoinBackwardSalted(left, right, key, leftTs, rightTs, hot = Nil)
+
+  /** [[asofJoinBackward]] with the listed `hot` keys salted across `buckets`
+    * window sub-partitions — the remedy for the plain operator's skew
+    * caveat (one dominant key serializes its whole history onto one task).
+    *
+    * Differential, like [[SkewJoin]]: a hot key's LEFT rows are spread over
+    * `buckets` sub-keys (deterministic xxhash64 salt), while its RIGHT rows
+    * replicate into every sub-key — each left row still sees its key's
+    * complete prior history, so the result is row-for-row equal to the
+    * unsalted operator (spec-asserted). Cold keys pay nothing (salt 0, no
+    * replication). The trade is the as-of-specific one: right-side rows of
+    * hot keys shuffle `buckets`× — right-sparse/left-heavy hot keys (the
+    * common telemetry shape: one noisy emitter, slow-changing reference
+    * data) split almost for free, while a right-heavy hot key caps the win
+    * at duplicating its history per sub-task.
+    *
+    * Detect hot keys with [[SkewJoin.hotKeys]] on the left side (bounded by
+    * its `maxKeys` contract), or pass them from domain knowledge.
+    */
+  def asofJoinBackwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      hot: Seq[Any],
+      buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val rightVals = right.columns.filterNot(c => c == key || c == rightTs).toSeq
     val asofCols = rightVals.map("asof_" + _)
     require(!left.columns.exists(asofCols.contains),
       s"left side already has asof_-prefixed columns: ${left.columns.filter(asofCols.contains).mkString(", ")}")
 
+    val isHot = col(key).isin(hot: _*)
+    val leftSalt =
+      if (hot.isEmpty) lit(0)
+      else when(isHot,
+        pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
+        .otherwise(lit(0))
+    val rightSalts =
+      if (hot.isEmpty) array(lit(0))
+      else when(isHot, lit((0 until buckets).toArray)).otherwise(array(lit(0)))
+
     val lu = left
       .withColumn("__asof_ts", col(leftTs))
       .withColumn("__asof_left", lit(1))
+      .withColumn("__asof_salt", leftSalt)
     val ru = right.select(
       (col(key) +: col(rightTs).as("__asof_ts") +:
         rightVals.map(c => col(c).as("asof_" + c))): _*)
       .withColumn("__asof_left", lit(0))
+      .withColumn("__asof_salt", explode(rightSalts))
 
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(col(key), col("__asof_salt"))
       .orderBy(col("__asof_ts"), col("__asof_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -54,6 +99,6 @@ object AsOfJoin {
         case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
       }
       .filter(col("__asof_left") === 1)
-      .drop("__asof_ts", "__asof_left")
+      .drop("__asof_ts", "__asof_left", "__asof_salt")
   }
 }

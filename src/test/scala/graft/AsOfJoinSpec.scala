@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SkewJoin}
 
 class AsOfJoinSpec extends SparkTestBase {
 
@@ -57,7 +57,23 @@ class AsOfJoinSpec extends SparkTestBase {
     got shouldBe expected
   }
 
-  test("skew: a pathological hot key serializes onto one task but stays correct") {
+  /** Partition-occupancy assertions need AQE's small-partition coalescing
+    * off: on test-sized data it merges every reducer into one, hiding the
+    * very distribution being asserted (at scale the partitions are far
+    * beyond the advisory size and never coalesce).
+    */
+  private def withoutCoalescing[A](body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("skew: a pathological hot key serializes onto one task but stays correct") { withoutCoalescing {
     // The operator windows by key alone, so one dominant key (a stuck
     // symbol, a default tenant) flows through a SINGLE task — wall-clock
     // degrades to that task but results must not. 50k left + 5k right rows
@@ -87,6 +103,61 @@ class AsOfJoinSpec extends SparkTestBase {
       .select(spark_partition_id().as("pid"), col("asof_price"))
       .collect().map(_.getInt(0)).distinct.length
     hotPartitions shouldBe 1
+  } }
+
+  test("salted variant spreads the hot key over several tasks, result-equal") { withoutCoalescing {
+    val hotLeft = spark.range(0, 20000)
+      .select(lit(1L).as("k"), col("id").as("ts"), col("id").as("v"))
+    val hotRight = spark.range(0, 2000)
+      .select(lit(1L).as("k"), (col("id") * 10).as("rts"), (col("id") * 10).cast("double").as("price"))
+    val coldLeft = spark.range(0, 100)
+      .select((col("id") % 5 + 2).as("k"), col("id").as("ts"), col("id").as("v"))
+    val coldRight = spark.range(0, 50)
+      .select((col("id") % 5 + 2).as("k"), col("id").as("rts"), col("id").cast("double").as("price"))
+    val l = hotLeft.union(coldLeft); val r = hotRight.union(coldRight)
+
+    // hot-key detection via the shared SkewJoin contract
+    val hot = SkewJoin.hotKeys(l, "k", threshold = 1000L)
+    hot shouldBe Seq(1L)
+
+    val salted = AsOfJoin.asofJoinBackwardSalted(l, r, "k", "ts", "rts", hot, buckets = 8)
+    val plain = AsOfJoin.asofJoinBackward(l, r, "k", "ts", "rts")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("ts"), col("v"), col("asof_price"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+    rows(salted) shouldBe rows(plain)
+
+    // the point of salting: the hot key now runs on MULTIPLE window tasks
+    // (asof_price kept in the projection so the Window isn't pruned away)
+    val hotPartitions = salted.filter(col("k") === 1)
+      .select(spark_partition_id().as("pid"), col("asof_price"))
+      .collect().map(_.getInt(0)).distinct.length
+    hotPartitions should be > 1
+    // cold keys never replicate: each cold left row appears exactly once
+    salted.filter(col("k") =!= 1).count() shouldBe 100L
+  } }
+
+  test("salted variant matches a naive per-row computation on random data") {
+    val rnd = new scala.util.Random(11)
+    val lefts = Seq.fill(400)(((rnd.nextInt(4) + 1).toLong, rnd.nextInt(1000).toLong, rnd.nextLong()))
+    val rights = Seq.fill(150)(((rnd.nextInt(4) + 1).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = lefts.toDF("k", "ts", "v")
+    val r = rights.toDF("k", "rts", "price")
+
+    // salt EVERY key (all 4 are "hot") — the hardest case for equivalence
+    val got = AsOfJoin.asofJoinBackwardSalted(l, r, "k", "ts", "rts",
+        hot = Seq(1L, 2L, 3L, 4L), buckets = 5)
+      .select(col("k"), col("ts"), col("v"), col("asof_price"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+
+    val expected = lefts.map { case (k, ts, v) =>
+      val m = rights.filter(q => q._1 == k && q._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+      (k, ts, v, m)
+    }.toSet
+    got shouldBe expected
   }
 
   test("plans as one shuffle + window, no join operator") {
