@@ -292,6 +292,57 @@ object Dedup {
       .agg(round(max(col("jaccard")), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair list — the step between
+    * "pairs found" and "keep one representative per duplicate group" in a
+    * curation pipeline. Returns (id, component) with component = the
+    * minimum id reachable from `id` (so the component label doubles as the
+    * keep-representative, matching [[exact]]'s min-id convention).
+    *
+    * Min-label propagation: every round each node adopts the smallest label
+    * in its neighborhood (one edge join + one min-aggregation, both
+    * distributed; the driver sees only a convergence counter). Converges in
+    * O(component diameter) rounds — near-dup graphs are overwhelmingly tiny
+    * cliques and short chains, so 2-4 rounds in practice; `maxIters` bounds
+    * the pathological chain, and hitting it fails loud rather than
+    * returning half-merged components. At 10⁹+ nodes the same loop holds
+    * (labels are (id, long) pairs, edges shuffle once per round); the
+    * classic large-star/small-star variant halves round count if diameter
+    * ever becomes the bottleneck.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .persist()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id").as("id"),
+          least(labels("component"), coalesce(col("nbr_min"), labels("component"))).as("component"))
+        .persist()
+      val prev = labels.select(col("id").as("p_id"), col("component").as("p_comp"))
+      changed = next.join(prev, col("id") === col("p_id"))
+        .filter(col("component") =!= col("p_comp")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iters += 1
+    }
+    edges.unpersist(blocking = false)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds — a component " +
+        s"chain longer than maxIters; raise maxIters")
+    synchronized { cachedFrames += labels } // freed via [[clearCaches]]
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH: vectors
     * are bucketed by sign-bit codes from two independent hash tables (union
     * for recall), pairs are verified with exact cosine ≥ `threshold` inside

@@ -119,6 +119,12 @@ object PipelineQueries {
       plantedFound(Dedup.ngramJaccardPairs(plantedDocs(docs(s, dir), " graftdup"), threshold = 0.3))),
     "q_dedup_embed_planted" -> ((s, dir) =>
       plantedFound(Dedup.embeddingNearDupPairs(plantedEmbs(embs(s, dir)), threshold = 0.9))),
+    // pairs -> duplicate clusters (min-label connected components): over the
+    // planted minhash pairs every component is (id, id+PlantOffset) labeled
+    // id, so the full output is oracle-derivable in SQL.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        plantedFound(Dedup.minhashPairs(plantedDocs(docs(s, dir), " graftdup"), threshold = 0.5)))),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
@@ -220,6 +226,8 @@ object PipelineQueries {
     "q_dedup_simhash_planted" -> plantedOracle,
     "q_dedup_ngram_planted" -> plantedOracle,
     "q_dedup_embed_planted" -> plantedEmbOracle,
+    "q_dedup_clusters" -> (s"SELECT doc_id AS id, doc_id AS component FROM documents WHERE doc_id < $NPlant " +
+      s"UNION ALL SELECT doc_id + $PlantOffset AS id, doc_id AS component FROM documents WHERE doc_id < $NPlant"),
     "q_ann_brute" -> annTopKOracle,
     // The approximate paths are probe-sized to full recall on this corpus
     // (see AnnBits/AnnTables/IvfNProbe), so their exact-cosine rankings must

@@ -55,6 +55,49 @@ class PipelineSpec extends SparkTestBase {
     pair.getDouble(2) shouldBe (10.0 / 12.0 +- 0.0001)
   }
 
+  test("connectedComponents matches union-find on random pair lists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (_ <- 0 until 3) {
+      val edges = Seq.fill(40)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map(n => n -> find(n)).toMap
+      got shouldBe expected
+    }
+  }
+
+  test("connectedComponents propagates labels through chains, not just pairs") {
+    import spark.implicits._
+    // a 10-node chain (diameter 9 — several propagation rounds) + an
+    // isolated pair + a triangle
+    val edges = (0L until 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L)) ++ Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 9L).foreach(n => got(n) shouldBe 0L)
+    got(100L) shouldBe 100L; got(101L) shouldBe 100L
+    Seq(200L, 201L, 202L).foreach(n => got(n) shouldBe 200L)
+    // non-convergence must fail loud, not return half-merged labels
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges.toDF("id_a", "id_b"), maxIters = 2)
+    }
+  }
+
   test("embedding near-dup finds planted identical vectors") {
     import spark.implicits._
     val base = (0L until 50L).map(i => (i, Array.tabulate(16)(d => math.sin(i * 17.0 + d).toFloat)))
