@@ -43,7 +43,8 @@ object AsOfJoin {
     * caveat (one dominant key serializes its whole history onto one task).
     *
     * Differential, like [[SkewJoin]]: a hot key's LEFT rows are spread over
-    * `buckets` sub-keys (deterministic xxhash64 salt), while its RIGHT rows
+    * `buckets` sub-keys ([[SkewJoin.contentSalt]] — a pure function of row
+    * content, stable under stage retry), while its RIGHT rows
     * replicate into every sub-key — each left row still sees its key's
     * complete prior history, so the result is row-for-row equal to the
     * unsalted operator (spec-asserted). Cold keys pay nothing (salt 0, no
@@ -71,11 +72,11 @@ object AsOfJoin {
       s"left side already has asof_-prefixed columns: ${left.columns.filter(asofCols.contains).mkString(", ")}")
 
     val isHot = col(key).isin(hot: _*)
+    // content-hash salt ([[SkewJoin.contentSalt]]): pure function of row
+    // content, so fetch-failure recomputes re-derive identical routing
     val leftSalt =
       if (hot.isEmpty) lit(0)
-      else when(isHot,
-        pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
-        .otherwise(lit(0))
+      else when(isHot, SkewJoin.contentSalt(left, buckets)).otherwise(lit(0))
     val rightSalts =
       if (hot.isEmpty) array(lit(0))
       else when(isHot, lit((0 until buckets).toArray)).otherwise(array(lit(0)))

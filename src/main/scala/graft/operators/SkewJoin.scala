@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling equi-join via differential key salting.
@@ -48,17 +48,35 @@ object SkewJoin {
       .limit(maxKeys)
       .collect().map(_.get(0)).toSeq
 
+  /** Deterministic per-row salt in [0, buckets): xxhash64 over EVERY column
+    * of `df`, so the salt is a pure function of row CONTENT — never of
+    * partition, row order, or task id. That is the property stage retry
+    * needs: when a fetch failure forces Spark to recompute a subset of lost
+    * map outputs, the recomputed rows derive exactly the salts the lost
+    * outputs did, so no hot-key row is duplicated or dropped downstream.
+    * (`monotonically_increasing_id`, used through r6, is partition-order-
+    * dependent and Spark marks it nondeterministic — the SPARK-23207 class
+    * of silent corruption under retry; invisible on local[n], real on a
+    * cluster.) Rows identical in every column share a salt — that only
+    * narrows the spread if a hot key's rows are mass exact-duplicates, and
+    * costs nothing for correctness. Map-typed columns are not hashable
+    * (standard Spark hash restriction); project them away before salting.
+    */
+  private[graft] def contentSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)).cast("int")
+
   /** Inner equi-join on `key` (same column name on both sides) with the hot
     * keys salted across `buckets` sub-keys.
     *
-    * Probe side: hot rows get salt = hash(row-id) mod buckets — spreading
-    * the hot key over `buckets` reducers; cold rows keep salt 0. Build side:
-    * hot rows replicate with every salt value; cold rows carry salt 0 only.
-    * Every probe row therefore meets exactly the build rows of its key, and
-    * the result equals the unsalted join row-for-row.
+    * Probe side: hot rows get salt = xxhash64(whole row) mod buckets —
+    * spreading the hot key over `buckets` reducers; cold rows keep salt 0.
+    * Build side: hot rows replicate with every salt value; cold rows carry
+    * salt 0 only. Every probe row therefore meets exactly the build rows of
+    * its key, and the result equals the unsalted join row-for-row.
     *
-    * The salt is deterministic (xxhash64 of key + a per-row id), so retried
-    * tasks re-derive the same routing.
+    * The salt is [[contentSalt]] — a pure function of row content — so
+    * retried tasks re-derive the same routing even under fetch-failure
+    * partial recomputes.
     */
   def saltedInnerJoin(
       probe: DataFrame,
@@ -70,8 +88,7 @@ object SkewJoin {
     if (hot.isEmpty) return probe.join(build, Seq(key))
     val isHot = col(key).isin(hot: _*)
     val salted = probe.withColumn("__graft_salt",
-      when(isHot, pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
-        .otherwise(lit(0)))
+      when(isHot, contentSalt(probe, buckets)).otherwise(lit(0)))
     val replicated = build.withColumn("__graft_salt",
       explode(when(isHot, lit((0 until buckets).toArray)).otherwise(array(lit(0)))))
     salted.join(replicated, Seq(key, "__graft_salt")).drop("__graft_salt")

@@ -298,49 +298,73 @@ object Dedup {
     * minimum id reachable from `id` (so the component label doubles as the
     * keep-representative, matching [[exact]]'s min-id convention).
     *
-    * Min-label propagation: every round each node adopts the smallest label
-    * in its neighborhood (one edge join + one min-aggregation, both
-    * distributed; the driver sees only a convergence counter). Converges in
-    * O(component diameter) rounds — near-dup graphs are overwhelmingly tiny
-    * cliques and short chains, so 2-4 rounds in practice; `maxIters` bounds
-    * the pathological chain, and hitting it fails loud rather than
-    * returning half-merged components. At 10⁹+ nodes the same loop holds
-    * (labels are (id, long) pairs, edges shuffle once per round); the
-    * classic large-star/small-star variant halves round count if diameter
-    * ever becomes the bottleneck.
+    * Min-label propagation with pointer jumping: every round each node
+    * adopts the smallest of (its label, its neighbors' labels, its label's
+    * label). The neighbor term spreads labels across edges; the
+    * label-of-label term halves the remaining pointer distance to the
+    * component minimum every round (PRAM pointer doubling), so a
+    * diameter-d component converges in ~⌈log₂ d⌉ rounds plus one
+    * confirming no-change round — not O(d). Labels only ever decrease and
+    * never leave the component, and any fixpoint short of
+    * everyone-has-the-min would still have a cross-boundary edge forcing a
+    * change, so the converged labels ARE the component minima.
+    *
+    * Every round's result is `localCheckpoint()`ed: the lineage is
+    * TRUNCATED, not just cached — `labels` feeds three operators per round
+    * (neighbor join, jump lookup, carry-forward), and without truncation
+    * the logical plan doubles per round (the r6 exponential-plan driver
+    * OOM). The convergence count rides in the same pass (a `prev` column
+    * carried through the update, counted off the checkpointed blocks) —
+    * no extra join. `maxIters` still bounds the loop and hitting it fails
+    * loud rather than returning half-merged components.
+    *
+    * Scale note: `localCheckpoint` stores blocks on executors without
+    * fault-tolerant lineage — at real cluster scale with preemptible
+    * executors, swap in `checkpoint()` against reliable storage (same
+    * truncation semantics); per-round state is a narrow (id, long×2)
+    * frame either way, and superseded round blocks are freed by the
+    * context cleaner as references drop.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    connectedComponentsIters(pairs, maxIters)._1
+
+  /** [[connectedComponents]] also returning the round count it took to
+    * converge (the final confirming no-change round included) — spec hook
+    * for the logarithmic-convergence guarantee.
+    */
+  def connectedComponentsIters(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .persist()
+      .localCheckpoint()
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val jump = labels.select(col("id").as("j_id"), col("component").as("j_comp"))
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .join(jump, labels("component") === col("j_id"), "left")
         .select(labels("id").as("id"),
-          least(labels("component"), coalesce(col("nbr_min"), labels("component"))).as("component"))
-        .persist()
-      val prev = labels.select(col("id").as("p_id"), col("component").as("p_comp"))
-      changed = next.join(prev, col("id") === col("p_id"))
-        .filter(col("component") =!= col("p_comp")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+          labels("component").as("prev"),
+          least(labels("component"),
+            coalesce(col("nbr_min"), labels("component")),
+            coalesce(col("j_comp"), labels("component"))).as("component"))
+        .localCheckpoint() // one materializing job; truncates lineage
+      // convergence count off the checkpointed blocks — no recompute, no join
+      changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.select(col("id"), col("component"))
       iters += 1
     }
-    edges.unpersist(blocking = false)
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds — a component " +
-        s"chain longer than maxIters; raise maxIters")
-    synchronized { cachedFrames += labels } // freed via [[clearCaches]]
-    labels
+        s"chain longer than 2^maxIters; raise maxIters")
+    (labels, iters)
   }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH: vectors

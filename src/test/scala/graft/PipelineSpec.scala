@@ -87,8 +87,11 @@ class PipelineSpec extends SparkTestBase {
     // isolated pair + a triangle
     val edges = (0L until 9L).map(i => (i, i + 1)) ++
       Seq((100L, 101L)) ++ Seq((200L, 201L), (201L, 202L), (200L, 202L))
-    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (labels, iters) = Dedup.connectedComponentsIters(edges.toDF("id_a", "id_b"))
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // pointer jumping: ⌈log₂ diameter⌉ propagation rounds + 1 settling +
+    // 1 confirming no-change round — NOT O(diameter)
+    iters should be <= (math.ceil(math.log(9) / math.log(2)).toInt + 2)
     (0L to 9L).foreach(n => got(n) shouldBe 0L)
     got(100L) shouldBe 100L; got(101L) shouldBe 100L
     Seq(200L, 201L, 202L).foreach(n => got(n) shouldBe 200L)
@@ -96,6 +99,19 @@ class PipelineSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents(edges.toDF("id_a", "id_b"), maxIters = 2)
     }
+  }
+
+  test("connectedComponents handles a long chain in logarithmic rounds") {
+    import spark.implicits._
+    // diameter 63 — the r6 implementation OOM'd an 8 GiB JVM at diameter 9
+    // (plan doubled per round); per-round localCheckpoint keeps the plan
+    // constant-size and pointer jumping keeps rounds logarithmic
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, iters) = Dedup.connectedComponentsIters(edges)
+    iters should be <= (math.ceil(math.log(63) / math.log(2)).toInt + 2)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.length shouldBe 64
+    got.foreach { case (_, comp) => comp shouldBe 0L }
   }
 
   test("embedding near-dup finds planted identical vectors") {

@@ -41,8 +41,7 @@ class SkewJoinSpec extends SparkTestBase {
 
   test("the hot key spreads over multiple salts; cold keys are not replicated") {
     val salted = probe.withColumn("__graft_salt",
-      when(col("k").isin(1L), pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8L)).cast("int"))
-        .otherwise(lit(0)))
+      when(col("k").isin(1L), SkewJoin.contentSalt(probe, 8)).otherwise(lit(0)))
     // the 10,000 hot rows land on all 8 sub-keys, so no reducer sees more
     // than ~1/8th of the hot key
     val saltsOfHot = salted.filter(col("k") === 1L)
@@ -58,6 +57,19 @@ class SkewJoinSpec extends SparkTestBase {
       explode(when(col("k").isin(1L), lit((0 until 8).toArray)).otherwise(array(lit(0)))))
     replicated.filter(col("k") === 1L).count() shouldBe 8L
     replicated.filter(col("k") =!= 1L).count() shouldBe 99L
+  }
+
+  test("salt is a pure function of row content — stable under reordering") {
+    // the stage-retry property: a fetch-failure recompute sees the same
+    // rows in a DIFFERENT partition layout and order; the salt each row
+    // derives must not change (monotonically_increasing_id would fail this)
+    def saltMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.withColumn("s", SkewJoin.contentSalt(df, 8))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val reordered = probe.repartition(7, col("v")).sortWithinPartitions(col("v").desc)
+    saltMap(reordered) shouldBe saltMap(probe)
+    // and it still spreads: the hot key's 10k distinct rows cover all 8 salts
+    saltMap(probe).collect { case ((1L, _), s) => s }.toSet should have size 8
   }
 
   test("no hot keys degrades to the plain join") {
