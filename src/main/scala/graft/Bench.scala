@@ -26,7 +26,11 @@ import graft.prepared.PreparedStatements
   *     session-state drift between brackets is visible instead of silently
   *     folded into one number;
   *   - a query that throws reports `null` (and lands in `"failed"`), never a
-  *     wall-time — a broken query must not show up as a fast one.
+  *     wall-time — a broken query must not show up as a fast one;
+  *   - `queries_stats` carries per-query {min, med, max} over the reps
+  *     (`queries` stays scalar medians — the driver contract), so
+  *     environment spread between the build host and the driver host shows
+  *     up in the artifact itself.
   *
   * `SPARK_GRAFT_BENCH_ONLY` (regex) restricts the query loop for local
   * iteration, e.g. `SPARK_GRAFT_BENCH_ONLY='q_dedup_.*'`.
@@ -156,7 +160,10 @@ object Bench {
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-    val results: Seq[(String, Option[Double])] = selected.map { case (name, fn) =>
+    // keep ALL rep timings per query: the headline stays the median, but
+    // min/max go into "queries_stats" so run-to-run spread (host load, cold
+    // page cache) is visible in the artifact itself instead of argued about
+    val results: Seq[(String, Option[Seq[Double]])] = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var r = 0
@@ -173,16 +180,21 @@ object Bench {
         spark.catalog.clearCache()
         r += 1
       }
-      name -> (if (failed) None else Some(median(times.toSeq)))
+      name -> (if (failed) None else Some(times.toSeq))
     }
     val failedNames = results.collect { case (n, None) => n }
 
     val amortLast = bracket() // bracket 2: after the query loop, same session
 
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v.map(fmt).getOrElse("null") }
+      .map { case (k, v) => "\"" + k + "\":" + v.map(ts => fmt(median(ts))).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val qStats = results
+      .collect { case (k, Some(ts)) =>
+        "\"" + k + s"""":{"min":${fmt(ts.min)},"med":${fmt(median(ts))},"max":${fmt(ts.max)}}"""
+      }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2.map(median)).sum
     val all = amortFirst ++ amortLast
     val medPrep = median(all.map(_._1)); val medUnprep = median(all.map(_._2))
     val amortization =
@@ -195,7 +207,7 @@ object Bench {
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-        s""""failed":$failedJson,"queries":$qs,""" +
+        s""""failed":$failedJson,"queries":$qs,"queries_stats":$qStats,""" +
         s""""amortization":$amortization,"keyed_lookup":$keyedJson,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
