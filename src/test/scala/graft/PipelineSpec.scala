@@ -109,6 +109,9 @@ class PipelineSpec extends SparkTestBase {
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (labels, iters) = Dedup.connectedComponentsIters(edges)
     iters should be <= (math.ceil(math.log(63) / math.log(2)).toInt + 2)
+    // lineage truncation, made executable: the returned frame's plan is a
+    // constant-size scan over the last checkpoint, NOT 2^rounds subtrees
+    labels.queryExecution.optimizedPlan.collect { case p => p }.length should be < 10
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     got.length shouldBe 64
     got.foreach { case (_, comp) => comp shouldBe 0L }
