@@ -125,6 +125,15 @@ object PipelineQueries {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         plantedFound(Dedup.minhashPairs(plantedDocs(docs(s, dir), " graftdup"), threshold = 0.5)))),
+    // deep-propagation clusters: consecutive doc_ids form one 32-node PATH
+    // (diameter 31), so the min label must travel the WHOLE chain — the
+    // regime the planted components (diameter 1) never exercise, and where
+    // the r6 implementation died. Every node's component is 0, trivially
+    // SQL-derivable, so deep propagation is driver-hash-gated.
+    "q_dedup_cc_chain" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        docs(s, dir).filter(col("doc_id") < 31)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b")))),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
@@ -228,6 +237,8 @@ object PipelineQueries {
     "q_dedup_embed_planted" -> plantedEmbOracle,
     "q_dedup_clusters" -> (s"SELECT doc_id AS id, doc_id AS component FROM documents WHERE doc_id < $NPlant " +
       s"UNION ALL SELECT doc_id + $PlantOffset AS id, doc_id AS component FROM documents WHERE doc_id < $NPlant"),
+    "q_dedup_cc_chain" -> ("SELECT doc_id AS id, CAST(0 AS BIGINT) AS component " +
+      "FROM documents WHERE doc_id <= 31"),
     "q_ann_brute" -> annTopKOracle,
     // The approximate paths are probe-sized to full recall on this corpus
     // (see AnnBits/AnnTables/IvfNProbe), so their exact-cosine rankings must
