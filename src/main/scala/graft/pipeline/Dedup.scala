@@ -1,6 +1,8 @@
 package graft.pipeline
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,10 +77,33 @@ object Dedup {
     p
   }
 
-  /** Unpersist every frame cached by previous dedup calls (see [[cache]]). */
+  /** Checkpoint blocks owned by returned [[connectedComponents]] frames.
+    * `localCheckpoint` persists at the RDD level, which neither
+    * `Dataset.unpersist` nor `spark.catalog.clearCache()` reaches — without
+    * explicit tracking the blocks would only die when the ContextCleaner
+    * GCs the frame, leaving them to pressure later queries.
+    */
+  private val checkpointedRdds = scala.collection.mutable.ListBuffer.empty[RDD[_]]
+
+  /** The RDDs a localCheckpoint()'d frame's plan scans (empty for
+    * non-checkpointed frames). Checkpointing rewrites the logical plan to a
+    * [[LogicalRDD]] leaf over the persisted block RDD — that leaf is the
+    * unpersist handle.
+    */
+  private def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }
+
+  /** Unpersist every frame cached by previous dedup calls (see [[cache]])
+    * AND every checkpoint block still owned by returned
+    * [[connectedComponents]] frames. Cached frames recompute transparently
+    * if read again; checkpoint-backed frames do NOT (their lineage is
+    * truncated) — consume a connectedComponents result before clearing.
+    */
   def clearCaches(): Unit = synchronized {
     cachedFrames.foreach(_.unpersist(blocking = false))
     cachedFrames.clear()
+    checkpointedRdds.foreach(_.unpersist(blocking = false))
+    checkpointedRdds.clear()
   }
 
   /** Exact dedup: hash-groupBy on the full text. Returns one row per
@@ -322,8 +347,10 @@ object Dedup {
     * fault-tolerant lineage — at real cluster scale with preemptible
     * executors, swap in `checkpoint()` against reliable storage (same
     * truncation semantics); per-round state is a narrow (id, long×2)
-    * frame either way, and superseded round blocks are freed by the
-    * context cleaner as references drop.
+    * frame either way. Superseded round blocks are unpersisted EAGERLY
+    * inside the loop; the final round's blocks back the returned frame and
+    * are freed by [[clearCaches]] (after which the returned frame must not
+    * be read again — checkpoint truncation means it cannot recompute).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     connectedComponentsIters(pairs, maxIters)._1
@@ -341,6 +368,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    // Eager block hygiene: each round's checkpoint supersedes the previous
+    // round's — once `next` is materialized the prior blocks are dead
+    // weight, so they are freed inside the loop instead of lingering until
+    // the ContextCleaner notices (at 10⁹-node scale a 20-round run would
+    // otherwise hold 20 generations of (id, long×2) blocks).
+    var superseded: Seq[RDD[_]] = checkpointRdds(labels)
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
@@ -358,12 +391,20 @@ object Dedup {
         .localCheckpoint() // one materializing job; truncates lineage
       // convergence count off the checkpointed blocks — no recompute, no join
       changed = next.filter(col("component") =!= col("prev")).count()
+      superseded.foreach(_.unpersist(blocking = false))
+      superseded = checkpointRdds(next)
       labels = next.select(col("id"), col("component"))
       iters += 1
     }
+    checkpointRdds(edges).foreach(_.unpersist(blocking = false))
+    if (changed != 0) superseded.foreach(_.unpersist(blocking = false)) // no frame returned → free now
     require(changed == 0,
-      s"connectedComponents did not converge in $maxIters rounds — a component " +
-        s"chain longer than 2^maxIters; raise maxIters")
+      s"connectedComponents did not converge in $maxIters rounds — pointer " +
+        s"jumping reaches diameter ~2^(maxIters-2), so the graph has a component " +
+        s"chain longer than that; raise maxIters")
+    // the final round's blocks back the RETURNED frame — they stay alive
+    // until the caller is done and calls [[clearCaches]]
+    synchronized { checkpointedRdds ++= superseded }
     (labels, iters)
   }
 
