@@ -176,8 +176,12 @@ object Bench {
         }
         // drop caches persisted inside operators (dedup signature caches) so
         // reps are timed independently and later queries don't inherit GC
-        // pressure from earlier ones
+        // pressure from earlier ones; the CC checkpoint blocks need their own
+        // clear — catalog.clearCache() cannot reach RDD-level localCheckpoint
+        // storage, and the rep's result is fully consumed by count() above
         spark.catalog.clearCache()
+        pipeline.Dedup.clearCaches()
+        pipeline.Dedup.clearCheckpoints()
         r += 1
       }
       name -> (if (failed) None else Some(times.toSeq))

@@ -21,8 +21,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop operator-persisted caches (dedup signatures) between queries
+      // drop operator-persisted caches (dedup signatures) between queries,
+      // and the CC checkpoint blocks catalog.clearCache() cannot reach —
+      // the parquet write above fully consumed this query's result
       spark.catalog.clearCache()
+      pipeline.Dedup.clearCaches()
+      pipeline.Dedup.clearCheckpoints()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -65,9 +65,12 @@ object Dedup {
     * joins of one query read). Spark offers no reliable unpersist-after-
     * terminal-action hook on a returned-but-not-yet-executed DataFrame, so
     * the contract is caller-must-clear: call [[clearCaches]] (or
-    * `spark.catalog.clearCache()`) once the results of a dedup call have
-    * been consumed. Unpersisting early is always safe — downstream reads
-    * just recompute.
+    * `spark.catalog.clearCache()`, which reaches the same Dataset-level
+    * cache entries) once the results of a dedup call have been consumed.
+    * Unpersisting early is always safe — downstream reads just recompute.
+    * Checkpoint blocks behind [[connectedComponents]] results are a
+    * SEPARATE pool with destructive-clear semantics — see
+    * [[clearCheckpoints]].
     */
   private val cachedFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
@@ -79,11 +82,14 @@ object Dedup {
 
   /** Checkpoint blocks owned by returned [[connectedComponents]] frames.
     * `localCheckpoint` persists at the RDD level, which neither
-    * `Dataset.unpersist` nor `spark.catalog.clearCache()` reaches — without
-    * explicit tracking the blocks would only die when the ContextCleaner
-    * GCs the frame, leaving them to pressure later queries.
+    * `Dataset.unpersist` nor `spark.catalog.clearCache()` reaches. Held as
+    * WEAK references: [[clearCheckpoints]] frees whatever is still live,
+    * while a frame the caller simply dropped stays collectible — the
+    * ContextCleaner's GC-triggered unpersist (the no-registry fallback)
+    * keeps working instead of being pinned by this list for the session.
     */
-  private val checkpointedRdds = scala.collection.mutable.ListBuffer.empty[RDD[_]]
+  private val checkpointedRdds =
+    scala.collection.mutable.ListBuffer.empty[scala.ref.WeakReference[RDD[_]]]
 
   /** The RDDs a localCheckpoint()'d frame's plan scans (empty for
     * non-checkpointed frames). Checkpointing rewrites the logical plan to a
@@ -93,16 +99,25 @@ object Dedup {
   private def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
     df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }
 
-  /** Unpersist every frame cached by previous dedup calls (see [[cache]])
-    * AND every checkpoint block still owned by returned
-    * [[connectedComponents]] frames. Cached frames recompute transparently
-    * if read again; checkpoint-backed frames do NOT (their lineage is
-    * truncated) — consume a connectedComponents result before clearing.
+  /** Unpersist every frame cached by previous dedup calls (see [[cache]]).
+    * Always safe: cached frames recompute transparently if read again.
+    * Does NOT touch [[connectedComponents]] checkpoint blocks — those have
+    * destructive-clear semantics and their own [[clearCheckpoints]], so a
+    * routine signature-cache clear cannot invalidate a live CC result.
     */
   def clearCaches(): Unit = synchronized {
     cachedFrames.foreach(_.unpersist(blocking = false))
     cachedFrames.clear()
-    checkpointedRdds.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Free the checkpoint blocks behind every [[connectedComponents]] frame
+    * returned so far. DESTRUCTIVE: checkpoint truncation means a cleared
+    * frame cannot recompute — reading it afterwards throws a
+    * block-not-found SparkException. Call once outstanding CC results are
+    * fully consumed (harness loops call this between queries/reps).
+    */
+  def clearCheckpoints(): Unit = synchronized {
+    checkpointedRdds.foreach(_.get.foreach(_.unpersist(blocking = false)))
     checkpointedRdds.clear()
   }
 
@@ -349,8 +364,8 @@ object Dedup {
     * truncation semantics); per-round state is a narrow (id, long×2)
     * frame either way. Superseded round blocks are unpersisted EAGERLY
     * inside the loop; the final round's blocks back the returned frame and
-    * are freed by [[clearCaches]] (after which the returned frame must not
-    * be read again — checkpoint truncation means it cannot recompute).
+    * are freed by [[clearCheckpoints]] (after which the returned frame must
+    * not be read again — checkpoint truncation means it cannot recompute).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     connectedComponentsIters(pairs, maxIters)._1
@@ -403,8 +418,9 @@ object Dedup {
         s"jumping reaches diameter ~2^(maxIters-2), so the graph has a component " +
         s"chain longer than that; raise maxIters")
     // the final round's blocks back the RETURNED frame — they stay alive
-    // until the caller is done and calls [[clearCaches]]
-    synchronized { checkpointedRdds ++= superseded }
+    // until the caller is done and calls [[clearCheckpoints]] (weakly
+    // registered, so a dropped frame remains ContextCleaner-collectible)
+    synchronized { checkpointedRdds ++= superseded.map(scala.ref.WeakReference(_)) }
     (labels, iters)
   }
 

@@ -162,4 +162,21 @@ class TextExpressionsSpec extends SparkTestBase {
     Dedup.clearCaches()
     spark.sparkContext.getPersistentRDDs shouldBe empty
   }
+
+  test("connectedComponents checkpoint blocks survive clearCaches, die on clearCheckpoints") {
+    // a 6-node chain: two propagation rounds minimum, so intermediate-round
+    // blocks exist and must have been freed eagerly inside the loop
+    val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    cc.count() shouldBe 6
+    // only the final round's checkpoint blocks remain registered
+    spark.sparkContext.getPersistentRDDs should not be empty
+    // a routine signature-cache clear must NOT invalidate the live CC frame
+    Dedup.clearCaches()
+    spark.sparkContext.getPersistentRDDs should not be empty
+    cc.agg(min(col("component"))).head().getLong(0) shouldBe 0L
+    // the destructive clear is what frees the RDD-level checkpoint storage
+    Dedup.clearCheckpoints()
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
 }
