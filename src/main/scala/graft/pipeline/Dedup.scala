@@ -353,10 +353,11 @@ object Dedup {
     * TRUNCATED, not just cached — `labels` feeds three operators per round
     * (neighbor join, jump lookup, carry-forward), and without truncation
     * the logical plan doubles per round (the r6 exponential-plan driver
-    * OOM). The convergence count rides in the same pass (a `prev` column
-    * carried through the update, counted off the checkpointed blocks) —
-    * no extra join. `maxIters` still bounds the loop and hitting it fails
-    * loud rather than returning half-merged components.
+    * OOM). Checkpoints are LAZY, so the convergence count rides in the same
+    * JOB as the materialization (a `prev` column carried through the
+    * update) — one Spark job per round total, no extra join or action.
+    * `maxIters` still bounds the loop and hitting it fails loud rather
+    * than returning half-merged components.
     *
     * Scale note: `localCheckpoint` stores blocks on executors without
     * fault-tolerant lineage — at real cluster scale with preemptible
@@ -376,21 +377,35 @@ object Dedup {
     */
   def connectedComponentsIters(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    // LAZY checkpoints throughout: the marked RDD materializes (and its
+    // lineage truncates) inside the FIRST job that reads it, so the per-round
+    // convergence count below doubles as the materializing action — one
+    // Spark job per round instead of an eager-checkpoint job plus a count
+    // job, and the edges/labels init rides in round 1's job for free. On a
+    // tiny converged graph the loop is pure scheduling overhead, so job
+    // count IS the cost (observed ~1.7× on the planted-cluster bench query).
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // Round 1 degenerates: over identity labels (component = id), the
+    // neighbor minimum is just min(dst) per src and the label-of-label
+    // lookup is the identity — so the whole round (plus the distinct-id
+    // init it used to need) collapses into ONE aggregation over edges.
+    val first = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("src").as("id"), col("src").as("prev"),
+        least(col("src"), col("nbr_min")).as("component"))
+      .localCheckpoint(eager = false)
+    var changed = first.filter(col("component") =!= col("prev")).count()
     // Eager block hygiene: each round's checkpoint supersedes the previous
     // round's — once `next` is materialized the prior blocks are dead
     // weight, so they are freed inside the loop instead of lingering until
     // the ContextCleaner notices (at 10⁹-node scale a 20-round run would
     // otherwise hold 20 generations of (id, long×2) blocks).
-    var superseded: Seq[RDD[_]] = checkpointRdds(labels)
-    var iters = 0
-    var changed = 1L
+    var superseded: Seq[RDD[_]] = checkpointRdds(first)
+    var labels = first.select(col("id"), col("component"))
+    var iters = 1
     while (changed > 0 && iters < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
@@ -403,8 +418,9 @@ object Dedup {
           least(labels("component"),
             coalesce(col("nbr_min"), labels("component")),
             coalesce(col("j_comp"), labels("component"))).as("component"))
-        .localCheckpoint() // one materializing job; truncates lineage
-      // convergence count off the checkpointed blocks — no recompute, no join
+        .localCheckpoint(eager = false)
+      // ONE job: materializes the round's checkpoint blocks (truncating
+      // lineage) and computes the convergence count off them as it goes
       changed = next.filter(col("component") =!= col("prev")).count()
       superseded.foreach(_.unpersist(blocking = false))
       superseded = checkpointRdds(next)
