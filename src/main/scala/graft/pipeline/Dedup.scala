@@ -359,14 +359,22 @@ object Dedup {
     * `maxIters` still bounds the loop and hitting it fails loud rather
     * than returning half-merged components.
     *
-    * Scale note: `localCheckpoint` stores blocks on executors without
-    * fault-tolerant lineage — at real cluster scale with preemptible
-    * executors, swap in `checkpoint()` against reliable storage (same
-    * truncation semantics); per-round state is a narrow (id, long×2)
-    * frame either way. Superseded round blocks are unpersisted EAGERLY
-    * inside the loop; the final round's blocks back the returned frame and
-    * are freed by [[clearCheckpoints]] (after which the returned frame must
-    * not be read again — checkpoint truncation means it cannot recompute).
+    * Durability is chosen from the session: when
+    * `SparkContext.setCheckpointDir` has been called, every round uses
+    * RELIABLE `checkpoint()` against that storage — a lost executor
+    * (preemption at 1000-executor scale) costs a re-read of files, not the
+    * whole job, which is the right trade for a 100 TB near-dup graph. With
+    * no checkpoint dir configured, rounds use `localCheckpoint()` —
+    * executor-local blocks, no storage round-trip, the right trade for a
+    * single-node or short-lived session (same lineage-truncation semantics
+    * either way; per-round state is a narrow (id, long×2) frame).
+    * Superseded round blocks are unpersisted EAGERLY inside the loop; the
+    * final round's blocks back the returned frame and are freed by
+    * [[clearCheckpoints]] (after which the returned frame must not be read
+    * again — checkpoint truncation means it cannot recompute). Reliable
+    * checkpoint FILES outlive unpersist: they are cleaned by Spark's
+    * ContextCleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is set, or with the checkpoint directory itself.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     connectedComponentsIters(pairs, maxIters)._1
@@ -377,6 +385,9 @@ object Dedup {
     */
   def connectedComponentsIters(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    // Reliable checkpoints when the session has durable checkpoint storage
+    // configured, executor-local otherwise (see the scaladoc trade-off).
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     // LAZY checkpoints throughout: the marked RDD materializes (and its
     // lineage truncates) inside the FIRST job that reads it, so the per-round
     // convergence count below doubles as the materializing action — one
@@ -384,19 +395,19 @@ object Dedup {
     // job, and the edges/labels init rides in round 1's job for free. On a
     // tiny converged graph the loop is pure scheduling overhead, so job
     // count IS the cost (observed ~1.7× on the planted-cluster bench query).
-    val edges = pairs
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    val edges = ckpt(pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(eager = false)
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // Round 1 degenerates: over identity labels (component = id), the
     // neighbor minimum is just min(dst) per src and the label-of-label
     // lookup is the identity — so the whole round (plus the distinct-id
     // init it used to need) collapses into ONE aggregation over edges.
-    val first = edges.groupBy(col("src"))
+    val first = ckpt(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("src").as("id"), col("src").as("prev"),
-        least(col("src"), col("nbr_min")).as("component"))
-      .localCheckpoint(eager = false)
+        least(col("src"), col("nbr_min")).as("component")))
     var changed = first.filter(col("component") =!= col("prev")).count()
     // Eager block hygiene: each round's checkpoint supersedes the previous
     // round's — once `next` is materialized the prior blocks are dead
@@ -410,15 +421,14 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
       val jump = labels.select(col("id").as("j_id"), col("component").as("j_comp"))
-      val next = labels
+      val next = ckpt(labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .join(jump, labels("component") === col("j_id"), "left")
         .select(labels("id").as("id"),
           labels("component").as("prev"),
           least(labels("component"),
             coalesce(col("nbr_min"), labels("component")),
-            coalesce(col("j_comp"), labels("component"))).as("component"))
-        .localCheckpoint(eager = false)
+            coalesce(col("j_comp"), labels("component"))).as("component")))
       // ONE job: materializes the round's checkpoint blocks (truncating
       // lineage) and computes the convergence count off them as it goes
       changed = next.filter(col("component") =!= col("prev")).count()

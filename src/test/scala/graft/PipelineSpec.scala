@@ -117,6 +117,32 @@ class PipelineSpec extends SparkTestBase {
     got.foreach { case (_, comp) => comp shouldBe 0L }
   }
 
+  test("connectedComponents uses reliable checkpoints when the session has a checkpoint dir") {
+    import spark.implicits._
+    // with SparkContext.setCheckpointDir configured, every round must go
+    // through durable checkpoint() (survives executor loss) instead of
+    // executor-local blocks — asserted by the rdd-* checkpoint dirs the
+    // rounds write under the configured path
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val edges = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val (labels, iters) = Dedup.connectedComponentsIters(edges)
+      iters should be <= (math.ceil(math.log(15) / math.log(2)).toInt + 2)
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+      got.length shouldBe 16
+      got.foreach { case (_, comp) => comp shouldBe 0L }
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(_.getFileName.toString.startsWith("rdd-"))
+      // edges + round-1 labels + one per later round all durably written
+      rddDirs.toInt should be >= 3
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("embedding near-dup finds planted identical vectors") {
     import spark.implicits._
     val base = (0L until 50L).map(i => (i, Array.tabulate(16)(d => math.sin(i * 17.0 + d).toFloat)))
