@@ -450,6 +450,29 @@ object Dedup {
     (labels, iters)
   }
 
+  /** The step that makes near-dup pairs actionable: given the corpus and a
+    * pair list from any of the operators above, keep ONE representative per
+    * duplicate cluster — the minimum-id member, matching [[exact]]'s
+    * keep-convention — and every document that is in no pair at all.
+    * Clusters come from [[connectedComponents]] (so transitive chains
+    * a~b~c collapse to one survivor even when (a,c) was never paired
+    * directly); non-representatives are removed with a left-anti join,
+    * which shuffles only on the id column — linear at corpus scale.
+    *
+    * The returned frame reads the CC checkpoint blocks: consume it before
+    * calling [[clearCheckpoints]].
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    val nonReps = connectedComponents(pairs, maxIters)
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as("__drop_id"))
+    docs.join(nonReps, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH: vectors
     * are bucketed by sign-bit codes from two independent hash tables (union
     * for recall), pairs are verified with exact cosine ≥ `threshold` inside

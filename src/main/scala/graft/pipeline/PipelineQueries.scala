@@ -134,6 +134,15 @@ object PipelineQueries {
       Dedup.connectedComponents(
         docs(s, dir).filter(col("doc_id") < 31)
           .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b")))),
+    // pairs -> clusters -> filtered corpus, end to end: every planted copy is
+    // clustered with its original and dropped; originals and distractors
+    // survive — so the kept set is exactly the pre-plant subset,
+    // oracle-derivable in SQL.
+    "q_dedup_keep_reps" -> ((s, dir) => {
+      val planted = plantedDocs(docs(s, dir), " graftdup")
+      Dedup.dropNearDuplicates(planted,
+        plantedFound(Dedup.minhashPairs(planted, threshold = 0.5)))
+    }),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
@@ -239,6 +248,9 @@ object PipelineQueries {
       s"UNION ALL SELECT doc_id + $PlantOffset AS id, doc_id AS component FROM documents WHERE doc_id < $NPlant"),
     "q_dedup_cc_chain" -> ("SELECT doc_id AS id, CAST(0 AS BIGINT) AS component " +
       "FROM documents WHERE doc_id <= 31"),
+    // each planted copy clusters with (and loses to) its lower-id original,
+    // so exactly the pre-plant subset survives
+    "q_dedup_keep_reps" -> s"SELECT doc_id, text FROM documents WHERE doc_id < $NDistract",
     "q_ann_brute" -> annTopKOracle,
     // The approximate paths are probe-sized to full recall on this corpus
     // (see AnnBits/AnnTables/IvfNProbe), so their exact-cosine rankings must

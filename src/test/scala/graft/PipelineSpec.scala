@@ -117,6 +117,17 @@ class PipelineSpec extends SparkTestBase {
     got.foreach { case (_, comp) => comp shouldBe 0L }
   }
 
+  test("dropNearDuplicates keeps one representative per transitive cluster") {
+    import spark.implicits._
+    // 1~2~3 chain ((1,3) never paired directly), isolated pair (7,8),
+    // untouched singletons 4,5,6
+    val docs = (1L to 8L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, pairs).collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 4L, 5L, 6L, 7L)
+    Dedup.clearCheckpoints()
+  }
+
   test("connectedComponents uses reliable checkpoints when the session has a checkpoint dir") {
     import spark.implicits._
     // with SparkContext.setCheckpointDir configured, every round must go
