@@ -81,6 +81,31 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents handles string ids, self-pairs, duplicates, and empty input") {
+    import spark.implicits._
+    // document keys are often strings (urls, hashes) — min-label semantics
+    // must work on any orderable id type, and degenerate pair lists
+    // (self-pairs, repeated pairs) must not distort components
+    val edges = Seq(("b", "c"), ("c", "d"), ("b", "c"), ("e", "e"), ("x", "a"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    got shouldBe Map("b" -> "b", "c" -> "b", "d" -> "b", "e" -> "e", "a" -> "a", "x" -> "a")
+
+    val (empty, iters) = Dedup.connectedComponentsIters(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    empty.count() shouldBe 0
+    iters shouldBe 1
+  }
+
+  test("dropNearDuplicates with no pairs keeps the corpus unchanged") {
+    import spark.implicits._
+    val docs = (1L to 4L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    kept.collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L, 4L)
+    Dedup.clearCheckpoints()
+  }
+
   test("connectedComponents propagates labels through chains, not just pairs") {
     import spark.implicits._
     // a 10-node chain (diameter 9 — several propagation rounds) + an
