@@ -53,7 +53,7 @@ object Dedup {
     * `observe` metric (`graft_cap_*`, column `rows_shed`) so recall loss at
     * scale is visible to listeners instead of silent.
     */
-  private def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame =
+  private[graft] def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame =
     df.withColumn("__bucket_i",
         row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(col("id"))))
       .observe(s"graft_cap_${capSeq.incrementAndGet()}",

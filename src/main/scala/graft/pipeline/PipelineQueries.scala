@@ -143,6 +143,23 @@ object PipelineQueries {
       Dedup.dropNearDuplicates(planted,
         plantedFound(Dedup.minhashPairs(planted, threshold = 0.5)))
     }),
+    // ingestion-time near-dup (StreamingDedup's batch form, same operators
+    // as the stream-static path): planted copies arrive as the "incoming"
+    // batch, the pre-plant subset is the indexed corpus — every copy must
+    // match its original, so the oracle is the full planted list. Matches
+    // are a multiset (one row per colliding band) — distinct() first.
+    "q_stream_neardup" -> ((s, dir) => {
+      val corpus = docs(s, dir).filter(col("doc_id") < NDistract)
+        .select(col("doc_id"), col("text"))
+      val incoming = docs(s, dir).filter(col("doc_id") < NPlant).select(
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"))
+      val idx = graft.streaming.StreamingDedup.corpusBandIndex(corpus)
+      plantedFound(
+        graft.streaming.StreamingDedup.nearDupMatches(incoming, idx)
+          .select(col("corpus_id").as("id_a"), col("id").as("id_b"))
+          .distinct())
+    }),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
@@ -251,6 +268,7 @@ object PipelineQueries {
     // each planted copy clusters with (and loses to) its lower-id original,
     // so exactly the pre-plant subset survives
     "q_dedup_keep_reps" -> s"SELECT doc_id, text FROM documents WHERE doc_id < $NDistract",
+    "q_stream_neardup" -> plantedOracle,
     "q_ann_brute" -> annTopKOracle,
     // The approximate paths are probe-sized to full recall on this corpus
     // (see AnnBits/AnnTables/IvfNProbe), so their exact-cosine rankings must

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.pipeline.Dedup
+
+/** Ingestion-time near-duplicate detection: match a STREAM of incoming
+  * documents against a band index of the already-ingested corpus — the
+  * check a training-data pipeline runs on every new crawl batch before
+  * admitting documents. The batch analog is [[graft.pipeline.Dedup
+  * .minhashPairs]]; this is its stream-static form (the reference engine is
+  * bounded-batch only, so the module is beyond-reference capability like
+  * the rest of `graft.streaming`).
+  *
+  * Scale design: the stream side is STATELESS — signature and band hashes
+  * are native map-side expressions (no shuffle, no streaming state store),
+  * so each micro-batch costs one pass over its own rows plus an equi join
+  * against the static index. The index carries signatures, not text
+  * (numHashes longs per distinct doc); hot bands (boilerplate) are capped
+  * at build time with the same [[Dedup.capBuckets]] budget the batch
+  * operators use, bounding any band's join fan-out. For a corpus that
+  * outgrows broadcast size, write the index bucketed by (band, band_hash)
+  * so micro-batches join against a fixed layout.
+  *
+  * Both entry points also accept batch frames unchanged (stream-static
+  * joins and map-side expressions are the same operators in either mode) —
+  * the driver query `q_stream_neardup` oracle-checks the batch form.
+  */
+object StreamingDedup {
+
+  private def tokens(textCol: String) = split(lower(col(textCol)), " ")
+
+  private def banded(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    docs.select(
+        col(idCol).as("id"),
+        minhashSignature(tokens(textCol), numHashes, 3, 42L).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(bandHashes(col("sig"), bands)).as(Seq("band", "band_hash")))
+  }
+
+  /** The static side: one row per band per corpus document —
+    * (band, band_hash, corpus_id, corpus_sig). Build once offline when the
+    * corpus changes; persist (or write bucketed by the two band columns)
+    * and hand it to [[nearDupMatches]]. Signature parameters MUST match
+    * between the two calls — same hash family, or nothing collides.
+    */
+  def corpusBandIndex(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      bucketCap: Int = Dedup.defaultBucketCap): DataFrame =
+    Dedup.capBuckets(banded(corpus, idCol, textCol, numHashes, bands), bucketCap, "band", "band_hash")
+      .select(col("band"), col("band_hash"),
+        col("id").as("corpus_id"), col("sig").as("corpus_sig"))
+
+  /** Match incoming documents against the corpus index: map-side signature +
+    * band explode on the stream side, stream-static equi join on
+    * (band, band_hash), exact signature-agreement verify to estimated
+    * Jaccard ≥ `threshold`. Emits (id, corpus_id, est_jaccard).
+    *
+    * Like [[Dedup.bandCandidates]] the result is a MULTISET — a pair
+    * colliding in several bands appears once per colliding band, because
+    * deduplicating inside the stream would need unbounded state. Downstream
+    * consumers aggregate per (id, corpus_id) (batch), or
+    * `dropDuplicatesWithinWatermark` when the input carries an event-time
+    * column (streaming).
+    */
+  def nearDupMatches(
+      docs: DataFrame,
+      bandIndex: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    banded(docs, idCol, textCol, numHashes, bands)
+      .join(bandIndex, Seq("band", "band_hash"))
+      .withColumn("est_jaccard", signatureAgreement(col("sig"), col("corpus_sig")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id"), col("corpus_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+}

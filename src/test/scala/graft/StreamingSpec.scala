@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, StreamingDedup}
 import graft.streaming.EventStreams.Event
 
 /** Drives the streaming operators through real micro-batches with a
@@ -76,6 +76,38 @@ class StreamingSpec extends SparkTestBase {
     sessions.length shouldBe 2
     sessions(0).getLong(3) shouldBe 3L
     sessions(1).getLong(3) shouldBe 2L
+  }
+
+  test("streaming near-dup matches incoming docs against the static corpus index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the warm afternoon sun"),
+      (2L, "spark structured streaming keeps bounded state under an event time watermark"),
+      (3L, "minhash signatures bucket similar documents into shared candidate bands")
+    ).toDF("doc_id", "text")
+    val idx = StreamingDedup.corpusBandIndex(corpus).persist()
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingDedup
+      .nearDupMatches(input.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    withQuery(query) {
+      // batch 1: a near-copy of corpus doc 1 and a genuinely novel doc
+      input.addData(
+        (100L, "the quick brown fox jumps over the lazy dog in the warm afternoon sun graftdup"),
+        (101L, "entirely unrelated words about cooking pasta with garlic and olive oil"))
+      query.processAllAvailable()
+      // batch 2: a near-copy of corpus doc 2 — the static index serves
+      // every micro-batch, no state carried on the stream side
+      input.addData(
+        (102L, "spark structured streaming keeps bounded state under an event time watermark graftdup"))
+      query.processAllAvailable()
+      // matches are a multiset (one row per colliding band) — distinct first
+      val got = s.table("neardup").collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      got.toSet shouldBe Set((100L, 1L), (102L, 2L))
+    }
+    idx.unpersist()
   }
 
   test("custom keyed state accumulates across micro-batches") {
