@@ -142,6 +142,30 @@ class PipelineSpec extends SparkTestBase {
     got.foreach { case (_, comp) => comp shouldBe 0L }
   }
 
+  test("nearDupMatches agrees with batch minhashPairs on every cross-side pair") {
+    import spark.implicits._
+    // same hash family, same bands, same threshold => the stream-static
+    // matcher must find EXACTLY the corpus×incoming subset of what the
+    // batch operator finds over the union — no extra, none missing
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    def doc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 30L).map(i => (i, doc()))
+    val copies = (0L until 10L).map(i => (100L + i, base(i.toInt)._2 + " omega"))
+    val idx = graft.streaming.StreamingDedup.corpusBandIndex(base.toDF("doc_id", "text"))
+    val streamForm = graft.streaming.StreamingDedup
+      .nearDupMatches(copies.toDF("doc_id", "text"), idx)
+      .select(col("corpus_id"), col("id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchForm = Dedup.minhashPairs((base ++ copies).toDF("doc_id", "text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 100L && b >= 100L }.toSet
+    Dedup.clearCaches()
+    streamForm shouldBe batchForm
+    // the planted cross-boundary copies are all found
+    (0L until 10L).foreach(i => streamForm should contain((i, 100L + i)))
+  }
+
   test("dropNearDuplicates keeps one representative per transitive cluster") {
     import spark.implicits._
     // 1~2~3 chain ((1,3) never paired directly), isolated pair (7,8),

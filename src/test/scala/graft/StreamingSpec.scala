@@ -106,6 +106,10 @@ class StreamingSpec extends SparkTestBase {
       // matches are a multiset (one row per colliding band) — distinct first
       val got = s.table("neardup").collect().map(r => (r.getLong(0), r.getLong(1))).distinct
       got.toSet shouldBe Set((100L, 1L), (102L, 2L))
+      // the scale claim, asserted: the stream side holds NO streaming state —
+      // per-batch cost is the batch's own rows + the static join, regardless
+      // of how much has been ingested before
+      query.lastProgress.stateOperators shouldBe empty
     }
     idx.unpersist()
   }
