@@ -270,6 +270,31 @@ object SparkEntry {
     "q_agg_cube" -> ((s, dir) =>
       t(s, dir, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"))),
+    // explicit GROUPING SETS (the general form rollup/cube desugar into)
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+    // exact interpolated percentiles (quantities are integral doubles, so
+    // the interpolated values are x.0/x.5 — bitwise-identical across
+    // engines without rounding)
+    "q_agg_percentile" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""SELECT l_returnflag,
+              |  percentile(l_quantity, 0.25) AS p25,
+              |  percentile(l_quantity, 0.5)  AS p50,
+              |  percentile(l_quantity, 0.75) AS p75
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+    // pivot (wide aggregation); sum(1) not count so absent combinations are
+    // NULL on both sides
+    "q_agg_pivot" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(lit(1L)))
+        .select(col("o_orderpriority"),
+          col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))),
     // Joins. Dimension sides (region/nation/customer-sized) are broadcast;
     // fact-fact joins shuffle on the join key and scale linearly.
     "q_join_inner" -> ((s, dir) => {
@@ -550,6 +575,16 @@ object SparkEntry {
       "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
     "q_agg_cube" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
       "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+    "q_agg_grouping_sets" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+      "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "q_agg_percentile" -> ("SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25, " +
+      "quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75 " +
+      "FROM lineitem GROUP BY l_returnflag"),
+    "q_agg_pivot" -> ("SELECT o_orderpriority, " +
+      "CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 END) AS BIGINT) AS n_f, " +
+      "CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 END) AS BIGINT) AS n_o, " +
+      "CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 END) AS BIGINT) AS n_p " +
+      "FROM orders GROUP BY o_orderpriority"),
     "q_join_inner" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),
     "q_join_left" -> ("SELECT c.c_custkey, count(o.o_orderkey) AS n_orders " +
