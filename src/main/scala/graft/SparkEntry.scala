@@ -295,6 +295,11 @@ object SparkEntry {
         .agg(sum(lit(1L)))
         .select(col("o_orderpriority"),
           col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))),
+    // set-valued aggregation: collect_set + sort_array gives a
+    // deterministic array column (collect order never leaks into the hash)
+    "q_agg_listsorted" -> ((s, dir) =>
+      t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"))),
     // Joins. Dimension sides (region/nation/customer-sized) are broadcast;
     // fact-fact joins shuffle on the join key and scale linearly.
     "q_join_inner" -> ((s, dir) => {
@@ -451,6 +456,21 @@ object SparkEntry {
         col("o_orderkey"), col("o_custkey"),
         round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
     }),
+    // distribution ranks + a bounded sliding frame. percent_rank is a raw
+    // integer division — bitwise-identical across engines; the moving sum
+    // goes through decimal so DuckDB's segment-tree aggregation order
+    // cannot produce a different last-bit double
+    "q_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val f = w.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(f)
+          .cast("double").as("mov_sum3"))
+    }),
     // Sort / top-k (Spark plans TakeOrderedAndProject — no full sort)
     "q_sort_limit" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -585,6 +605,9 @@ object SparkEntry {
       "CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 END) AS BIGINT) AS n_o, " +
       "CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 END) AS BIGINT) AS n_p " +
       "FROM orders GROUP BY o_orderpriority"),
+    "q_agg_listsorted" -> ("SELECT c_nationkey, " +
+      "list_sort(list(DISTINCT c_mktsegment)) AS segments " +
+      "FROM customer GROUP BY c_nationkey"),
     "q_join_inner" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),
     "q_join_left" -> ("SELECT c.c_custkey, count(o.o_orderkey) AS n_orders " +
@@ -633,6 +656,12 @@ object SparkEntry {
     "q_window_running" -> ("SELECT o_orderkey, o_custkey, " +
       "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders"),
+    "q_window_frames" -> ("SELECT o_orderkey, o_custkey, ntile(4) OVER w AS quartile, " +
+      "percent_rank() OVER w AS pct_rank, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3 " +
+      "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
     "q_sort_limit" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
     "q_set_union" -> ("SELECT c_nationkey AS nk FROM customer " +
