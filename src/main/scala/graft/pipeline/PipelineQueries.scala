@@ -82,7 +82,7 @@ object PipelineQueries {
     * (bits ≈ log2(n / bucket_rows), nprobe ≈ 2-4).
     */
   private val AnnBits = 4
-  private val AnnTables = 4
+  private val AnnTables = 6
   private val IvfNProbe = 8
 
   private def ivfIndexPath(s: SparkSession, dir: String): String =
