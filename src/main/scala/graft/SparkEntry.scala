@@ -296,10 +296,13 @@ object SparkEntry {
         .select(col("o_orderpriority"),
           col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))),
     // set-valued aggregation: collect_set + sort_array gives a
-    // deterministic array column (collect order never leaks into the hash)
+    // deterministic ordering (collect order never leaks into the hash);
+    // array_join flattens to a scalar so the oracle harness can sort/hash
+    // the result frame (it cannot compare array-typed cells)
     "q_agg_listsorted" -> ((s, dir) =>
       t(s, dir, "customer").groupBy(col("c_nationkey"))
-        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"))),
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"))),
     // Joins. Dimension sides (region/nation/customer-sized) are broadcast;
     // fact-fact joins shuffle on the join key and scale linearly.
     "q_join_inner" -> ((s, dir) => {
@@ -606,7 +609,7 @@ object SparkEntry {
       "CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 END) AS BIGINT) AS n_p " +
       "FROM orders GROUP BY o_orderpriority"),
     "q_agg_listsorted" -> ("SELECT c_nationkey, " +
-      "list_sort(list(DISTINCT c_mktsegment)) AS segments " +
+      "array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments " +
       "FROM customer GROUP BY c_nationkey"),
     "q_join_inner" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),

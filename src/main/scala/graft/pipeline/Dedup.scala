@@ -397,9 +397,16 @@ object Dedup {
     // count IS the cost (observed ~1.7× on the planted-cluster bench query).
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    // Edge symmetrization in ONE scan of `pairs`: explode each pair into its
+    // two directed edges map-side. The previous union-of-two-selects form
+    // evaluated the whole upstream pair pipeline (LSH candidates + verify
+    // join) TWICE inside round 1's materializing job — with no persist to
+    // paper over it, one scan is the scale-correct shape.
     val edges = ckpt(pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // Round 1 degenerates: over identity labels (component = id), the
     // neighbor minimum is just min(dst) per src and the label-of-label
     // lookup is the identity — so the whole round (plus the distinct-id
