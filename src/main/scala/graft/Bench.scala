@@ -20,11 +20,12 @@ import graft.prepared.PreparedStatements
   *   - every query is run `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
   *     MEDIAN is reported — one GC pause or compilation stall no longer
   *     defines a query's number;
-  *   - the amortization experiment runs in two brackets, before and after
-  *     the 80-query loop, several cycles each; the headline is the median
-  *     over all cycles and both bracket medians are reported, so a
-  *     session-state drift between brackets is visible instead of silently
-  *     folded into one number;
+  *   - the amortization experiment runs in three brackets — before, midway
+  *     through, and after the query loop — several cycles each, with a
+  *     GC settle ahead of every bracket; the headline is the median over
+  *     all cycles and each bracket median is reported, so a session-state
+  *     drift is visible (and bisectable to a loop half) instead of
+  *     silently folded into one number;
   *   - a query that throws reports `null` (and lands in `"failed"`), never a
   *     wall-time — a broken query must not show up as a fast one;
   *   - `queries_stats` carries per-query {min, med, max} over the reps
@@ -60,6 +61,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Long-session hygiene: the r9 official run showed the prepared path
+      // ~2× slower in the post-loop bracket while unprepared stayed flat —
+      // short jobs are the first casualty of driver-session state that
+      // accumulates over a 90-query loop. Bound the accumulators: the
+      // app/SQL status stores retain up to 1000 executions' plan graphs
+      // even with the UI off — driver-heap litter that taxes GC.
+      // (Deliberately NOT raised: spark.sql.codegen.cache.maxEntries. The
+      // default 100-entry LRU makes each amortization cycle's 50 distinct
+      // literal-inlined texts recompile — which is what a real ad-hoc
+      // workload pays. A 2000-entry cache was measured to hand the
+      // unprepared path a cross-cycle codegen-hit subsidy (1.66 s → 1.11 s)
+      // no ad-hoc workload would see, while prepared stayed flat — the
+      // BoundParam source is bind-invariant, so one resident class per
+      // stage suffices and even an eviction costs one recompile, not 50.)
+      .config("spark.sql.ui.retainedExecutions", "100")
+      .config("spark.ui.retainedJobs", "300")
+      .config("spark.ui.retainedStages", "300")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -150,7 +168,18 @@ object Bench {
         s"amortization paths disagree: prepared=$nPrep unprepared=$nUnprep parameterized=$nParam")
       (p, u, a)
     }
-    def bracket(): Seq[(Double, Double, Double)] = (0 until math.max(3, reps)).map(_ => amortCycle())
+    // Settle before each bracket: a System.gc() both drains pending
+    // ContextCleaner work (dropped RDD/broadcast cleanup is weak-ref
+    // triggered) and levels the heap, so every bracket measures the
+    // execution path from a comparable session state instead of whatever
+    // garbage the preceding work left behind. The r9 official artifact
+    // showed exactly that contamination: after-bracket prepared 1.99 s vs
+    // before-bracket 1.05 s on identical code.
+    def settle(): Unit = { System.gc(); Thread.sleep(200) }
+    def bracket(): Seq[(Double, Double, Double)] = {
+      settle()
+      (0 until math.max(3, reps)).map(_ => amortCycle())
+    }
     def bracketJson(cycles: Seq[(Double, Double, Double)]): String = {
       val (p, u, a) = (median(cycles.map(_._1)), median(cycles.map(_._2)), median(cycles.map(_._3)))
       s"""{"prepared_sec":${fmt(p)},"unprepared_sec":${fmt(u)},"parameterized_sec":${fmt(a)},""" +
@@ -163,7 +192,8 @@ object Bench {
     // keep ALL rep timings per query: the headline stays the median, but
     // min/max go into "queries_stats" so run-to-run spread (host load, cold
     // page cache) is visible in the artifact itself instead of argued about
-    val results: Seq[(String, Option[Seq[Double]])] = selected.map { case (name, fn) =>
+    def runQueries(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Option[Seq[Double]])] = qs.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var r = 0
@@ -186,9 +216,16 @@ object Bench {
       }
       name -> (if (failed) None else Some(times.toSeq))
     }
+    // bracket 2 runs MID-loop: if a future round's after-bracket collapses
+    // again, mid-vs-after distinguishes monotone session-state accumulation
+    // (mid already degraded) from a step change in the second half's queries
+    val (firstHalf, secondHalf) = selected.splitAt(selected.length / 2)
+    val resultsFirst = runQueries(firstHalf)
+    val amortMid = bracket() // bracket 2: halfway through the query loop
+    val results = resultsFirst ++ runQueries(secondHalf)
     val failedNames = results.collect { case (n, None) => n }
 
-    val amortLast = bracket() // bracket 2: after the query loop, same session
+    val amortLast = bracket() // bracket 3: after the query loop, same session
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(ts => fmt(median(ts))).getOrElse("null") }
@@ -199,7 +236,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2.map(median)).sum
-    val all = amortFirst ++ amortLast
+    val all = amortFirst ++ amortMid ++ amortLast
     val medPrep = median(all.map(_._1)); val medUnprep = median(all.map(_._2))
     val amortization =
       s"""{"keys":${keys.length},"cycles":${all.length},""" +
@@ -207,6 +244,7 @@ object Bench {
         s""""parameterized_sec":${fmt(median(all.map(_._3)))},""" +
         f""""speedup_prepared_vs_unprepared":${medUnprep / medPrep}%.2f,""" +
         s""""bracket_before_queries":${bracketJson(amortFirst)},""" +
+        s""""bracket_mid_queries":${bracketJson(amortMid)},""" +
         s""""bracket_after_queries":${bracketJson(amortLast)}}"""
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
