@@ -104,6 +104,16 @@ object SparkEntry {
       prep(s, dir,
         """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
           |FROM orders WHERE o_custkey >= $1 GROUP BY o_orderstatus""".stripMargin)("$1" -> 100L)),
+    // the multi-grouping aggregate surface through prepare(): the Expand
+    // operator GROUPING SETS plans into is cloned-and-substituted per
+    // execute like any other physical node — the whole SQL surface is
+    // reachable through the prepared path, not just scans and joins
+    "q_prep_groupsets" -> ((s, dir) =>
+      prep(s, dir,
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          |FROM orders WHERE o_totalprice > $1
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)(
+        "$1" -> 400000.0)),
     // B13 through the DSv2 keyed source: a prepared IN-list lookup against
     // an indexed in-memory table — ScanRebind turns each execute into an
     // index lookup shipping only the matching rows (the reference's
@@ -176,6 +186,9 @@ object SparkEntry {
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),
     "q_prep_agg" -> ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total " +
       "FROM orders WHERE o_custkey >= 100 GROUP BY o_orderstatus"),
+    "q_prep_groupsets" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+      "FROM orders WHERE o_totalprice > 400000.0 " +
+      "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
     "q_prep_keyed" -> ("SELECT p_partkey, p_name, p_retailprice FROM part " +
       "WHERE p_partkey IN (3, 7, 11)"),
     "q_prep_subquery" -> ("SELECT o_orderkey, o_totalprice FROM orders " +

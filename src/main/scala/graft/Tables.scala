@@ -49,18 +49,7 @@ object Tables {
     bucketedFor.getOrElseUpdate((spark, sfDir), {
       val suffix = math.abs(sfDir.hashCode).toString
       val (cName, oName) = (s"b_customer_$suffix", s"b_orders_$suffix")
-      // a previous JVM may have left the managed location behind while this
-      // session's (in-memory) catalog has no such table — clear both
-      Seq(cName, oName).foreach { n =>
-        spark.sql(s"DROP TABLE IF EXISTS $n")
-        val loc = new java.io.File(
-          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, n)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        if (loc.exists()) rm(loc)
-      }
+      Seq(cName, oName).foreach(dropManaged(spark, _))
       df(spark, sfDir, "customer")
         .write.mode("overwrite").bucketBy(16, "c_custkey").sortBy("c_custkey")
         .saveAsTable(cName)
@@ -69,4 +58,20 @@ object Tables {
         .saveAsTable(oName)
       (cName, oName)
     })
+
+  /** Drop a managed table AND its warehouse directory: a previous JVM may
+    * have left the managed location behind while this session's (in-memory)
+    * catalog has no such table — `saveAsTable` would then fail on the
+    * leftover files.
+    */
+  def dropManaged(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+  }
 }

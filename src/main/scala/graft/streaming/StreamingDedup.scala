@@ -21,8 +21,9 @@ import graft.pipeline.Dedup
   * (numHashes longs per distinct doc); hot bands (boilerplate) are capped
   * at build time with the same [[Dedup.capBuckets]] budget the batch
   * operators use, bounding any band's join fan-out. For a corpus that
-  * outgrows broadcast size, write the index bucketed by (band, band_hash)
-  * so micro-batches join against a fixed layout.
+  * outgrows broadcast size, [[writeBucketedCorpusBandIndex]] persists the
+  * index bucketed by (band, band_hash) so micro-batches join against a
+  * fixed layout with no index-side shuffle.
   *
   * Both entry points also accept batch frames unchanged (stream-static
   * joins and map-side expressions are the same operators in either mode) —
@@ -62,6 +63,48 @@ object StreamingDedup {
     Dedup.capBuckets(banded(corpus, idCol, textCol, numHashes, bands), bucketCap, "band", "band_hash")
       .select(col("band"), col("band_hash"),
         col("id").as("corpus_id"), col("sig").as("corpus_sig"))
+
+  /** The scale path for a corpus index that outgrows broadcast: write the
+    * band index as a managed table hash-BUCKETED by its join keys
+    * (band, band_hash), so every micro-batch's stream-static join plans
+    * with ZERO exchange on the index side — the bucketed scan already
+    * satisfies the join's required distribution, and only the (small)
+    * micro-batch is shuffled, into `numBuckets` partitions. Without this
+    * layout the full index would be re-shuffled (or re-broadcast) on every
+    * micro-batch; with it the per-batch cost is ∝ batch size, independent
+    * of corpus size. Buckets are additionally sorted by the join keys at
+    * write time — Spark's reader does not consume sortBy metadata (so the
+    * plan still carries an index-side sort node), but sorting nearly-sorted
+    * runs is cheap and keeps bucket files compressible.
+    *
+    * Rebuild when the corpus changes (the write replaces the table); pass
+    * the returned frame — or `spark.table(tableName)` in a later session
+    * with the same warehouse — to [[nearDupMatches]]. Signature parameters
+    * MUST match the matching call, as with [[corpusBandIndex]].
+    *
+    * Sizing: `numBuckets` bounds per-task index volume at match time —
+    * choose ≈ index_rows × row_width / target_partition_bytes (e.g. 10⁹
+    * docs × 16 bands ≈ 1.6·10¹⁰ rows × ~100 B ≈ 1.6 TB → ~12k buckets of
+    * ~128 MB).
+    */
+  def writeBucketedCorpusBandIndex(
+      corpus: DataFrame,
+      tableName: String,
+      numBuckets: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.Tables.dropManaged(spark, tableName)
+    corpusBandIndex(corpus, idCol, textCol, numHashes, bands, bucketCap)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "band", "band_hash")
+      .sortBy("band", "band_hash")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+  }
 
   /** Match incoming documents against the corpus index: map-side signature +
     * band explode on the stream side, stream-static equi join on

@@ -114,6 +114,60 @@ class StreamingSpec extends SparkTestBase {
     idx.unpersist()
   }
 
+  test("bucketed corpus band index: no index-side shuffle, matches agree") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the warm afternoon sun"),
+      (2L, "spark structured streaming keeps bounded state under an event time watermark"),
+      (3L, "minhash signatures bucket similar documents into shared candidate bands")
+    ).toDF("doc_id", "text")
+    val idx = StreamingDedup.writeBucketedCorpusBandIndex(
+      corpus, "neardup_idx_bucketed", numBuckets = 4)
+    try {
+      // Plan shape, batch form (a stream-static micro-batch plans the same
+      // join): force the non-broadcast path and assert the ONLY shuffle is
+      // the probe side's — the bucketed scan already satisfies the join's
+      // required distribution, so the index never moves. This is the claim
+      // that makes the layout viable for a corpus that outgrows broadcast.
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probes = Seq(
+          (100L, "the quick brown fox jumps over the lazy dog in the warm afternoon sun graftdup"),
+          (101L, "entirely unrelated words about cooking pasta with garlic and olive oil")
+        ).toDF("doc_id", "text")
+        val matches = StreamingDedup.nearDupMatches(probes, idx)
+        // executed plan (post-EnsureRequirements — sparkPlan has no
+        // exchanges yet): the index scans its bucketed layout, and the one
+        // and only Exchange in the plan is the probe side's
+        val plan = matches.queryExecution
+          .explainString(org.apache.spark.sql.execution.SimpleMode)
+        plan should include("Bucketed: true")
+        plan.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+        matches.select("id", "corpus_id").distinct()
+          .as[(Long, Long)].collect().toSet shouldBe Set((100L, 1L))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      // stream form against the same bucketed table: match set agrees and
+      // the stream side still holds no state
+      val input = MemoryStream[(Long, String)]
+      val query = StreamingDedup
+        .nearDupMatches(input.toDF().toDF("doc_id", "text"), idx)
+        .writeStream.format("memory").queryName("neardup_bucketed").outputMode("append").start()
+      withQuery(query) {
+        input.addData(
+          (200L, "minhash signatures bucket similar documents into shared candidate bands graftdup"),
+          (201L, "completely different sentences about sailing across a cold northern sea"))
+        query.processAllAvailable()
+        val got = s.table("neardup_bucketed").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).distinct
+        got.toSet shouldBe Set((200L, 3L))
+        query.lastProgress.stateOperators shouldBe empty
+      }
+    } finally Tables.dropManaged(s, "neardup_idx_bucketed")
+  }
+
   test("custom keyed state accumulates across micro-batches") {
     val s = spark
     import s.implicits._
