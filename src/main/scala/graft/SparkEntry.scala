@@ -414,6 +414,18 @@ object SparkEntry {
       graft.operators.AsOfJoin.asofJoinBackward(purchases, clicks, "user_id", "ts", "ts")
         .select(col("event_id"), col("user_id"), col("asof_value"))
     }),
+    // Forward as-of: the mirror direction (earliest click AT OR AFTER each
+    // purchase) — the "next observation" join; oracle is DuckDB ASOF with
+    // the inequality flipped.
+    "q_join_asof_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asofJoinForward(purchases, clicks, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+    }),
     // Salted as-of join: the skew remedy (AsOfJoin.asofJoinBackwardSalted)
     // must be result-equal to the plain operator — asserted against the SAME
     // DuckDB ASOF oracle. The 4 heaviest purchase keys are genuinely salted
@@ -643,6 +655,10 @@ object SparkEntry {
       "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
       "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c " +
       "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "q_join_asof_fwd" -> ("SELECT p.event_id, p.user_id, c.value AS asof_value " +
+      "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+      "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c " +
+      "ON p.user_id = c.user_id AND p.ts <= c.ts"),
     // the salted variant is result-equal by construction — same oracle
     "q_join_asof_salted" -> ("SELECT p.event_id, p.user_id, c.value AS asof_value " +
       "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +

@@ -38,6 +38,36 @@ object AsOfJoin {
       rightTs: String): DataFrame =
     asofJoinBackwardSalted(left, right, key, leftTs, rightTs, hot = Nil)
 
+  /** Forward as-of join: the mirror of [[asofJoinBackward]] — for each left
+    * row, the values of the single right row with the SMALLEST `rightTs` ≥
+    * `leftTs` in the same key group (the "next observation at or after"
+    * join: next price tick after an order, next sensor reading after an
+    * alarm). Same one-shuffle windowed composition, traversed in
+    * descending timestamp order; ties are visible (= "≥", matching DuckDB
+    * `ASOF ... ON l.ts <= r.ts`).
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String): DataFrame =
+    asofJoinForwardSalted(left, right, key, leftTs, rightTs, hot = Nil)
+
+  /** [[asofJoinForward]] with hot-key salting — see
+    * [[asofJoinBackwardSalted]] for the mechanism and trade-offs (identical
+    * here; only the traversal direction differs).
+    */
+  def asofJoinForwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      hot: Seq[Any],
+      buckets: Int = 16): DataFrame =
+    asofJoinSalted(left, right, key, leftTs, rightTs, hot, buckets, forward = true)
+
   /** [[asofJoinBackward]] with the listed `hot` keys salted across `buckets`
     * window sub-partitions — the remedy for the plain operator's skew
     * caveat (one dominant key serializes its whole history onto one task).
@@ -64,7 +94,18 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       hot: Seq[Any],
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16): DataFrame =
+    asofJoinSalted(left, right, key, leftTs, rightTs, hot, buckets, forward = false)
+
+  private def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      hot: Seq[Any],
+      buckets: Int,
+      forward: Boolean): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val rightVals = right.columns.filterNot(c => c == key || c == rightTs).toSeq
     val asofCols = rightVals.map("asof_" + _)
@@ -91,8 +132,13 @@ object AsOfJoin {
       .withColumn("__asof_left", lit(0))
       .withColumn("__asof_salt", explode(rightSalts))
 
+    // backward walks timestamps ascending (latest prior value wins);
+    // forward walks them descending (earliest later value wins). Right rows
+    // order before left rows at equal ts either way, so same-instant
+    // observations are visible in both directions.
+    val tsOrder = if (forward) col("__asof_ts").desc else col("__asof_ts").asc
     val w = Window.partitionBy(col(key), col("__asof_salt"))
-      .orderBy(col("__asof_ts"), col("__asof_left"))
+      .orderBy(tsOrder, col("__asof_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     asofCols

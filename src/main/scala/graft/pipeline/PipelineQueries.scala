@@ -182,6 +182,12 @@ object PipelineQueries {
     // fan-out (the flatMap shape) gets a real DuckDB oracle
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSampleStub(docs(s, dir)).toDF().select("doc_id", "frame_idx")),
+    // deterministic train/val/test assignment: membership is a pure
+    // function of doc_id (md5 bucket), so the full (doc_id, split) frame is
+    // replayable by any engine — the DuckDB twin re-derives every row
+    "q_split_assign" -> ((s, dir) =>
+      Splits.assignByMd5(docs(s, dir).select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
     // end-to-end curation: exact dedup -> quality gate -> per-language token
     // budget. The composition every training-data pipeline runs before
     // tokenization; each stage is DuckDB-replayable so the whole chain gets
@@ -338,6 +344,16 @@ object PipelineQueries {
       "WHERE (length(text) - length(replace(text, ' ', '')) + 1) >= 20 " +
       "AND (length(text) - (length(text) - length(replace(text, ' ', '')) + 1) + 1) <= " +
       "(length(text) - length(replace(text, ' ', '')) + 1) * 12" +
-      ") q JOIN documents d ON q.doc_id = d.doc_id GROUP BY d.lang")
+      ") q JOIN documents d ON q.doc_id = d.doc_id GROUP BY d.lang"),
+    // DuckDB has no base-16 string->int conversion, so the 4 hex digits are
+    // decoded positionally (strpos over the hex alphabet) — same value as
+    // Spark's conv(substr(md5, 1, 4), 16, 10)
+    "q_split_assign" -> ("SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
+      "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, " +
+      "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096" +
+      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256" +
+      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16" +
+      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100 AS b " +
+      "FROM documents)")
   )
 }

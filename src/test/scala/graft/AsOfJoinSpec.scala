@@ -36,6 +36,54 @@ class AsOfJoinSpec extends SparkTestBase {
       (3L, 50L, 600L, None))
   }
 
+  test("forward: each left row gets the smallest right ts >= its ts, per key") {
+    val quotes = Seq(
+      (1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 15L, 9.0)
+    ).toDF("k", "qts", "price")
+    val trades = Seq(
+      (1L, 5L, 100L),  // before any quote -> the 10L quote
+      (1L, 20L, 200L), // equal ts -> sees the 20L quote (>= semantics)
+      (1L, 25L, 300L), // between -> 30L quote
+      (1L, 99L, 400L), // after all -> null
+      (2L, 14L, 500L), // other key -> its own quote
+      (3L, 50L, 600L)  // key with no quotes -> null
+    ).toDF("k", "ts", "qty")
+
+    val got = AsOfJoin.asofJoinForward(trades, quotes, "k", "ts", "qts")
+      .select(col("k"), col("ts"), col("qty"), col("asof_price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+
+    got shouldBe Set(
+      (1L, 5L, 100L, Some(1.0)),
+      (1L, 20L, 200L, Some(2.0)),
+      (1L, 25L, 300L, Some(3.0)),
+      (1L, 99L, 400L, None),
+      (2L, 14L, 500L, Some(9.0)),
+      (3L, 50L, 600L, None))
+  }
+
+  test("forward matches a naive per-row computation on random data") {
+    val rnd = new scala.util.Random(7)
+    val lefts = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, rnd.nextLong()))
+    val rights = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = lefts.toDF("k", "ts", "v")
+    val r = rights.toDF("k", "rts", "price")
+
+    val got = AsOfJoin.asofJoinForward(l, r, "k", "ts", "rts")
+      .select(col("k"), col("ts"), col("v"), col("asof_price"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+
+    val expected = lefts.map { case (k, ts, v) =>
+      val m = rights.filter(q => q._1 == k && q._2 >= ts).sortBy(_._2).headOption.map(_._3)
+      (k, ts, v, m)
+    }.toSet
+    got shouldBe expected
+  }
+
   test("matches a naive per-row computation on random data") {
     val rnd = new scala.util.Random(3)
     val lefts = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, rnd.nextLong()))
