@@ -308,6 +308,21 @@ object SparkEntry {
         .agg(sum(lit(1L)))
         .select(col("o_orderpriority"),
           col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))),
+    // Sketch aggregation: HLL distinct-count (Apache DataSketches via
+    // hll_sketch_agg) gated against the exact count. The estimate itself is
+    // engine-specific, so the driver-checked contract is the deterministic
+    // accuracy BOOLEAN (HLL at default lgK=12 is well under 5% on these
+    // cardinalities) next to the exact count — the oracle asserts both. At
+    // 100 TB the sketch is the point: mergeable partial state per partition,
+    // constant size, one narrow shuffle — where countDistinct must shuffle
+    // every distinct value.
+    "q_agg_hll" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n_est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_est") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.05).as("hll_ok"))),
     // set-valued aggregation: collect_set + sort_array gives a
     // deterministic ordering (collect order never leaks into the hash);
     // array_join flattens to a scalar so the oracle harness can sort/hash
@@ -633,6 +648,10 @@ object SparkEntry {
       "CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 END) AS BIGINT) AS n_o, " +
       "CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 END) AS BIGINT) AS n_p " +
       "FROM orders GROUP BY o_orderpriority"),
+    // the estimate is engine-specific; the cross-engine contract is the
+    // exact count plus the accuracy gate holding (TRUE for every group)
+    "q_agg_hll" -> ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
+      "TRUE AS hll_ok FROM events GROUP BY event_type"),
     "q_agg_listsorted" -> ("SELECT c_nationkey, " +
       "array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments " +
       "FROM customer GROUP BY c_nationkey"),

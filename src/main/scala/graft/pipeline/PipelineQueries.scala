@@ -171,6 +171,7 @@ object PipelineQueries {
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langIdGuess(docs(s, dir))),
     "q_text_lang_dist" -> ((s, dir) => TextAnalysis.langDistribution(docs(s, dir))),
+    "q_text_vocab" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir), k = 100)),
     // md5 half is cross-engine checkable; the rolling hash is graft-native
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)).select("doc_id", "md5_hex")),
     "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)).select("doc_id", "roll_hash")),
@@ -295,6 +296,11 @@ object PipelineQueries {
       "FROM documents"),
     "q_text_langid" -> langIdOracle,
     "q_text_lang_dist" -> "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+    // top-k cut is deterministic: (tf DESC, term) is a total order
+    "q_text_vocab" -> ("SELECT term, count(*) AS tf, " +
+      "CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM " +
+      "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
+      "GROUP BY term ORDER BY tf DESC, term LIMIT 100"),
     "q_text_bpe" -> {
       val p = TextAnalysis.BpePattern.replace("'", "''")
       s"SELECT doc_id, CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_bpe_tokens, " +

@@ -26,6 +26,22 @@ object TextAnalysis {
       expr("cast(aggregate(transform(split(text, ' '), t -> length(t)), 0, (a, v) -> a + v) AS double) " +
         "/ cast(size(split(text, ' ')) AS double)").as("avg_token_len"))
 
+  /** Corpus vocabulary — the tokenizer-training precursor: one row per term
+    * with total occurrences (`tf`) and document frequency (`df`), the top
+    * `k` terms by `tf` with a lexicographic tie-break (fully deterministic
+    * cut even at the rank-k boundary). The top-k plans as
+    * `TakeOrderedAndProject` — per-partition partial top-k merged on the
+    * driver, never a global sort — and both counts come out of ONE
+    * aggregation over the exploded (doc_id, term) stream, so the pass over
+    * a 100 TB corpus is explode → partial agg → one shuffle on term.
+    */
+  def vocabulary(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+
   /** GPT-2-style BPE pre-tokenization pattern (contractions, letter runs,
     * digit runs, punctuation runs, whitespace runs) — the standard proxy for
     * LLM token counting without a merges table. Kept to RE2-compatible
