@@ -30,21 +30,30 @@ object Splits {
     * engine-independent). 16 bits of hash over `buckets` ≤ 1000 keeps
     * bucket-occupancy skew below 2% of a 65k-value space.
     */
-  def md5Bucket(id: Column, buckets: Int): Column =
+  def md5Bucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= 1000,
+      s"md5Bucket draws 16 bits of hash; buckets must be in (0, 1000] to keep " +
+        s"occupancy skew under 2% of the 65536-value space, got $buckets")
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % buckets
+  }
 
   /** Bucket in [0, buckets) from `xxhash64(id, seed)` — the in-engine scale
     * path: one codegen'd long hash, no string materialization. Different
     * seeds give independent splits (e.g. a cross-validation re-fold).
     */
-  def hashBucket(id: Column, buckets: Int, seed: Int = 42): Column =
+  def hashBucket(id: Column, buckets: Int, seed: Int = 42): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     pmod(xxhash64(id, lit(seed)), lit(buckets.toLong)).cast("int")
+  }
 
   /** Assign each row a split label by cumulative bucket ranges:
     * `fractions` like `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`
-    * (must sum to 1 within 1e-9; fractions × `buckets` must be whole, so
-    * the advertised proportions are exact bucket counts, not roundings).
-    * Adds `splitCol` and keeps every input column.
+    * (each fraction in (0, 1], summing to 1 within 1e-9; fractions ×
+    * `buckets` must be whole, so the advertised proportions are exact
+    * bucket counts, not roundings). Adds `splitCol` and keeps every input
+    * column. A NULL id hashes to NULL, every `when` comparison yields
+    * NULL, and the row falls through to the LAST split — callers who
+    * cannot tolerate null ids in the final split should filter them first.
     */
   def assign(
       df: DataFrame,
@@ -53,6 +62,8 @@ object Splits {
       buckets: Int = 100,
       splitCol: String = "split"): DataFrame = {
     require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.forall { case (_, f) => f > 0 && f <= 1 },
+      s"every fraction must be in (0, 1], got ${fractions.map(_._2).mkString(", ")}")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val cuts = fractions.map { case (name, f) =>

@@ -145,7 +145,12 @@ class StreamingSpec extends SparkTestBase {
         val plan = matches.queryExecution
           .explainString(org.apache.spark.sql.execution.SimpleMode)
         plan should include("Bucketed: true")
-        plan.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+        // count SHUFFLE exchanges specifically ("Exchange hashpartitioning"
+        // is ShuffleExchangeExec's rendering) — a bare "Exchange" substring
+        // would also match BroadcastExchange/ReusedExchange node names.
+        // (Walking executedPlan.collect misses the inner plan under AQE's
+        // AdaptiveSparkPlanExec wrapper, so match the rendered plan.)
+        "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
         matches.select("id", "corpus_id").distinct()
           .as[(Long, Long)].collect().toSet shouldBe Set((100L, 1L))
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
