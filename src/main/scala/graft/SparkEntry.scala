@@ -114,6 +114,15 @@ object SparkEntry {
           |FROM orders WHERE o_totalprice > $1
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)(
         "$1" -> 400000.0)),
+    // window function through prepare(): the Window exec (partition/order
+    // specs and frame) clones per execute with the WHERE placeholder
+    // re-bound — the r9/r10 analytic surface reachable via the prepared
+    // path, like q_prep_groupsets did for Expand
+    "q_prep_window" -> ((s, dir) =>
+      prep(s, dir,
+        """SELECT c_custkey, c_acctbal,
+          |rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+          |FROM customer WHERE c_nationkey = $1""".stripMargin)("$1" -> 7)),
     // B13 through the DSv2 keyed source: a prepared IN-list lookup against
     // an indexed in-memory table — ScanRebind turns each execute into an
     // index lookup shipping only the matching rows (the reference's
@@ -189,6 +198,9 @@ object SparkEntry {
     "q_prep_groupsets" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
       "FROM orders WHERE o_totalprice > 400000.0 " +
       "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "q_prep_window" -> ("SELECT c_custkey, c_acctbal, " +
+      "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk " +
+      "FROM customer WHERE c_nationkey = 7"),
     "q_prep_keyed" -> ("SELECT p_partkey, p_name, p_retailprice FROM part " +
       "WHERE p_partkey IN (3, 7, 11)"),
     "q_prep_subquery" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
@@ -414,6 +426,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(min(col("o_totalprice")), 2).as("min_price"),
           round(max(col("o_totalprice")), 2).as("max_price"))
+    }),
+    // Binned point-in-interval join (operators/RangeJoin.scala): both sides
+    // LARGE, so the broadcast nested-loop of q_join_range is unavailable —
+    // the binning rewrite turns the containment predicate into an equi join
+    // on a bin key + residual filter (PlanShapeSpec asserts no
+    // BroadcastNestedLoopJoin/CartesianProduct). Here: for every distinct
+    // ship date, how many orders have it inside their 30-day window.
+    "q_join_interval" -> ((s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val points = t(s, dir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("ship_date")).distinct()
+        .withColumn("d", datediff(col("ship_date"), epoch).cast("long"))
+      val intervals = t(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), epoch).cast("long").as("win_start"))
+        .withColumn("win_end", col("win_start") + 30)
+      graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "d", "win_start", "win_end", binSize = 32)
+        .groupBy(col("ship_date"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+    // Binned interval-overlap join: urgent-order 4-day windows × low-order
+    // 4-day windows, each overlapping pair counted exactly once (canonical
+    // bin claims the pair — no post-join distinct). Both sides fact-sized;
+    // a nested-loop here is O(n²) at scale.
+    "q_join_overlap" -> ((s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(datediff(to_date(col("o_orderdate")), epoch).cast("long").as("u_start"))
+        .withColumn("u_end", col("u_start") + 3)
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(datediff(to_date(col("o_orderdate")), epoch).cast("long").as("w_start"))
+        .withColumn("w_end", col("w_start") + 3)
+      graft.operators.RangeJoin
+        .intervalOverlap(urgent, low, "u_start", "u_end", "w_start", "w_end", binSize = 4)
+        .groupBy(col("u_start"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .select(date_add(epoch, col("u_start").cast("int")).as("urgent_day"),
+          col("n_overlaps"))
     }),
     // Backward as-of join (operators/AsOfJoin.scala): each purchase event
     // matched to the user's most recent prior-or-same-instant click. One
@@ -688,6 +739,15 @@ object SparkEntry {
       "FROM orders JOIN (VALUES ('tiny', 0.0, 50000.0), ('small', 50000.0, 150000.0), " +
       "('mid', 150000.0, 300000.0), ('large', 300000.0, 450000.0), ('huge', 450000.0, 1e9)) " +
       "AS bands(band, lo, hi) ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band"),
+    // the binned rewrites must equal the plain inequality joins
+    "q_join_interval" -> ("SELECT p.ship_date, count(*) AS n_orders FROM " +
+      "(SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem) p " +
+      "JOIN orders o ON p.ship_date >= CAST(o.o_orderdate AS DATE) " +
+      "AND p.ship_date <= CAST(o.o_orderdate AS DATE) + 30 GROUP BY p.ship_date"),
+    "q_join_overlap" -> ("SELECT CAST(a.o_orderdate AS DATE) AS urgent_day, count(*) AS n_overlaps " +
+      "FROM orders a JOIN orders b ON CAST(a.o_orderdate AS DATE) <= CAST(b.o_orderdate AS DATE) + 3 " +
+      "AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + 3 " +
+      "WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '5-LOW' GROUP BY 1"),
     // the salted join must be row-for-row the plain join
     "q_join_salted" -> ("SELECT o.o_custkey, count(*) AS n_items, " +
       "CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +

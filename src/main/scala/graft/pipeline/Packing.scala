@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sequence packing — the step between a curated corpus and a
+  * token-budgeted training run: lay the documents out in a reproducible
+  * order and assign each to the fixed-size pack (training sequence of
+  * `seqLen` tokens) its first token lands in. Downstream writers split a
+  * document that straddles a pack boundary at read time; what must be
+  * GLOBALLY deterministic — and is, here — is the order and the offsets.
+  *
+  * Layout: each doc hashes to one of `shards` shards ([[Sampling.md5Uniform]]
+  * mod `shards` — engine-replayable, retry-stable); within a shard, docs are
+  * ordered by (md5(id), id) — a deterministic uniform shuffle, which is what
+  * training wants anyway (no curriculum leakage from ingest order); a
+  * running token total gives each doc its start offset, and
+  * `pack = startOffset div seqLen`.
+  *
+  * Scale shape: ONE shuffle on the shard key, then a per-shard
+  * sort + running sum (a window). Parallelism = `shards` — size it to the
+  * cluster (hundreds+); shards are hash-balanced so no shard is hot. The
+  * alternative — one global running sum — is a single-task serialization,
+  * which is exactly what sharding removes: packs never span shards, so each
+  * shard's layout is independent and the result is stable no matter how
+  * many executors compute it.
+  */
+object Packing {
+
+  /** Adds `shard`, `pack` (both long, pack numbered within its shard), and
+    * `start_offset` (first-token position of this doc within its shard's
+    * token stream) to each input row. `tokensCol` is the doc's token count.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqLen: Int,
+      shards: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val shard = pmod(Sampling.md5Uniform(col(idCol)), lit(shards)).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("start_offset",
+        (sum(col(tokensCol).cast("long")).over(w) - col(tokensCol)).cast("long"))
+      .withColumn("pack", expr(s"start_offset DIV $seqLen"))
+  }
+}

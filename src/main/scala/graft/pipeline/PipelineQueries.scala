@@ -98,6 +98,16 @@ object PipelineQueries {
       path
     })
 
+  /** DuckDB replay of [[Sampling.md5Uniform]]: the first 4 hex digits of
+    * md5(doc_id) decoded positionally into a 16-bit int (DuckDB has no
+    * base-16 `conv`).
+    */
+  private val md5U16Sql =
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096" +
+      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256" +
+      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16" +
+      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1))"
+
   private val plantedOracle =
     s"SELECT doc_id AS id_a, doc_id + $PlantOffset AS id_b FROM documents WHERE doc_id < $NPlant"
   private val plantedEmbOracle =
@@ -189,6 +199,36 @@ object PipelineQueries {
     "q_split_assign" -> ((s, dir) =>
       Splits.assignByMd5(docs(s, dir).select(col("doc_id")), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    // deterministic stratified downsampling (rebalance languages): keep en
+    // at 50%, de at 25%, everything else at 12.5% — membership a pure
+    // function of doc_id, map-side only; per-language counts + id checksum
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), default = 0.125)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))),
+    // deterministic per-group quota (cap every language at 20 docs): a
+    // uniform without-replacement draw any engine replays by sorting the
+    // same md5 strings — the full selected id set is the query result
+    "q_sample_quota" -> ((s, dir) =>
+      Sampling.quotaPerGroup(
+        docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang", k = 20)),
+    // one-pass column profiling of the corpus: nulls / exact distincts /
+    // min / max per column, pivoted inside the plan (no driver reshape)
+    "q_profile_stats" -> ((s, dir) =>
+      Profile.profile(docs(s, dir), Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // deterministic sequence packing: corpus laid out in a replayable
+    // shuffled order across 4 shards, each doc assigned the 2048-token pack
+    // its first token lands in; per-pack doc/token totals
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      Packing.packSequences(d, "doc_id", "n_tok", seqLen = 2048, shards = 4)
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"))
+    }),
     // end-to-end curation: exact dedup -> quality gate -> per-language token
     // budget. The composition every training-data pipeline runs before
     // tokenization; each stage is DuckDB-replayable so the whole chain gets
@@ -360,6 +400,33 @@ object PipelineQueries {
       "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256" +
       "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16" +
       "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100 AS b " +
-      "FROM documents)")
+      "FROM documents)"),
+    // same 4-hex-digit md5 decode as q_split_assign, without the modulo —
+    // the raw 16-bit value thresholded per stratum (en 0.5*65536, de
+    // 0.25*65536, default 0.125*65536)
+    "q_sample_stratified" -> ("SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (SELECT doc_id, lang, " +
+      md5U16Sql + " AS u FROM documents) WHERE u < CASE lang " +
+      "WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 8192 END GROUP BY lang"),
+    // md5 hex strings sort identically under both engines' binary string
+    // order, so the per-language top-20-by-hash sets agree row for row
+    "q_sample_quota" -> ("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+      "FROM documents) WHERE rn <= 20"),
+    // replay of Packing.packSequences: same md5 shard, same (md5, id)
+    // within-shard order, same running token sum, same integer division
+    "q_pack_sequences" -> ("SELECT shard, (cum - n_tok) // 2048 AS pack, " +
+      "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM (" +
+      "SELECT shard, n_tok, sum(n_tok) OVER (PARTITION BY shard " +
+      "ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM (" +
+      "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, " +
+      s"CAST($md5U16Sql % 4 AS BIGINT) AS shard, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)) " +
+      "GROUP BY shard, pack"),
+    "q_profile_stats" -> Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+      s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+        s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
+        s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val " +
+        "FROM documents").mkString(" UNION ALL ")
   )
 }

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling — the corpus down-selection steps of a
+  * training-data pipeline (rebalance languages/sources, cap a dominant
+  * domain, draw an eval slice). Spark's own `sample`/`sampleBy` draw from
+  * per-partition RNGs, so membership changes with partitioning, ordering,
+  * and stage retries; these operators make membership a PURE FUNCTION of
+  * row content, like [[Splits]]:
+  *
+  *   - retry-stable and engine-replayable (md5 of the id's decimal string
+  *     — any engine can audit membership row by row);
+  *   - map-side only for [[stratifiedSample]] — no shuffle at any scale;
+  *   - adding documents later never changes earlier rows' membership.
+  */
+object Sampling {
+
+  /** 16-bit uniform hash in [0, 65536) from `md5(id)` — the same
+    * cross-engine construction as [[Splits.md5Bucket]], without the modulo
+    * (thresholding wants the raw value: `u < round(f * 65536)` keeps
+    * fraction f with granularity 1/65536 and zero bucket-aliasing).
+    */
+  def md5Uniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Per-stratum deterministic Bernoulli sample: keep a row of stratum s
+    * with probability `fractions(s)` (strata absent from the map keep
+    * `default`). Sampling granularity is 1/65536 — fractions round to the
+    * nearest 1/65536. Map-side only: a `when` chain over the stratum
+    * column and one hash comparison, fully codegen'd, no shuffle — at
+    * 100 TB this is a free rider on whatever scan feeds it.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    require((fractions.values.toSeq :+ default).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0, 1], got ${fractions.values.mkString(", ")} default $default")
+    val threshold = fractions.foldLeft(lit(math.round(default * 65536).toInt)) {
+      case (rest, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(math.round(f * 65536).toInt)).otherwise(rest)
+    }
+    df.filter(md5Uniform(col(idCol)) < threshold)
+  }
+
+  /** Deterministic quota: the `k` rows of each group with the SMALLEST
+    * `md5(id)` hex digest (ties broken by id), i.e. a uniform-without-
+    * replacement draw of exactly min(k, |group|) rows per group that any
+    * engine can replay by sorting the same md5 strings. The canonical
+    * "cap every source/language at N documents" rebalancing step.
+    *
+    * One shuffle on `groupCol` + per-partition sort (a rank window). The
+    * skew caveat of any per-group window applies — a group with billions
+    * of rows sorts on one task. At that scale, pre-filter with
+    * [[stratifiedSample]] at a generous fraction (say `10k / n_group`)
+    * first, then take the quota from the survivors: the top-k by hash of
+    * the survivors equals the top-k of the group as long as the pre-filter
+    * keeps ≥ k rows, because the hash threshold keeps exactly the smallest
+    * hashes.
+    */
+  def quotaPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Packing
+
+class PackingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def corpus = spark.range(0, 3000)
+    .select(col("id").as("doc_id"), (pmod(col("id") * 37, lit(400)) + 1).as("n_tok"))
+
+  test("offsets tile each shard's token stream exactly: no gaps, no overlaps") {
+    val packed = Packing.packSequences(corpus, "doc_id", "n_tok", seqLen = 1024, shards = 4)
+      .select("shard", "start_offset", "n_tok", "pack")
+      .as[(Long, Long, Long, Long)].collect()
+    packed.length shouldBe 3000
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.head._2 shouldBe 0L // every shard stream starts at token 0
+      sorted.sliding(2).foreach {
+        case Array((_, s1, t1, _), (_, s2, _, _)) => s2 shouldBe s1 + t1
+        case _ =>
+      }
+    }
+    // pack is exactly the start offset's seqLen bin, numbered within shard
+    packed.foreach { case (_, off, _, pack) => pack shouldBe off / 1024 }
+  }
+
+  test("layout is a pure function of content: stable under repartition") {
+    def layout(parts: Int) = Packing
+      .packSequences(corpus.repartition(parts), "doc_id", "n_tok", 1024, 4)
+      .select("doc_id", "shard", "pack", "start_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    layout(2) shouldBe layout(13)
+  }
+
+  test("shards are hash-balanced") {
+    val counts = Packing.packSequences(corpus, "doc_id", "n_tok", 1024, 4)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    counts.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    counts.values.foreach(_.toDouble shouldBe 750.0 +- 120.0)
+  }
+
+  test("input validation") {
+    an[IllegalArgumentException] should be thrownBy
+      Packing.packSequences(corpus, "doc_id", "n_tok", seqLen = 0, shards = 4)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.packSequences(corpus, "doc_id", "n_tok", seqLen = 1024, shards = 0)
+  }
+}
