@@ -664,6 +664,31 @@ object SparkEntry {
       val e = t(s, dir, "events").select(
         timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"), col("value"))
       graft.streaming.EventStreams.userSessions(e, gap = "30 minutes")
+    }),
+    // Per-user daily activity densified (operators/GapFill.scala): every
+    // calendar day between each user's first and last event, absent days
+    // zero-filled — the spine comes from a per-key aggregate + sequence
+    // explode, never a driver collect
+    "q_time_gapfill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.GapFill.gapFillDaily(daily, "user_id", "day",
+        Map("n_events" -> lit(0L)))
+    }),
+    // Forward fill over the same spine: each user's daily peak value, gaps
+    // carrying the last observed peak forward (no arithmetic on the value —
+    // the carried double is bitwise the engine-agnostic source value)
+    "q_time_ffill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(max(col("value")).as("peak_value"))
+      val dense = graft.operators.GapFill.gapFillDaily(daily, "user_id", "day")
+      graft.operators.GapFill.forwardFill(dense, "user_id", "day", Seq("peak_value"))
     })
   )
 
@@ -819,7 +844,20 @@ object SparkEntry {
       "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
       "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
       "SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, " +
-      "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, sid")
+      "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, sid"),
+    "q_time_gapfill" -> ("WITH daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+      "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+      "bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+      "spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds) " +
+      "SELECT s.user_id, s.day, coalesce(d.n_events, 0) AS n_events " +
+      "FROM spine s LEFT JOIN daily d USING (user_id, day)"),
+    "q_time_ffill" -> ("WITH daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+      "max(value) AS peak_value FROM events GROUP BY 1, 2), " +
+      "bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+      "spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds) " +
+      "SELECT user_id, day, last_value(peak_value IGNORE NULLS) OVER " +
+      "(PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak_value " +
+      "FROM (SELECT s.user_id, s.day, d.peak_value FROM spine s LEFT JOIN daily d USING (user_id, day))")
   )
 
   /** One per implemented operator from SURVEY.md §2. */
