@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination — the step that keeps benchmark answers out of
+  * the training corpus: flag (and drop) training documents sharing word
+  * n-grams with any evaluation document. The standard recipe (13-gram
+  * overlap in GPT-3's appendix; n is a parameter here) reduced to two
+  * relational passes:
+  *
+  *   1. shingle both corpora into word n-grams (map-side: split + slice +
+  *      join, all codegen'd built-ins — no UDF in the hot path);
+  *   2. equi-join train shingles against the DISTINCT eval shingles and
+  *      count distinct hits per train doc.
+  *
+  * Scale shape: the join key is the shingle, so the heavy side shuffles
+  * once on it; the eval side is typically benchmark-sized and broadcasts
+  * (AQE decides). At 100 TB the lever is key width — map each shingle to
+  * `xxhash64(shingle)` on BOTH sides before the join to cut shuffle bytes
+  * ~10× (a 64-bit collision flags a clean doc spuriously with negligible
+  * probability, acceptable for a drop-list); kept as exact strings here so
+  * an external engine can replay the report byte for byte.
+  */
+object Decontamination {
+
+  /** Word n-gram shingles of the lowercased text — same definition as
+    * [[graft.functions.WordShingles]] (split on single spaces, n
+    * consecutive words re-joined by a space); docs shorter than n words
+    * yield none. The CASE guards Spark's `sequence(1, 0)` producing a
+    * DESCENDING [1, 0] rather than an empty array.
+    */
+  private def shingles(textCol: String, n: Int): Column =
+    expr(s"""CASE WHEN size(split(lower($textCol), ' ')) < $n
+            |THEN CAST(array() AS array<string>)
+            |ELSE transform(sequence(1, size(split(lower($textCol), ' ')) - ${n - 1}),
+            |  i -> array_join(slice(split(lower($textCol), ' '), i, $n), ' '))
+            |END""".stripMargin)
+
+  /** One row per CONTAMINATED training doc: (`idCol`, n_shared) where
+    * n_shared counts the distinct n-gram shingles the doc shares with the
+    * eval corpus. Clean docs are absent (n_shared = 0).
+    */
+  def contaminationReport(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val evalShingles = evalDocs
+      .select(explode(shingles(textCol, n)).as("shingle")).distinct()
+    val trainShingles = train
+      .select(col(idCol), explode(shingles(textCol, n)).as("shingle")).distinct()
+    trainShingles.join(evalShingles, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** `train` minus every doc whose shared-shingle count exceeds
+    * `maxShared` (default 0: any overlap drops the doc). Left-anti on the
+    * id — linear in the corpus.
+    */
+  def dropContaminated(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShared: Long = 0L): DataFrame = {
+    val flagged = contaminationReport(train, evalDocs, idCol, textCol, n)
+      .filter(col("n_shared") > maxShared)
+      .select(col(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+}

@@ -108,6 +108,17 @@ object PipelineQueries {
       "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16" +
       "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1))"
 
+  /** Shared CTE prefix for the decontamination oracles: lowercased word
+    * 5-gram shingles of every doc, split into eval (id < 20, distinct
+    * shingles) and train (id >= 20, distinct (doc, shingle)) sides.
+    */
+  private val decontShinglesSql =
+    "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+      "sh AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS g " +
+      "FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)), " +
+      "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20), " +
+      "tr AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id >= 20) "
+
   private val plantedOracle =
     s"SELECT doc_id AS id_a, doc_id + $PlantOffset AS id_b FROM documents WHERE doc_id < $NPlant"
   private val plantedEmbOracle =
@@ -218,6 +229,23 @@ object PipelineQueries {
     // min / max per column, pivoted inside the plan (no driver reshape)
     "q_profile_stats" -> ((s, dir) =>
       Profile.profile(docs(s, dir), Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // eval-set decontamination: train docs (id >= 20) sharing 5-gram word
+    // shingles with the eval slice (id < 20), with distinct-shingle hit
+    // counts; and the cleaned-corpus count after dropping them
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontamination.contaminationReport(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 5)
+    }),
+    "q_decontaminate_drop" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontamination.dropContaminated(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 5)
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
     // deterministic sequence packing: corpus laid out in a replayable
     // shuffled order across 4 shards, each doc assigned the 2048-token pack
     // its first token lands in; per-pack doc/token totals
@@ -413,6 +441,14 @@ object PipelineQueries {
     "q_sample_quota" -> ("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
       "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
       "FROM documents) WHERE rn <= 20"),
+    // replay of Decontamination: identical lowercased word 5-grams via
+    // list_slice, distinct per side, join + per-doc count
+    "q_decontaminate" -> (decontShinglesSql +
+      "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    "q_decontaminate_drop" -> (decontShinglesSql +
+      "SELECT count(*) AS n_clean, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents WHERE doc_id >= 20 AND doc_id NOT IN " +
+      "(SELECT DISTINCT doc_id FROM tr JOIN ev USING (g))"),
     // replay of Packing.packSequences: same md5 shard, same (md5, id)
     // within-shard order, same running token sum, same integer division
     "q_pack_sequences" -> ("SELECT shard, (cum - n_tok) // 2048 AS pack, " +
