@@ -182,6 +182,23 @@ object PipelineQueries {
           .distinct())
     }),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
+    // batch retrieval: top-5 corpus neighbors (vec_id >= 10) for EVERY
+    // query vector (vec_id < 10) in one corpus pass — window form and the
+    // pre-reducing bounded-aggregate form must agree with the same oracle
+    "q_ann_batch" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopKBatch(
+        e.filter(col("vec_id") >= 10),
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5)
+    }),
+    "q_ann_batch_agg" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopKBatchAgg(
+        e.filter(col("vec_id") >= 10),
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5)
+    }),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
         bits = AnnBits, tables = AnnTables)),
@@ -329,6 +346,15 @@ object PipelineQueries {
       "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine " +
       "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
 
+  /** Shared oracle for both batch top-k forms: per query (vec_id < 10),
+    * the 5 best corpus rows (vec_id >= 10) by rounded cosine, ties by id.
+    */
+  private val annBatchOracle: String =
+    "SELECT q.vec_id AS query_id, c.vec_id, " +
+      "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine " +
+      "FROM embeddings c, embeddings q WHERE q.vec_id < 10 AND c.vec_id >= 10 " +
+      "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id) <= 5"
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text " +
       "FROM documents GROUP BY text"),
@@ -345,6 +371,8 @@ object PipelineQueries {
     "q_dedup_keep_reps" -> s"SELECT doc_id, text FROM documents WHERE doc_id < $NDistract",
     "q_stream_neardup" -> plantedOracle,
     "q_ann_brute" -> annTopKOracle,
+    "q_ann_batch" -> annBatchOracle,
+    "q_ann_batch_agg" -> annBatchOracle,
     // The approximate paths are probe-sized to full recall on this corpus
     // (see AnnBits/AnnTables/IvfNProbe), so their exact-cosine rankings must
     // equal the brute-force top-10 — same oracle, a strictly stronger check

@@ -30,6 +30,64 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Exact top-k neighbors for EVERY query row in ONE corpus pass — the
+    * batch shape real retrieval evaluation runs (thousands of benchmark
+    * queries against the full corpus). The query set broadcasts (it is
+    * benchmark-sized); each corpus partition scores all queries locally
+    * with the codegen'd cosine, then a per-query rank window keeps k.
+    * Corpus is scanned once total, not once per query — at 100 TB that is
+    * the difference between one job and thousands.
+    *
+    * The window shuffles |corpus|×|queries| scored rows on the query id;
+    * [[bruteForceTopKBatchAgg]] is the pre-reducing variant (bounded
+    * [[graft.functions.TopKByScore]] aggregate — at most k pairs per
+    * partition per query reach the shuffle) for when that product is the
+    * bottleneck; [[lshTopKIndexed]] prunes the corpus side itself.
+    */
+  def bruteForceTopKBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val scored = corpus.join(broadcast(q))
+      .select(col(queryIdCol), col(idCol),
+        round(cosineSimilarity(col(vecCol), col("__qvec")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** [[bruteForceTopKBatch]] with the pre-reducing bounded aggregate
+    * ([[graft.functions.TopKByScore]]): map-side partial aggregation caps
+    * each partition's contribution at k pairs per query BEFORE the
+    * shuffle — O(partitions × k) exchanged rows per query instead of the
+    * whole scored corpus. Result set identical to the window variant
+    * (spec-asserted).
+    */
+  def bruteForceTopKBatchAgg(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val scored = corpus.join(broadcast(q))
+      .select(col(queryIdCol), col(idCol),
+        round(cosineSimilarity(col(vecCol), col("__qvec")), 6).as("cosine"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    scored.groupBy(col(queryIdCol))
+      .agg(topk(col("cosine"), col(idCol)).as("__top"))
+      .select(col(queryIdCol), explode(col("__top")).as("__p"))
+      .select(col(queryIdCol), col("__p._2").as(idCol), col("__p._1").as("cosine"))
+  }
+
   /** Same plane family as [[graft.functions.HyperplaneBucket]], evaluated
     * driver-side for the query vector.
     */

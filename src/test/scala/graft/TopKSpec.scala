@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+class TopKSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+  private def vec(): Seq[Float] = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+  private def embeddings = (0L until 200L).map(i => (i, vec()))
+    .toDF("vec_id", "embedding")
+
+  test("bounded-aggregate top-k equals the window top-k") {
+    val e = embeddings.cache()
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaWindow = Similarity.bruteForceTopKBatch(corpus, queries, k = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaAgg = Similarity.bruteForceTopKBatchAgg(corpus, queries, k = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    viaAgg shouldBe viaWindow
+    viaAgg.groupBy(_._1).values.foreach(_.size shouldBe 7)
+    // and stability under partitioning (merge path exercised differently)
+    val repart = Similarity.bruteForceTopKBatchAgg(corpus.repartition(13), queries, k = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    repart shouldBe viaWindow
+  }
+
+  test("the aggregate form pre-reduces before the shuffle (partial aggregation)") {
+    val e = embeddings
+    val plan = Similarity.bruteForceTopKBatchAgg(
+        e.filter(col("vec_id") >= 8),
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    plan should include("partial_topkbyscore")
+  }
+
+  test("aggregator semantics: ties break toward the smaller id, k caps the buffer") {
+    val agg = new graft.functions.TopKByScore(3)
+    val full = Seq((1.0, 9L), (1.0, 2L), (0.5, 1L), (2.0, 7L), (0.5, 0L))
+      .foldLeft(agg.zero)(agg.reduce)
+    full shouldBe Seq((2.0, 7L), (1.0, 2L), (1.0, 9L))
+    // merge of two sorted buffers keeps global order and the cap
+    val a = Seq((3.0, 1L), (1.0, 4L))
+    val b = Seq((2.0, 2L), (1.0, 3L))
+    agg.merge(a, b) shouldBe Seq((3.0, 1L), (2.0, 2L), (1.0, 3L))
+    an[IllegalArgumentException] should be thrownBy new graft.functions.TopKByScore(0)
+  }
+}
