@@ -46,12 +46,21 @@ object Decontamination {
       evalDocs: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      hashed: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // the 100 TB form: join on the 64-bit hash of the shingle instead of
+    // the string — a 5-gram averages ~30 bytes, so hashing cuts the
+    // distinct + join shuffle bytes ~4× (and more for larger n); a
+    // collision can only ADD a spurious flag (never hide a real one), with
+    // ~n_shingles²/2⁶⁴ probability
+    val key: Column => Column = if (hashed) (c => xxhash64(c)) else identity
     val evalShingles = evalDocs
-      .select(explode(shingles(textCol, n)).as("shingle")).distinct()
+      .select(explode(shingles(textCol, n)).as("__s"))
+      .select(key(col("__s")).as("shingle")).distinct()
     val trainShingles = train
-      .select(col(idCol), explode(shingles(textCol, n)).as("shingle")).distinct()
+      .select(col(idCol), explode(shingles(textCol, n)).as("__s"))
+      .select(col(idCol), key(col("__s")).as("shingle")).distinct()
     trainShingles.join(evalShingles, "shingle")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))

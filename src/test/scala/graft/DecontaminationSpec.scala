@@ -40,6 +40,19 @@ class DecontaminationSpec extends SparkTestBase {
     lenient shouldBe Set(2L, 3L, 4L)
   }
 
+  test("hashed-shingle variant matches the exact report") {
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Decontamination.contaminationReport(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val hashed = Decontamination.contaminationReport(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 5, hashed = true)
+      .as[(Long, Long)].collect().toMap
+    hashed shouldBe exact
+  }
+
   test("input validation") {
     an[IllegalArgumentException] should be thrownBy
       Decontamination.contaminationReport(train, evalDocs, "doc_id", "text", n = 0)
