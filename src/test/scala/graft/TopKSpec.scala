@@ -14,7 +14,10 @@ class TopKSpec extends SparkTestBase {
     .toDF("vec_id", "embedding")
 
   test("bounded-aggregate top-k equals the window top-k") {
-    val e = embeddings.cache()
+    // NB no .cache() here: the corpus is a driver-side literal
+    // (LocalTableScan), and a lingering persisted RDD would trip
+    // TextExpressionsSpec's no-persisted-RDDs session assertion
+    val e = embeddings
     val corpus = e.filter(col("vec_id") >= 8)
     val queries = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding"))
