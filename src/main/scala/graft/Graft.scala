@@ -19,5 +19,32 @@ object Graft {
       exp.extraOptimizations = exp.extraOptimizations :+ DynamicFilterRule
     if (!exp.extraStrategies.contains(DynamicFilterStrategy))
       exp.extraStrategies = exp.extraStrategies :+ DynamicFilterStrategy
+    registerFunctions(spark)
+  }
+
+  /** Expose the custom codegen expressions to `spark.sql` text (the
+    * reference registers its UDFs into the session context the same way —
+    * `parameterized_statement.rs:30-49`): a SQL user gets the native
+    * expressions, not a UDF shim. Idempotent (createOrReplace).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val reg = Internals.classicSession(spark).sessionState.functionRegistry
+    def one(name: String)(b: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, {
+        case Seq(x) => b(x)
+        case args => throw new IllegalArgumentException(
+          s"$name expects 1 argument, got ${args.length}")
+      }, "internal")
+    def two(name: String)(b: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, {
+        case Seq(x, y) => b(x, y)
+        case args => throw new IllegalArgumentException(
+          s"$name expects 2 arguments, got ${args.length}")
+      }, "internal")
+    two("cosine_similarity")(graft.functions.CosineSimilarity(_, _))
+    two("dot_product")(graft.functions.DotProduct(_, _))
+    one("simhash64")(graft.functions.SimHash64(_))
+    one("rolling_hash")(graft.functions.RollingHash(_))
   }
 }

@@ -605,6 +605,17 @@ object SparkEntry {
         ceil(col("o_totalprice")).as("ce"),
         round(sqrt(col("o_totalprice")), 6).as("sq"),
         round(pow(col("o_totalprice"), 2), 2).as("p2"))),
+    // The custom codegen expressions through SQL TEXT: Graft.install
+    // registers cosine_similarity/dot_product/simhash64/rolling_hash into
+    // the session's function registry (GraftExtensions injects the same for
+    // .withExtensions sessions), so a SQL-only user reaches the native
+    // expressions — same oracle as the DataFrame-API brute-force top-k
+    "q_sql_cosine" -> ((s, dir) => {
+      Tables.register(s, dir); Graft.install(s)
+      s.sql("""SELECT vec_id, round(cosine_similarity(embedding,
+              |  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+              |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
+    }),
     // Subqueries: scalar, IN, correlated EXISTS
     "q_subquery_scalar" -> ((s, dir) => {
       Tables.register(s, dir)
@@ -812,6 +823,9 @@ object SparkEntry {
     "q_scalar_date" -> ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, " +
       "CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(day(o_orderdate) AS INTEGER) AS dom, " +
       "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start FROM orders WHERE o_orderkey < 200"),
+    "q_sql_cosine" -> ("SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+      "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine " +
+      "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
     "q_scalar_math" -> ("SELECT o_orderkey, round(abs(o_totalprice - 1000.0), 2) AS a, " +
       "CAST(floor(o_totalprice) AS BIGINT) AS fl, CAST(ceil(o_totalprice) AS BIGINT) AS ce, " +
       "round(sqrt(o_totalprice), 6) AS sq, round(pow(o_totalprice, 2), 2) AS p2 " +

@@ -157,5 +157,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DynamicFilterRule)
     e.injectPlannerStrategy(_ => DynamicFilterStrategy)
+    // the custom codegen expressions, available to SQL text in sessions
+    // built with .withExtensions (Graft.install covers existing sessions)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String, clazz: Class[_]) = new ExpressionInfo(clazz.getName, name)
+    e.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", classOf[graft.functions.CosineSimilarity]),
+      (args: Seq[Expression]) => graft.functions.CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", classOf[graft.functions.DotProduct]),
+      (args: Seq[Expression]) => graft.functions.DotProduct(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[graft.functions.SimHash64]),
+      (args: Seq[Expression]) => graft.functions.SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", classOf[graft.functions.RollingHash]),
+      (args: Seq[Expression]) => graft.functions.RollingHash(args.head)))
   }
 }

@@ -50,6 +50,25 @@ class CompactionSpec extends SparkTestBase {
     }
   }
 
+  test("the range-clustered layout makes a range scan skip row groups") {
+    val out = Files.createTempDirectory("graft_compact_skip").toString
+    Compaction.compactByRange(docs.repartition(16), targetBytes = 16 * 1024,
+        cols = Seq(col("doc_id")))
+      .write.mode("overwrite").parquet(out)
+    val total = docs.count()
+    val df = spark.read.parquet(out).filter(col("doc_id") < 25)
+    df.collect().length shouldBe 25
+    // the scan's own output-row metric: with disjoint per-file id ranges,
+    // parquet row-group statistics exclude every non-matching file, so the
+    // scan emits only the surviving group's rows — the data-skipping payoff
+    // compactByRange exists for (round-robin compact() cannot give this:
+    // every file spans the full id range)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    scan.metrics("numOutputRows").value should be < total / 2
+  }
+
   test("input validation") {
     an[IllegalArgumentException] should be thrownBy
       Compaction.targetPartitions(docs, targetBytes = 0)

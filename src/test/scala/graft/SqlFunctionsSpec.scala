@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+class SqlFunctionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("registered SQL names reach the native expressions, matching the Column API") {
+    Graft.install(spark)
+    Seq((1L, "the quick brown fox", Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, 0.5f, 0.5f)))
+      .toDF("id", "text", "a", "b").createOrReplaceTempView("fn_probe")
+    val viaSql = spark.sql(
+      """SELECT cosine_similarity(a, b) AS cos, dot_product(a, b) AS dot,
+        |simhash64(split(text, ' ')) AS sh, rolling_hash(text) AS rh
+        |FROM fn_probe""".stripMargin).head()
+    val viaApi = spark.table("fn_probe").select(
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("cos"),
+      VectorFunctions.dotProduct(col("a"), col("b")).as("dot"),
+      TextFunctions.simhash64(split(col("text"), " ")).as("sh"),
+      TextFunctions.rollingHash(col("text")).as("rh")).head()
+    viaSql shouldBe viaApi
+    viaSql.getDouble(1) shouldBe 3.0 // dot product sanity: 1*.5 + 2*.5 + 3*.5
+  }
+
+  test("wrong arity is rejected at analysis") {
+    Graft.install(spark)
+    an[Exception] should be thrownBy
+      spark.sql("SELECT cosine_similarity(array(1.0F)) AS c").collect()
+  }
+}
