@@ -50,6 +50,8 @@ object RangeJoin {
     require(binSize > 0, s"binSize must be positive, got $binSize")
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "points and intervals must have disjoint column names")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "__bin is reserved by RangeJoin")
     val p = points.withColumn("__bin", binOf(col(pointCol), binSize))
     val iv = intervals.withColumn("__bin",
       explode(sequence(binOf(col(startCol), binSize), binOf(col(endCol), binSize))))
@@ -77,6 +79,8 @@ object RangeJoin {
     require(binSize > 0, s"binSize must be positive, got $binSize")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left and right must have disjoint column names")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "__bin is reserved by RangeJoin")
     val l = left.withColumn("__bin",
       explode(sequence(binOf(col(lStart), binSize), binOf(col(lEnd), binSize))))
     val r = right.withColumn("__bin",

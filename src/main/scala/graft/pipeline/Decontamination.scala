@@ -57,6 +57,9 @@ object Decontamination {
       n: Int,
       hashed: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(Seq(train, evalDocs).forall(d =>
+        !d.columns.contains("__w") && !d.columns.contains("__s")),
+      "__w/__s are reserved by Decontamination")
     // the 100 TB form: join on the 64-bit hash of the shingle instead of
     // the string — a 5-gram averages ~30 bytes, so hashing cuts the
     // distinct + join shuffle bytes ~4× (and more for larger n); a

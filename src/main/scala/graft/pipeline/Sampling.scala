@@ -69,6 +69,7 @@ object Sampling {
       groupCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__rn"), "__rn is reserved by quotaPerGroup")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("__rn", row_number().over(w))

@@ -52,6 +52,8 @@ object Similarity {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!corpus.columns.contains("__qvec") && !corpus.columns.contains("__rn"),
+      "__qvec/__rn are reserved by bruteForceTopKBatch")
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
     val scored = corpus.join(broadcast(q))
       .select(col(queryIdCol), col(idCol),
@@ -77,6 +79,8 @@ object Similarity {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!corpus.columns.contains("__qvec"),
+      "__qvec is reserved by bruteForceTopKBatchAgg")
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
     val scored = corpus.join(broadcast(q))
       .select(col(queryIdCol), col(idCol),
