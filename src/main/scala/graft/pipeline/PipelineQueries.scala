@@ -84,6 +84,11 @@ object PipelineQueries {
   private val AnnBits = 4
   private val AnnTables = 6
   private val IvfNProbe = 8
+  /** The batch query needs full recall for all 10 query vectors at once —
+    * on this near-random corpus that takes more probes than the single
+    * query-0 case (nprobe 8 missed 2 of 50 true neighbors).
+    */
+  private val IvfBatchNProbe = 12
 
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIndexes.getOrElseUpdate(dir, {
@@ -202,6 +207,16 @@ object PipelineQueries {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
         bits = AnnBits, tables = AnnTables)),
+    // batch IVF probe: same result contract as q_ann_batch (nprobe sized to
+    // full recall on this corpus), but routed through the partitioned index
+    // with per-query probe selection + DPP-pruned scan + bounded top-k agg
+    "q_ann_ivf_batch" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopKBatch(s, ivfIndexPath(s, dir),
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, nprobe = IvfBatchNProbe,
+        corpusFilter = col("vec_id") >= 10)
+    }),
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(s, ivfIndexPath(s, dir), queryVec(s, dir), k = 10, nprobe = IvfNProbe)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -373,6 +388,7 @@ object PipelineQueries {
     "q_ann_brute" -> annTopKOracle,
     "q_ann_batch" -> annBatchOracle,
     "q_ann_batch_agg" -> annBatchOracle,
+    "q_ann_ivf_batch" -> annBatchOracle,
     // The approximate paths are probe-sized to full recall on this corpus
     // (see AnnBits/AnnTables/IvfNProbe), so their exact-cosine rankings must
     // equal the brute-force top-10 — same oracle, a strictly stronger check

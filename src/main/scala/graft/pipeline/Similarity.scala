@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -83,6 +83,52 @@ object Similarity {
       "__qvec is reserved by bruteForceTopKBatchAgg")
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
     val scored = corpus.join(broadcast(q))
+      .select(col(queryIdCol), col(idCol),
+        round(cosineSimilarity(col(vecCol), col("__qvec")), 6).as("cosine"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    scored.groupBy(col(queryIdCol))
+      .agg(topk(col("cosine"), col(idCol)).as("__top"))
+      .select(col(queryIdCol), explode(col("__top")).as("__p"))
+      .select(col(queryIdCol), col("__p._2").as(idCol), col("__p._1").as("cosine"))
+  }
+
+  /** Batch probe of the IVF index: top-k for EVERY query row against the
+    * centroid-partitioned layout, one job. Stages, all distributed:
+    * (1) rank the (tiny, broadcast) centroid table per query and keep each
+    * query's `nprobe` nearest — the batch analog of [[ivfTopK]]'s
+    * driver-side probe selection, no collect; (2) join the index on `cid`
+    * against the broadcast probe list — `cid` is the PARTITION column, so
+    * Spark's dynamic partition pruning restricts the scan to probed
+    * directories (the batch union of every query's probes, not the full
+    * index); (3) per-query bounded top-k ([[graft.functions.TopKByScore]] —
+    * k pairs per partition reach the shuffle).
+    *
+    * `corpusFilter` pre-filters indexed rows (e.g. excluding the query ids
+    * themselves in a self-retrieval evaluation).
+    */
+  def ivfTopKBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      corpusFilter: Column = lit(true)): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val centroids = spark.read.parquet(indexPath + "__centroids")
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("__ccos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__ccos", cosineSimilarity(col("centroid"), col("__qvec")))
+      .withColumn("__cr", row_number().over(probeW))
+      .filter(col("__cr") <= nprobe)
+      .select(col("cid"), col(queryIdCol), col("__qvec"))
+    val scored = spark.read.parquet(indexPath).filter(corpusFilter)
+      .join(broadcast(probes), Seq("cid"))
       .select(col(queryIdCol), col(idCol),
         round(cosineSimilarity(col(vecCol), col("__qvec")), 6).as("cosine"))
     val topk = udaf(new graft.functions.TopKByScore(k))

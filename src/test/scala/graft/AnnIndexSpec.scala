@@ -113,6 +113,31 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("batch IVF probe at full nprobe equals the brute-force batch; fewer probes keep recall") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("graft_ivf_batch").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/ivf"
+    Similarity.buildIvfIndex(embs, path, k = 16)
+    val queries = embs.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = embs.filter(col("vec_id") >= 6)
+    val exact = Similarity.bruteForceTopKBatch(corpus, queries, k = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // probing every centroid = exhaustive: must match brute force row for row
+    val all = Similarity.ivfTopKBatch(spark, path, queries, k = 8, nprobe = 16,
+        corpusFilter = col("vec_id") >= 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    all shouldBe exact
+    // a partial probe keeps high overlap on this adversarially random corpus
+    val partial = Similarity.ivfTopKBatch(spark, path, queries, k = 8, nprobe = 8,
+        corpusFilter = col("vec_id") >= 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    partial.intersect(exact).size should be >= (exact.size * 3) / 4
+  }
+
   test("IVF sample-based centroid learning keeps recall and index shape") {
     // the scale lever: Lloyd passes scan only a seeded sample while
     // assignment + write stay full-corpus. The index must still hold every
