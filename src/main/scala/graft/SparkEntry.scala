@@ -114,6 +114,11 @@ object SparkEntry {
           |FROM orders WHERE o_totalprice > $1
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)(
         "$1" -> 400000.0)),
+    // LIKE with a placeholder pattern (the BinaryExpression-not-
+    // BinaryOperator inference path): pattern bound per execute
+    "q_prep_like" -> ((s, dir) =>
+      prep(s, dir, "SELECT p_partkey, p_name FROM part WHERE p_name LIKE $1")(
+        "$1" -> "%green%")),
     // window function through prepare(): the Window exec (partition/order
     // specs and frame) clones per execute with the WHERE placeholder
     // re-bound — the r9/r10 analytic surface reachable via the prepared
@@ -198,6 +203,7 @@ object SparkEntry {
     "q_prep_groupsets" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
       "FROM orders WHERE o_totalprice > 400000.0 " +
       "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "q_prep_like" -> "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%green%'",
     "q_prep_window" -> ("SELECT c_custkey, c_acctbal, " +
       "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk " +
       "FROM customer WHERE c_nationkey = 7"),

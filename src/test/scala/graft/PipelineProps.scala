@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Packing, Sampling}
+
+/** Property checks for the deterministic corpus operators: the invariants
+  * that make them safe to re-run at 100 TB (pure functions of content,
+  * exact per-group cardinalities, tiling offsets) must hold for ARBITRARY
+  * id sets and parameters, not just the spec fixtures.
+  */
+object PipelineProps extends Properties("Pipeline") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = SparkTestBase.session
+
+  private val genIds = Gen.nonEmptyListOf(Gen.choose(0L, 100000L)).map(_.distinct)
+  private val genK = Gen.choose(1, 40)
+  private val genSeqLen = Gen.oneOf(64, 257, 1024)
+  private val genShards = Gen.choose(1, 8)
+
+  property("quotaPerGroup returns exactly min(k, |group|) rows, a subset of the input") =
+    Prop.forAll(genIds, genK) { (ids, k) =>
+      import spark.implicits._
+      val df = ids.map(i => (i, (i % 3).toString)).toDF("doc_id", "g")
+      val got = Sampling.quotaPerGroup(df, "doc_id", "g", k)
+        .as[(Long, String)].collect()
+      val bySize = got.groupBy(_._2).view.mapValues(_.length).toMap
+      val want = ids.groupBy(i => (i % 3).toString).view.mapValues(v => math.min(k, v.length)).toMap
+      bySize == want && got.map(_._1).toSet.subsetOf(ids.toSet)
+    }
+
+  property("packSequences offsets tile every shard with pack = offset div seqLen") =
+    Prop.forAll(genIds, genSeqLen, genShards) { (ids, seqLen, shards) =>
+      import spark.implicits._
+      val df = ids.map(i => (i, i % 97 + 1)).toDF("doc_id", "n_tok")
+      val rows = Packing.packSequences(df, "doc_id", "n_tok", seqLen, shards)
+        .select("shard", "start_offset", "n_tok", "pack")
+        .as[(Long, Long, Long, Long)].collect()
+      rows.length == ids.length &&
+        rows.forall { case (_, off, _, pack) => pack == off / seqLen } &&
+        rows.groupBy(_._1).values.forall { g =>
+          val sorted = g.sortBy(_._2)
+          sorted.head._2 == 0L &&
+            sorted.sliding(2).forall {
+              case Array((_, s1, t1, _), (_, s2, _, _)) => s2 == s1 + t1
+              case _ => true
+            }
+        }
+    }
+
+  property("stratifiedSample membership is independent of row order and partitioning") =
+    Prop.forAll(genIds, Gen.choose(1, 7)) { (ids, parts) =>
+      import spark.implicits._
+      val a = ids.map(i => (i, (i % 2).toString)).toDF("doc_id", "g")
+      val b = scala.util.Random.shuffle(ids).map(i => (i, (i % 2).toString))
+        .toDF("doc_id", "g").repartition(parts)
+      def sample(df: org.apache.spark.sql.DataFrame) =
+        Sampling.stratifiedSample(df, "doc_id", "g", Map("0" -> 0.5), default = 0.25)
+          .select("doc_id").as[Long].collect().toSet
+      sample(a) == sample(b)
+    }
+}
