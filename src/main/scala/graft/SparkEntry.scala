@@ -307,6 +307,14 @@ object SparkEntry {
       s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }),
+    // statistical aggregates: stddev at 4 dp (~10 significant digits —
+    // safe under cross-engine accumulation-order ulps on a continuous
+    // value) and corr at 6 dp; var_samp deliberately omitted (≈2e10 at
+    // 4 dp would demand 15 significant digits, past double agreement)
+    "q_agg_stats" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+          round(corr(col("o_totalprice"), col("o_custkey").cast("double")), 6).as("c"))),
     // exact interpolated percentiles (quantities are integral doubles, so
     // the interpolated values are x.0/x.5 — bitwise-identical across
     // engines without rounding)
@@ -733,6 +741,9 @@ object SparkEntry {
       "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
     "q_agg_grouping_sets" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
       "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "q_agg_stats" -> ("SELECT o_orderstatus, round(stddev_samp(o_totalprice), 4) AS sd, " +
+      "round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS c " +
+      "FROM orders GROUP BY o_orderstatus"),
     "q_agg_percentile" -> ("SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25, " +
       "quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75 " +
       "FROM lineitem GROUP BY l_returnflag"),
