@@ -255,6 +255,18 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // the driver records only the last ~2000 chars of stdout, so the full
+    // per-query line above overflows its window and never parses. Emit a
+    // compact headline LAST (total + slowest queries + amortization summary)
+    // that fits; full detail stays in the line above and in bench_out.json.
+    val slowest = results.collect { case (k, Some(ts)) => k -> median(ts) }
+      .sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
+        s""""n_queries":${results.length},"failed":$failedJson,""" +
+        f""""amortization_speedup":${medUnprep / medPrep}%.2f,""" +
+        s""""slowest_queries":$slowest,"detail":"$out","sf":"$sfDir"}""")
     spark.stop()
     // failures are reported as null + "failed" in the JSON (and on stderr),
     // not via exit code: the partial artifact is still worth recording

@@ -23,8 +23,13 @@ class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // total over NaN (java.lang.Double ordering ranks NaN greatest, matching
+  // Spark SQL's sort order for double, so the aggregate agrees with the
+  // row_number window variant even on NaN cosines from zero vectors)
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

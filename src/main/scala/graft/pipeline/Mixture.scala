@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture resampling — hit a TARGET mixture of sources/languages
+  * (the "mix web : code : books at 70 : 20 : 10" step of training-data
+  * curation) by deterministically downsampling each group. Where
+  * [[Sampling.stratifiedSample]] applies per-group rates the caller already
+  * knows, this computes the rates FROM the corpus: the output is the
+  * largest downsample-only corpus whose group proportions match `weights`.
+  *
+  * Let m = min over groups of count_g / w_g (w normalized). The target size
+  * per group is w_g · floor(m); the binding group (the argmin) keeps
+  * ~everything, every other group downsamples to proportion. Membership is
+  * the same pure-function-of-id rule as [[Sampling]] (16-bit md5 threshold)
+  * — retry-stable, partition-independent, replayable by any engine.
+  *
+  * Scale shape: one tiny aggregate (one row per group) joined back
+  * broadcast-style, then a map-side hash-threshold filter — the corpus
+  * itself is never shuffled. Groups absent from `weights` are dropped;
+  * weight groups absent from the corpus make the mixture infeasible
+  * (m = 0 ⇒ empty result) rather than silently skewed.
+  */
+object Mixture {
+
+  def resampleToMixture(
+      df: DataFrame,
+      groupCol: String,
+      weights: Map[String, Double],
+      idCol: String): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), s"weights must be positive, got $weights")
+    val reserved = Set("__w", "__cnt", "__m", "__thr")
+    require(!df.columns.exists(reserved),
+      s"input columns collide with Mixture's reserved names: ${df.columns.filter(reserved).mkString(", ")}")
+    val total = weights.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    // normalized weights as a literal frame (k rows, k = #groups)
+    val wdf = weights.toSeq.sortBy(_._1).map { case (g, w) => (g, w / total) }
+      .toDF(groupCol, "__w")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    // left join FROM weights: a weight group missing from the corpus gets
+    // count 0 and forces m = 0 (infeasible mixture ⇒ empty, loudly)
+    val joined = wdf.join(counts, Seq(groupCol), "left")
+      .select(col(groupCol), col("__w"),
+        coalesce(col("__cnt"), lit(0L)).as("__cnt"))
+    // m and the per-group thresholds stay IN the plan (scalar agg row
+    // cross-joined back) — no driver collect
+    val m = joined.agg(floor(min(col("__cnt").cast("double") / col("__w"))).as("__m"))
+    val thresholds = joined.crossJoin(m)
+      .select(col(groupCol),
+        floor(col("__w") * col("__m") / col("__cnt").cast("double") * lit(65536.0))
+          .cast("int").as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+}

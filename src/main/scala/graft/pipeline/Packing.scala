@@ -40,6 +40,10 @@ object Packing {
       shards: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(shards > 0, s"shards must be positive, got $shards")
+    val reserved = Set("shard", "pack", "start_offset")
+    require(!df.columns.exists(reserved),
+      s"input already has a ${df.columns.filter(reserved).mkString("/")} column; " +
+        "rename it before packSequences")
     val shard = pmod(Sampling.md5Uniform(col(idCol)), lit(shards)).cast("long")
     val w = Window.partitionBy(col("shard"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

@@ -495,7 +495,9 @@ object PipelineQueries {
       "(SELECT DISTINCT doc_id FROM tr JOIN ev USING (g))"),
     // replay of Packing.packSequences: same md5 shard, same (md5, id)
     // within-shard order, same running token sum, same integer division
-    "q_pack_sequences" -> ("SELECT shard, (cum - n_tok) // 2048 AS pack, " +
+    // CAST the floor-div: DuckDB widens sum(BIGINT) to HUGEINT and //
+    // keeps it, while Spark emits BIGINT — the driver compare is type-aware
+    "q_pack_sequences" -> ("SELECT shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack, " +
       "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM (" +
       "SELECT shard, n_tok, sum(n_tok) OVER (PARTITION BY shard " +
       "ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM (" +

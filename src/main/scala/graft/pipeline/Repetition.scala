@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Intra-document repetition signals — the Gopher/MassiveText-style quality
+  * filters that catch boilerplate, keyboard-mash, and template spam: a
+  * document whose most frequent word n-gram covers a large fraction of the
+  * text, or most of whose n-grams occur more than once, is low-quality
+  * training data regardless of its vocabulary.
+  *
+  * (Beyond the reference surface — the reference has no text analysis at
+  * all; this extends the TextAnalysis family the driver prompt asks for.)
+  *
+  * Scale shape: shingle map-side (split + slice + join, all codegen'd
+  * built-ins), then ONE shuffle keyed on (doc, gram) with map-side partial
+  * counts, then a second, strictly smaller shuffle on doc alone. Cost is
+  * linear in corpus tokens; no all-pairs, no driver state. At 100 TB the
+  * same xxhash64-narrowing lever as [[Decontamination]] applies: hash the
+  * gram before the shuffle to cut key bytes ~4× (kept as exact strings here
+  * so an external engine replays the report byte for byte).
+  */
+object Repetition {
+
+  /** Same word n-gram definition as [[Decontamination]] /
+    * [[graft.functions.WordShingles]]: split lowercased text on single
+    * spaces, re-join n consecutive words with a space; docs shorter than n
+    * words yield none. The CASE guards Spark's `sequence(1, 0)` producing a
+    * descending [1, 0] rather than an empty array.
+    */
+  private def shinglesOfWords(words: Column, n: Int): Column =
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+
+  /** Per-document n-gram repetition profile: total / distinct gram counts,
+    * the multiplicity of the most frequent gram, and two fractions —
+    * `top_fraction` (share of all grams that are copies of the single most
+    * frequent one) and `dup_fraction` (share of gram occurrences whose gram
+    * appears more than once). Docs with fewer than n words are absent.
+    *
+    * The fractions are raw IEEE divisions of two exact longs, so any engine
+    * replaying the same integer counts gets bitwise-identical doubles.
+    */
+  def ngramRepetition(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val reserved = Set("__w", "__g", "n_grams", "n_distinct", "top_count",
+      "top_fraction", "dup_fraction")
+    require(!docs.columns.exists(c => reserved(c) && c != idCol),
+      s"input columns collide with Repetition's reserved names: " +
+        docs.columns.filter(reserved).mkString(", "))
+    val grams = docs
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
+      .select(col(idCol), explode(shinglesOfWords(col("__w"), n)).as("__g"))
+    grams
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("top_count"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).as("__dup"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        col("n_distinct"),
+        col("top_count"),
+        (col("top_count").cast("double") / col("n_grams").cast("double"))
+          .as("top_fraction"),
+        (col("__dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_fraction"))
+  }
+
+  /** The corpus-curation form: drop documents whose repetition signals
+    * cross either threshold (Gopher's published cuts are e.g. top-2-gram
+    * fraction > 0.20, duplicate-5-gram fraction > 0.15 — pass what fits the
+    * corpus). Documents too short to have any n-gram are KEPT — shortness
+    * is a different filter's job. Map-side anti-join shape: the flagged-id
+    * list is aggregated (small) and left-anti joined on the id only.
+    */
+  def dropRepetitive(
+      docs: DataFrame,
+      n: Int,
+      maxTopFraction: Double,
+      maxDupFraction: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxTopFraction > 0 && maxTopFraction <= 1, s"maxTopFraction in (0,1], got $maxTopFraction")
+    require(maxDupFraction > 0 && maxDupFraction <= 1, s"maxDupFraction in (0,1], got $maxDupFraction")
+    val flagged = ngramRepetition(docs, n, idCol, textCol)
+      .filter(col("top_fraction") > maxTopFraction || col("dup_fraction") > maxDupFraction)
+      .select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+}

@@ -257,18 +257,21 @@ object Similarity {
     * vectors, seeding falls back to the full corpus rather than producing
     * degenerate empty clusters.
     */
-  def buildIvfIndex(
+  /** The k-means coarse quantizer behind [[buildIvfIndex]], exposed for
+    * other cluster-then-work operators (semantic dedup): Lloyd iterations
+    * with deterministic seeding from the first k vectors; see
+    * [[buildIvfIndex]]'s scaladoc for the sampling/scale story. The
+    * returned table is k × dim — always driver-sized.
+    */
+  def learnCentroids(
       embeddings: DataFrame,
-      path: String,
       k: Int = 16,
       iters: Int = 2,
       learnFraction: Double = 1.0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding"): Seq[Seq[Float]] = {
     require(learnFraction > 0.0 && learnFraction <= 1.0,
       s"learnFraction must be in (0, 1], got $learnFraction")
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val sampled = learnFraction < 1.0
     val learner =
       if (!sampled) embeddings
@@ -296,16 +299,29 @@ object Similarity {
           }
         }
       }
-
-      embeddings
-        .withColumn("cid", nearestCentroid(col(vecCol), centroids))
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(path)
-      centroids.zipWithIndex.map { case (v, i) => (i, v) }
-        .toDF("cid", "centroid")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(path + "__centroids")
+      centroids
     } finally if (sampled) learner.unpersist(blocking = false)
+  }
+
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      path: String,
+      k: Int = 16,
+      iters: Int = 2,
+      learnFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = learnCentroids(embeddings, k, iters, learnFraction, idCol, vecCol)
+    embeddings
+      .withColumn("cid", nearestCentroid(col(vecCol), centroids))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "__centroids")
   }
 
   /** ANN top-k against an IVF index: rank centroids driver-side, read only

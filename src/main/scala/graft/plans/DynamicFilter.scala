@@ -162,17 +162,24 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
     def info(name: String, clazz: Class[_]) = new ExpressionInfo(clazz.getName, name)
-    e.injectFunction((FunctionIdentifier("cosine_similarity"),
-      info("cosine_similarity", classOf[graft.functions.CosineSimilarity]),
-      (args: Seq[Expression]) => graft.functions.CosineSimilarity(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("dot_product"),
-      info("dot_product", classOf[graft.functions.DotProduct]),
-      (args: Seq[Expression]) => graft.functions.DotProduct(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", classOf[graft.functions.SimHash64]),
-      (args: Seq[Expression]) => graft.functions.SimHash64(args.head)))
-    e.injectFunction((FunctionIdentifier("rolling_hash"),
-      info("rolling_hash", classOf[graft.functions.RollingHash]),
-      (args: Seq[Expression]) => graft.functions.RollingHash(args.head)))
+    // arity-checked builders, same error contract as Graft.registerFunctions
+    def one(name: String, clazz: Class[_])(b: Expression => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name, clazz), {
+        case Seq(x) => b(x)
+        case args => throw new IllegalArgumentException(
+          s"$name expects 1 argument, got ${args.length}")
+      }: Seq[Expression] => Expression))
+    def two(name: String, clazz: Class[_])(b: (Expression, Expression) => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name, clazz), {
+        case Seq(x, y) => b(x, y)
+        case args => throw new IllegalArgumentException(
+          s"$name expects 2 arguments, got ${args.length}")
+      }: Seq[Expression] => Expression))
+    two("cosine_similarity", classOf[graft.functions.CosineSimilarity])(
+      graft.functions.CosineSimilarity(_, _))
+    two("dot_product", classOf[graft.functions.DotProduct])(
+      graft.functions.DotProduct(_, _))
+    one("simhash64", classOf[graft.functions.SimHash64])(graft.functions.SimHash64(_))
+    one("rolling_hash", classOf[graft.functions.RollingHash])(graft.functions.RollingHash(_))
   }
 }

@@ -40,6 +40,14 @@ for name in sorted(glob.glob(f"{out_dir}/q_*")):
     # reorder both by sorted column name
     sidx = [cols.index(c) for c in sorted(cols, key=str.lower)]
     oidx = [ocols.index(c) for c in sorted(ocols, key=str.lower)]
+    # dtype-sensitive like the driver's pandas-hash compare (r11's
+    # q_pack_sequences HUGEINT-vs-BIGINT slip passed the old stringified
+    # check here but failed officially)
+    stypes = [con.sql(f"SELECT * FROM '{name}/*.parquet' LIMIT 0").description[i][1] for i in sidx]
+    otypes = [res.description[i][1] for i in oidx]
+    if stypes != otypes:
+        fail.append((qname, f"dtype: spark={stypes} oracle={otypes}"))
+        continue
     srows = sorted(tuple(norm(r[i]) for i in sidx) for r in spark)
     orows = sorted(tuple(norm(r[i]) for i in oidx) for r in oracle)
     if srows == orows:
