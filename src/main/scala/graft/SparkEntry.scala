@@ -128,6 +128,17 @@ object SparkEntry {
         """SELECT c_custkey, c_acctbal,
           |rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
           |FROM customer WHERE c_nationkey = $1""".stripMargin)("$1" -> 7)),
+    // custom NATIVE expression through prepare(): the registered
+    // cosine_similarity resolves during prepare-time analysis and is
+    // snapshotted into the physical plan (≡ the reference snapshotting the
+    // session's UDFs, parameterized_statement.rs:106-162), with the WHERE
+    // placeholder re-bound per execute
+    "q_prep_cosine" -> ((s, dir) =>
+      prep(s, dir,
+        """SELECT vec_id, round(cosine_similarity(embedding,
+          |  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+          |FROM embeddings WHERE vec_id >= $1 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)(
+        "$1" -> 10L)),
     // B13 through the DSv2 keyed source: a prepared IN-list lookup against
     // an indexed in-memory table — ScanRebind turns each execute into an
     // index lookup shipping only the matching rows (the reference's
@@ -207,6 +218,9 @@ object SparkEntry {
     "q_prep_window" -> ("SELECT c_custkey, c_acctbal, " +
       "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk " +
       "FROM customer WHERE c_nationkey = 7"),
+    "q_prep_cosine" -> ("SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+      "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine " +
+      "FROM embeddings WHERE vec_id >= 10 ORDER BY cosine DESC, vec_id LIMIT 10"),
     "q_prep_keyed" -> ("SELECT p_partkey, p_name, p_retailprice FROM part " +
       "WHERE p_partkey IN (3, 7, 11)"),
     "q_prep_subquery" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
@@ -480,6 +494,31 @@ object SparkEntry {
         .select(date_add(epoch, col("u_start").cast("int")).as("urgent_day"),
           col("n_overlaps"))
     }),
+    // Bloom-prefiltered semi join (operators/BloomPrune.scala): lineitem
+    // rows of URGENT orders. The serialized bloom filter of the dim keys
+    // rides into a map-side might_contain(xxhash64) probe that cuts the
+    // fact side AT THE SCAN, before the shuffle; the real semi join after
+    // it restores exactness, so the oracle is the plain semi join.
+    // expectedItems is a capacity (fpp sizing), not a correctness input.
+    "q_join_bloom" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomPrune
+        .semiJoinPrune(t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 1 << 16)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+    // Z-order clustering key (operators/ZOrder.scala): Morton interleave of
+    // (o_custkey, o_orderkey) — the multi-column skipping layout key. The
+    // oracle replays the SAME generated bit arithmetic; the file-skipping
+    // effect of clusterByZ on parquet min/max stats is asserted in
+    // ZOrderSpec (both columns prune, which no single-column sort gives).
+    "q_zorder_key" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.operators.ZOrder.zValue(col("o_custkey"), col("o_orderkey"), bits = 20).as("z"))
+        .orderBy(col("z"), col("o_orderkey"))
+        .limit(20)),
     // Backward as-of join (operators/AsOfJoin.scala): each purchase event
     // matched to the user's most recent prior-or-same-instant click. One
     // shuffle + window, no join operator (AsOfJoinSpec asserts the plan);
@@ -801,6 +840,16 @@ object SparkEntry {
       "FROM orders a JOIN orders b ON CAST(a.o_orderdate AS DATE) <= CAST(b.o_orderdate AS DATE) + 3 " +
       "AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + 3 " +
       "WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '5-LOW' GROUP BY 1"),
+    // the bloom-pruned semi join must equal the plain semi join exactly
+    // (false positives are re-filtered by the real join)
+    "q_join_bloom" -> ("SELECT l_returnflag, count(*) AS n_items, " +
+      "round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey IN " +
+      "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+      "GROUP BY l_returnflag"),
+    // identical generated Morton-interleave arithmetic on both engines
+    "q_zorder_key" -> ("SELECT o_orderkey, o_custkey, " +
+      graft.operators.ZOrder.zValueSql("o_custkey", "o_orderkey", 20) +
+      " AS z FROM orders ORDER BY z, o_orderkey LIMIT 20"),
     // the salted join must be row-for-row the plain join
     "q_join_salted" -> ("SELECT o.o_custkey, count(*) AS n_items, " +
       "CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +

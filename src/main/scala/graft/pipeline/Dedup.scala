@@ -512,4 +512,60 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(max(col("cos")), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the embedding
+    * space with the IVF coarse quantizer ([[Similarity.learnCentroids]] —
+    * k-means, deterministic seeding), then verify exact cosine ≥
+    * `threshold` INSIDE each (capped) cluster only. Where the hyperplane-LSH
+    * variant ([[embeddingNearDupPairs]]) buckets by random sign bits,
+    * clustering adapts the partition to the corpus's actual density — the
+    * published SemDeDup recipe for paraphrase-level dedup of web corpora.
+    *
+    * Scale: k ≈ sqrt(n) clusters learned on a sample (`learnFraction`),
+    * assignment map-side, one shuffle on cid, pair budget bounded by
+    * `bucketCap` per cluster. Identical vectors always share a cluster
+    * (assignment is a pure function of the vector), so exact-duplicate
+    * recall is 1 regardless of where the centroids land.
+    */
+  def semanticNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 16,
+      iters: Int = 2,
+      learnFraction: Double = 1.0,
+      threshold: Double = 0.95,
+      bucketCap: Int = defaultBucketCap): DataFrame = {
+    val centroids = Similarity.learnCentroids(embeddings, k, iters, learnFraction, idCol, vecCol)
+    val assigned = capBuckets(
+      embeddings.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("cid")),
+      bucketCap, "cid")
+    val a = assigned.as("a"); val b = assigned.as("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSimilarity(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The curation form: semantic pairs → connected components → keep one
+    * representative (min id) per semantic cluster. Composition of
+    * [[semanticNearDupPairs]] and [[dropNearDuplicates]].
+    */
+  def dropSemanticDuplicates(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 16,
+      iters: Int = 2,
+      learnFraction: Double = 1.0,
+      threshold: Double = 0.95,
+      bucketCap: Int = defaultBucketCap): DataFrame =
+    dropNearDuplicates(
+      embeddings,
+      semanticNearDupPairs(embeddings, idCol, vecCol, k, iters, learnFraction, threshold, bucketCap)
+        .select(col("id_a"), col("id_b")),
+      idCol)
 }

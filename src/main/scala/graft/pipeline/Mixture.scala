@@ -49,9 +49,14 @@ object Mixture {
     // m and the per-group thresholds stay IN the plan (scalar agg row
     // cross-joined back) — no driver collect
     val m = joined.agg(floor(min(col("__cnt").cast("double") / col("__w"))).as("__m"))
+    // the count-0 guard doubles as the ANSI divide-by-zero guard (Spark 4
+    // errors on /0 even for doubles); an infeasible mixture (m = 0) zeroes
+    // every threshold anyway
     val thresholds = joined.crossJoin(m)
       .select(col(groupCol),
-        floor(col("__w") * col("__m") / col("__cnt").cast("double") * lit(65536.0))
+        when(col("__cnt") > 0,
+          floor(col("__w") * col("__m") / col("__cnt").cast("double") * lit(65536.0)))
+          .otherwise(lit(0L))
           .cast("int").as("__thr"))
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))

@@ -305,8 +305,58 @@ object PipelineQueries {
       quality.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
-    })
+    }),
+    // Gopher-style intra-document repetition signals (pipeline/Repetition):
+    // per-doc 2-gram totals, top-gram multiplicity, and the two fractions
+    // the published quality cuts threshold on
+    "q_text_rep2gram" -> ((s, dir) => Repetition.ngramRepetition(docs(s, dir), n = 2)),
+    // the curation form: drop docs whose top-2-gram fraction > 0.08 or
+    // duplicate-2-gram fraction > 0.2 (thresholds sized to this corpus's
+    // observed 0.01-0.17 / 0-0.27 ranges); fractions are bitwise-identical
+    // doubles on both engines so the comparisons agree exactly
+    "q_text_droprep" -> ((s, dir) =>
+      Repetition.dropRepetitive(docs(s, dir), n = 2,
+          maxTopFraction = 0.08, maxDupFraction = 0.2)
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))),
+    // PII redaction (pipeline/Redaction): the corpus text carries no PII, so
+    // the query PLANTS one email/phone/IP per doc from testdata columns
+    // (same derived-input pattern as the planted dedup twins) and checks
+    // both the counts and the exact masked text across regex engines
+    "q_text_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"), lit("@mail.example.org")),
+          lit("call 555-867-5309 at"),
+          concat(lit("10.0.0."), pmod(col("doc_id"), lit(256)).cast("string"))).as("text"))
+      Redaction.piiReport(planted)
+        .join(Redaction.redactPii(planted).withColumnRenamed("text", "red_text"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"), col("red_text"))
+    }),
+    // domain-mixture resampling (pipeline/Mixture): largest downsample-only
+    // corpus hitting src0:src1:src2 = 5:3:2; other sources drop out
+    "q_sample_mixture" -> ((s, dir) =>
+      Mixture.resampleToMixture(docs(s, dir), "source", MixtureWeights, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+    // SemDeDup-style semantic dedup (cluster-then-verify): planted exact
+    // copies must pair with their originals — identical vectors always share
+    // a k-means cell, so recall is 1 by construction, and no distractor pair
+    // passes the exact cosine >= 0.95 verify
+    "q_dedup_semantic_planted" -> ((s, dir) =>
+      plantedFound(Dedup.semanticNearDupPairs(plantedEmbs(embs(s, dir)), k = 8,
+        threshold = 0.95).select(col("id_a"), col("id_b")))),
+    // the curation form: pairs -> connected components -> min-id survivor;
+    // exactly the pre-plant corpus remains
+    "q_dedup_semantic_drop" -> ((s, dir) =>
+      Dedup.dropSemanticDuplicates(plantedEmbs(embs(s, dir)), k = 8, threshold = 0.95)
+        .select(col("vec_id")))
   )
+
+  /** Target mixture for q_sample_mixture (relative proportions; sources
+    * outside the map are dropped).
+    */
+  private val MixtureWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
 
   /** DuckDB replay of [[TextAnalysis.langIdGuess]]: per-language stopword hit
     * counts, argmax with Spark's array_max-over-structs tie-break (highest
@@ -509,6 +559,68 @@ object PipelineQueries {
       s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
         s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
         s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val " +
-        "FROM documents").mkString(" UNION ALL ")
+        "FROM documents").mkString(" UNION ALL "),
+    // replay of Repetition.ngramRepetition(n = 2): same lowercased word
+    // 2-grams, same per-(doc, gram) counts, same exact-integer divisions
+    "q_text_rep2gram" -> (rep2gramSql +
+      "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct, " +
+      "CAST(max(c) AS BIGINT) AS top_count, " +
+      "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_fraction, " +
+      "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_fraction " +
+      "FROM c GROUP BY doc_id"),
+    "q_text_droprep" -> (rep2gramSql +
+      "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM c GROUP BY doc_id " +
+      "HAVING CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.08 " +
+      "OR CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.2)"),
+    // identical plant, identical RE2-compatible patterns (shared constants),
+    // identical mask order; DuckDB needs the 'g' flag for replace-all and
+    // len(regexp_extract_all) where Spark has regexp_count
+    "q_text_redact" -> {
+      val plant = "SELECT doc_id, concat_ws(' ', text, " +
+        "'user' || CAST(doc_id AS VARCHAR) || '@mail.example.org', " +
+        "'call 555-867-5309 at', " +
+        "'10.0.0.' || CAST(doc_id % 256 AS VARCHAR)) AS text FROM documents"
+      def cnt(p: String) = s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT)"
+      s"SELECT doc_id, ${cnt(Redaction.EmailPattern)} AS n_emails, " +
+        s"${cnt(Redaction.PhonePattern)} AS n_phones, " +
+        s"${cnt(Redaction.Ipv4Pattern)} AS n_ips, " +
+        s"regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${Redaction.EmailPattern}', '${Redaction.EmailMask}', 'g'), " +
+        s"'${Redaction.PhonePattern}', '${Redaction.PhoneMask}', 'g'), " +
+        s"'${Redaction.Ipv4Pattern}', '${Redaction.IpMask}', 'g') AS red_text " +
+        s"FROM ($plant)"
+    },
+    // replay of Mixture.resampleToMixture: same normalized weight literals
+    // (Scala's shortest-round-trip double formatting parses back to the
+    // identical IEEE value), same m = floor(min(count/w)), same per-group
+    // 16-bit md5 thresholds with the same operation order
+    "q_sample_mixture" -> {
+      val total = MixtureWeights.values.sum
+      val values = MixtureWeights.toSeq.sortBy(_._1)
+        .map { case (g, w) => s"('$g', CAST(${w / total} AS DOUBLE))" }.mkString(", ")
+      s"WITH wts(source, w) AS (VALUES $values), " +
+        "cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source), " +
+        "j AS (SELECT wts.source, w, CAST(COALESCE(c, 0) AS DOUBLE) AS c " +
+        "FROM wts LEFT JOIN cnt ON wts.source = cnt.source), " +
+        "m AS (SELECT floor(min(c / w)) AS m FROM j), " +
+        "thr AS (SELECT source, CAST(floor(w * m / c * 65536.0) AS INT) AS thr FROM j, m) " +
+        "SELECT d.source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+        s"FROM documents d JOIN thr ON d.source = thr.source WHERE $md5U16Sql < thr " +
+        "GROUP BY d.source"
+    },
+    "q_dedup_semantic_planted" -> plantedEmbOracle,
+    "q_dedup_semantic_drop" -> s"SELECT vec_id FROM embeddings WHERE vec_id < $NDistract"
   )
+
+  /** Shared CTE prefix for the repetition oracles: per-(doc, 2-gram)
+    * multiplicities of the lowercased word stream — the same shingle
+    * definition as [[Repetition.ngramRepetition]]. A def: it is referenced
+    * from the `oracles` val above, which initializes first.
+    */
+  private def rep2gramSql =
+    "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+      "g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g " +
+      "FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)), " +
+      "c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g) "
 }

@@ -26,12 +26,14 @@ object Redaction {
   val EmailPattern: String =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** North-American-style 555-123-4567 / 555 123 4567 with optional +1 /
+  /** North-American-style 555-123-4567 / 555 123 4567 with optional "+1 " /
     * (555) grouping. Deliberately shaped (digit-run lengths fixed) rather
-    * than "any long digit string" so ids and quantities never mask.
+    * than "any long digit string" so ids and quantities never mask; the
+    * country-code separator lives INSIDE the optional group so a match
+    * never starts on the whitespace before the number.
     */
   val PhonePattern: String =
-    "\\+?1?[- ]?\\(?[0-9]{3}\\)?[- ][0-9]{3}[- ][0-9]{4}"
+    "(\\+?1[- ])?\\(?[0-9]{3}\\)?[- ][0-9]{3}[- ][0-9]{4}"
 
   /** Dotted-quad IPv4 shape (bounded 1-3 digit octets). */
   val Ipv4Pattern: String =

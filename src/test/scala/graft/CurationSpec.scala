@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Mixture, Redaction, Repetition}
+
+/** Specs for the round-12 curation operators: repetition signals, PII
+  * redaction, domain-mixture resampling.
+  */
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("ngramRepetition counts 2-gram structure exactly") {
+    val docs = Seq(
+      (1L, "a b a b a"),        // 2-grams: "a b" ×2, "b a" ×2 → 4 grams, 2 distinct
+      (2L, "x y z w"),          // 3 grams, all unique
+      (3L, "t t t t"),          // "t t" ×3 → 3 grams, 1 distinct
+      (4L, "solo")              // too short: no 2-gram, absent from output
+    ).toDF("doc_id", "text")
+    val out = Repetition.ngramRepetition(docs, n = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    out shouldBe Array(
+      (1L, 4L, 2L, 2L, 0.5, 1.0),
+      (2L, 3L, 3L, 1L, 1.0 / 3.0, 0.0),
+      (3L, 3L, 1L, 3L, 1.0, 1.0))
+  }
+
+  test("ngramRepetition lowercases and honors n") {
+    val docs = Seq((1L, "The the THE cat")).toDF("doc_id", "text")
+    val r = Repetition.ngramRepetition(docs, n = 1).filter(col("doc_id") === 1L).head()
+    r.getLong(1) shouldBe 4L  // n_grams
+    r.getLong(2) shouldBe 2L  // the, cat
+    r.getLong(3) shouldBe 3L  // "the" ×3
+  }
+
+  test("dropRepetitive drops flagged docs, keeps short docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"), // top_fraction 1.0 → dropped
+      (2L, "a decent variety of words here"),
+      (3L, "x")                          // no 2-gram → kept
+    ).toDF("doc_id", "text")
+    Repetition.dropRepetitive(docs, n = 2, maxTopFraction = 0.5, maxDupFraction = 0.5)
+      .select("doc_id").as[Long].collect().sorted shouldBe Seq(2L, 3L)
+  }
+
+  test("redactPii masks emails, phones, and IPs; counts match") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.com or call 555-123-4567 now"),
+      (2L, "server at 192.168.0.17 and 10.0.0.1"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val red = Redaction.redactPii(docs).orderBy("doc_id").select("text").as[String].collect()
+    red(0) shouldBe "mail [EMAIL] or call [PHONE] now"
+    red(1) shouldBe "server at [IP] and [IP]"
+    red(2) shouldBe "nothing sensitive here"
+    val rep = Redaction.piiReport(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    rep shouldBe Array((1L, 1L, 0L), (0L, 0L, 2L), (0L, 0L, 0L))
+  }
+
+  test("resampleToMixture hits the target proportions and is deterministic") {
+    // 6000 a, 3000 b, 600 c; target a:b:c = 1:1:1 → c binds (m ≈ 1800),
+    // each group keeps ~600
+    val df = spark.range(0, 9600).select(col("id").as("doc_id"),
+      when(col("id") < 6000, "a").when(col("id") < 9000, "b").otherwise("c").as("src"))
+    val out = Mixture.resampleToMixture(df, "src", Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), "doc_id")
+    val counts = out.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 16-bit hash thresholding: a few percent tolerance
+    counts("a").toDouble shouldBe 600.0 +- 80.0
+    counts("b").toDouble shouldBe 600.0 +- 80.0
+    counts("c").toDouble shouldBe 600.0 +- 60.0
+    // membership is a pure function of id: stable under repartition
+    def ids(parts: Int) = Mixture
+      .resampleToMixture(df.repartition(parts), "src", Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    ids(2) shouldBe ids(13)
+  }
+
+  test("resampleToMixture drops unlisted groups; missing weight group empties the result") {
+    val df = spark.range(0, 300).select(col("id").as("doc_id"),
+      when(col("id") < 100, "a").when(col("id") < 200, "b").otherwise("zzz").as("src"))
+    val kept = Mixture.resampleToMixture(df, "src", Map("a" -> 1.0, "b" -> 1.0), "doc_id")
+    kept.filter(col("src") === "zzz").count() shouldBe 0L
+    // a weight group with no corpus rows makes the mixture infeasible
+    Mixture.resampleToMixture(df, "src", Map("a" -> 1.0, "nope" -> 1.0), "doc_id")
+      .count() shouldBe 0L
+  }
+
+  test("mixture proportions track the weights, not the corpus skew") {
+    val df = spark.range(0, 8000).select(col("id").as("doc_id"),
+      when(col("id") < 7000, "big").otherwise("small").as("src"))
+    val out = Mixture.resampleToMixture(df, "src", Map("big" -> 3.0, "small" -> 1.0), "doc_id")
+    val counts = out.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small binds: m ≈ 4000, targets 3000/1000
+    counts("big").toDouble / counts("small").toDouble shouldBe 3.0 +- 0.35
+  }
+}

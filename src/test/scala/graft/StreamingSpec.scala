@@ -173,6 +173,33 @@ class StreamingSpec extends SparkTestBase {
     } finally Tables.dropManaged(s, "neardup_idx_bucketed")
   }
 
+  test("ingestion-time curation (redact + quality gate) is stateless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // the map-side curation operators compose onto a stream unchanged:
+    // regex masking and a length gate are per-row, so per-batch cost is
+    // ∝ batch size and the query holds NO state
+    val curated = graft.pipeline.Redaction
+      .redactPii(input.toDF().toDF("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 15)
+    val query = curated.writeStream.format("memory").queryName("curate")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData((1L, "reach me at bob@x.example.com for details"), (2L, "tiny"))
+      query.processAllAvailable()
+      input.addData((3L, "server 10.1.2.3 responded with a long body"))
+      query.processAllAvailable()
+      val rows = s.table("curate").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      rows.keySet shouldBe Set(1L, 3L)
+      rows(1L) shouldBe "reach me at [EMAIL] for details"
+      rows(3L) shouldBe "server [IP] responded with a long body"
+      query.lastProgress.stateOperators shouldBe empty
+    }
+  }
+
   test("custom keyed state accumulates across micro-batches") {
     val s = spark
     import s.implicits._
