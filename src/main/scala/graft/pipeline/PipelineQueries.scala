@@ -350,7 +350,24 @@ object PipelineQueries {
     // exactly the pre-plant corpus remains
     "q_dedup_semantic_drop" -> ((s, dir) =>
       Dedup.dropSemanticDuplicates(plantedEmbs(embs(s, dir)), k = 8, threshold = 0.95)
-        .select(col("vec_id")))
+        .select(col("vec_id"))),
+    // the zero-shuffle run-length form must emit the relational form's rows
+    // exactly — same oracle string, different plan (no exchange at all)
+    "q_text_rep2gram_mapside" -> ((s, dir) =>
+      Repetition.ngramRepetitionMapSide(docs(s, dir), n = 2)),
+    // tokenizer-coverage sweep: per-doc OOV rate against the corpus's own
+    // top-50 vocabulary (deterministic tf-then-term cut)
+    "q_text_oov" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.oovStats(d, TextAnalysis.vocabulary(d, k = 50).select(col("term")))
+    }),
+    // adaptive per-language length gate: keep docs inside each language's
+    // [p10, p90] n_chars band (QuantileFilter; exact percentile agrees with
+    // DuckDB quantile_cont, proven by q_agg_percentile)
+    "q_text_lenband" -> ((s, dir) =>
+      QuantileFilter.byQuantileBand(docs(s, dir), "lang", "n_chars", lo = 0.1, hi = 0.9)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
   )
 
   /** Target mixture for q_sample_mixture (relative proportions; sources
@@ -562,12 +579,27 @@ object PipelineQueries {
         "FROM documents").mkString(" UNION ALL "),
     // replay of Repetition.ngramRepetition(n = 2): same lowercased word
     // 2-grams, same per-(doc, gram) counts, same exact-integer divisions
-    "q_text_rep2gram" -> (rep2gramSql +
-      "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct, " +
-      "CAST(max(c) AS BIGINT) AS top_count, " +
-      "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_fraction, " +
-      "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_fraction " +
-      "FROM c GROUP BY doc_id"),
+    "q_text_rep2gram" -> rep2gramOracle,
+    // the map-side run-length variant must agree row for row
+    "q_text_rep2gram_mapside" -> rep2gramOracle,
+    // top-50 vocab CTE (same tf-desc, term-asc deterministic cut as
+    // q_text_vocab) + per-doc left-join OOV counting
+    "q_text_oov" -> ("WITH v AS (SELECT term FROM (SELECT term, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
+      "GROUP BY term ORDER BY tf DESC, term LIMIT 50)), " +
+      "tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
+      "SELECT doc_id, count(*) AS n_tokens, " +
+      "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE) AS oov_fraction " +
+      "FROM tk LEFT JOIN v ON tk.term = v.term GROUP BY doc_id"),
+    // quantile_cont ≡ Spark's exact interpolated percentile (q_agg_percentile
+    // proves the agreement); band filter replayed with the same bounds
+    "q_text_lenband" -> ("WITH b AS (SELECT lang, quantile_cont(n_chars, 0.1) AS plo, " +
+      "quantile_cont(n_chars, 0.9) AS phi FROM documents GROUP BY lang) " +
+      "SELECT d.lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+      "FROM documents d JOIN b ON d.lang = b.lang " +
+      "WHERE n_chars >= plo AND n_chars <= phi GROUP BY d.lang"),
     "q_text_droprep" -> (rep2gramSql +
       "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
       "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM c GROUP BY doc_id " +
@@ -623,4 +655,13 @@ object PipelineQueries {
       "g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g " +
       "FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)), " +
       "c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g) "
+
+  /** Shared by q_text_rep2gram and its map-side twin (identical output). */
+  private def rep2gramOracle =
+    rep2gramSql +
+      "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct, " +
+      "CAST(max(c) AS BIGINT) AS top_count, " +
+      "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_fraction, " +
+      "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_fraction " +
+      "FROM c GROUP BY doc_id"
 }

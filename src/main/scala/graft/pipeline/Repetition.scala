@@ -77,6 +77,43 @@ object Repetition {
           .as("dup_fraction"))
   }
 
+  /** The ZERO-shuffle form of [[ngramRepetition]]: the whole profile from
+    * one run-length pass over the doc's own sorted gram array (sort + a
+    * single `aggregate` higher-order function, all inside the row) — no
+    * explode, no shuffle, per-row cost O(g log g) in the doc's gram count.
+    * At 100 TB this rides the scan for free and composes onto a STREAM
+    * (per-row ⇒ stateless), where the relational form's aggregation cannot;
+    * the relational form remains the externally-replayable oracle twin.
+    * Output is row-for-row identical (spec-asserted).
+    */
+  def ngramRepetitionMapSide(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val z = "named_struct('run', 0L, 'top', 0L, 'dup', 0L, 'nd', 0L, 'prev', CAST(NULL AS STRING))"
+    val step = "(s, x) -> IF(s.prev IS NULL OR x != s.prev, " +
+      "named_struct('run', 1L, 'top', greatest(s.top, s.run), " +
+      "'dup', s.dup + IF(s.run > 1L, s.run, 0L), 'nd', s.nd + 1L, 'prev', x), " +
+      "named_struct('run', s.run + 1L, 'top', s.top, 'dup', s.dup, 'nd', s.nd, 'prev', x))"
+    val fin = "s -> named_struct('top', greatest(s.top, s.run), " +
+      "'dup', s.dup + IF(s.run > 1L, s.run, 0L), 'nd', s.nd)"
+    docs
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
+      .select(col(idCol), shinglesOfWords(col("__w"), n).as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col(idCol), size(col("__g")).cast("long").as("n_grams"),
+        expr(s"aggregate(array_sort(__g), $z, $step, $fin)").as("__r"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        col("__r.nd").as("n_distinct"),
+        col("__r.top").as("top_count"),
+        (col("__r.top").cast("double") / col("n_grams").cast("double")).as("top_fraction"),
+        (col("__r.dup").cast("double") / col("n_grams").cast("double")).as("dup_fraction"))
+  }
+
   /** The corpus-curation form: drop documents whose repetition signals
     * cross either threshold (Gopher's published cuts are e.g. top-2-gram
     * fraction > 0.20, duplicate-5-gram fraction > 0.15 — pass what fits the

@@ -42,6 +42,28 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
 
+  /** Per-document out-of-vocabulary rate against a term list (typically
+    * [[vocabulary]]'s top-k — the tokenizer-coverage sweep run before
+    * committing to a vocab size): token total, OOV count, OOV fraction.
+    *
+    * Scale shape: the vocab side is vocabulary-sized and broadcasts, so the
+    * membership join is map-side; the per-doc aggregation's partial agg
+    * collapses in place (explode keeps a doc's tokens in its partition), so
+    * one narrow doc-keyed shuffle. The fraction is an exact-integer IEEE
+    * division — engine-replayable bit for bit.
+    */
+  def oovStats(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    require(vocab.columns.contains("term"), "vocab needs a 'term' column")
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    toks.join(broadcast(vocab.select(col("term"), lit(1).as("__in"))), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_fraction"))
+  }
+
   /** GPT-2-style BPE pre-tokenization pattern (contractions, letter runs,
     * digit runs, punctuation runs, whitespace runs) — the standard proxy for
     * LLM token counting without a merges table. Kept to RE2-compatible

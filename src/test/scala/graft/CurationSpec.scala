@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Mixture, Redaction, Repetition}
+import graft.pipeline.{Mixture, QuantileFilter, Redaction, Repetition, TextAnalysis}
 
 /** Specs for the round-12 curation operators: repetition signals, PII
   * redaction, domain-mixture resampling.
@@ -87,6 +87,46 @@ class CurationSpec extends SparkTestBase {
     // a weight group with no corpus rows makes the mixture infeasible
     Mixture.resampleToMixture(df, "src", Map("a" -> 1.0, "nope" -> 1.0), "doc_id")
       .count() shouldBe 0L
+  }
+
+  test("map-side repetition profile equals the relational one, with no exchange") {
+    val real = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val crafted = Seq((9001L, "a b a b a"), (9002L, "t t t t"), (9003L, "solo"))
+      .toDF("doc_id", "text").select(col("doc_id"), col("text"))
+    for (docs <- Seq(real.select("doc_id", "text"), crafted); n <- Seq(1, 2, 3)) {
+      val rel = Repetition.ngramRepetition(docs, n).orderBy("doc_id").collect().toSeq
+      val map = Repetition.ngramRepetitionMapSide(docs, n).orderBy("doc_id").collect().toSeq
+      map shouldBe rel
+    }
+    // the run-length form rides the scan: nothing shuffles before the rows
+    // exist (the orderBy above is the only exchange a consumer would add)
+    val plan = Repetition.ngramRepetitionMapSide(real, 2).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("byQuantileBand keeps each group's own percentile band") {
+    val df = (1L to 100L).map(v => ("g1", v)) ++ (1001L to 1010L).map(v => ("g2", v))
+    val out = QuantileFilter.byQuantileBand(df.toDF("grp", "v"), "grp", "v", lo = 0.1, hi = 0.9)
+    // g1: p10 = 10.9, p90 = 90.1 → keeps 11..90; g2: p10 = 1001.9, p90 = 1009.1
+    val g1 = out.filter(col("grp") === "g1").select("v").as[Long].collect().sorted
+    g1 shouldBe (11L to 90L)
+    val g2 = out.filter(col("grp") === "g2").select("v").as[Long].collect().sorted
+    g2 shouldBe (1002L to 1009L)
+    // approx variant: same schema, plausible band (exact on tiny groups)
+    QuantileFilter.byQuantileBand(df.toDF("grp", "v"), "grp", "v", 0.1, 0.9, exact = false)
+      .columns shouldBe Array("grp", "v")
+    an[IllegalArgumentException] should be thrownBy
+      QuantileFilter.byQuantileBand(df.toDF("grp", "v"), "grp", "v", 0.9, 0.1)
+  }
+
+  test("oovStats counts out-of-vocabulary tokens per document") {
+    val docs = Seq((1L, "the cat sat"), (2L, "THE the zzz")).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat").toDF("term")
+    val out = TextAnalysis.oovStats(docs, vocab).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array(
+      (1L, 3L, 1L, 1.0 / 3.0),  // "sat" is OOV
+      (2L, 3L, 1L, 1.0 / 3.0))  // lowercased: THE≡the in-vocab, "zzz" OOV
   }
 
   test("mixture proportions track the weights, not the corpus skew") {
