@@ -68,6 +68,33 @@ object EventStreams {
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-STREAM interval join: each purchase matched to the same user's
+    * clicks in the `horizon` before it (attribution). Both sides carry
+    * watermarks and the join condition bounds the click's event time
+    * relative to the purchase's, so Spark can expire buffered state on both
+    * sides — the state-bounding contract a continuous ingest needs; without
+    * the time bound, each side would buffer forever. Equi-key user_id keeps
+    * the state shuffle-partitioned by user.
+    */
+  def clickToPurchaseJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("click_value"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: a per-user running
     * (count, total) emitted on every update — the arbitrary-state hook for
     * logic session_window can't express.

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomPrune, ZOrder}
+import graft.pipeline.Mixture
+
+/** Property checks for the round-12 operators: invariants that must hold
+  * for arbitrary inputs, not just the spec fixtures.
+  */
+object CurationProps extends Properties("Curation") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkTestBase.session
+
+  private val genIds = Gen.nonEmptyListOf(Gen.choose(0L, 100000L)).map(_.distinct)
+  private val genBits = Gen.choose(1, 20)
+
+  property("zValue is injective on in-range pairs and round-trips both columns") =
+    Prop.forAll(genBits, Gen.nonEmptyListOf(Gen.choose(0L, 1L << 20))) { (bits, raw) =>
+      import spark.implicits._
+      val mask = (1L << bits) - 1
+      val pairs = raw.map(v => (v & mask, (v * 31 + 7) & mask)).distinct
+      val zs = pairs.toDF("a", "b")
+        .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b"), bits).as("z"))
+        .as[(Long, Long, Long)].collect()
+      def deinterleave(z: Long): (Long, Long) = {
+        var (a, b, i) = (0L, 0L, 0)
+        while (i < bits) {
+          a |= ((z >> (2 * i)) & 1L) << i
+          b |= ((z >> (2 * i + 1)) & 1L) << i
+          i += 1
+        }
+        (a, b)
+      }
+      zs.forall { case (a, b, z) => deinterleave(z) == ((a, b)) } &&
+        zs.map(_._3).distinct.length == pairs.length
+    }
+
+  property("bloom prefilter never loses a key that was built in") =
+    Prop.forAll(genIds, genIds) { (dimIds, factIds) =>
+      import spark.implicits._
+      val dim = dimIds.toDF("k")
+      val fact = (dimIds ++ factIds).distinct.toDF("k")
+      val bytes = BloomPrune.buildFilterBytes(dim, "k", expectedItems = math.max(1, dimIds.length).toLong)
+      val kept = BloomPrune.prefilter(fact, "k", bytes).as[Long].collect().toSet
+      dimIds.toSet.subsetOf(kept)
+    }
+
+  property("resampleToMixture membership: subset, listed groups only, partition-invariant") =
+    Prop.forAll(genIds, Gen.choose(2, 4)) { (ids, nGroups) =>
+      import spark.implicits._
+      // weight every group but the last: unlisted rows must vanish
+      val weights = (0 until nGroups - 1).map(g => s"g$g" -> (g + 1).toDouble).toMap
+      val df = ids.map(i => (i, s"g${i % nGroups}")).toDF("doc_id", "grp")
+      val kept = Mixture.resampleToMixture(df, "grp", weights, "doc_id")
+        .select("doc_id", "grp").as[(Long, String)].collect()
+      val keptRepart = Mixture
+        .resampleToMixture(df.repartition(5), "grp", weights, "doc_id")
+        .select("doc_id", "grp").as[(Long, String)].collect()
+      kept.map(_._1).toSet.subsetOf(ids.toSet) &&
+        kept.forall { case (_, g) => weights.contains(g) } &&
+        kept.sortBy(_._1).toSeq == keptRepart.sortBy(_._1).toSeq
+    }
+}

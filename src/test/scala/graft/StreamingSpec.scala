@@ -173,6 +173,37 @@ class StreamingSpec extends SparkTestBase {
     } finally Tables.dropManaged(s, "neardup_idx_bucketed")
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.clickToPurchaseJoin(
+      clicks.toDF(), purchases.toDF(), horizon = "30 minutes")
+    val query = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    withQuery(query) {
+      // user 7: clicks at 1:00 and 1:20 (in horizon of a 1:30 purchase),
+      // and at 0:30 (outside); user 8 clicks but never purchases
+      clicks.addData(
+        ev(11, ts(0, 30), user = 7, v = 1.0),
+        ev(12, ts(1, 0), user = 7, v = 2.0),
+        ev(13, ts(1, 20), user = 7, v = 3.0),
+        ev(14, ts(1, 25), user = 8, v = 9.0))
+      purchases.addData(ev(50, ts(1, 30), user = 7, typ = "purchase"))
+      query.processAllAvailable()
+      val got = s.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getDouble(4))).toSet
+      got shouldBe Set(
+        (50L, 7L, ts(1, 0), 2.0),
+        (50L, 7L, ts(1, 20), 3.0))
+      // both sides are stateful (buffered within the watermark horizon) —
+      // the time-bounded condition is what lets that state expire
+      query.lastProgress.stateOperators should not be empty
+    }
+  }
+
   test("ingestion-time curation (redact + quality gate) is stateless") {
     val s = spark
     import s.implicits._
