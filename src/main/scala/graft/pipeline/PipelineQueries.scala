@@ -367,7 +367,20 @@ object PipelineQueries {
     "q_text_lenband" -> ((s, dir) =>
       QuantileFilter.byQuantileBand(docs(s, dir), "lang", "n_chars", lo = 0.1, hi = 0.9)
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
+    // corpus-shape sweep: token-count histogram in width-20 buckets
+    "q_text_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(docs(s, dir), bucketWidth = 20)),
+    // unit-vector normalization, checked through scalar projections (first
+    // element + the squared norm of the result, both in fixed fold order —
+    // array outputs would crash the harness's pandas sort, r9 lesson)
+    "q_ann_normalize" -> ((s, dir) =>
+      Similarity.l2Normalize(embs(s, dir))
+        .select(col("vec_id"), element_at(col("unit"), 1).as("u0"),
+          expr("aggregate(unit, 0.0D, (a, x) -> a + x * x)").as("norm_sq"))),
+    // skew diagnosis: the 20 heaviest join keys with exact frequencies
+    "q_profile_hot" -> ((s, dir) =>
+      Profile.heavyHitters(Tables.df(s, dir, "lineitem"), "l_orderkey", k = 20))
   )
 
   /** Target mixture for q_sample_mixture (relative proportions; sources
@@ -642,7 +655,23 @@ object PipelineQueries {
         "GROUP BY d.source"
     },
     "q_dedup_semantic_planted" -> plantedEmbOracle,
-    "q_dedup_semantic_drop" -> s"SELECT vec_id FROM embeddings WHERE vec_id < $NDistract"
+    "q_dedup_semantic_drop" -> s"SELECT vec_id FROM embeddings WHERE vec_id < $NDistract",
+    "q_text_histogram" -> ("SELECT CAST(floor(CAST(len(string_split(text, ' ')) AS DOUBLE) " +
+      "/ 20.0) AS BIGINT) * 20 AS bucket_lo, count(*) AS n_docs " +
+      "FROM documents GROUP BY bucket_lo"),
+    // identical left-fold order (list_prepend + list_reduce ≡ Spark's
+    // aggregate), identical float→double widening, correctly-rounded sqrt —
+    // bitwise-equal doubles on both engines
+    "q_ann_normalize" -> ("WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings), n AS (SELECT vec_id, v, " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm " +
+      "FROM d), u AS (SELECT vec_id, " +
+      "CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS unit FROM n) " +
+      "SELECT vec_id, unit[1] AS u0, " +
+      "list_reduce(list_prepend(0.0, list_transform(unit, x -> x * x)), (a, b) -> a + b) AS norm_sq " +
+      "FROM u"),
+    "q_profile_hot" -> ("SELECT l_orderkey, count(*) AS n_rows FROM lineitem " +
+      "GROUP BY l_orderkey ORDER BY n_rows DESC, CAST(l_orderkey AS VARCHAR) LIMIT 20")
   )
 
   /** Shared CTE prefix for the repetition oracles: per-(doc, 2-gram)

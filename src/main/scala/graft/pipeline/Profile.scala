@@ -51,4 +51,19 @@ object Profile {
         col("min_val"),
         col("max_val"))
   }
+
+  /** Top-k heaviest keys of a column with their frequencies — the skew
+    * diagnosis run before choosing join/salting strategy (a key here with
+    * millions of rows is the one [[graft.operators.SkewJoin]] exists for).
+    * Plans as partial-agg + `TakeOrderedAndProject`: per-partition top-k
+    * merged on the driver, never a global sort. Deterministic cut (count
+    * desc, key asc as string).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col(keyCol).cast("string"))
+      .limit(k)
+  }
 }

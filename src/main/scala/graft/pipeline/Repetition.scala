@@ -86,19 +86,25 @@ object Repetition {
     * the relational form remains the externally-replayable oracle twin.
     * Output is row-for-row identical (spec-asserted).
     */
+  /** Run-length state machine over a SORTED gram array, shared by the
+    * map-side profile and filter: fold tracking the current run plus the
+    * closed-run top/dup/distinct tallies; finish closes the last run.
+    */
+  private val z =
+    "named_struct('run', 0L, 'top', 0L, 'dup', 0L, 'nd', 0L, 'prev', CAST(NULL AS STRING))"
+  private val step = "(s, x) -> IF(s.prev IS NULL OR x != s.prev, " +
+    "named_struct('run', 1L, 'top', greatest(s.top, s.run), " +
+    "'dup', s.dup + IF(s.run > 1L, s.run, 0L), 'nd', s.nd + 1L, 'prev', x), " +
+    "named_struct('run', s.run + 1L, 'top', s.top, 'dup', s.dup, 'nd', s.nd, 'prev', x))"
+  private val fin = "s -> named_struct('top', greatest(s.top, s.run), " +
+    "'dup', s.dup + IF(s.run > 1L, s.run, 0L), 'nd', s.nd)"
+
   def ngramRepetitionMapSide(
       docs: DataFrame,
       n: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val z = "named_struct('run', 0L, 'top', 0L, 'dup', 0L, 'nd', 0L, 'prev', CAST(NULL AS STRING))"
-    val step = "(s, x) -> IF(s.prev IS NULL OR x != s.prev, " +
-      "named_struct('run', 1L, 'top', greatest(s.top, s.run), " +
-      "'dup', s.dup + IF(s.run > 1L, s.run, 0L), 'nd', s.nd + 1L, 'prev', x), " +
-      "named_struct('run', s.run + 1L, 'top', s.top, 'dup', s.dup, 'nd', s.nd, 'prev', x))"
-    val fin = "s -> named_struct('top', greatest(s.top, s.run), " +
-      "'dup', s.dup + IF(s.run > 1L, s.run, 0L), 'nd', s.nd)"
     docs
       .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
       .select(col(idCol), shinglesOfWords(col("__w"), n).as("__g"))
@@ -118,8 +124,12 @@ object Repetition {
     * cross either threshold (Gopher's published cuts are e.g. top-2-gram
     * fraction > 0.20, duplicate-5-gram fraction > 0.15 — pass what fits the
     * corpus). Documents too short to have any n-gram are KEPT — shortness
-    * is a different filter's job. Map-side anti-join shape: the flagged-id
-    * list is aggregated (small) and left-anti joined on the id only.
+    * is a different filter's job.
+    *
+    * A pure map-side FILTER: each row's profile comes from the run-length
+    * pass of [[ngramRepetitionMapSide]] (spec-proven ≡ the relational
+    * profile), so the drop decision never leaves the row — no explode, no
+    * shuffle, no anti-join. At 100 TB this gate is free on the scan.
     */
   def dropRepetitive(
       docs: DataFrame,
@@ -130,9 +140,17 @@ object Repetition {
       textCol: String = "text"): DataFrame = {
     require(maxTopFraction > 0 && maxTopFraction <= 1, s"maxTopFraction in (0,1], got $maxTopFraction")
     require(maxDupFraction > 0 && maxDupFraction <= 1, s"maxDupFraction in (0,1], got $maxDupFraction")
-    val flagged = ngramRepetition(docs, n, idCol, textCol)
-      .filter(col("top_fraction") > maxTopFraction || col("dup_fraction") > maxDupFraction)
-      .select(col(idCol))
-    docs.join(flagged, Seq(idCol), "left_anti")
+    require(!docs.columns.exists(Set("__g", "__r")),
+      "__g/__r are reserved by Repetition")
+    val flaggedRow =
+      when(size(col("__g")) > 0,
+        (col("__r.top").cast("double") / size(col("__g")).cast("double")) > maxTopFraction ||
+          (col("__r.dup").cast("double") / size(col("__g")).cast("double")) > maxDupFraction)
+        .otherwise(lit(false))
+    docs
+      .withColumn("__g", shinglesOfWords(split(lower(col(textCol)), " "), n))
+      .withColumn("__r", expr(s"aggregate(array_sort(__g), $z, $step, $fin)"))
+      .filter(!flaggedRow)
+      .drop("__g", "__r")
   }
 }

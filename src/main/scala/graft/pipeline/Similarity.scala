@@ -17,6 +17,26 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** L2-normalization of an embedding column (unit vectors make cosine a
+    * plain dot product downstream, the usual pre-step before indexing).
+    * Map-side higher-order functions only; elements are widened to double
+    * in a FIXED left-fold order so the norms — and therefore the outputs —
+    * are bitwise replayable by any IEEE engine. Zero-norm vectors come back
+    * unchanged (not NaN).
+    */
+  def l2Normalize(
+      embeddings: DataFrame,
+      vecCol: String = "embedding",
+      outCol: String = "unit"): DataFrame = {
+    val norm = expr(
+      s"sqrt(aggregate($vecCol, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    embeddings.withColumn(outCol,
+      when(norm > 0.0,
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE) / " +
+          s"sqrt(aggregate($vecCol, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"))
+        .otherwise(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
+  }
+
   /** Exact top-k by cosine similarity against a literal query vector. */
   def bruteForceTopK(
       embeddings: DataFrame,

@@ -42,6 +42,20 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
 
+  /** Token-count histogram in fixed-width buckets — the corpus-shape sweep
+    * behind packing/batching decisions (how much of the corpus is short
+    * tail vs long documents). One map-side bucket expression + one tiny
+    * aggregation; `bucket_lo` is the bucket's inclusive lower edge.
+    */
+  def lengthHistogram(docs: DataFrame, bucketWidth: Int = 50): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    docs
+      .select((floor(size(split(col("text"), " ")).cast("double") / lit(bucketWidth.toDouble))
+        .cast("long") * bucketWidth).as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Per-document out-of-vocabulary rate against a term list (typically
     * [[vocabulary]]'s top-k — the tokenizer-coverage sweep run before
     * committing to a vocab size): token total, OOV count, OOV fraction.

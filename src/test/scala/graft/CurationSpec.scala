@@ -104,6 +104,49 @@ class CurationSpec extends SparkTestBase {
     plan should not include "Exchange"
   }
 
+  test("dropRepetitive is a pure map-side filter (no exchange in the plan)") {
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val out = Repetition.dropRepetitive(docs, n = 2, maxTopFraction = 0.08, maxDupFraction = 0.2)
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+    // and it must agree with the relational profile's verdict doc for doc
+    val flagged = Repetition.ngramRepetition(docs, 2)
+      .filter(col("top_fraction") > 0.08 || col("dup_fraction") > 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    kept shouldBe all.diff(flagged)
+  }
+
+  test("lengthHistogram buckets token counts exactly") {
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens → bucket 0
+      (2L, (1 to 25).map(_ => "w").mkString(" ")), // 25 → bucket 20
+      (3L, (1 to 20).map(_ => "w").mkString(" "))  // 20 → bucket 20
+    ).toDF("doc_id", "text")
+    TextAnalysis.lengthHistogram(docs, bucketWidth = 20)
+      .orderBy("bucket_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L), (20L, 2L))
+  }
+
+  test("l2Normalize yields unit vectors and leaves zero vectors intact") {
+    val embs = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.l2Normalize(embs).orderBy("vec_id")
+      .select("unit").as[Seq[Double]].collect()
+    out(0) shouldBe Seq(0.6, 0.8)
+    out(1) shouldBe Seq(0.0, 0.0)
+  }
+
+  test("heavyHitters returns exact top-k with a deterministic tiebreak") {
+    val df = (Seq.fill(5)(10L) ++ Seq.fill(3)(2L) ++ Seq.fill(3)(11L) ++ Seq(7L))
+      .toDF("k")
+    graft.pipeline.Profile.heavyHitters(df, "k", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((10L, 5L), (11L, 3L), (2L, 3L)) // ties by key-as-string: "11" < "2"
+  }
+
   test("byQuantileBand keeps each group's own percentile band") {
     val df = (1L to 100L).map(v => ("g1", v)) ++ (1001L to 1010L).map(v => ("g2", v))
     val out = QuantileFilter.byQuantileBand(df.toDF("grp", "v"), "grp", "v", lo = 0.1, hi = 0.9)
