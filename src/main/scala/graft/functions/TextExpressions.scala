@@ -431,9 +431,86 @@ case class RollingHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass n-gram repetition profile of a token array: (n_grams,
+  * n_distinct, top_count, dup_total) where dup_total sums the multiplicities
+  * of grams occurring more than once. Grams are compared by the same
+  * combined token-hash the minhash family uses — gram strings are never
+  * materialized; multiplicities accumulate in one open-addressed long table
+  * sized to the doc (O(g) time/space per row, no sort). NULL for docs
+  * shorter than n tokens (no gram exists).
+  *
+  * The interpreted higher-order-function formulation of the same pass
+  * (aggregate over array_sort with a struct accumulator) measured ~10×
+  * slower at sf0.1 — per-element struct allocation in the HOF interpreter —
+  * which is why this is a native expression.
+  */
+case class RepetitionProfile(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "repetition_profile"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repprofile", this, classOf[RepetitionProfile].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  def compute(tokens: ArrayData): Any = {
+    val nTok = tokens.numElements()
+    val g = nTok - n + 1
+    if (g <= 0) return null
+    val tokenHashes = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      tokenHashes(i) = TextHashing.hashUtf8(tokens.getUTF8String(i))
+      i += 1
+    }
+    // open-addressed multiplicity table, power-of-two capacity ≥ 2g;
+    // cnts(idx) == 0 marks an empty slot
+    var cap = 4
+    while (cap < g * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val cnts = new Array[Int](cap)
+    var s = 0
+    while (s < g) {
+      var base = 0L
+      var j = 0
+      while (j < n) { base = TextHashing.mix(base ^ tokenHashes(s + j)); j += 1 }
+      var idx = base.toInt & (cap - 1)
+      while (cnts(idx) != 0 && keys(idx) != base) idx = (idx + 1) & (cap - 1)
+      keys(idx) = base
+      cnts(idx) += 1
+      s += 1
+    }
+    var top = 0L; var dup = 0L; var nd = 0L
+    i = 0
+    while (i < cap) {
+      val c = cnts(i)
+      if (c > 0) { nd += 1; if (c > top) top = c; if (c > 1) dup += c }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](g.toLong, nd, top, dup))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def minhashSignature(tokens: Column, numHashes: Int = 64, shingleSize: Int = 3, seed: Long = 42L): Column =
     colOf(MinHashSignature(exprOf(tokens), numHashes, shingleSize, seed))
+  def repetitionProfile(tokens: Column, n: Int): Column =
+    colOf(RepetitionProfile(exprOf(tokens), n))
   def simhash64(tokens: Column): Column = colOf(SimHash64(exprOf(tokens)))
   def rollingHash(text: Column): Column = colOf(RollingHash(exprOf(text)))
   def shingleHashes(tokens: Column, shingleSize: Int = 3): Column =

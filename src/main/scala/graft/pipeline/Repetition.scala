@@ -78,27 +78,17 @@ object Repetition {
   }
 
   /** The ZERO-shuffle form of [[ngramRepetition]]: the whole profile from
-    * one run-length pass over the doc's own sorted gram array (sort + a
-    * single `aggregate` higher-order function, all inside the row) — no
-    * explode, no shuffle, per-row cost O(g log g) in the doc's gram count.
-    * At 100 TB this rides the scan for free and composes onto a STREAM
-    * (per-row ⇒ stateless), where the relational form's aggregation cannot;
-    * the relational form remains the externally-replayable oracle twin.
-    * Output is row-for-row identical (spec-asserted).
+    * ONE native single-pass expression over the doc's own token array
+    * ([[graft.functions.RepetitionProfile]] — combined token hashes counted
+    * in an open-addressed table; gram strings never materialize; O(g) per
+    * row, codegen'd). No explode, no shuffle: at 100 TB this rides the scan
+    * for free and composes onto a STREAM (per-row ⇒ stateless), where the
+    * relational form's aggregation cannot; the relational form remains the
+    * externally-replayable oracle twin. Output is row-for-row identical
+    * (spec-asserted). An interpreted higher-order-function formulation was
+    * tried first and REJECTED: ~10× slower at sf0.1 (per-element struct
+    * allocation in the lambda interpreter).
     */
-  /** Run-length state machine over a SORTED gram array, shared by the
-    * map-side profile and filter: fold tracking the current run plus the
-    * closed-run top/dup/distinct tallies; finish closes the last run.
-    */
-  private val z =
-    "named_struct('run', 0L, 'top', 0L, 'dup', 0L, 'nd', 0L, 'prev', CAST(NULL AS STRING))"
-  private val step = "(s, x) -> IF(s.prev IS NULL OR x != s.prev, " +
-    "named_struct('run', 1L, 'top', greatest(s.top, s.run), " +
-    "'dup', s.dup + IF(s.run > 1L, s.run, 0L), 'nd', s.nd + 1L, 'prev', x), " +
-    "named_struct('run', s.run + 1L, 'top', s.top, 'dup', s.dup, 'nd', s.nd, 'prev', x))"
-  private val fin = "s -> named_struct('top', greatest(s.top, s.run), " +
-    "'dup', s.dup + IF(s.run > 1L, s.run, 0L), 'nd', s.nd)"
-
   def ngramRepetitionMapSide(
       docs: DataFrame,
       n: Int,
@@ -106,18 +96,19 @@ object Repetition {
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     docs
-      .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
-      .select(col(idCol), shinglesOfWords(col("__w"), n).as("__g"))
-      .filter(size(col("__g")) > 0)
-      .select(col(idCol), size(col("__g")).cast("long").as("n_grams"),
-        expr(s"aggregate(array_sort(__g), $z, $step, $fin)").as("__r"))
+      .select(col(idCol),
+        graft.functions.TextFunctions
+          .repetitionProfile(split(lower(col(textCol)), " "), n).as("__r"))
+      .filter(col("__r").isNotNull)
       .select(
         col(idCol),
-        col("n_grams"),
-        col("__r.nd").as("n_distinct"),
-        col("__r.top").as("top_count"),
-        (col("__r.top").cast("double") / col("n_grams").cast("double")).as("top_fraction"),
-        (col("__r.dup").cast("double") / col("n_grams").cast("double")).as("dup_fraction"))
+        col("__r.n_grams").as("n_grams"),
+        col("__r.n_distinct").as("n_distinct"),
+        col("__r.top_count").as("top_count"),
+        (col("__r.top_count").cast("double") / col("__r.n_grams").cast("double"))
+          .as("top_fraction"),
+        (col("__r.dup").cast("double") / col("__r.n_grams").cast("double"))
+          .as("dup_fraction"))
   }
 
   /** The corpus-curation form: drop documents whose repetition signals
@@ -126,10 +117,10 @@ object Repetition {
     * corpus). Documents too short to have any n-gram are KEPT — shortness
     * is a different filter's job.
     *
-    * A pure map-side FILTER: each row's profile comes from the run-length
-    * pass of [[ngramRepetitionMapSide]] (spec-proven ≡ the relational
-    * profile), so the drop decision never leaves the row — no explode, no
-    * shuffle, no anti-join. At 100 TB this gate is free on the scan.
+    * A pure map-side FILTER: each row's profile comes from the same native
+    * single-pass expression (spec-proven ≡ the relational profile), so the
+    * drop decision never leaves the row — no explode, no shuffle, no
+    * anti-join. At 100 TB this gate is free on the scan.
     */
   def dropRepetitive(
       docs: DataFrame,
@@ -140,17 +131,17 @@ object Repetition {
       textCol: String = "text"): DataFrame = {
     require(maxTopFraction > 0 && maxTopFraction <= 1, s"maxTopFraction in (0,1], got $maxTopFraction")
     require(maxDupFraction > 0 && maxDupFraction <= 1, s"maxDupFraction in (0,1], got $maxDupFraction")
-    require(!docs.columns.exists(Set("__g", "__r")),
-      "__g/__r are reserved by Repetition")
+    require(!docs.columns.contains("__r"), "__r is reserved by Repetition")
     val flaggedRow =
-      when(size(col("__g")) > 0,
-        (col("__r.top").cast("double") / size(col("__g")).cast("double")) > maxTopFraction ||
-          (col("__r.dup").cast("double") / size(col("__g")).cast("double")) > maxDupFraction)
+      when(col("__r").isNotNull,
+        (col("__r.top_count").cast("double") / col("__r.n_grams").cast("double")) > maxTopFraction ||
+          (col("__r.dup").cast("double") / col("__r.n_grams").cast("double")) > maxDupFraction)
         .otherwise(lit(false))
     docs
-      .withColumn("__g", shinglesOfWords(split(lower(col(textCol)), " "), n))
-      .withColumn("__r", expr(s"aggregate(array_sort(__g), $z, $step, $fin)"))
+      .withColumn("__r",
+        graft.functions.TextFunctions
+          .repetitionProfile(split(lower(col(textCol)), " "), n))
       .filter(!flaggedRow)
-      .drop("__g", "__r")
+      .drop("__r")
   }
 }
