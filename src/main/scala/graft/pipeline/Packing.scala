@@ -53,4 +53,31 @@ object Packing {
         (sum(col(tokensCol).cast("long")).over(w) - col(tokensCol)).cast("long"))
       .withColumn("pack", expr(s"start_offset DIV $seqLen"))
   }
+
+  /** Fixed-window document chunking with overlap — the context-window split
+    * run before tokenization packs long documents into trainable pieces:
+    * one row per chunk of `chunkTokens` whitespace tokens, windows starting
+    * every `chunkTokens - overlap` tokens, last chunk short. Entirely
+    * map-side (sequence + slice + join inside the row, then one explode) —
+    * no shuffle, output size ∝ corpus tokens, replayable by any engine.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      chunkTokens: Int,
+      overlap: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
+    require(!df.columns.exists(Set("__w", "chunk_idx", "chunk_text", "n_chunk_tokens")),
+      "chunk_idx/chunk_text/n_chunk_tokens/__w are reserved by chunkDocuments")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__w) - 1, $stride), " +
+          s"s -> array_join(slice(__w, s + 1, $chunkTokens), ' '))"))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
+  }
 }

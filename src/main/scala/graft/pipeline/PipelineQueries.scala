@@ -380,7 +380,11 @@ object PipelineQueries {
           expr("aggregate(unit, 0.0D, (a, x) -> a + x * x)").as("norm_sq"))),
     // skew diagnosis: the 20 heaviest join keys with exact frequencies
     "q_profile_hot" -> ((s, dir) =>
-      Profile.heavyHitters(Tables.df(s, dir, "lineitem"), "l_orderkey", k = 20))
+      Profile.heavyHitters(Tables.df(s, dir, "lineitem"), "l_orderkey", k = 20)),
+    // context-window chunking: 64-token windows starting every 48 tokens
+    // (16-token overlap), chunk text hash-compared byte for byte
+    "q_pack_chunks" -> ((s, dir) =>
+      Packing.chunkDocuments(docs(s, dir), chunkTokens = 64, overlap = 16))
   )
 
   /** Target mixture for q_sample_mixture (relative proportions; sources
@@ -671,7 +675,14 @@ object PipelineQueries {
       "list_reduce(list_prepend(0.0, list_transform(unit, x -> x * x)), (a, b) -> a + b) AS norm_sq " +
       "FROM u"),
     "q_profile_hot" -> ("SELECT l_orderkey, count(*) AS n_rows FROM lineitem " +
-      "GROUP BY l_orderkey ORDER BY n_rows DESC, CAST(l_orderkey AS VARCHAR) LIMIT 20")
+      "GROUP BY l_orderkey ORDER BY n_rows DESC, CAST(l_orderkey AS VARCHAR) LIMIT 20"),
+    // same window starts (every 48, 1-based here), same inclusive slices,
+    // same space re-join; chunk_idx recovered from the start position
+    "q_pack_chunks" -> ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) " +
+      "SELECT doc_id, CAST((s - 1) // 48 AS INTEGER) AS chunk_idx, " +
+      "array_to_string(list_slice(ws, s, s + 63), ' ') AS chunk_text, " +
+      "CAST(len(list_slice(ws, s, s + 63)) AS INTEGER) AS n_chunk_tokens " +
+      "FROM w, unnest(generate_series(1, len(ws), 48)) AS t(s)")
   )
 
   /** Shared CTE prefix for the repetition oracles: per-(doc, 2-gram)

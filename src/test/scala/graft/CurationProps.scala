@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BloomPrune, ZOrder}
-import graft.pipeline.Mixture
+import graft.pipeline.{Mixture, Redaction}
 
 /** Property checks for the round-12 operators: invariants that must hold
   * for arbitrary inputs, not just the spec fixtures.
@@ -48,6 +48,18 @@ object CurationProps extends Properties("Curation") {
       val bytes = BloomPrune.buildFilterBytes(dim, "k", expectedItems = math.max(1, dimIds.length).toLong)
       val kept = BloomPrune.prefilter(fact, "k", bytes).as[Long].collect().toSet
       dimIds.toSet.subsetOf(kept)
+    }
+
+  property("redactPii is idempotent: masks never re-match as PII") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.oneOf("alpha", "beta", "12", "x.y", "a@b", "+1", "555", "10.0"),
+      Gen.oneOf("bob@site.example.com", "555-123-4567", "(555) 123-4567",
+        "+1 555-123-4567", "10.0.0.1", "u.v+w%x@a-b.cd")))) { words =>
+      import spark.implicits._
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val once = Redaction.redactPii(df).select("text").as[String].head()
+      val twice = Redaction.redactPii(Redaction.redactPii(df)).select("text").as[String].head()
+      once == twice
     }
 
   property("resampleToMixture membership: subset, listed groups only, partition-invariant") =

@@ -43,6 +43,27 @@ class PackingSpec extends SparkTestBase {
     counts.values.foreach(_.toDouble shouldBe 750.0 +- 120.0)
   }
 
+  test("chunkDocuments tiles with overlap and a short tail") {
+    // 10 tokens, chunk 4, overlap 1 → starts 0,3,6,9: [t0..t3][t3..t6][t6..t9][t9]
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Packing.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    chunks shouldBe Array(
+      (0, "t0 t1 t2 t3", 4),
+      (1, "t3 t4 t5 t6", 4),
+      (2, "t6 t7 t8 t9", 4),
+      (3, "t9", 1))
+    // every token appears in some chunk; consecutive chunks share `overlap`
+    chunks.flatMap(_._2.split(" ")).toSet shouldBe (0 until 10).map(i => s"t$i").toSet
+    // a doc shorter than one chunk yields exactly one chunk: itself
+    val short = Seq((2L, "a b")).toDF("doc_id", "text")
+    Packing.chunkDocuments(short, 64, 16).collect()
+      .map(r => (r.getInt(1), r.getString(2))) shouldBe Array((0, "a b"))
+    an[IllegalArgumentException] should be thrownBy
+      Packing.chunkDocuments(docs, chunkTokens = 4, overlap = 4)
+  }
+
   test("input validation") {
     an[IllegalArgumentException] should be thrownBy
       Packing.packSequences(corpus, "doc_id", "n_tok", seqLen = 0, shards = 4)

@@ -231,6 +231,32 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("deterministic sampling composes onto a stream statelessly, matching batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val input = MemoryStream[(Long, String)]
+    val sampled = graft.pipeline.Sampling.stratifiedSample(
+      input.toDF().toDF("doc_id", "lang"), "doc_id", "lang", Map("en" -> 0.5), default = 0.1)
+    val query = sampled.writeStream.format("memory").queryName("sampled")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(rows.take(200): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(200): _*)
+      query.processAllAvailable()
+      val streamed = s.table("sampled").select("doc_id").as[Long].collect().toSet
+      // membership is a pure function of content: the stream selects the
+      // same ids as a batch run over the same rows
+      val batch = graft.pipeline.Sampling.stratifiedSample(
+        rows.toDF("doc_id", "lang"), "doc_id", "lang", Map("en" -> 0.5), default = 0.1)
+        .select("doc_id").as[Long].collect().toSet
+      streamed shouldBe batch
+      query.lastProgress.stateOperators shouldBe empty
+    }
+  }
+
   test("custom keyed state accumulates across micro-batches") {
     val s = spark
     import s.implicits._
