@@ -384,7 +384,31 @@ object PipelineQueries {
     // context-window chunking: 64-token windows starting every 48 tokens
     // (16-token overlap), chunk text hash-compared byte for byte
     "q_pack_chunks" -> ((s, dir) =>
-      Packing.chunkDocuments(docs(s, dir), chunkTokens = 64, overlap = 16))
+      Packing.chunkDocuments(docs(s, dir), chunkTokens = 64, overlap = 16)),
+    // winsorization: per-language [p10, p90] clamp (outliers pinned to the
+    // band edge instead of dropped); min/max of the clamped doubles are
+    // order-independent so the agg hash-compares exactly
+    "q_text_winsor" -> ((s, dir) =>
+      QuantileFilter.winsorize(docs(s, dir), "lang", "n_chars", lo = 0.1, hi = 0.9)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_c"), max(col("n_chars")).as("max_c"))),
+    // the curation FUNNEL: corpus size after each gate of the standard
+    // chain (exact dedup -> integer-exact quality gate -> repetition drop),
+    // every stage individually replayable so the whole funnel hash-checks
+    "q_pipeline_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val s1 = d.join(Dedup.exact(d).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      val words = size(split(col("text"), " "))
+      val nonSpace = length(col("text")) - (words - 1)
+      val s2 = s1.filter(words >= 20 && nonSpace <= words * 12)
+      val s3 = Repetition.dropRepetitive(s2, n = 2, maxTopFraction = 0.08, maxDupFraction = 0.2)
+      def stage(df: DataFrame, idx: Int, name: String) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+      stage(d, 0, "all").union(stage(s1, 1, "dedup"))
+        .union(stage(s2, 2, "quality")).union(stage(s3, 3, "repetition"))
+    })
   )
 
   /** Target mixture for q_sample_mixture (relative proportions; sources
@@ -682,7 +706,31 @@ object PipelineQueries {
       "SELECT doc_id, CAST((s - 1) // 48 AS INTEGER) AS chunk_idx, " +
       "array_to_string(list_slice(ws, s, s + 63), ' ') AS chunk_text, " +
       "CAST(len(list_slice(ws, s, s + 63)) AS INTEGER) AS n_chunk_tokens " +
-      "FROM w, unnest(generate_series(1, len(ws), 48)) AS t(s)")
+      "FROM w, unnest(generate_series(1, len(ws), 48)) AS t(s)"),
+    "q_text_winsor" -> ("WITH b AS (SELECT lang, quantile_cont(n_chars, 0.1) AS plo, " +
+      "quantile_cont(n_chars, 0.9) AS phi FROM documents GROUP BY lang) " +
+      "SELECT d.lang, count(*) AS n_docs, " +
+      "min(greatest(least(CAST(n_chars AS DOUBLE), phi), plo)) AS min_c, " +
+      "max(greatest(least(CAST(n_chars AS DOUBLE), phi), plo)) AS max_c " +
+      "FROM documents d JOIN b ON d.lang = b.lang GROUP BY d.lang"),
+    // stage replays: dedup keeps min doc_id per text; quality gate is the
+    // integer-exact words/non-space-chars rule; repetition flags come from
+    // the shared full-corpus 2-gram CTE (per-doc signals are unaffected by
+    // the row-only upstream filters)
+    "q_pipeline_funnel" -> (rep2gramSql.stripSuffix(" ") + ", " +
+      "dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+      "d1 AS (SELECT d.* FROM documents d JOIN dd ON d.doc_id = dd.doc_id), " +
+      "d2 AS (SELECT * FROM d1 WHERE " +
+      "(len(text) - len(replace(text, ' ', '')) + 1) >= 20 AND " +
+      "len(replace(text, ' ', '')) <= (len(text) - len(replace(text, ' ', '')) + 1) * 12), " +
+      "flagged AS (SELECT doc_id FROM c GROUP BY doc_id HAVING " +
+      "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.08 OR " +
+      "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.2), " +
+      "d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)) " +
+      "SELECT CAST(0 AS INTEGER) AS stage_idx, 'all' AS stage, count(*) AS n_docs FROM documents " +
+      "UNION ALL SELECT 1, 'dedup', count(*) FROM d1 " +
+      "UNION ALL SELECT 2, 'quality', count(*) FROM d2 " +
+      "UNION ALL SELECT 3, 'repetition', count(*) FROM d3")
   )
 
   /** Shared CTE prefix for the repetition oracles: per-(doc, 2-gram)

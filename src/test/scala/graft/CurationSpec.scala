@@ -162,6 +162,19 @@ class CurationSpec extends SparkTestBase {
       QuantileFilter.byQuantileBand(df.toDF("grp", "v"), "grp", "v", 0.9, 0.1)
   }
 
+  test("winsorize clamps to the band edges and keeps every row") {
+    val df = ((1L to 100L).map(v => ("g1", v)) ++ Seq(("g1", 100000L)))
+      .toDF("grp", "v")
+    val out = QuantileFilter.winsorize(df, "grp", "v", lo = 0.1, hi = 0.9)
+    out.count() shouldBe 101L // nothing dropped
+    val vs = out.select("v").as[Double].collect()
+    // p90 of 1..100,100000 ≈ 91; the outlier is pinned to it, in-band
+    // values pass through unchanged
+    vs.max should be < 200.0
+    vs.min should be > 9.0
+    out.filter(col("v") === 50.0).count() shouldBe 1L
+  }
+
   test("oovStats counts out-of-vocabulary tokens per document") {
     val docs = Seq((1L, "the cat sat"), (2L, "THE the zzz")).toDF("doc_id", "text")
     val vocab = Seq("the", "cat").toDF("term")
