@@ -98,4 +98,36 @@ object Decontamination {
       .select(col(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** The distinct xxhash64'd shingles of an eval corpus, collected to the
+    * driver — the bounded prep step for [[dropContaminatedStreaming]]. An
+    * eval set is benchmark-sized (thousands of docs), so its distinct
+    * shingle hashes are a few MB; this is the same bounded-collect class as
+    * the ANN centroid table, NOT a corpus-sized collect.
+    */
+  def evalShingleHashes(evalDocs: DataFrame, textCol: String, n: Int): Array[Long] =
+    explodedShingles(evalDocs, textCol, n, keep = Nil)
+      .select(xxhash64(col("__s")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Ingestion-time decontamination: a PURE map-side gate (per-row
+    * `arrays_overlap` of the doc's hashed shingles against the eval-set
+    * hash array) that composes onto a STREAM with zero state — the
+    * per-batch cost is ∝ batch size, like the other streaming curation
+    * gates. Semantics ≡ `dropContaminated(..., maxShared = 0)` modulo the
+    * 64-bit hash (a collision can only drop a clean doc spuriously, with
+    * ~n²/2⁻⁶⁴ probability). For eval sets beyond ~10⁶ shingles, prefer the
+    * stream-static left_anti join over a bucketed shingle table — same
+    * statelessness, no literal-size concern.
+    */
+  def dropContaminatedStreaming(
+      docs: DataFrame,
+      evalHashes: Array[Long],
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val shingleHashes = transform(
+      shinglesOfWords(split(lower(col(textCol)), " "), n), s => xxhash64(s))
+    docs.filter(!arrays_overlap(shingleHashes, lit(evalHashes)))
+  }
 }

@@ -231,6 +231,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ingestion-time decontamination gate is stateless and matches the batch drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evalDocs = Seq((100L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val hashes = graft.pipeline.Decontamination.evalShingleHashes(evalDocs, "text", n = 5)
+    hashes.length should be > 0
+    val incoming = Seq(
+      (1L, "a clean document about fishing boats and calm weather patterns"),
+      (2L, "we know the secret benchmark answer is forty two exactly as leaked"),
+      (3L, "another clean one talking about mountain trails in early spring"))
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.pipeline.Decontamination.dropContaminatedStreaming(
+      input.toDF().toDF("doc_id", "text"), hashes, "text", n = 5)
+    val query = gated.writeStream.format("memory").queryName("decont")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(incoming: _*)
+      query.processAllAvailable()
+      val kept = s.table("decont").select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(1L, 3L)
+      query.lastProgress.stateOperators shouldBe empty
+      // same verdicts as the exact batch operator on the same rows
+      val batchKept = graft.pipeline.Decontamination.dropContaminated(
+        incoming.toDF("doc_id", "text"), evalDocs, "doc_id", "text", n = 5)
+        .select("doc_id").as[Long].collect().toSet
+      kept shouldBe batchKept
+    }
+  }
+
   test("deterministic sampling composes onto a stream statelessly, matching batch") {
     val s = spark
     import s.implicits._
