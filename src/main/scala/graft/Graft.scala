@@ -46,5 +46,13 @@ object Graft {
     two("dot_product")(graft.functions.DotProduct(_, _))
     one("simhash64")(graft.functions.SimHash64(_))
     one("rolling_hash")(graft.functions.RollingHash(_))
+    // second arg must be a literal int (the gram size is a plan-time shape)
+    reg.createOrReplaceTempFunction("repetition_profile", {
+      case Seq(x, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+        graft.functions.RepetitionProfile(x, n)
+      case args => throw new IllegalArgumentException(
+        "repetition_profile expects (tokens array, literal int n), got " +
+          s"${args.length} argument(s)")
+    }, "internal")
   }
 }

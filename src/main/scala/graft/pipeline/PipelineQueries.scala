@@ -355,6 +355,18 @@ object PipelineQueries {
     // exactly — same oracle string, different plan (no exchange at all)
     "q_text_rep2gram_mapside" -> ((s, dir) =>
       Repetition.ngramRepetitionMapSide(docs(s, dir), n = 2)),
+    // the same native expression reached from SQL TEXT via the registered
+    // function (function-registry parity, like q_sql_cosine) — third user
+    // of the shared relational oracle
+    "q_sql_repetition" -> ((s, dir) => {
+      graft.Tables.register(s, dir); graft.Graft.install(s)
+      s.sql("""SELECT doc_id, r.n_grams AS n_grams, r.n_distinct AS n_distinct,
+              |r.top_count AS top_count,
+              |CAST(r.top_count AS DOUBLE) / CAST(r.n_grams AS DOUBLE) AS top_fraction,
+              |CAST(r.dup AS DOUBLE) / CAST(r.n_grams AS DOUBLE) AS dup_fraction
+              |FROM (SELECT doc_id, repetition_profile(split(lower(text), ' '), 2) AS r
+              |FROM documents) WHERE r IS NOT NULL""".stripMargin)
+    }),
     // tokenizer-coverage sweep: per-doc OOV rate against the corpus's own
     // top-50 vocabulary (deterministic tf-then-term cut)
     "q_text_oov" -> ((s, dir) => {
@@ -623,6 +635,7 @@ object PipelineQueries {
     "q_text_rep2gram" -> rep2gramOracle,
     // the map-side run-length variant must agree row for row
     "q_text_rep2gram_mapside" -> rep2gramOracle,
+    "q_sql_repetition" -> rep2gramOracle,
     // top-50 vocab CTE (same tf-desc, term-asc deterministic cut as
     // q_text_vocab) + per-doc left-join OOV counting
     "q_text_oov" -> ("WITH v AS (SELECT term FROM (SELECT term, count(*) AS tf FROM " +

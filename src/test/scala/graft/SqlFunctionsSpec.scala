@@ -31,4 +31,13 @@ class SqlFunctionsSpec extends SparkTestBase {
     an[Exception] should be thrownBy
       spark.sql("SELECT cosine_similarity(array(1.0F)) AS c").collect()
   }
+
+  test("repetition_profile from SQL text matches the Column API and rejects non-literal n") {
+    Graft.install(spark)
+    val row = spark.sql(
+      "SELECT repetition_profile(split('a b a b a', ' '), 2) AS r").head().getStruct(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe ((4L, 2L, 2L, 4L))
+    an[Exception] should be thrownBy
+      spark.sql("SELECT repetition_profile(split('a b', ' ')) AS r").collect()
+  }
 }
