@@ -443,6 +443,14 @@ case class RollingHash(child: Expression)
   * (aggregate over array_sort with a struct accumulator) measured ~10×
   * slower at sf0.1 — per-element struct allocation in the HOF interpreter —
   * which is why this is a native expression.
+  *
+  * Gram equality is 64-bit-hash equality, not string equality: a WITHIN-DOC
+  * collision (the only kind that can shift a count) needs two distinct
+  * grams of one document to collide, ≈ g²/2⁶⁵ per doc — ~10⁻¹⁵ for a
+  * 10k-gram doc, vanishing even corpus-wide. The relational
+  * [[graft.pipeline.Repetition.ngramRepetition]] twin compares exact
+  * strings, and the cross-implementation equality spec would surface any
+  * realized collision.
   */
 case class RepetitionProfile(child: Expression, n: Int)
     extends UnaryExpression {

@@ -52,6 +52,23 @@ object PipelineProps extends Properties("Pipeline") {
         }
     }
 
+  property("chunkDocuments reproduces every window of the token stream exactly") =
+    Prop.forAll(Gen.choose(1, 120), Gen.choose(2, 20), Gen.choose(0, 19)) { (len, chunk, ovRaw) =>
+      val ov = ovRaw % chunk // keep 0 <= overlap < chunkTokens
+      import spark.implicits._
+      val tokens = (0 until len).map(i => s"t$i")
+      val df = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+      val stride = chunk - ov
+      val got = Packing.chunkDocuments(df, chunk, ov)
+        .select("chunk_idx", "chunk_text")
+        .as[(Int, String)].collect().sortBy(_._1)
+      val wantCount = (len + stride - 1) / stride
+      got.length == wantCount &&
+        got.zipWithIndex.forall { case ((idx, text), i) =>
+          idx == i && text == tokens.slice(i * stride, i * stride + chunk).mkString(" ")
+        }
+    }
+
   property("stratifiedSample membership is independent of row order and partitioning") =
     Prop.forAll(genIds, Gen.choose(1, 7)) { (ids, parts) =>
       import spark.implicits._
