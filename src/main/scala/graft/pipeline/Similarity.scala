@@ -344,6 +344,30 @@ object Similarity {
       .write.mode("overwrite").parquet(path + "__centroids")
   }
 
+  /** Incremental index maintenance: assign NEW vectors to the existing
+    * centroids and APPEND their partitions — the continuous-ingest story at
+    * corpus scale, where re-learning and re-writing the whole index per
+    * batch is a non-starter. The quantizer is intentionally frozen (FAISS
+    * `add` semantics): recall for the new vectors is governed by how
+    * representative the original training sample was; re-learn (a fresh
+    * [[buildIvfIndex]]) when the corpus distribution drifts. One map-side
+    * assignment pass + one partitioned append; probes are unchanged and see
+    * old and new vectors alike.
+    */
+  def appendToIvfIndex(
+      newVectors: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = spark.read.parquet(path + "__centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    newVectors
+      .withColumn("cid", nearestCentroid(col(vecCol), centroids))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** ANN top-k against an IVF index: rank centroids driver-side, read only
     * the `nprobe` nearest centroid partitions, exact cosine within them.
     */

@@ -138,6 +138,34 @@ class AnnIndexSpec extends SparkTestBase {
     partial.intersect(exact).size should be >= (exact.size * 3) / 4
   }
 
+  test("appendToIvfIndex ingests new vectors without a rebuild, exact at full probe") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val first = embs.filter(col("vec_id") % 2 === 0)
+    val second = embs.filter(col("vec_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft_ivf_append").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/ivf"
+    Similarity.buildIvfIndex(first, path, k = 8)
+    Similarity.appendToIvfIndex(second, path)
+    // the appended index covers the FULL corpus: an exhaustive probe must
+    // equal brute force over the union, old and new vectors alike
+    val queries = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = embs.filter(col("vec_id") >= 4)
+    val exact = Similarity.bruteForceTopKBatch(corpus, queries, k = 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val probed = Similarity.ivfTopKBatch(spark, path, queries, k = 6, nprobe = 8,
+        corpusFilter = col("vec_id") >= 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    probed shouldBe exact
+    // and the append reused the existing layout: centroid table unchanged,
+    // rows landed in existing cid partitions
+    spark.read.parquet(path + "__centroids").count() shouldBe 8L
+    spark.read.parquet(path).count() shouldBe embs.count()
+  }
+
   test("IVF sample-based centroid learning keeps recall and index shape") {
     // the scale lever: Lloyd passes scan only a seeded sample while
     // assignment + write stay full-corpus. The index must still hold every
