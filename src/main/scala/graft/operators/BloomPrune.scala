@@ -43,10 +43,16 @@ object BloomPrune {
       expectedItems: Long,
       fpp: Double = 0.03): Array[Byte] = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // treeAggregate rather than df.stat.bloomFilter: same distributed
+    // partial-merge shape, but an EMPTY dim yields the zero-value (empty)
+    // filter instead of the NPE Spark's stat helper throws on zero rows
     val bloom: BloomFilter = dim
       .filter(col(keyCol).isNotNull)
       .select(xxhash64(col(keyCol)).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+      .rdd
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (bf, row) => { bf.putLong(row.getLong(0)); bf },
+        (a, b) => a.mergeInPlace(b))
     val bos = new ByteArrayOutputStream()
     bloom.writeTo(bos)
     bos.toByteArray

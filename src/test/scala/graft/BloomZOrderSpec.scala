@@ -86,6 +86,20 @@ class BloomZOrderSpec extends SparkTestBase {
     spark.read.parquet(out).columns.sorted shouldBe Array("a", "b", "payload")
   }
 
+  test("empty and null-key dim sides are handled") {
+    // empty dim: bloom of nothing → prune everything → empty exact result
+    val emptyDim = orders.filter(lit(false))
+    BloomPrune.semiJoinPrune(lineitem, emptyDim, "l_orderkey", "o_orderkey",
+      expectedItems = 16).count() shouldBe 0L
+    // null fact keys never match a semi join; the probe must not throw
+    import spark.implicits._
+    val fact = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val dim = Seq(1L).toDF("k")
+    val bytes = BloomPrune.buildFilterBytes(dim, "k", expectedItems = 4)
+    BloomPrune.prefilter(fact, "k", bytes)
+      .as[Option[Long]].collect().flatten should contain(1L)
+  }
+
   test("input validation") {
     an[IllegalArgumentException] should be thrownBy ZOrder.zValue(col("a"), col("b"), 0)
     an[IllegalArgumentException] should be thrownBy ZOrder.zValueSql("a", "b", 32)

@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BloomPrune, ZOrder}
-import graft.pipeline.{Mixture, Redaction}
+import graft.pipeline.{Mixture, QuantileFilter, Redaction, Similarity}
 
 /** Property checks for the round-12 operators: invariants that must hold
   * for arbitrary inputs, not just the spec fixtures.
@@ -48,6 +48,50 @@ object CurationProps extends Properties("Curation") {
       val bytes = BloomPrune.buildFilterBytes(dim, "k", expectedItems = math.max(1, dimIds.length).toLong)
       val kept = BloomPrune.prefilter(fact, "k", bytes).as[Long].collect().toSet
       dimIds.toSet.subsetOf(kept)
+    }
+
+  property("l2Normalize yields unit norms for arbitrary non-zero vectors") =
+    Prop.forAll(
+      Gen.choose(1, 12),
+      Gen.nonEmptyListOf(Gen.choose(-100, 100).map(_.toFloat / 7f))) { (dim, raw) =>
+      import spark.implicits._
+      val vecs = raw.zipWithIndex.map { case (seed, i) =>
+        (i.toLong, Seq.tabulate(dim)(d => seed + d * 0.25f))
+      }.filter(_._2.exists(_ != 0f))
+      vecs.isEmpty || {
+        val norms = Similarity.l2Normalize(vecs.toDF("vec_id", "embedding"))
+          .selectExpr("sqrt(aggregate(unit, 0.0D, (a, x) -> a + x * x)) AS n")
+          .as[Double].collect()
+        norms.forall(n => math.abs(n - 1.0) < 1e-9)
+      }
+    }
+
+  property("byQuantileBand ⊆ input; winsorize keeps every row inside the band") =
+    Prop.forAll(genIds, Gen.choose(1, 3)) { (ids, nGroups) =>
+      import spark.implicits._
+      val df = ids.map(i => (i, s"g${i % nGroups}", i % 997)).toDF("doc_id", "grp", "v")
+      val banded = QuantileFilter.byQuantileBand(df, "grp", "v", 0.2, 0.8)
+        .select("doc_id").as[Long].collect().toSet
+      val clamped = QuantileFilter.winsorize(df, "grp", "v", 0.2, 0.8)
+      banded.subsetOf(ids.toSet) &&
+        clamped.count() == ids.length && {
+          // every clamped value sits inside its group's band
+          val bounds = ids.groupBy(i => s"g${i % nGroups}").view.mapValues { g =>
+            val vs = g.map(_ % 997).sorted.map(_.toDouble)
+            def pct(p: Double) = {
+              val r = p * (vs.length - 1)
+              val lo = vs(r.toInt)
+              val hi = vs(math.min(r.toInt + 1, vs.length - 1))
+              lo + (r - r.toInt) * (hi - lo)
+            }
+            (pct(0.2), pct(0.8))
+          }.toMap
+          clamped.select("grp", "v").as[(String, Double)].collect().forall {
+            case (g, v) =>
+              val (lo, hi) = bounds(g)
+              v >= lo - 1e-9 && v <= hi + 1e-9
+          }
+        }
     }
 
   property("redactPii is idempotent: masks never re-match as PII") =
