@@ -383,6 +383,9 @@ object PipelineQueries {
     // corpus-shape sweep: token-count histogram in width-20 buckets
     "q_text_histogram" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(docs(s, dir), bucketWidth = 20)),
+    // tokenizer-training collocations: top-50 adjacent pairs with exact
+    // integer-ratio lift (log-free so the double replays bitwise)
+    "q_text_bigrams" -> ((s, dir) => TextAnalysis.bigramStats(docs(s, dir), k = 50)),
     // unit-vector normalization, checked through scalar projections (first
     // element + the squared norm of the result, both in fixed fold order —
     // array outputs would crash the harness's pandas sort, r9 lesson)
@@ -700,6 +703,18 @@ object PipelineQueries {
     "q_text_histogram" -> ("SELECT CAST(floor(CAST(len(string_split(text, ' ')) AS DOUBLE) " +
       "/ 20.0) AS BIGINT) * 20 AS bucket_lo, count(*) AS n_docs " +
       "FROM documents GROUP BY bucket_lo"),
+    // same adjacency definition (i-th and i+1-th of the lowercased split),
+    // same exact-integer lift arithmetic, same count/bigram cut
+    "q_text_bigrams" -> ("WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents), " +
+      "tok AS (SELECT unnest(ws) AS t FROM w), " +
+      "uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t), " +
+      "tot AS (SELECT count(*) AS n_total FROM tok), " +
+      "bg AS (SELECT ws[i] AS a, ws[i + 1] AS b, count(*) AS c_ab FROM w, " +
+      "unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS s(i) GROUP BY a, b) " +
+      "SELECT a || ' ' || b AS bigram, c_ab, " +
+      "(CAST(n_total AS DOUBLE) * CAST(c_ab AS DOUBLE)) / CAST(ua.c1 * ub.c1 AS DOUBLE) AS lift " +
+      "FROM bg JOIN uni ua ON bg.a = ua.t JOIN uni ub ON bg.b = ub.t, tot " +
+      "ORDER BY c_ab DESC, bigram LIMIT 50"),
     // identical left-fold order (list_prepend + list_reduce ≡ Spark's
     // aggregate), identical float→double widening, correctly-rounded sqrt —
     // bitwise-equal doubles on both engines

@@ -56,6 +56,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Top-k adjacent-word collocations with exact-ratio lift — the
+    * merge-choice statistic of BPE-style tokenizer training (which pair to
+    * fuse next) and a phrase-mining primitive. `lift` is the PMI ratio
+    * WITHOUT the log: N·c(a,b) / (c(a)·c(b)) — all factors exact integers,
+    * so the one double division replays bitwise in any IEEE engine (log-PMI
+    * would hinge on libm rounding). Deterministic cut: count desc, bigram
+    * asc.
+    *
+    * Scale shape: two linear explode→count aggregations (map-side partials
+    * collapse in place), unigram counts joined back broadcast
+    * (vocabulary-sized), top-k as TakeOrderedAndProject.
+    */
+  def bigramStats(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = docs.select(split(lower(col("text")), " ").as("__w"))
+    val tokens = words.select(explode(col("__w")).as("w"))
+    val unigrams = tokens.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = tokens.agg(count(lit(1)).as("n_total"))
+    val bigrams = words
+      .select(explode(expr(
+        "CASE WHEN size(__w) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(__w) - 1), i -> struct(__w[i - 1] AS a, __w[i] AS b)) END"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    bigrams
+      .join(broadcast(unigrams.select(col("w").as("a"), col("c1").as("c_a"))), Seq("a"))
+      .join(broadcast(unigrams.select(col("w").as("b"), col("c1").as("c_b"))), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"), col("c_ab"),
+        ((col("n_total").cast("double") * col("c_ab").cast("double")) /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("c_ab").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Per-document out-of-vocabulary rate against a term list (typically
     * [[vocabulary]]'s top-k — the tokenizer-coverage sweep run before
     * committing to a vocab size): token total, OOV count, OOV fraction.

@@ -117,6 +117,16 @@ class CurationSpec extends SparkTestBase {
     kept shouldBe all.diff(flagged)
   }
 
+  test("bigramStats counts collocations with exact-ratio lift") {
+    // tokens: a×3 b×4 c×1, total 8; bigrams "a b"×3, "b a"×2, "b c"×1
+    val docs = Seq((1L, "a b a b"), (2L, "b a b c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramStats(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows(0) shouldBe (("a b", 3L, 8.0 * 3.0 / 12.0))
+    rows(1) shouldBe (("b a", 2L, 8.0 * 2.0 / 12.0))
+    rows(2) shouldBe (("b c", 1L, 8.0 * 1.0 / 4.0))
+  }
+
   test("lengthHistogram buckets token counts exactly") {
     val docs = Seq(
       (1L, "a b c"),            // 3 tokens → bucket 0
