@@ -484,9 +484,12 @@ case class RepetitionProfile(child: Expression, n: Int)
       i += 1
     }
     // open-addressed multiplicity table, power-of-two capacity ≥ 2g;
-    // cnts(idx) == 0 marks an empty slot
+    // cnts(idx) == 0 marks an empty slot. Long arithmetic for the target:
+    // g * 2 as Int could overflow on a pathological billion-gram row and
+    // leave the table smaller than g (an unterminating probe loop)
+    val target = math.min(g.toLong * 2L, 1L << 30)
     var cap = 4
-    while (cap < g * 2) cap <<= 1
+    while (cap < target) cap <<= 1
     val keys = new Array[Long](cap)
     val cnts = new Array[Int](cap)
     var s = 0

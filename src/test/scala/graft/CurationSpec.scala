@@ -125,6 +125,12 @@ class CurationSpec extends SparkTestBase {
     rows(0) shouldBe (("a b", 3L, 8.0 * 3.0 / 12.0))
     rows(1) shouldBe (("b a", 2L, 8.0 * 2.0 / 12.0))
     rows(2) shouldBe (("b c", 1L, 8.0 * 1.0 / 4.0))
+    // single-token docs contribute no bigram (the empty-array branch) but
+    // their token still counts toward N and the unigram totals
+    val withShort = TextAnalysis.bigramStats(
+      docs.union(Seq((3L, "a")).toDF("doc_id", "text")), k = 1).head()
+    withShort.getString(0) shouldBe "a b"
+    withShort.getDouble(2) shouldBe 9.0 * 3.0 / (4.0 * 4.0)
   }
 
   test("lengthHistogram buckets token counts exactly") {
