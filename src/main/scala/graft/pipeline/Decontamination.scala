@@ -130,4 +130,54 @@ object Decontamination {
       shinglesOfWords(split(lower(col(textCol)), " "), n), s => xxhash64(s))
     docs.filter(!arrays_overlap(shingleHashes, lit(evalHashes)))
   }
+
+  /** The eval shingle index persisted as a hash-bucketed managed table —
+    * the [[dropContaminatedStreaming]] form for eval sets too large to ship
+    * as a literal array: every micro-batch's stream-static anti join then
+    * plans with ZERO exchange on the index side (the table's bucketing IS
+    * the join partitioning), so per-batch cost stays ∝ batch size whatever
+    * the eval set's size. Same layout recipe as the streaming near-dup
+    * corpus index.
+    */
+  def writeBucketedEvalShingleIndex(
+      evalDocs: DataFrame,
+      tableName: String,
+      textCol: String,
+      n: Int,
+      numBuckets: Int = 16): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = evalDocs.sparkSession
+    graft.Tables.dropManaged(spark, tableName)
+    explodedShingles(evalDocs, textCol, n, keep = Nil)
+      .select(xxhash64(col("__s")).as("shingle_hash")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "shingle_hash")
+      .sortBy("shingle_hash")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+  }
+
+  /** Drop docs sharing any n-gram with the bucketed eval index: explode the
+    * input's shingle hashes, LEFT SEMI against the index to find
+    * contaminated ids, LEFT ANTI back onto the input — the index side is
+    * never reshuffled (its bucketing IS the join partitioning). A batch
+    * operator; for streams run it per micro-batch inside `foreachBatch`
+    * (the flag aggregates over a doc's shingles, which a continuous query
+    * cannot do statelessly — the literal-array gate
+    * [[dropContaminatedStreaming]] is the continuous form).
+    */
+  def dropContaminatedAgainstIndex(
+      docs: DataFrame,
+      evalIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val docShingles = explodedShingles(docs, textCol, n, keep = Seq(col(idCol)))
+      .select(col(idCol), xxhash64(col("__s")).as("shingle_hash"))
+    val contaminated = docShingles
+      .join(evalIndex, Seq("shingle_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -53,6 +53,40 @@ class DecontaminationSpec extends SparkTestBase {
     hashed shouldBe exact
   }
 
+  test("bucketed eval index: no index-side shuffle, verdicts match the exact operator") {
+    val s = spark
+    import s.implicits._
+    val evalDocs = Seq((100L, "the secret benchmark answer is forty two exactly today"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a clean document about fishing boats and calm weather patterns"),
+      (2L, "we learned the secret benchmark answer is forty two exactly today somehow"),
+      (3L, "another clean one describing mountain trails in early spring light"))
+      .toDF("doc_id", "text")
+    val idx = Decontamination.writeBucketedEvalShingleIndex(
+      evalDocs, "decont_idx_bucketed", "text", n = 5, numBuckets = 4)
+    try {
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val kept = Decontamination.dropContaminatedAgainstIndex(
+          train, idx, "doc_id", "text", n = 5)
+        val plan = kept.queryExecution
+          .explainString(org.apache.spark.sql.execution.SimpleMode)
+        plan should include("Bucketed: true")
+        // exactly ONE shuffle keyed on the shingle hash — the doc side's.
+        // If the index side were reshuffled for the semi join there would
+        // be a second hashpartitioning(shingle_hash...) exchange; its
+        // bucketed layout satisfies the join's distribution instead.
+        "Exchange hashpartitioning\\(shingle_hash".r.findAllIn(plan).size shouldBe 1
+        kept.select("doc_id").as[Long].collect().toSet shouldBe
+          Decontamination.dropContaminated(train, evalDocs, "doc_id", "text", n = 5)
+            .select("doc_id").as[Long].collect().toSet
+        kept.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally Tables.dropManaged(s, "decont_idx_bucketed")
+  }
+
   test("input validation") {
     an[IllegalArgumentException] should be thrownBy
       Decontamination.contaminationReport(train, evalDocs, "doc_id", "text", n = 0)
