@@ -69,6 +69,45 @@ object PipelineProps extends Properties("Pipeline") {
         }
     }
 
+  property("bigramStats equals a naive replay for arbitrary token streams") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")))) { docsTokens =>
+      import spark.implicits._
+      val df = docsTokens.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.pipeline.TextAnalysis.bigramStats(df, k = 100)
+        .as[(String, Long, Double)].collect().toSeq
+      // naive replay
+      val uni = docsTokens.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val total = docsTokens.map(_.length).sum.toLong
+      val bg = docsTokens.flatMap(ts => ts.zip(ts.drop(1)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val want = bg.toSeq
+        .map { case ((a, b), c) =>
+          (s"$a $b", c, total.toDouble * c.toDouble / (uni(a) * uni(b)).toDouble)
+        }
+        .sortBy { case (s, c, _) => (-c, s) }
+        .take(100)
+      got == want
+    }
+
+  property("oovStats equals a naive set replay") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w", "v"))),
+      Gen.someOf("x", "y", "z")) { (docsTokens, vocab) =>
+      import spark.implicits._
+      val df = docsTokens.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val vdf = vocab.toSeq.toDF("term")
+      val got = graft.pipeline.TextAnalysis.oovStats(df, vdf)
+        .select("doc_id", "n_tokens", "n_oov")
+        .as[(Long, Long, Long)].collect().toSet
+      val vset = vocab.toSet
+      val want = docsTokens.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.length.toLong, ts.count(t => !vset(t)).toLong)
+      }.toSet
+      got == want
+    }
+
   property("stratifiedSample membership is independent of row order and partitioning") =
     Prop.forAll(genIds, Gen.choose(1, 7)) { (ids, parts) =>
       import spark.implicits._
