@@ -47,12 +47,25 @@ object Graft {
     one("simhash64")(graft.functions.SimHash64(_))
     one("rolling_hash")(graft.functions.RollingHash(_))
     // second arg must be a literal int (the gram size is a plan-time shape)
-    reg.createOrReplaceTempFunction("repetition_profile", {
-      case Seq(x, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-        graft.functions.RepetitionProfile(x, n)
-      case args => throw new IllegalArgumentException(
-        "repetition_profile expects (tokens array, literal int n), got " +
-          s"${args.length} argument(s)")
-    }, "internal")
+    reg.createOrReplaceTempFunction("repetition_profile",
+      repetitionProfileBuilder, "internal")
+  }
+
+  /** SQL builder for `repetition_profile`, shared by both registries
+    * ([[registerFunctions]] and [[graft.plans.GraftExtensions]]). The
+    * fallbacks are SPLIT so two-arguments-but-wrong-type reports the type
+    * constraint, not a bogus "got 2 argument(s)" arity complaint.
+    */
+  private[graft] val repetitionProfileBuilder:
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(x, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+      graft.functions.RepetitionProfile(x, n)
+    case Seq(_, other) => throw new IllegalArgumentException(
+      "repetition_profile expects a LITERAL INT gram size as its second " +
+        s"argument (a plan-time shape), got ${other.sql}")
+    case args => throw new IllegalArgumentException(
+      "repetition_profile expects 2 arguments (tokens array, literal int n), " +
+        s"got ${args.length}")
   }
 }

@@ -486,7 +486,14 @@ case class RepetitionProfile(child: Expression, n: Int)
     // open-addressed multiplicity table, power-of-two capacity ≥ 2g;
     // cnts(idx) == 0 marks an empty slot. Long arithmetic for the target:
     // g * 2 as Int could overflow on a pathological billion-gram row and
-    // leave the table smaller than g (an unterminating probe loop)
+    // leave the table smaller than g (an unterminating probe loop). The
+    // 2^30-slot array is the per-row ceiling — a row above 2^29 grams would
+    // fill a clamped table and leave the probe loop unterminating too, so
+    // it fails FAST instead (a half-billion-token single document is a
+    // data defect; split it upstream, e.g. Packing.chunkDocuments).
+    if (g > (1 << 29)) throw new IllegalArgumentException(
+      s"repetition_profile: row has $g $n-grams, above the 2^29 per-row " +
+        "limit — split oversized documents upstream")
     val target = math.min(g.toLong * 2L, 1L << 30)
     var cap = 4
     while (cap < target) cap <<= 1

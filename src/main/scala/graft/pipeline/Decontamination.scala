@@ -128,7 +128,11 @@ object Decontamination {
     require(n >= 1, s"n must be >= 1, got $n")
     val shingleHashes = transform(
       shinglesOfWords(split(lower(col(textCol)), " "), n), s => xxhash64(s))
-    docs.filter(!arrays_overlap(shingleHashes, lit(evalHashes)))
+    // coalesce: a NULL text propagates null through split → shingles →
+    // arrays_overlap, and filter(!NULL) would DROP the row — while the batch
+    // [[dropContaminated]] keeps null-text docs (they never flag in the
+    // anti-join). Null-text rows have no shingles, so they are kept.
+    docs.filter(coalesce(!arrays_overlap(shingleHashes, lit(evalHashes)), lit(true)))
   }
 
   /** The eval shingle index persisted as a hash-bucketed managed table —

@@ -523,9 +523,19 @@ object Dedup {
     *
     * Scale: k ≈ sqrt(n) clusters learned on a sample (`learnFraction`),
     * assignment map-side, one shuffle on cid, pair budget bounded by
-    * `bucketCap` per cluster. Identical vectors always share a cluster
-    * (assignment is a pure function of the vector), so exact-duplicate
-    * recall is 1 regardless of where the centroids land.
+    * `bucketCap` per cluster.
+    *
+    * Exact-copy pre-collapse (the [[distinctTexts]] analog for vectors):
+    * identical vectors collapse to their min-id representative — keyed by a
+    * 96-bit content hash — BEFORE clustering, and every shed copy pairs with
+    * its representative directly (cosine 1 by identity, no verify needed).
+    * That makes exact-duplicate recall 1 UNCONDITIONALLY: it depends on
+    * neither where the centroids land nor on a k-means cell staying under
+    * `bucketCap` (pre-r13, a cell beyond the cap silently shed high-id exact
+    * copies). Cluster pairing then runs over distinct vectors only, so a
+    * 100 TB crawl's mass-duplicated vectors cannot saturate a cell. Near
+    * (non-identical) duplicate pairs are reported between representatives;
+    * [[connectedComponents]] downstream closes the copies over them.
     */
   def semanticNearDupPairs(
       embeddings: DataFrame,
@@ -536,17 +546,34 @@ object Dedup {
       learnFraction: Double = 1.0,
       threshold: Double = 0.95,
       bucketCap: Int = defaultBucketCap): DataFrame = {
-    val centroids = Similarity.learnCentroids(embeddings, k, iters, learnFraction, idCol, vecCol)
+    // 96-bit content key: a false vector collision needs xxhash64 AND
+    // murmur3 to collide — the same negligible-error class as the 64-bit
+    // shingle hashing the text family documents. Cached: read by the rep
+    // aggregation and the copy→rep star join (caller clears, [[clearCaches]]).
+    val keyed = cache(embeddings.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      struct(xxhash64(col(vecCol)).as("h1"), hash(col(vecCol)).as("h2")).as("ck")))
+    val reps = cache(keyed.groupBy(col("ck"))
+      .agg(min(col("id")).as("id"), first(col("v")).as("v")))
+    // star pairs: every non-representative exact copy ↔ its (min-id) rep.
+    // Identical vectors have cosine exactly 1 (a zero vector's cosine is
+    // formally undefined, but identical zero vectors are still duplicates —
+    // the constant is the honest value either way).
+    val exactPairs = keyed
+      .join(reps.select(col("ck"), col("id").as("rep_id")), Seq("ck"))
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"), lit(1.0).as("cos"))
+    val centroids = Similarity.learnCentroids(reps, k, iters, learnFraction, "id", "v")
     val assigned = capBuckets(
-      embeddings.select(
-        col(idCol).as("id"), col(vecCol).as("v"),
-        nearestCentroid(col(vecCol), centroids).as("cid")),
+      reps.select(col("id"), col("v"), nearestCentroid(col("v"), centroids).as("cid")),
       bucketCap, "cid")
     val a = assigned.as("a"); val b = assigned.as("b")
-    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+    val clusterPairs = a
+      .join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosineSimilarity(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
+    clusterPairs.union(exactPairs)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 

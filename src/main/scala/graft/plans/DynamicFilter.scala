@@ -182,12 +182,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     one("simhash64", classOf[graft.functions.SimHash64])(graft.functions.SimHash64(_))
     one("rolling_hash", classOf[graft.functions.RollingHash])(graft.functions.RollingHash(_))
     e.injectFunction((FunctionIdentifier("repetition_profile"),
-      info("repetition_profile", classOf[graft.functions.RepetitionProfile]), {
-        case Seq(x, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-          graft.functions.RepetitionProfile(x, n)
-        case args => throw new IllegalArgumentException(
-          "repetition_profile expects (tokens array, literal int n), got " +
-            s"${args.length} argument(s)")
-      }: Seq[Expression] => Expression))
+      info("repetition_profile", classOf[graft.functions.RepetitionProfile]),
+      graft.Graft.repetitionProfileBuilder))
   }
 }

@@ -40,6 +40,23 @@ class DecontaminationSpec extends SparkTestBase {
     lenient shouldBe Set(2L, 3L, 4L)
   }
 
+  test("null-text rows are kept by batch AND streaming gates alike") {
+    val withNull = train.union(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val batchKept = Decontamination
+      .dropContaminated(withNull, evalDocs, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    batchKept should contain(9L)
+    // the streaming gate must agree: split(NULL) propagates null through
+    // arrays_overlap, and !NULL would silently DROP the row without the
+    // coalesce (ADVICE r12)
+    val evalHashes = Decontamination.evalShingleHashes(evalDocs, "text", n = 5)
+    val streamKept = Decontamination
+      .dropContaminatedStreaming(withNull, evalHashes, "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    streamKept shouldBe batchKept
+  }
+
   test("hashed-shingle variant matches the exact report") {
     val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
     val exact = Decontamination.contaminationReport(

@@ -42,6 +42,21 @@ class SemanticDedupSpec extends SparkTestBase {
     pairs shouldBe (0L until 10L).map(i => (i, i + 1000L)).toSet
   }
 
+  test("exact copies beyond the bucket cap still pair (pre-collapse recall)") {
+    // 8 exact copies of vector 0 with bucketCap = 2: pre-r13 the cap shed
+    // the high-id copies inside their k-means cell and they silently
+    // survived dedup (ADVICE r12). The pre-collapse pairs every copy with
+    // its representative before any cell/cap is involved.
+    val copies = (0 until 8).map { i =>
+      (1000L + i, Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val pairs = Dedup
+      .semanticNearDupPairs(fan.union(copies), k = 4, threshold = 0.999, bucketCap = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // fan vector 0 IS (1,0,0,0): it is the min-id representative of all 8
+    pairs shouldBe (0 until 8).map(i => (0L, 1000L + i)).toSet
+  }
+
   test("dropSemanticDuplicates keeps exactly one representative per cluster") {
     val copies = fan.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))

@@ -40,4 +40,19 @@ class SqlFunctionsSpec extends SparkTestBase {
     an[Exception] should be thrownBy
       spark.sql("SELECT repetition_profile(split('a b', ' ')) AS r").collect()
   }
+
+  test("repetition_profile distinguishes wrong arity from a non-literal gram size") {
+    Graft.install(spark)
+    // 2 args but non-literal n: the error must name the literal-int
+    // constraint, not claim a wrong argument count (ADVICE r12)
+    val typeErr = intercept[Exception] {
+      spark.sql("SELECT repetition_profile(split('a b', ' '), 1 + 1) AS r").collect()
+    }
+    typeErr.getMessage should include("LITERAL INT")
+    (typeErr.getMessage should not).include("got 2")
+    val arityErr = intercept[Exception] {
+      spark.sql("SELECT repetition_profile(split('a b', ' '), 2, 3) AS r").collect()
+    }
+    arityErr.getMessage should include("got 3")
+  }
 }
