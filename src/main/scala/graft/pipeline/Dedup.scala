@@ -385,6 +385,25 @@ object Dedup {
     */
   def connectedComponentsIters(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    // AQE is suspended for the whole loop (restored on exit): under AQE,
+    // Dataset.(local)checkpoint wraps an AdaptiveSparkPlanExec whose
+    // partitioning is not final at wrap time, so the LogicalRDD comes back
+    // with UNKNOWN partitioning (probe-verified on this Spark) — which
+    // silently re-shuffles the corpus-sized edge table every round, the
+    // exact cost this layout exists to remove. The loop's joins are
+    // fixed-shape and co-partitioned by construction, so AQE has nothing
+    // to add here that is worth that loss; queries outside the loop are
+    // unaffected (the flag is restored before returning). NOT thread-safe
+    // against concurrent planning in the same session — the session-conf
+    // scope is the documented trade.
+    val sess = pairs.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(pairs, maxIters)
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, maxIters: Int): (DataFrame, Int) = {
     // Reliable checkpoints when the session has durable checkpoint storage
     // configured, executor-local otherwise (see the scaladoc trade-off).
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
@@ -402,15 +421,32 @@ object Dedup {
     // evaluated the whole upstream pair pipeline (LSH candidates + verify
     // join) TWICE inside round 1's materializing job — with no persist to
     // paper over it, one scan is the scale-correct shape.
+    //
+    // The edge table — the BIG side at corpus scale — is checkpointed
+    // PARTITIONED AND SORTED on `src`, and never re-shuffles again:
+    // `Dataset.(local)checkpoint` carries the physical plan's
+    // outputPartitioning/outputOrdering into the LogicalRDD leaf, so every
+    // round's edges⋈labels join (and round 1's groupBy) sees the hash
+    // distribution + sort order already satisfied on the edge side. This is
+    // the in-session form of a bucketed+sorted edge table (SURVEY §13 open
+    // item, closed r13): pre-r13 every round re-shuffled the full edge set
+    // by its join key — an edge-sized exchange × rounds; now edges shuffle
+    // exactly once for the whole run, in round 1's materializing job, where
+    // the old round-1 groupBy shuffled them anyway.
     val edges = ckpt(pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src")))
     // Round 1 degenerates: over identity labels (component = id), the
     // neighbor minimum is just min(dst) per src and the label-of-label
     // lookup is the identity — so the whole round (plus the distinct-id
-    // init it used to need) collapses into ONE aggregation over edges.
+    // init it used to need) collapses into ONE aggregation over edges —
+    // exchange-free: edges are already partitioned by src, so only the
+    // (label-sized) agg output moves. The result is checkpointed
+    // partitioned by id, which the loop below maintains as an invariant.
     val first = ckpt(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nbr_min"))
       .select(col("src").as("id"), col("src").as("prev"),
@@ -425,17 +461,29 @@ object Dedup {
     var labels = first.select(col("id"), col("component"))
     var iters = 1
     while (changed > 0 && iters < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      // Exchange inventory per round (the 100 TB accounting): edges join on
+      // src — edge side pre-partitioned+sorted (zero exchange, zero sort),
+      // labels side already partitioned by id from the previous round's
+      // checkpoint (zero exchange). Labels are grouped at the OTHER endpoint
+      // (dst) — the same neighbor minimum by symmetry of the edge set — so
+      // the only edge-related movement is the partially-aggregated
+      // (label-sized) groupBy(dst) exchange. The jump join then costs one
+      // labels-by-component exchange, and the final nbrMin join restores
+      // hash(id) partitioning, which the checkpoint CARRIES to the next
+      // round. Net: three label-sized exchanges per round, none edge-sized.
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(edges("dst")).agg(min(col("component")).as("nbr_min"))
+        .select(edges("dst").as("n_id"), col("nbr_min"))
       val jump = labels.select(col("id").as("j_id"), col("component").as("j_comp"))
-      val next = ckpt(labels
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val withJump = labels
         .join(jump, labels("component") === col("j_id"), "left")
-        .select(labels("id").as("id"),
-          labels("component").as("prev"),
-          least(labels("component"),
-            coalesce(col("nbr_min"), labels("component")),
-            coalesce(col("j_comp"), labels("component"))).as("component")))
+      val next = ckpt(withJump
+        .join(nbrMin, withJump("id") === nbrMin("n_id"), "left")
+        .select(withJump("id").as("id"),
+          withJump("component").as("prev"),
+          least(withJump("component"),
+            coalesce(col("nbr_min"), withJump("component")),
+            coalesce(col("j_comp"), withJump("component"))).as("component")))
       // ONE job: materializes the round's checkpoint blocks (truncating
       // lineage) and computes the convergence count off them as it goes
       changed = next.filter(col("component") =!= col("prev")).count()

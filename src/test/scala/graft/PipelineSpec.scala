@@ -142,6 +142,47 @@ class PipelineSpec extends SparkTestBase {
     got.foreach { case (_, comp) => comp shouldBe 0L }
   }
 
+  test("checkpointed edge table: a round's join plans with no edge-side exchange") {
+    import spark.implicits._
+    // Mirrors connectedComponentsIters' edge layout: symmetrized edges
+    // repartitioned + sorted on src and lazily checkpointed. The LogicalRDD
+    // must CARRY that distribution and ordering, so every pointer-jumping
+    // round's edges⋈labels join adds no exchange (and no sort) above the
+    // edge scan — the in-session bucketed-edge-table invariant the r13 CC
+    // rework rests on. If a Spark upgrade stopped propagating checkpoint
+    // partitioning, this would silently re-shuffle the corpus-sized edge
+    // set every round; this test makes that loud.
+    // AQE off, as in connectedComponentsIters itself: under AQE the
+    // checkpoint wraps a non-final adaptive plan and the partitioning comes
+    // back UNKNOWN (probe-verified) — which is exactly why the production
+    // loop suspends it.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+        .repartition(col("src")).sortWithinPartitions("src")
+        .localCheckpoint(eager = false)
+      val labels = (0L until 1000L).map(i => (i, i)).toDF("id", "component")
+      val round = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(edges("dst")).agg(min(col("component")).as("nbr_min"))
+      val plan = round.queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      // exactly TWO exchanges: the (unpartitioned here) labels side and the
+      // label-sized groupBy(dst) — a third would be the edge side
+      // re-shuffling
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+      // the preserved sort order means the edge side of the sort-merge join
+      // needs no per-round re-sort either: one Sort (the labels side) at most
+      "\\bSort \\[".r.findAllIn(plan).size should be <= 1
+      round.collect().length shouldBe 1000 // dst values 1..1000
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("nearDupMatches agrees with batch minhashPairs on every cross-side pair") {
     import spark.implicits._
     // same hash family, same bands, same threshold => the stream-static
