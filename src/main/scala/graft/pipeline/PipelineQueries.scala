@@ -124,6 +124,19 @@ object PipelineQueries {
       "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20), " +
       "tr AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id >= 20) "
 
+  /** Synthetic per-doc URL (no real URL column exists in testdata): mixed
+    * case, default https port, a mid-query tracking param, a trailing
+    * tracking param, and a fragment — one instance of every
+    * canonicalization step, derived purely from doc_id so the oracle can
+    * state the expected output directly.
+    */
+  private def plantedUrl =
+    concat(
+      lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(50)).cast("string"),
+      lit(".Example.COM:443/p/"), col("doc_id").cast("string"),
+      lit("?utm_source=ab&q="), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("&gclid=xyz#sec"))
+
   private val plantedOracle =
     s"SELECT doc_id AS id_a, doc_id + $PlantOffset AS id_b FROM documents WHERE doc_id < $NPlant"
   private val plantedEmbOracle =
@@ -135,7 +148,21 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), threshold = 0.3)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.2)),
-    "q_dedup_embed" -> ((s, dir) => Dedup.embeddingNearDupPairs(embs(s, dir), threshold = 0.9)),
+    // corpus-WIDE hyperplane-LSH sweep over the FULL table plus exact-copy
+    // plants: the r12 registration ran the bare table and returned 0 rows at
+    // sf0.01 — the true answer on near-random embeddings, but it exercised
+    // nothing end-to-end. The plants guarantee >= NPlant result rows at any
+    // sf (identical vectors share every bucket; no random pair reaches
+    // cosine 0.9), so the sweep now proves the whole bucket→cap→verify path
+    // runs at corpus scale. Still rows-only: the hash family is not
+    // DuckDB-replayable; the hash-green planted twin below carries recall.
+    "q_dedup_embed" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupPairs(
+        e.union(e.filter(col("vec_id") < NPlant).select(
+          (col("vec_id") + PlantOffset).as("vec_id"), col("embedding"))),
+        threshold = 0.9)
+    }),
     // planted-pair recall assertions (oracle = the full planted list)
     "q_dedup_minhash_planted" -> ((s, dir) =>
       plantedFound(Dedup.minhashPairs(plantedDocs(docs(s, dir), " graftdup"), threshold = 0.5))),
@@ -185,6 +212,20 @@ object PipelineQueries {
         graft.streaming.StreamingDedup.nearDupMatches(incoming, idx)
           .select(col("corpus_id").as("id_a"), col("id").as("id_b"))
           .distinct())
+    }),
+    // the stream-stream interval join's batch form: the SAME operator
+    // (withWatermark is a no-op on batch input), so the attribution
+    // condition — same user, click within the 30-minute horizon before the
+    // purchase — is oracle-gated here, not just micro-batch spec'd
+    "q_stream_attribution" -> ((s, dir) => {
+      // ts rides the parquet as int64 nanos; the streaming operator needs a
+      // real timestamp column (same micros conversion as q_time_sessions)
+      val e = Tables.df(s, dir, "events").select(
+        col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.streaming.EventStreams.clickToPurchaseJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
     }),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir), queryVec(s, dir), k = 10)),
     // batch retrieval: top-5 corpus neighbors (vec_id >= 10) for EVERY
@@ -367,6 +408,25 @@ object PipelineQueries {
               |FROM (SELECT doc_id, repetition_profile(split(lower(text), ' '), 2) AS r
               |FROM documents) WHERE r IS NOT NULL""".stripMargin)
     }),
+    // the r12 curation surface through prepare(): the struct-returning
+    // native expression (repetition_profile) planned ONCE with the drop
+    // threshold as a $1 placeholder — the function-snapshot contract
+    // (reference parameterized_statement.rs:106-162) extended from the
+    // scalar q_prep_cosine to the struct-expression class
+    "q_prep_repetition" -> ((s, dir) => {
+      graft.Tables.register(s, dir); graft.Graft.install(s)
+      graft.prepared.PreparedStatements.prepare(s,
+        """SELECT doc_id,
+          |CAST(r.top_count AS DOUBLE) / CAST(r.n_grams AS DOUBLE) AS top_fraction
+          |FROM (SELECT doc_id, repetition_profile(split(lower(text), ' '), 2) AS r
+          |FROM documents)
+          |WHERE r IS NOT NULL
+          |AND CAST(r.dup AS DOUBLE) / CAST(r.n_grams AS DOUBLE) <= $1""".stripMargin,
+        // the threshold compares against a computed division, not a column,
+        // so inference has no scan-side type to anchor on — declare it
+        paramTypes = Map("$1" -> org.apache.spark.sql.types.DoubleType))
+        .execute(Map("$1" -> 0.2))
+    }),
     // tokenizer-coverage sweep: per-doc OOV rate against the corpus's own
     // top-50 vocabulary (deterministic tf-then-term cut)
     "q_text_oov" -> ((s, dir) => {
@@ -396,6 +456,26 @@ object PipelineQueries {
     // skew diagnosis: the 20 heaviest join keys with exact frequencies
     "q_profile_hot" -> ((s, dir) =>
       Profile.heavyHitters(Tables.df(s, dir, "lineitem"), "l_orderkey", k = 20)),
+    // URL canonicalization (pipeline/Urls): the corpus has no URL column, so
+    // the query PLANTS one per doc from testdata columns — mixed case,
+    // default port, tracking params, fragment — and the oracle derives the
+    // expected canonical form INDEPENDENTLY (ground truth, not a regex
+    // replay), so every canonicalization step is hash-gated
+    "q_text_url_canon" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Urls.canonicalizeUrl(plantedUrl).as("canon_url"))),
+    // host-level dedup over the same planted URLs: one row per registrable
+    // host with min-id representative and doc count, all oracle-derivable
+    "q_dedup_host" -> ((s, dir) =>
+      Urls.dedupByHost(
+        docs(s, dir).select(col("doc_id"), plantedUrl.as("url")), "doc_id", "url")),
+    // the bounded-state form: Misra-Gries candidates + exact re-count of
+    // candidates only. At this capacity every key with frequency
+    // > n/65536 is provably a candidate, so the result is IDENTICAL to the
+    // exact operator and shares its oracle shape; the adversarially-small-
+    // capacity regime is spec-covered (ProfileSpec Zipf recall)
+    "q_profile_hot_approx" -> ((s, dir) =>
+      Profile.approxHeavyHitters(Tables.df(s, dir, "orders"), "o_custkey", k = 20)),
     // context-window chunking: 64-token windows starting every 48 tokens
     // (16-token overlap), chunk text hash-compared byte for byte
     "q_pack_chunks" -> ((s, dir) =>
@@ -639,6 +719,18 @@ object PipelineQueries {
     // the map-side run-length variant must agree row for row
     "q_text_rep2gram_mapside" -> rep2gramOracle,
     "q_sql_repetition" -> rep2gramOracle,
+    // threshold inlined at its bound value; fractions are the same one
+    // IEEE division on both engines so the <= comparison agrees exactly
+    "q_stream_attribution" -> ("SELECT p.event_id AS purchase_id, p.user_id, " +
+      "p.ts AS purchase_ts, c.ts AS click_ts, c.value AS click_value " +
+      "FROM events p JOIN events c ON c.user_id = p.user_id " +
+      "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
+      "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE"),
+    "q_prep_repetition" -> (rep2gramSql +
+      "SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_fraction " +
+      "FROM c GROUP BY doc_id " +
+      "HAVING CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / " +
+      "CAST(sum(c) AS DOUBLE) <= 0.2"),
     // top-50 vocab CTE (same tf-desc, term-asc deterministic cut as
     // q_text_vocab) + per-doc left-join OOV counting
     "q_text_oov" -> ("WITH v AS (SELECT term FROM (SELECT term, count(*) AS tf FROM " +
@@ -728,6 +820,17 @@ object PipelineQueries {
       "FROM u"),
     "q_profile_hot" -> ("SELECT l_orderkey, count(*) AS n_rows FROM lineitem " +
       "GROUP BY l_orderkey ORDER BY n_rows DESC, CAST(l_orderkey AS VARCHAR) LIMIT 20"),
+    // the bounded-state operator is exact at this capacity (see the query
+    // comment), so the oracle is the plain exact top-k replay
+    "q_profile_hot_approx" -> ("SELECT o_custkey, count(*) AS n_rows FROM orders " +
+      "GROUP BY o_custkey ORDER BY n_rows DESC, CAST(o_custkey AS VARCHAR) LIMIT 20"),
+    // ground-truth canonical form, derived independently of the operator's
+    // regex mechanics: lowercase scheme+host, :443 gone, tracking params
+    // gone (q= survives), fragment gone
+    "q_text_url_canon" -> ("SELECT doc_id, 'https://www.site' || (doc_id % 50) || " +
+      "'.example.com/p/' || doc_id || '?q=' || (doc_id % 7) AS canon_url FROM documents"),
+    "q_dedup_host" -> ("SELECT 'site' || (doc_id % 50) || '.example.com' AS host, " +
+      "min(doc_id) AS keep_id, count(*) AS n_docs FROM documents GROUP BY 1"),
     // same window starts (every 48, 1-based here), same inclusive slices,
     // same space re-join; chunk_idx recovered from the start position
     "q_pack_chunks" -> ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) " +

@@ -66,4 +66,82 @@ object Profile {
       .orderBy(col("n_rows").desc, col(keyCol).cast("string"))
       .limit(k)
   }
+
+  /** [[heavyHitters]] for key spaces too large for the exact groupBy (whose
+    * aggregate state is one entry per distinct key): candidates come from a
+    * bounded [[graft.functions.MisraGries]] summary (per-partition candidate
+    * heaps merged into one ≤ `capacity`-entry table — a bounded driver
+    * collect, the centroid-table class), then a SECOND pass re-counts ONLY
+    * the candidates exactly — a broadcast semi join at the scan plus an
+    * aggregation over ≤ capacity keys. Two bounded-memory passes replace
+    * one unbounded-memory pass.
+    *
+    * Exactness: the MG bound guarantees every key with true frequency
+    * > n / capacity is a candidate, so whenever the k-th heavy hitter
+    * clears that bar the result is IDENTICAL to [[heavyHitters]] — which is
+    * what lets the driver query share the exact operator's oracle. Sized
+    * short (adversarially small capacity), recall degrades gracefully: the
+    * result is still the exact counts of the candidates found
+    * (spec-asserted ≥ k recall on a Zipf fixture).
+    *
+    * For a single-pass ESTIMATE instead (streams, no second scan), see
+    * [[approxHeavyHittersOnePass]].
+    */
+  def approxHeavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      k: Int = 20,
+      capacity: Int = 65536): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mg = udaf(new graft.functions.MisraGries(capacity))
+    val candidates = df
+      .select(col(keyCol).cast("string").as("__k"))
+      .agg(mg(col("__k")).as("cand"))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val candDf = candidates.toDF("__cand")
+    df.join(broadcast(candDf), col(keyCol).cast("string") === col("__cand"), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col(keyCol).cast("string"))
+      .limit(k)
+  }
+
+  /** One-pass approximate top-k: Misra–Gries candidates and a count-min
+    * sketch (Spark's built-in `count_min_sketch` aggregate — codegen'd
+    * partials, mergeable binary) computed in the SAME aggregation, then the
+    * candidates' frequencies estimated from the sketch driver-side. One
+    * scan, bounded state everywhere — the form for when a second pass is
+    * unavailable (a stream's foreachBatch profile) or the corpus scan
+    * dominates. Counts are CMS estimates: never below the true frequency,
+    * above it by at most eps·n with probability ≥ confidence. Keys are
+    * reported as strings (the sketch hashes the rendered key).
+    */
+  def approxHeavyHittersOnePass(
+      df: DataFrame,
+      keyCol: String,
+      k: Int = 20,
+      capacity: Int = 65536,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mg = udaf(new graft.functions.MisraGries(capacity))
+    val row = df
+      .select(col(keyCol).cast("string").as("__k"))
+      .agg(
+        mg(col("__k")).as("cand"),
+        expr(s"count_min_sketch(__k, ${eps}d, ${confidence}d, 42)").as("cms"))
+      .head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(row.getAs[Array[Byte]](1))
+    row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      .map(key => (key, sketch.estimateCount(key)))
+      .sortBy { case (key, est) => (-est, key) }
+      .take(k)
+      .toDF(keyCol, "est_rows")
+  }
 }

@@ -368,6 +368,43 @@ object Similarity {
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 
+  /** Index-file hygiene for the continuous-ingest path: every
+    * [[appendToIvfIndex]] batch adds at least one file per touched cid
+    * partition, so a long-running feed accumulates per-probe open/footer
+    * costs linear in BATCH COUNT, not data size. Rewrites the index's data
+    * files — same cid layout, stats-sized file count via
+    * [[Compaction.targetPartitions]] — and leaves the centroid table
+    * untouched, so probe results are identical (row order inside a
+    * partition is irrelevant to a probe: spec-asserted identical top-k).
+    *
+    * The swap is write-tmp → delete → rename, so a probe racing the compact
+    * can fail for the rename window; the 100 TB form puts the swap behind a
+    * catalog/table-format pointer flip instead — file-level compaction
+    * mechanics are identical.
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sizeFactor: Double = 1.0): Unit = {
+    val df = spark.read.parquet(path)
+    val n = Compaction.targetPartitions(df, targetBytes, sizeFactor)
+    val tmp = path + "__compact_tmp"
+    // hash-repartition on cid into the stats-sized task count: each task
+    // writes whole-cid file(s), so every partition directory collapses to
+    // ~one sized file instead of one per historical batch
+    df.repartition(n, col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val fs = target.getFileSystem(conf)
+    if (!fs.delete(target, true))
+      throw new java.io.IOException(s"compactIvfIndex: could not remove $path for swap")
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(s"compactIvfIndex: could not move $tmp into place")
+  }
+
   /** ANN top-k against an IVF index: rank centroids driver-side, read only
     * the `nprobe` nearest centroid partitions, exact cosine within them.
     */

