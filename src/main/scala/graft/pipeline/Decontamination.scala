@@ -31,10 +31,7 @@ object Decontamination {
     * DESCENDING [1, 0] rather than an empty array.
     */
   private def shinglesOfWords(words: Column, n: Int): Column =
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(words) - (n - 1)),
-        i => array_join(slice(words, i, lit(n)), " ")))
+    TextAnalysis.shinglesOfWords(words, n)
 
   /** Explodes `textCol`'s shingles with the word array materialized ONCE
     * per row in a prior projection (the inline form recomputes

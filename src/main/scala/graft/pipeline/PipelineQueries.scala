@@ -446,6 +446,14 @@ object PipelineQueries {
     // tokenizer-training collocations: top-50 adjacent pairs with exact
     // integer-ratio lift (log-free so the double replays bitwise)
     "q_text_bigrams" -> ((s, dir) => TextAnalysis.bigramStats(docs(s, dir), k = 50)),
+    // substring-level dedup signal: 10-gram spans shared across >= 2 docs
+    // (boilerplate/template detection), top-100 by total occurrences
+    "q_text_dupspans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(docs(s, dir), n = 10, minDocs = 2, k = 100)),
+    // CCNet-style LM quality signal: per-doc mean add-1-smoothed unigram
+    // log-prob against the corpus's own top-50 vocab (OOV path exercised)
+    "q_text_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), vocabK = 50)),
     // unit-vector normalization, checked through scalar projections (first
     // element + the squared norm of the result, both in fixed fold order —
     // array outputs would crash the harness's pandas sort, r9 lesson)
@@ -721,6 +729,23 @@ object PipelineQueries {
     "q_sql_repetition" -> rep2gramOracle,
     // threshold inlined at its bound value; fractions are the same one
     // IEEE division on both engines so the <= comparison agrees exactly
+    "q_text_dupspans" -> ("WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws " +
+      "FROM documents), " +
+      "sh AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 9), ' ') AS span " +
+      "FROM w, unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS t(i)) " +
+      "SELECT span, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs " +
+      "FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 " +
+      "ORDER BY n_occurrences DESC, span LIMIT 100"),
+    // probabilities are exact-integer IEEE divisions on both engines; the
+    // one libm call (ln) sits under a round-6 after the per-doc mean
+    "q_text_logprob" -> ("WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term " +
+      "FROM documents), " +
+      "v AS (SELECT term, count(*) AS tf FROM w GROUP BY term ORDER BY tf DESC, term LIMIT 50), " +
+      "t AS (SELECT count(*) AS n_total FROM w), " +
+      "s AS (SELECT count(*) AS v_size FROM v) " +
+      "SELECT doc_id, count(*) AS n_tokens, " +
+      "round(avg(ln((coalesce(tf, 0) + 1.0) / (n_total + 1.0 * (v_size + 1)))), 6) AS avg_logprob " +
+      "FROM w LEFT JOIN v USING (term), t, s GROUP BY doc_id"),
     "q_stream_attribution" -> ("SELECT p.event_id AS purchase_id, p.user_id, " +
       "p.ts AS purchase_ts, c.ts AS click_ts, c.value AS click_value " +
       "FROM events p JOIN events c ON c.user_id = p.user_id " +

@@ -23,16 +23,11 @@ import org.apache.spark.sql.functions._
 object Repetition {
 
   /** Same word n-gram definition as [[Decontamination]] /
-    * [[graft.functions.WordShingles]]: split lowercased text on single
-    * spaces, re-join n consecutive words with a space; docs shorter than n
-    * words yield none. The CASE guards Spark's `sequence(1, 0)` producing a
-    * descending [1, 0] rather than an empty array.
+    * [[graft.functions.WordShingles]] — the shared
+    * [[TextAnalysis.shinglesOfWords]].
     */
   private def shinglesOfWords(words: Column, n: Int): Column =
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(words) - (n - 1)),
-        i => array_join(slice(words, i, lit(n)), " ")))
+    TextAnalysis.shinglesOfWords(words, n)
 
   /** Per-document n-gram repetition profile: total / distinct gram counts,
     * the multiplicity of the most frequent gram, and two fractions —

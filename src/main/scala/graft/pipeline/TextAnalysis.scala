@@ -13,6 +13,20 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** Word n-gram spans of a word-array column (split lowercased text on
+    * single spaces upstream): n consecutive words re-joined with a space;
+    * arrays shorter than n yield none. Shared by [[duplicatedSpans]],
+    * [[Repetition]], and [[Decontamination]] — the one n-gram definition
+    * every shingle-based operator (and every DuckDB oracle CTE) agrees on.
+    * The CASE guards Spark's `sequence(1, 0)` producing a descending
+    * [1, 0] rather than an empty array.
+    */
+  private[pipeline] def shinglesOfWords(words: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+
   /** Per-document token statistics (whitespace tokenization). The average is
     * left as the raw IEEE division of two exact ints — both engines divide
     * the same integers and get bitwise-identical doubles; rounding it would
@@ -90,6 +104,77 @@ object TextAnalysis {
           (col("c_a") * col("c_b")).cast("double")).as("lift"))
       .orderBy(col("c_ab").desc, col("bigram"))
       .limit(k)
+  }
+
+  /** Cross-document duplicated spans — the published signal behind
+    * substring-level training-data dedup (long n-grams appearing in many
+    * documents are boilerplate/licenses/templated text, and exact-substring
+    * dedup targets exactly these): every lowercased word `n`-gram occurring
+    * in at least `minDocs` DISTINCT documents, with its total occurrence
+    * count, top `k` by occurrences (span tie-break — fully deterministic
+    * cut).
+    *
+    * Scale shape: one explode → one aggregation (count + count_distinct
+    * share the pass), top-k as TakeOrderedAndProject. The shuffle carries
+    * the span STRINGS (n·~7 bytes) because the report needs them; the
+    * signature-only variant — count by xxhash64(span) first, semi-join the
+    * top hashes back for text — halves shuffle bytes when n is large, the
+    * same narrowing [[Decontamination]] uses.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      n: Int = 10,
+      minDocs: Int = 2,
+      k: Int = 100): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    require(k > 0, s"k must be positive, got $k")
+    docs
+      .select(col("doc_id"),
+        explode(shinglesOfWords(split(lower(col("text")), " "), n)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occurrences").desc, col("span"))
+      .limit(k)
+  }
+
+  /** Per-document mean unigram log-probability — the CCNet-style LM quality
+    * signal (a cheap stand-in for LM perplexity: gibberish and
+    * out-of-distribution text score low, fluent in-distribution text high):
+    * an add-`alpha` smoothed unigram model over the corpus's own top
+    * `vocabK` terms, every non-vocab token sharing one OOV symbol.
+    *
+    * Scale shape: the model is two tiny broadcast sides (the vocab counts
+    * and a 1-row totals frame — thresholds computed IN-PLAN, the
+    * [[Mixture]] pattern, so the operator composes and re-runs
+    * deterministically); scoring is a map-side broadcast join + one
+    * doc-keyed aggregation. Probabilities are exact-integer IEEE divisions;
+    * the one libm call (ln) is rounded to 6 decimals after the per-doc
+    * mean, which absorbs cross-engine ulp drift (the q_prep_cosine
+    * precedent).
+    */
+  def unigramLogProb(
+      docs: DataFrame,
+      vocabK: Int = 1000,
+      alpha: Double = 1.0): DataFrame = {
+    require(vocabK > 0, s"vocabK must be positive, got $vocabK")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val tokens = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    val vocab = vocabulary(docs, vocabK).select(col("term"), col("tf"))
+    val totals = tokens.agg(count(lit(1)).as("n_total"))
+    val vsize = vocab.agg(count(lit(1)).as("v_size"))
+    tokens
+      .join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vsize))
+      .select(col("doc_id"),
+        log((coalesce(col("tf"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("n_total").cast("double") + lit(alpha) * (col("v_size").cast("double") + 1.0)))
+          .as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("__lp")), 6).as("avg_logprob"))
   }
 
   /** Per-document out-of-vocabulary rate against a term list (typically

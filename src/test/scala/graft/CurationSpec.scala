@@ -133,6 +133,37 @@ class CurationSpec extends SparkTestBase {
     withShort.getDouble(2) shouldBe 9.0 * 3.0 / (4.0 * 4.0)
   }
 
+  test("duplicatedSpans surfaces cross-document n-grams with exact counts") {
+    val docs = Seq(
+      (1L, "the license header text appears here once"),
+      (2L, "prefix the license header text appears here and again the license header text appears here"),
+      (3L, "completely different content with no shared span at all"),
+      (4L, "x y") // shorter than n: contributes no span
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.duplicatedSpans(docs, n = 5, minDocs = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "the license header text appears" occurs once in doc 1 + twice in
+    // doc 2 (3 total, 2 docs); its two 5-gram successors likewise
+    rows should contain(("the license header text appears", 3L, 2L))
+    rows.foreach { case (_, occ, nd) => nd should be >= 2L; occ should be >= nd }
+    // spans unique to one doc never appear, whatever their multiplicity
+    rows.map(_._1).foreach(_ should not include "completely")
+  }
+
+  test("unigramLogProb scores in-vocab fluency above OOV soup") {
+    val docs = Seq(
+      (1L, "a a a a"),   // all top-vocab tokens
+      (2L, "q r s t")    // all OOV at vocabK = 1
+    ).toDF("doc_id", "text")
+    // model: vocab = {a: tf 4}, N = 8, V = 1, alpha = 1 → p(a) = 5/10,
+    // p(OOV) = 1/10; avg over a doc of identical tokens is the single ln
+    val got = TextAnalysis.unigramLogProb(docs, vocabK = 1, alpha = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got(1L) shouldBe ((4L, math.rint(math.log(0.5) * 1e6) / 1e6))
+    got(2L) shouldBe ((4L, math.rint(math.log(0.1) * 1e6) / 1e6))
+    got(1L)._2 should be > got(2L)._2
+  }
+
   test("lengthHistogram buckets token counts exactly") {
     val docs = Seq(
       (1L, "a b c"),            // 3 tokens → bucket 0

@@ -46,6 +46,18 @@ class PlanShapeSpec extends SparkTestBase {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  test("attribution interval join is an equi-join on user, never a cartesian") {
+    // the time bounds ride the SMJ/SHJ as a post-join condition; only the
+    // user_id equi-key partitions — a BNLJ here would be corpus × corpus
+    val p = planOf("q_stream_attribution")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("duplicated-span top-k plans as TakeOrderedAndProject") {
+    planOf("q_text_dupspans") should include("TakeOrderedAndProject")
+  }
+
   test("the corpus-wide embedding sweep is non-vacuous at every sf") {
     // the r12 registration returned 0 rows at sf0.01 (true on near-random
     // embeddings, but it verified nothing end-to-end); the in-query plants
