@@ -250,6 +250,7 @@ object SparkEntry {
       fmt match {
         case "csv"  => w.option("header", "true").csv(path)
         case "json" => w.json(path)
+        case "orc"  => w.orc(path)
       }
       path
     })
@@ -276,6 +277,12 @@ object SparkEntry {
     "q_source_json" -> ((s, dir) =>
       s.read.schema(NationSchema)
         .json(convertedNation(s, dir, "json"))
+        .filter(col("n_regionkey") >= 0)),
+    // columnar non-parquet source (ORC ships with Spark): same losslessness
+    // contract, and the filter still pushes to the ORC reader
+    "q_source_orc" -> ((s, dir) =>
+      s.read.schema(NationSchema)
+        .orc(convertedNation(s, dir, "orc"))
         .filter(col("n_regionkey") >= 0)),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
@@ -762,6 +769,7 @@ object SparkEntry {
     // round-trip lost nothing
     "q_source_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
     "q_source_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
+    "q_source_orc" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away

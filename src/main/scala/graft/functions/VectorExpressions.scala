@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -187,6 +187,48 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Reconstruction of an int8-quantized vector: `code_i * scale` narrowed to
+  * float — the asymmetric-distance read path of
+  * [[graft.pipeline.Similarity.quantizeInt8]]. Native codegen: one pass,
+  * one float array per row, no higher-order-function interpretation in the
+  * probe scan (the hot path at corpus scale).
+  */
+case class DequantizeInt8(codes: Expression, scale: Expression)
+    extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = scale
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "dequantize_int8"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (codes.dataType, scale.dataType) match {
+      case (ArrayType(ByteType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<tinyint>, double)")
+    }
+
+  override def nullSafeEval(c: Any, s: Any): Any =
+    compute(c.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dequant", this, classOf[DequantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, (c, s) =>
+      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c, $s);")
+  }
+
+  def compute(a: ArrayData, s: Double): Any = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = (a.getByte(i) * s).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(codes = l, scale = r)
+}
+
 object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     colOf(CosineSimilarity(exprOf(a), exprOf(b)))
@@ -196,4 +238,6 @@ object VectorFunctions {
     colOf(HyperplaneBucket(exprOf(v), bits, seed))
   def nearestCentroid(v: Column, centroids: Seq[Seq[Float]]): Column =
     colOf(NearestCentroid(exprOf(v), centroids))
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    colOf(DequantizeInt8(exprOf(codes), exprOf(scale)))
 }

@@ -245,6 +245,11 @@ object PipelineQueries {
         e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
         k = 5)
     }),
+    // int8-quantized store probe: quantize → native dequantize → exact
+    // cosine vs the full-precision query (asymmetric distance); the oracle
+    // replays the identical quantize/dequantize IEEE arithmetic
+    "q_ann_int8" -> ((s, dir) =>
+      Similarity.int8TopK(Similarity.quantizeInt8(embs(s, dir)), queryVec(s, dir), k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
         bits = AnnBits, tables = AnnTables)),
@@ -597,6 +602,17 @@ object PipelineQueries {
     "q_dedup_keep_reps" -> s"SELECT doc_id, text FROM documents WHERE doc_id < $NDistract",
     "q_stream_neardup" -> plantedOracle,
     "q_ann_brute" -> annTopKOracle,
+    // replay of the exact quantize → dequantize → cosine chain: same maxabs
+    // fold, same floor(x+0.5) halfway rule (round() would be HALF_EVEN
+    // here vs Spark's HALF_UP), same float narrowing on reconstruction
+    "q_ann_int8" -> ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "m AS (SELECT vec_id, v, list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))), " +
+      "(a, b) -> greatest(a, b)) AS maxabs FROM e), " +
+      "sc AS (SELECT vec_id, v, CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 1.0 END AS scale FROM m), " +
+      "qz AS (SELECT vec_id, scale, list_transform(v, x -> floor(x / scale + 0.5)) AS codes FROM sc), " +
+      "dq AS (SELECT vec_id, list_transform(codes, c -> CAST(CAST(c * scale AS FLOAT) AS DOUBLE)) AS d FROM qz) " +
+      "SELECT vec_id, round(list_cosine_similarity(d, (SELECT v FROM e WHERE vec_id = 0)), 6) AS cosine " +
+      "FROM dq ORDER BY cosine DESC, vec_id LIMIT 10"),
     "q_ann_batch" -> annBatchOracle,
     "q_ann_batch_agg" -> annBatchOracle,
     "q_ann_ivf_batch" -> annBatchOracle,

@@ -405,6 +405,53 @@ object Similarity {
       throw new java.io.IOException(s"compactIvfIndex: could not move $tmp into place")
   }
 
+  /** Scalar int8 quantization of the embedding column — the storage form of
+    * a corpus-scale vector store: 1 byte per dimension (4× smaller than
+    * float32, SIMD-friendly downstream) with a per-vector symmetric scale
+    * `maxabs / 127`, so the largest component maps to ±127 exactly and
+    * every code lands in [-127, 127] without clamping. Reconstruction error
+    * is ≤ scale/2 per component.
+    *
+    * All arithmetic is exact-IEEE and engine-replayable: the halfway rule
+    * is `floor(x + 0.5)` (identical in any engine — `round` is not:
+    * HALF_UP here, HALF_EVEN in DuckDB), and the fold for `maxabs` is
+    * order-insensitive. Zero vectors get scale 1 and all-zero codes.
+    * Map-side only; composes onto streams.
+    */
+  def quantizeInt8(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val maxabs = expr(
+      s"aggregate($vecCol, 0.0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))")
+    embeddings
+      .withColumn("scale", when(maxabs > 0.0, maxabs / 127.0).otherwise(lit(1.0)))
+      .withColumn("codes",
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS TINYINT))"))
+      .select(col(idCol), col("scale"), col("codes"))
+  }
+
+  /** Asymmetric top-k over an int8-quantized corpus: the query stays
+    * full-precision, each corpus vector is reconstructed on the fly by the
+    * native [[graft.functions.DequantizeInt8]] expression (codegen'd — no
+    * higher-order-function interpretation in the probe scan) and scored
+    * with the exact cosine. The scan reads 1/4 the bytes of the float32
+    * corpus — the lever that matters when the store is I/O-bound at scale.
+    * Approximate only through quantization error (≤ scale/2 per
+    * component); spec asserts recall against the float32 brute force.
+    */
+  def int8TopK(
+      quantized: DataFrame,
+      queryVec: Seq[Float],
+      k: Int = 10,
+      idCol: String = "vec_id"): DataFrame =
+    quantized.select(
+        col(idCol),
+        round(cosineSimilarity(
+          dequantizeInt8(col("codes"), col("scale")), typedLit(queryVec)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
   /** ANN top-k against an IVF index: rank centroids driver-side, read only
     * the `nprobe` nearest centroid partitions, exact cosine within them.
     */

@@ -189,6 +189,42 @@ class AnnIndexSpec extends SparkTestBase {
     probedAfter shouldBe exact
   }
 
+  test("int8 quantization: bounded codes, tight reconstruction, high probe recall") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = Similarity.quantizeInt8(embs)
+    // every code in [-127, 127]; the max-|component| of each vector maps to ±127
+    val stats = q.select(
+      expr("aggregate(codes, 127, (a, c) -> least(a, CAST(c AS INT)))").as("mn"),
+      expr("aggregate(codes, -127, (a, c) -> greatest(a, CAST(c AS INT)))").as("mx"))
+      .agg(min(col("mn")), max(col("mx"))).head()
+    stats.getInt(0) should be >= -127
+    stats.getInt(1) should be <= 127
+    // reconstruction error <= scale/2 per component
+    val maxErr = q.join(embs, Seq("vec_id"))
+      .select(expr(
+        "aggregate(zip_with(codes, embedding, (c, x) -> " +
+          "abs(CAST(c AS DOUBLE) * scale - CAST(x AS DOUBLE)) / scale), 0.0D, " +
+          "(a, e) -> greatest(a, e))").as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    maxErr should be <= 0.5
+    // zero vector: scale 1, all-zero codes (no NaN/0-division path)
+    val z = Similarity.quantizeInt8(
+      Seq((99L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")).head()
+    z.getDouble(1) shouldBe 1.0
+    z.getSeq[Byte](2).forall(_ == 0) shouldBe true
+    // asymmetric probe recall vs float32 brute force: int8 error is ~0.4%
+    // relative, so the top-10 overlap stays high even on near-random cosines
+    val qv = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val exact = Similarity.bruteForceTopK(embs, qv, k = 10).select("vec_id")
+      .as[Long].collect().toSet
+    val viaInt8 = Similarity.int8TopK(Similarity.quantizeInt8(embs), qv, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    (exact & viaInt8).size should be >= 8
+    viaInt8 should contain(0L) // the query's own (quantized) copy still ranks top
+  }
+
   test("IVF sample-based centroid learning keeps recall and index shape") {
     // the scale lever: Lloyd passes scan only a seeded sample while
     // assignment + write stay full-corpus. The index must still hold every

@@ -75,4 +75,35 @@ object PreparedEquivalenceProps extends Properties("PreparedEquivalence") {
         .head().getLong(0)
       adaptive == static && static == inline
     }
+
+  private lazy val repetitionSt = {
+    val s = SparkTestBase.session
+    import s.implicits._
+    Seq(
+      (1L, "a a a a a a"), (2L, "a b c d e f"), (3L, "x y x y x y"),
+      (4L, "p q r p q r p q"), (5L, "one two three four"))
+      .toDF("doc_id", "text").createOrReplaceTempView("prop_rep_docs")
+    Graft.install(s)
+    PreparedStatements.prepare(s,
+      """SELECT doc_id FROM (SELECT doc_id,
+        |repetition_profile(split(lower(text), ' '), 2) AS r FROM prop_rep_docs)
+        |WHERE r IS NOT NULL
+        |AND CAST(r.dup AS DOUBLE) / CAST(r.n_grams AS DOUBLE) <= $1""".stripMargin,
+      paramTypes = Map("$1" -> org.apache.spark.sql.types.DoubleType))
+  }
+
+  // the struct-returning native expression through prepare(): for ANY
+  // threshold, the once-planned statement filters exactly like literal SQL
+  // (the q_prep_repetition class, generalized over the binding)
+  property("prepared repetition threshold == unprepared literal SQL") =
+    Prop.forAll(Gen.choose(0.0, 1.0)) { t =>
+      val prepared = repetitionSt.executeCollect(Map("$1" -> t))
+        .map(_.getLong(0)).sorted.toSeq
+      val unprepared = spark.sql(
+        "SELECT doc_id FROM (SELECT doc_id, " +
+          "repetition_profile(split(lower(text), ' '), 2) AS r FROM prop_rep_docs) " +
+          s"WHERE r IS NOT NULL AND CAST(r.dup AS DOUBLE) / CAST(r.n_grams AS DOUBLE) <= $t")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      prepared == unprepared
+    }
 }
