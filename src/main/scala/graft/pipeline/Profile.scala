@@ -67,6 +67,15 @@ object Profile {
       .limit(k)
   }
 
+  /** NULL keys are legitimate (the exact operator groups them) but a
+    * catalyst map buffer cannot hold a null KEY, so they ride the summary
+    * as a NUL-character sentinel and decode on the way out. A real key
+    * whose rendered form is exactly "\u0000" would alias with null inside
+    * the candidate summary — at worst an extra candidate (the exact
+    * re-count still separates them via null-safe equality).
+    */
+  private val NullKeySentinel = "\u0000"
+
   /** [[heavyHitters]] for key spaces too large for the exact groupBy (whose
     * aggregate state is one entry per distinct key): candidates come from a
     * bounded [[graft.functions.MisraGries]] summary (per-partition candidate
@@ -98,11 +107,14 @@ object Profile {
     import spark.implicits._
     val mg = udaf(new graft.functions.MisraGries(capacity))
     val candidates = df
-      .select(col(keyCol).cast("string").as("__k"))
+      .select(coalesce(col(keyCol).cast("string"), lit(NullKeySentinel)).as("__k"))
       .agg(mg(col("__k")).as("cand"))
       .head().getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      .map(s => if (s == NullKeySentinel) null else s)
     val candDf = candidates.toDF("__cand")
-    df.join(broadcast(candDf), col(keyCol).cast("string") === col("__cand"), "left_semi")
+    // null-safe equality: a plain = in the semi join would silently drop
+    // the null-key group the exact operator reports
+    df.join(broadcast(candDf), col(keyCol).cast("string") <=> col("__cand"), "left_semi")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("n_rows").desc, col(keyCol).cast("string"))
@@ -132,7 +144,7 @@ object Profile {
     import spark.implicits._
     val mg = udaf(new graft.functions.MisraGries(capacity))
     val row = df
-      .select(col(keyCol).cast("string").as("__k"))
+      .select(coalesce(col(keyCol).cast("string"), lit(NullKeySentinel)).as("__k"))
       .agg(
         mg(col("__k")).as("cand"),
         expr(s"count_min_sketch(__k, ${eps}d, ${confidence}d, 42)").as("cms"))
@@ -142,6 +154,7 @@ object Profile {
       .map(key => (key, sketch.estimateCount(key)))
       .sortBy { case (key, est) => (-est, key) }
       .take(k)
+      .map { case (key, est) => (if (key == NullKeySentinel) null else key, est) }
       .toDF(keyCol, "est_rows")
   }
 }

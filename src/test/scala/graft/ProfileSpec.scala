@@ -84,6 +84,17 @@ class ProfileSpec extends SparkTestBase {
       .collect().foreach(r => r.getLong(1) shouldBe exactCounts(r.getLong(0)))
   }
 
+  test("approx heavy hitters keeps NULL keys, like the exact operator") {
+    val withNulls = spark.createDataset(
+      Seq[Option[Long]](Some(1L), Some(1L), Some(1L), None, None, Some(2L)))
+      .toDF("key")
+    val exact = Profile.heavyHitters(withNulls, "key", k = 3).collect().toSeq
+    val approx = Profile.approxHeavyHitters(withNulls, "key", k = 3, capacity = 8)
+      .collect().toSeq
+    approx shouldBe exact
+    exact.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)) should contain(-1L)
+  }
+
   test("one-pass CMS estimates never undercount and bound the overcount") {
     val n = zipf.count()
     val eps = 0.001
