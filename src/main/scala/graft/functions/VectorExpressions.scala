@@ -198,6 +198,9 @@ case class DequantizeInt8(codes: Expression, scale: Expression)
   override def left: Expression = codes
   override def right: Expression = scale
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  // null even for non-null inputs: an array with a null SLOT dequantizes
+  // to NULL (invalid quantized data), see compute
+  override def nullable: Boolean = true
   override def prettyName: String = "dequantize_int8"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -213,15 +216,24 @@ case class DequantizeInt8(codes: Expression, scale: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dequant", this, classOf[DequantizeInt8].getName)
-    nullSafeCodeGen(ctx, ev, (c, s) =>
-      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c, $s);")
+    // compute returns null for arrays with null slots — propagate isNull
+    nullSafeCodeGen(ctx, ev, (c, s) => s"""
+      ${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c, $s);
+      ${ev.isNull} = (${ev.value} == null);""")
   }
 
   def compute(a: ArrayData, s: Double): Any = {
     val n = a.numElements()
     val out = new Array[Float](n)
     var i = 0
-    while (i < n) { out(i) = (a.getByte(i) * s).toFloat; i += 1 }
+    while (i < n) {
+      // a null code slot is invalid quantized data: propagate NULL for the
+      // whole vector (SQL null semantics) rather than silently reading the
+      // slot as byte 0 and returning a wrong-but-plausible reconstruction
+      if (a.isNullAt(i)) return null
+      out(i) = (a.getByte(i) * s).toFloat
+      i += 1
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 

@@ -395,14 +395,25 @@ object Similarity {
     // ~one sized file instead of one per historical batch
     df.repartition(n, col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    // move the live index ASIDE first, never delete-then-rename: if the
+    // swap-in fails (transient FS error, crash between calls) the data
+    // still exists in full at __old or __compact_tmp and the error names
+    // the recovery move, instead of the index being gone
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val staged = new org.apache.hadoop.fs.Path(tmp)
+    val retired = new org.apache.hadoop.fs.Path(path + "__old")
     val fs = target.getFileSystem(conf)
-    if (!fs.delete(target, true))
-      throw new java.io.IOException(s"compactIvfIndex: could not remove $path for swap")
+    fs.delete(retired, true) // leftover from an earlier failed swap only
+    if (!fs.rename(target, retired))
+      throw new java.io.IOException(s"compactIvfIndex: could not move $path aside; " +
+        s"index untouched, compacted copy remains at $tmp")
     if (!fs.rename(staged, target))
-      throw new java.io.IOException(s"compactIvfIndex: could not move $tmp into place")
+      throw new java.io.IOException(s"compactIvfIndex: swap-in failed; recover with " +
+        s"a rename of ${path}__old back to $path (compacted copy at $tmp)")
+    if (!fs.delete(retired, true))
+      throw new java.io.IOException(s"compactIvfIndex: compacted index is live but the " +
+        s"retired copy at ${path}__old could not be removed — delete it manually")
   }
 
   /** Scalar int8 quantization of the embedding column — the storage form of
@@ -422,10 +433,15 @@ object Similarity {
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // maxabs is hoisted into its own column: aggregate() is an interpreted
+    // higher-order fold with no subexpression elimination, so inlining it
+    // in both the predicate and value of the scale CASE would run the full
+    // pass over every vector twice per row
     val maxabs = expr(
       s"aggregate($vecCol, 0.0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))")
     embeddings
-      .withColumn("scale", when(maxabs > 0.0, maxabs / 127.0).otherwise(lit(1.0)))
+      .withColumn("__maxabs", maxabs)
+      .withColumn("scale", when(col("__maxabs") > 0.0, col("__maxabs") / 127.0).otherwise(lit(1.0)))
       .withColumn("codes",
         expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS TINYINT))"))
       .select(col(idCol), col("scale"), col("codes"))

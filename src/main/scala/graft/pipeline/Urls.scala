@@ -26,20 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  private val trackingParams = "([?&])(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+  // case-insensitive: crawls carry UTM_Source/Gclid casings too, and a
+  // case-split here would leave two canonical forms for one page
+  private val trackingParams = "(?i)([?&])(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
 
   /** The canonical form of a URL column (see steps above). */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     // strip tracking params keeping their leading separator, then repair:
-    // "&&"-runs collapse, "?&" becomes "?", a dangling "?"/"&" drops
-    val noTrack = regexp_replace(
+    // "&&"-runs collapse, "?&" becomes "?", a dangling "?"/"&" drops.
+    // The repair runs ONLY when a tracking param was actually removed —
+    // it exists to fix the holes the removal leaves, and running it
+    // unconditionally would mutate strings it has no business touching
+    // ("is it true?" → "is it true", a legitimate bare-"?" empty query)
+    val stripped = regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(noFrag, trackingParams, "$1"),
           "&&+", "&"),
         "\\?&", "?"),
       "[?&]$", "")
+    val noTrack = when(noFrag.rlike(trackingParams), stripped).otherwise(noFrag)
     val scheme = regexp_extract(noTrack, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val hostport = regexp_extract(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val rest = regexp_extract(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
@@ -65,9 +72,16 @@ object Urls {
     * [[hostOf]] instead of content. One hash groupBy on the (short) host
     * string; linear at corpus scale. Use the result's `keep_id` to semi-join
     * survivors, or its `n_docs` to cut boilerplate hosts.
+    *
+    * Rows WITHOUT a parseable host (no `scheme://` — empty/relative/garbage
+    * url fields) are EXCLUDED: they are not host-duplicates of each other,
+    * and grouping them under one "" host would silently collapse a whole
+    * shard of missing-url docs to a single survivor in the semi-join usage.
     */
   def dedupByHost(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
-    docs.groupBy(hostOf(col(urlCol)).as("host"))
+    docs.select(col(idCol), hostOf(col(urlCol)).as("host"))
+      .filter(col("host") =!= "")
+      .groupBy(col("host"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
       .select(col("host"), col("keep_id"), col("n_docs"))
 }

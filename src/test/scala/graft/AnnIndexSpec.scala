@@ -214,6 +214,13 @@ class AnnIndexSpec extends SparkTestBase {
       Seq((99L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")).head()
     z.getDouble(1) shouldBe 1.0
     z.getSeq[Byte](2).forall(_ == 0) shouldBe true
+    // a null code SLOT is invalid quantized data: the reconstruction goes
+    // NULL instead of silently reading the slot as 0
+    val nullSlot = Seq((1L, Seq[java.lang.Byte](1.toByte, null, 3.toByte), 0.5))
+      .toDF("vec_id", "codes", "scale")
+      .select(graft.functions.VectorFunctions.dequantizeInt8(col("codes"), col("scale")))
+      .head()
+    nullSlot.isNullAt(0) shouldBe true
     // asymmetric probe recall vs float32 brute force: int8 error is ~0.4%
     // relative, so the top-10 overlap stays high even on near-random cosines
     val qv = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)

@@ -45,6 +45,27 @@ class UrlsSpec extends SparkTestBase {
     once(2) shouldBe "relative/path" // tracking strip still applies
   }
 
+  test("tracking params strip case-insensitively (one canonical form per page)") {
+    canon(
+      "http://example.com/a?UTM_SOURCE=feed",
+      "http://example.com/a?Gclid=xyz&q=1") shouldBe Seq(
+      "http://example.com/a",
+      "http://example.com/a?q=1")
+  }
+
+  test("separator repair never mutates strings with no tracking params") {
+    // the repair exists only to fix holes the tracking strip leaves; these
+    // have none, so they must come back byte-for-byte (minus nothing)
+    canon(
+      "is it true?",
+      "a && b",
+      "http://example.com/a?" // legitimate bare empty-query marker
+    ) shouldBe Seq(
+      "is it true?",
+      "a && b",
+      "http://example.com/a?")
+  }
+
   test("hostOf lowercases, strips any port and a leading www") {
     Seq(
       "HTTPS://WWW.Example.COM:443/x",
@@ -65,5 +86,16 @@ class UrlsSpec extends SparkTestBase {
     Urls.dedupByHost(docs, "doc_id", "url")
       .as[(String, Long, Long)].collect().toSet shouldBe
       Set(("a.com", 1L, 3L), ("b.com", 3L, 1L))
+  }
+
+  test("dedupByHost never collapses hostless rows into a fake host group") {
+    // a shard with missing/garbage url fields is NOT a set of duplicates:
+    // no "" host row may appear (the semi-join usage would keep one doc
+    // of thousands otherwise)
+    val docs = Seq(
+      (1L, "http://a.com/x"), (2L, ""), (3L, "relative/path"), (4L, "junk"))
+      .toDF("doc_id", "url")
+    Urls.dedupByHost(docs, "doc_id", "url")
+      .as[(String, Long, Long)].collect().toSet shouldBe Set(("a.com", 1L, 1L))
   }
 }
