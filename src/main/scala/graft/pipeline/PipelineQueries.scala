@@ -250,6 +250,21 @@ object PipelineQueries {
     // replays the identical quantize/dequantize IEEE arithmetic
     "q_ann_int8" -> ((s, dir) =>
       Similarity.int8TopK(Similarity.quantizeInt8(embs(s, dir)), queryVec(s, dir), k = 10)),
+    // product quantization, hash-gated through PQ's lossiness: ten planted
+    // exact copies of the query vector share its codes bitwise, so their
+    // ADC scores tie exactly and the top-10 (score desc, id asc) is
+    // provably {0, PlantOffset..PlantOffset+8} — codebooks, encoding, the
+    // lookup-table scoring, and the cut are all on the hash path
+    "q_ann_pq_planted" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val v0 = e.filter(col("vec_id") === 0).select(col("embedding").as("__v0"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 10).crossJoin(broadcast(v0))
+          .select((col("vec_id") + PlantOffset).as("vec_id"), col("__v0").as("embedding")))
+      val cbs = Similarity.learnPqCodebooks(corpus, m = 8, ksub = 16)
+      Similarity.pqTopK(Similarity.encodePq(corpus, cbs), cbs, queryVec(s, dir), k = 10)
+        .select(col("vec_id"))
+    }),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopKIndexed(s, annIndexPath(s, dir), queryVec(s, dir), k = 10,
         bits = AnnBits, tables = AnnTables)),
@@ -602,6 +617,10 @@ object PipelineQueries {
     "q_dedup_keep_reps" -> s"SELECT doc_id, text FROM documents WHERE doc_id < $NDistract",
     "q_stream_neardup" -> plantedOracle,
     "q_ann_brute" -> annTopKOracle,
+    // the provable planted top-10: vec 0 itself plus the nine lowest-id
+    // exact copies (identical codes → bitwise-tied scores → id tie-break)
+    "q_ann_pq_planted" -> (s"SELECT CAST(0 AS BIGINT) AS vec_id UNION ALL " +
+      s"SELECT vec_id + $PlantOffset FROM embeddings WHERE vec_id < 9"),
     // replay of the exact quantize → dequantize → cosine chain: same maxabs
     // fold, same floor(x+0.5) halfway rule (round() would be HALF_EVEN
     // here vs Spark's HALF_UP), same float narrowing on reconstruction

@@ -468,6 +468,114 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Product-quantization codebooks: the embedding space is split into `m`
+    * equal subspaces and each gets its own `ksub`-centroid quantizer
+    * (the same sampled Lloyd's as [[learnCentroids]], run per subspace).
+    * Returned as m × ksub × (dim/m) — driver-sized (m·ksub·dim/m = ksub·dim
+    * floats total, identical to ONE centroid table's footprint).
+    *
+    * PQ is the memory-bound ANN codec: where [[quantizeInt8]] compresses
+    * 4×, PQ stores `m` BYTES per vector (e.g. 8 bytes for a 64-dim
+    * embedding — 32×), at the cost of a coarser, learned reconstruction.
+    * Compose with the IVF layout for the standard IVF-PQ shape: coarse
+    * cells prune the scan, PQ codes make the scanned residue fit in memory.
+    */
+  def learnPqCodebooks(
+      embeddings: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      learnFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+    require(m > 0, s"m must be positive, got $m")
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      // slice is 1-based; each subspace learns on its own slice view
+      learnCentroids(
+        embeddings.select(col(idCol).as("id"), slice(col(vecCol), j * sub + 1, sub).as("v")),
+        ksub, iters, learnFraction, "id", "v")
+    }
+  }
+
+  /** PQ encoding: one code per subspace — `m` nearest-sub-centroid lookups,
+    * each the native codegen'd [[graft.functions.NearestCentroid]] over a
+    * `slice` of the vector. Map-side only; the output codes column is
+    * m × 1-byte ids (stored as tinyint).
+    */
+  def encodePq(
+      embeddings: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { j =>
+      nearestCentroid(slice(col(vecCol), j * sub + 1, sub), codebooks(j)).cast("tinyint")
+    }
+    embeddings.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: the query stays
+    * full-precision; per subspace, its dot product against every
+    * sub-centroid (and each sub-centroid's squared norm) is tabulated
+    * DRIVER-SIDE into m × ksub literal tables, so scoring a corpus row is
+    * `m` array lookups + a sum — no per-row vector math at all, the
+    * classic ADC trick. Entirely built-in codegen'd expressions
+    * (`element_at` on literal arrays); the scan reads only the m-byte
+    * codes column.
+    *
+    * Scores are the exact cosine between the query and each row's PQ
+    * RECONSTRUCTION — identical codes give bitwise-identical scores, which
+    * is what lets the planted-copy driver query hash-gate this operator
+    * despite PQ's lossiness.
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    require(queryVec.length == m * sub,
+      s"query dim ${queryVec.length} != m*sub = ${m * sub}")
+    // per-subspace lookup tables: dot(query_j, cb_j[c]) and |cb_j[c]|²,
+    // both in double (exact given float inputs)
+    val dotTabs: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebooks(j).map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += queryVec(j * sub + i).toDouble * c(i).toDouble; i += 1 }
+        d
+      }
+    }
+    val normTabs: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebooks(j).map { c =>
+        var n = 0.0; var i = 0
+        while (i < sub) { n += c(i).toDouble * c(i).toDouble; i += 1 }
+        n
+      }
+    }
+    var qNorm = 0.0
+    queryVec.foreach(x => qNorm += x.toDouble * x.toDouble)
+    val qn = math.sqrt(qNorm)
+    def lookup(tabs: Seq[Seq[Double]]): Column =
+      (0 until m).map { j =>
+        element_at(typedLit(tabs(j)), col("codes").getItem(j).cast("int") + 1)
+      }.reduce(_ + _)
+    val dot = lookup(dotTabs)
+    val rNorm = sqrt(lookup(normTabs))
+    encoded.select(
+        col(idCol),
+        when(rNorm > 0.0 && lit(qn) > 0.0, dot / (rNorm * lit(qn)))
+          .otherwise(lit(0.0)).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k against an IVF index: rank centroids driver-side, read only
     * the `nprobe` nearest centroid partitions, exact cosine within them.
     */

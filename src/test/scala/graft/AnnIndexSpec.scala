@@ -232,6 +232,52 @@ class AnnIndexSpec extends SparkTestBase {
     viaInt8 should contain(0L) // the query's own (quantized) copy still ranks top
   }
 
+  test("product quantization: codebook shape, code bounds, exact-copy ranking, recall") {
+    import spark.implicits._
+    // 4 well-separated axis clusters in 8-dim (the SemanticDedupSpec corpus
+    // shape) — structure PQ's per-subspace quantizers can actually learn
+    def vec(id: Long): Seq[Float] = {
+      val axis = (id % 4).toInt
+      val rnd = new scala.util.Random(id)
+      Seq.tabulate(8)(d => (if (d == axis * 2) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    }
+    val base = (0L until 120L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val cbs = Similarity.learnPqCodebooks(base, m = 2, ksub = 8)
+    cbs.length shouldBe 2
+    cbs.foreach { cb => cb.length shouldBe 8; cb.foreach(_.length shouldBe 4) }
+    val encoded = Similarity.encodePq(base, cbs)
+    val bounds = encoded.select(
+      expr("aggregate(codes, CAST(0 AS INT), (a, c) -> greatest(a, CAST(c AS INT)))").as("mx"),
+      expr("aggregate(codes, CAST(0 AS INT), (a, c) -> least(a, CAST(c AS INT)))").as("mn"))
+      .agg(max(col("mx")), min(col("mn"))).head()
+    bounds.getInt(0) should be < 8
+    bounds.getInt(1) should be >= 0
+    // exact copies of vector 7 share its codes, so their ADC scores tie
+    // BITWISE with vector 7's and with the top of the ranking — PQ's
+    // lossiness cannot split identical codes. (They need not fill the
+    // top-k: in this clustered corpus the whole cluster quantizes to the
+    // same codes and the id tie-break favors low corpus ids — the
+    // coarse-quantization regime working as designed.)
+    val q7 = vec(7L)
+    val copies = (0 until 5).map(i => (5000L + i, q7)).toDF("vec_id", "embedding")
+    val scored = Similarity.pqTopK(
+      Similarity.encodePq(base.union(copies), cbs), cbs, q7, k = 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s7 = scored(7L)
+    (0 until 5).foreach(i => scored(5000L + i) shouldBe s7)
+    scored.values.max shouldBe s7 // tied for first, never below
+    // clustered recall: ADC top-10 against the float32 brute force
+    val exact = Similarity.bruteForceTopK(base, q7, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val viaPq = Similarity.pqTopK(encoded, cbs, q7, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    (exact & viaPq).size should be >= 5
+    // storage honesty: codes are m tinyints — the 32x story for 64-dim
+    encoded.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType shouldBe org.apache.spark.sql.types.ByteType
+  }
+
   test("IVF sample-based centroid learning keeps recall and index shape") {
     // the scale lever: Lloyd passes scan only a seeded sample while
     // assignment + write stay full-corpus. The index must still hold every
