@@ -532,19 +532,16 @@ object Similarity {
     * is what lets the planted-copy driver query hash-gate this operator
     * despite PQ's lossiness.
     */
-  def pqTopK(
-      encoded: DataFrame,
-      codebooks: Seq[Seq[Seq[Float]]],
-      queryVec: Seq[Float],
-      k: Int = 10,
-      idCol: String = "vec_id"): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
+  /** The ADC score column over a `codes` column: per-subspace lookup tables
+    * — dot(query_j, cb_j[c]) and |cb_j[c]|², both exact doubles — shipped
+    * as literals, summed with `element_at` lookups. Shared by [[pqTopK]]
+    * and [[ivfPqTopK]].
+    */
+  private def adcCosine(codebooks: Seq[Seq[Seq[Float]]], queryVec: Seq[Float]): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     require(queryVec.length == m * sub,
       s"query dim ${queryVec.length} != m*sub = ${m * sub}")
-    // per-subspace lookup tables: dot(query_j, cb_j[c]) and |cb_j[c]|²,
-    // both in double (exact given float inputs)
     val dotTabs: Seq[Seq[Double]] = (0 until m).map { j =>
       codebooks(j).map { c =>
         var d = 0.0; var i = 0
@@ -568,10 +565,91 @@ object Similarity {
       }.reduce(_ + _)
     val dot = lookup(dotTabs)
     val rNorm = sqrt(lookup(normTabs))
-    encoded.select(
-        col(idCol),
-        when(rNorm > 0.0 && lit(qn) > 0.0, dot / (rNorm * lit(qn)))
-          .otherwise(lit(0.0)).as("adc_cosine"))
+    when(rNorm > 0.0 && lit(qn) > 0.0, dot / (rNorm * lit(qn))).otherwise(lit(0.0))
+  }
+
+  def pqTopK(
+      encoded: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    encoded.select(col(idCol), adcCosine(codebooks, queryVec).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The composed IVF-PQ layout — the standard corpus-scale ANN shape:
+    * coarse cells PRUNE the scan (cid is the partition column, probes are
+    * directory-level), PQ codes shrink what is scanned to m bytes per
+    * vector. A 10⁹-vector, 64-dim float32 store is 256 GB; its IVF-PQ
+    * index is 8 GB of codes — the difference between an I/O-bound scan
+    * and a memory-resident probe. Codes quantize the RAW vectors (not the
+    * cell residuals — the FAISS refinement; residual tables stay
+    * driver-sized via q·(c+r) separability but triple the table plumbing,
+    * documented as the next step if recall at low nprobe ever gates).
+    */
+  def buildIvfPqIndex(
+      embeddings: DataFrame,
+      path: String,
+      k: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      learnFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = learnCentroids(embeddings, k, iters, learnFraction, idCol, vecCol)
+    val cbs = learnPqCodebooks(embeddings, m, ksub, iters, learnFraction, idCol, vecCol)
+    val sub = cbs.head.head.length
+    val codeCols = (0 until m).map { j =>
+      nearestCentroid(slice(col(vecCol), j * sub + 1, sub), cbs(j)).cast("tinyint")
+    }
+    embeddings
+      .select(col(idCol),
+        nearestCentroid(col(vecCol), centroids).as("cid"),
+        array(codeCols: _*).as("codes"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + "__centroids")
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, cc) => (j, cc, c) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + "__pq")
+  }
+
+  /** ANN top-k against an IVF-PQ index: centroids ranked driver-side, only
+    * the `nprobe` nearest cell partitions scanned (directory pruning, like
+    * [[ivfTopK]]), rows scored by [[adcCosine]] lookups over the m-byte
+    * codes. At full nprobe this returns exactly [[pqTopK]] over the whole
+    * encoded corpus (spec-asserted) — pruning and compression compose
+    * orthogonally.
+    */
+  def ivfPqTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queryVec: Seq[Float],
+      k: Int = 10,
+      nprobe: Int = 3,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val centroids = spark.read.parquet(indexPath + "__centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    val cbs = spark.read.parquet(indexPath + "__pq")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    val probed = centroids.sortBy { case (_, c) => -cosineLocal(queryVec, c) }
+      .take(nprobe).map(_._1)
+    spark.read.parquet(indexPath)
+      .filter(col("cid").isin(probed: _*))
+      .select(col(idCol), adcCosine(cbs, queryVec).as("adc_cosine"))
       .orderBy(col("adc_cosine").desc, col(idCol))
       .limit(k)
   }

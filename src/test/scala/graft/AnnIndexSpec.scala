@@ -278,6 +278,40 @@ class AnnIndexSpec extends SparkTestBase {
       .elementType shouldBe org.apache.spark.sql.types.ByteType
   }
 
+  test("IVF-PQ composes pruning with compression: full probe equals pqTopK, low probe prunes") {
+    import spark.implicits._
+    def vec(id: Long): Seq[Float] = {
+      val axis = (id % 4).toInt
+      val rnd = new scala.util.Random(id)
+      Seq.tabulate(8)(d => (if (d == axis * 2) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    }
+    val base = (0L until 120L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_ivfpq").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/idx"
+    Similarity.buildIvfPqIndex(base, path, k = 4, m = 2, ksub = 8)
+    val q7 = vec(7L)
+    // at FULL nprobe the cell pruning is a no-op and the result must equal
+    // the flat pqTopK over the whole encoded corpus with the same
+    // (deterministically re-learned) codebooks — pruning and compression
+    // compose orthogonally
+    val cbs = Similarity.learnPqCodebooks(base, m = 2, ksub = 8)
+    val full = Similarity.ivfPqTopK(spark, path, q7, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flat = Similarity.pqTopK(Similarity.encodePq(base, cbs), cbs, q7, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    full shouldBe flat
+    // at nprobe 1 the scan reads strictly fewer cell directories than exist
+    val pruned = Similarity.ivfPqTopK(spark, path, q7, k = 5, nprobe = 1)
+    pruned.collect().length shouldBe 5
+    val scan = findScan(pruned.queryExecution.executedPlan).get
+    assert(scan.partitionFilters.nonEmpty, "cid probe must be a partition filter")
+    def parquetFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    scan.metrics("numFiles").value should be < parquetFiles(new java.io.File(path))
+  }
+
   test("IVF sample-based centroid learning keeps recall and index shape") {
     // the scale lever: Lloyd passes scan only a seeded sample while
     // assignment + write stay full-corpus. The index must still hold every
