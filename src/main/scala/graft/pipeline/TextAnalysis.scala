@@ -114,12 +114,17 @@ object TextAnalysis {
     * count, top `k` by occurrences (span tie-break — fully deterministic
     * cut).
     *
-    * Scale shape: one explode → one aggregation (count + count_distinct
-    * share the pass), top-k as TakeOrderedAndProject. The shuffle carries
-    * the span STRINGS (n·~7 bytes) because the report needs them; the
-    * signature-only variant — count by xxhash64(span) first, semi-join the
-    * top hashes back for text — halves shuffle bytes when n is large, the
-    * same narrowing [[Decontamination]] uses.
+    * Scale shape: one explode → a TWO-LEVEL aggregation — per-(span, doc)
+    * multiplicities first, then per-span totals with `count(*)` as the
+    * distinct-doc count. A single-level `count + count_distinct` pass
+    * plans an Expand that DOUBLES the exploded stream through the
+    * exchange; the two-level form ships each (span, doc) row once (and
+    * the second aggregation is distinct-pair-sized). Top-k as
+    * TakeOrderedAndProject. The shuffle carries the span STRINGS
+    * (n·~7 bytes) because the report needs them; the signature-only
+    * variant — count by xxhash64(span) first, semi-join the top hashes
+    * back for text — halves shuffle bytes again when n is large, the same
+    * narrowing [[Decontamination]] uses.
     */
   def duplicatedSpans(
       docs: DataFrame,
@@ -132,9 +137,11 @@ object TextAnalysis {
     docs
       .select(col("doc_id"),
         explode(shinglesOfWords(split(lower(col("text")), " "), n)).as("span"))
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("__per_doc"))
       .groupBy(col("span"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("__per_doc")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(k)
