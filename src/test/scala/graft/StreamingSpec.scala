@@ -262,6 +262,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("r13 map-side gates (url canon + host, int8 quantize) are stateless on a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // the round's new ingestion-time operators are pure column algebra, so
+    // they compose onto a continuous query with ZERO state and emit exactly
+    // what the batch transform emits on the same rows
+    val rows = Seq(
+      (1L, "HTTP://Example.COM:80/a?utm_source=f&q=1#x", Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, "https://WWW.Other.ORG/b", Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    def urlGate(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"),
+        graft.pipeline.Urls.canonicalizeUrl(col("url")).as("canon_url"),
+        graft.pipeline.Urls.hostOf(col("url")).as("host"))
+    val streamed = urlGate(input.toDF().toDF("id", "url", "embedding"))
+    val query = streamed.writeStream.format("memory").queryName("urlgate")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      query.lastProgress.stateOperators shouldBe empty
+      s.table("urlgate").collect().toSet shouldBe
+        urlGate(rows.toDF("id", "url", "embedding")).collect().toSet
+    }
+    val input2 = MemoryStream[(Long, String, Seq[Float])]
+    val quantized = graft.pipeline.Similarity.quantizeInt8(
+      input2.toDF().toDF("id", "url", "embedding"), idCol = "id")
+    val query2 = quantized.writeStream.format("memory").queryName("int8gate")
+      .outputMode("append").start()
+    withQuery(query2) {
+      input2.addData(rows: _*)
+      query2.processAllAvailable()
+      query2.lastProgress.stateOperators shouldBe empty
+      s.table("int8gate").collect().toSet shouldBe
+        graft.pipeline.Similarity.quantizeInt8(
+          rows.toDF("id", "url", "embedding"), idCol = "id").collect().toSet
+    }
+  }
+
   test("deterministic sampling composes onto a stream statelessly, matching batch") {
     val s = spark
     import s.implicits._
