@@ -492,6 +492,12 @@ object PipelineQueries {
     // log-prob against the corpus's own top-50 vocab (OOV path exercised)
     "q_text_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), vocabK = 50)),
+    // the act step of span mining: drop docs carrying a top boilerplate
+    // span (kept-corpus count + id checksum, the decontaminate_drop shape)
+    "q_text_dropboiler" -> ((s, dir) =>
+      TextAnalysis.dropBoilerplate(docs(s, dir), n = 10, minDocs = 2, k = 100)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))),
     // unit-vector normalization, checked through scalar projections (first
     // element + the squared norm of the result, both in fixed fold order —
     // array outputs would crash the harness's pandas sort, r9 lesson)
@@ -789,6 +795,18 @@ object PipelineQueries {
       "SELECT span, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs " +
       "FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 " +
       "ORDER BY n_occurrences DESC, span LIMIT 100"),
+    // same span mining CTE, same deterministic top-100 cut, then the
+    // NOT-IN anti join replay
+    "q_text_dropboiler" -> ("WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws " +
+      "FROM documents), " +
+      "sh AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 9), ' ') AS span " +
+      "FROM w, unnest(generate_series(1, greatest(len(ws) - 9, 0))) AS t(i)), " +
+      "top AS (SELECT span FROM sh GROUP BY span " +
+      "HAVING count(DISTINCT doc_id) >= 2 " +
+      "ORDER BY count(*) DESC, span LIMIT 100), " +
+      "bad AS (SELECT DISTINCT doc_id FROM sh JOIN top USING (span)) " +
+      "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)"),
     // probabilities are exact-integer IEEE divisions on both engines; the
     // one libm call (ln) sits under a round-6 after the per-doc mean
     "q_text_logprob" -> ("WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term " +

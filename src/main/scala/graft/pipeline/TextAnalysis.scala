@@ -147,6 +147,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** The curation form of [[duplicatedSpans]]: drop every document
+    * containing one of the corpus's top boilerplate spans — the act step
+    * of substring-level dedup (licenses, templated headers, navigation
+    * chrome), composing span MINING with the [[Decontamination]]-style
+    * membership gate. The mined span list is top-k-bounded (broadcast
+    * side); membership is an explode + broadcast semi join + distinct on
+    * ids + anti join — the contaminated-id set is boilerplate-sized, never
+    * corpus-sized.
+    */
+  def dropBoilerplate(
+      docs: DataFrame,
+      n: Int = 10,
+      minDocs: Int = 2,
+      k: Int = 100): DataFrame = {
+    val spans = duplicatedSpans(docs, n, minDocs, k).select(col("span"))
+    val flagged = docs
+      .select(col("doc_id"),
+        explode(shinglesOfWords(split(lower(col("text")), " "), n)).as("span"))
+      .join(broadcast(spans), Seq("span"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-document mean unigram log-probability — the CCNet-style LM quality
     * signal (a cheap stand-in for LM perplexity: gibberish and
     * out-of-distribution text score low, fluent in-distribution text high):

@@ -150,6 +150,21 @@ class CurationSpec extends SparkTestBase {
     rows.map(_._1).foreach(_ should not include "completely")
   }
 
+  test("dropBoilerplate removes every carrier of a mined span, keeps the rest") {
+    val docs = Seq(
+      (1L, "the license header text appears here once"),
+      (2L, "prefix the license header text appears here suffix"),
+      (3L, "completely different content with no shared span at all"),
+      (4L, "x y")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.dropBoilerplate(docs, n = 5, minDocs = 2, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(3L, 4L) // both license carriers dropped
+    // a stricter minDocs finds no boilerplate: nothing is dropped
+    TextAnalysis.dropBoilerplate(docs, n = 5, minDocs = 3, k = 10)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L, 3L, 4L)
+  }
+
   test("unigramLogProb scores in-vocab fluency above OOV soup") {
     val docs = Seq(
       (1L, "a a a a"),   // all top-vocab tokens
