@@ -61,9 +61,11 @@ object Dedup {
       .filter(col("__bucket_i") <= cap)
       .drop("__bucket_i")
 
-  /** Frames persisted by the operators below (signature caches that several
-    * joins of one query read). Spark offers no reliable unpersist-after-
-    * terminal-action hook on a returned-but-not-yet-executed DataFrame, so
+  /** Frames persisted by the pipeline operators (signature caches and other
+    * once-computed-twice-read frames; [[TextAnalysis.dropBoilerplate]]'s
+    * exploded span stream uses the same registry). Spark offers no reliable
+    * unpersist-after-terminal-action hook on a
+    * returned-but-not-yet-executed DataFrame, so
     * the contract is caller-must-clear: call [[clearCaches]] (or
     * `spark.catalog.clearCache()`, which reaches the same Dataset-level
     * cache entries) once the results of a dedup call have been consumed.
@@ -74,7 +76,7 @@ object Dedup {
     */
   private val cachedFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  private def cache(df: DataFrame): DataFrame = synchronized {
+  private[pipeline] def cache(df: DataFrame): DataFrame = synchronized {
     val p = df.persist()
     cachedFrames += p
     p

@@ -161,10 +161,24 @@ object TextAnalysis {
       n: Int = 10,
       minDocs: Int = 2,
       k: Int = 100): DataFrame = {
-    val spans = duplicatedSpans(docs, n, minDocs, k).select(col("span"))
-    val flagged = docs
-      .select(col("doc_id"),
-        explode(shinglesOfWords(split(lower(col("text")), " "), n)).as("span"))
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    require(k > 0, s"k must be positive, got $k")
+    // the exploded span stream feeds BOTH the mining aggregation and the
+    // membership semi join — cached (Dedup's registry; caller clears via
+    // Dedup.clearCaches / spark.catalog.clearCache) so the corpus-wide
+    // explode materializes once instead of twice
+    val exploded = Dedup.cache(docs.select(col("doc_id"),
+      explode(shinglesOfWords(split(lower(col("text")), " "), n)).as("span")))
+    val spans = exploded
+      .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("__per_doc"))
+      .groupBy(col("span"))
+      .agg(sum(col("__per_doc")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occurrences").desc, col("span"))
+      .limit(k)
+      .select(col("span"))
+    val flagged = exploded
       .join(broadcast(spans), Seq("span"), "left_semi")
       .select(col("doc_id")).distinct()
     docs.join(flagged, Seq("doc_id"), "left_anti")
