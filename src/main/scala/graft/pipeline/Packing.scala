@@ -80,4 +80,40 @@ object Packing {
         .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
   }
+
+  /** Deterministic per-epoch training order: every row gets an
+    * `epoch_shard` in [0, shards) and a dense `epoch_pos` (1-based) within
+    * its shard, both pure functions of (epoch, id) — so each epoch is an
+    * independent pseudorandom permutation (different epoch ⇒ different
+    * layout; same epoch ⇒ bitwise-identical layout on any cluster, any
+    * partitioning, any retry). The permutation key is
+    * `md5(epoch || ':' || id)`: shard from its first 16 bits mod `shards`,
+    * in-shard order by (full hex digest, id) — the same engine-replayable
+    * construction as [[Sampling]]/[[Splits]], so an external writer can
+    * audit the epoch layout row by row.
+    *
+    * Scale shape: ONE shuffle on the shard key, then a per-shard
+    * sort + row_number — the [[packSequences]] layout discipline.
+    * Parallelism = `shards`; a global total order would serialize on one
+    * task, which is exactly what the (shard, pos) pair avoids: readers
+    * consume shards concurrently and concatenate (shard asc, pos asc) when
+    * a single stream is wanted.
+    */
+  def epochOrder(
+      df: DataFrame,
+      idCol: String,
+      epoch: Int,
+      shards: Int): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(!df.columns.exists(Set("epoch_shard", "epoch_pos", "__ekey")),
+      "epoch_shard/epoch_pos/__ekey are reserved by epochOrder")
+    val key = md5(concat(lit(s"$epoch:"), col(idCol).cast("string")))
+    val shard = (conv(substring(key, 1, 4), 16, 10).cast("int") % shards).cast("int")
+    val w = Window.partitionBy(col("epoch_shard")).orderBy(col("__ekey"), col(idCol))
+    df.withColumn("__ekey", key)
+      .withColumn("epoch_shard", shard)
+      .withColumn("epoch_pos", row_number().over(w).cast("long"))
+      .drop("__ekey")
+  }
 }

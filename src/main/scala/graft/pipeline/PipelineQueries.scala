@@ -555,7 +555,33 @@ object PipelineQueries {
           .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
       stage(d, 0, "all").union(stage(s1, 1, "dedup"))
         .union(stage(s2, 2, "quality")).union(stage(s3, 3, "repetition"))
-    })
+    }),
+    // keyword extraction: per-doc top-3 terms by log-free tf-idf ratio
+    // (tf·N/df — every factor an exact integer, the bigram-lift precedent);
+    // the rank column rides along so the deterministic cut itself is
+    // hash-gated
+    "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
+    // Gopher-style quality rule flags at corpus-fitting thresholds (the
+    // synthetic vocab is stopword-poor, so one hit suffices); thresholds
+    // chosen so keep splits the corpus — every rule branch exercised
+    "q_text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(docs(s, dir), minWords = 30, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 8.0, maxSymbolRatio = 0.1,
+        minAlphaFrac = 0.8, minStopwordHits = 1)),
+    // ingestion normalization over PLANTED-messy text (tab/control-char/
+    // newline runs wrapped around the clean corpus text); the oracle
+    // derives the expected output INDEPENDENTLY (text || ' x'), so every
+    // strip/collapse/trim step is ground-truth-gated, not a regex replay
+    "q_text_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.normalizeText(
+          concat(lit("  \t"), col("text"), lit(" \u0001  x\n\n"))).as("norm_text"))),
+    // deterministic epoch-3 training order over 8 shards: shard AND dense
+    // in-shard position are pure functions of (epoch, id), so DuckDB
+    // replays the whole permutation from the same md5 construction
+    "q_pack_epoch" -> ((s, dir) =>
+      Packing.epochOrder(docs(s, dir).select(col("doc_id")), "doc_id",
+        epoch = 3, shards = 8))
   )
 
   /** Target mixture for q_sample_mixture (relative proportions; sources
@@ -957,7 +983,72 @@ object PipelineQueries {
       "SELECT CAST(0 AS INTEGER) AS stage_idx, 'all' AS stage, count(*) AS n_docs FROM documents " +
       "UNION ALL SELECT 1, 'dedup', count(*) FROM d1 " +
       "UNION ALL SELECT 2, 'quality', count(*) FROM d2 " +
-      "UNION ALL SELECT 3, 'repetition', count(*) FROM d3")
+      "UNION ALL SELECT 3, 'repetition', count(*) FROM d3"),
+    // tf·N/df with every factor exact-integer (log-free idf): the one
+    // double division replays bitwise; same (score desc, term asc) window
+    // cut, rank cast to INT to match Spark's row_number type
+    "q_text_tfidf" -> ("WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term " +
+      "FROM documents), " +
+      "pd AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term), " +
+      "d AS (SELECT term, count(*) AS df FROM pd GROUP BY term), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents) " +
+      "SELECT doc_id, term, tf, df, score, rk FROM (" +
+      "SELECT doc_id, term, tf, df, " +
+      "CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score, " +
+      "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY " +
+      "CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC, term) AS INT) AS rk " +
+      "FROM pd JOIN d USING (term), n) WHERE rk <= 3"),
+    // every ratio an exact-integer IEEE division; list_filter replays the
+    // alphabetic-word count, list_contains the stopword hits
+    "q_text_gopher" -> ("SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS INT) AS n_words, " +
+      "CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len, " +
+      "CAST((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) " +
+      "/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS symbol_ratio, " +
+      "CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) " +
+      "/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS alpha_frac, " +
+      "(CASE WHEN list_contains(string_split(lower(text), ' '), 'the') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'and') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'of') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'to') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'in') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'is') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'it') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'that') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'for') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'with') THEN 1 ELSE 0 END) AS stopword_hits, " +
+      "(CAST(len(string_split(text, ' ')) AS INT) BETWEEN 30 AND 100000 " +
+      "AND (CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3.0 AND 8.0 " +
+      "AND (CAST((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) " +
+      "/ CAST(len(string_split(text, ' ')) AS DOUBLE)) <= 0.1 " +
+      "AND (CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) " +
+      "/ CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 0.8 " +
+      "AND (CASE WHEN list_contains(string_split(lower(text), ' '), 'the') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'and') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'of') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'to') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'in') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'is') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'it') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'that') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'for') THEN 1 ELSE 0 END " +
+      "+ CASE WHEN list_contains(string_split(lower(text), ' '), 'with') THEN 1 ELSE 0 END) >= 1) AS keep " +
+      "FROM documents"),
+    // INDEPENDENT ground truth (not a regex replay): the corpus text is
+    // [a-z ]-clean and single-spaced, so normalizing the planted mess must
+    // restore exactly text || ' x'
+    "q_text_normalize" -> "SELECT doc_id, text || ' x' AS norm_text FROM documents",
+    // the md5('3:' || id) permutation replayed digit by digit: 16-bit
+    // decode mod 8 for the shard, (hex digest, id) for the in-shard order
+    "q_pack_epoch" -> ("WITH k AS (SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS key " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, key, CAST((" +
+      "(strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 4096 + " +
+      "(strpos('0123456789abcdef', substr(key, 2, 1)) - 1) * 256 + " +
+      "(strpos('0123456789abcdef', substr(key, 3, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(key, 4, 1)) - 1)) % 8 AS INT) AS epoch_shard FROM k) " +
+      "SELECT doc_id, epoch_shard, CAST(row_number() OVER (" +
+      "PARTITION BY epoch_shard ORDER BY key, doc_id) AS BIGINT) AS epoch_pos FROM s")
   )
 
   /** Shared CTE prefix for the repetition oracles: per-(doc, 2-gram)

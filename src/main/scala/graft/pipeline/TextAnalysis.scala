@@ -243,6 +243,102 @@ object TextAnalysis {
         (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_fraction"))
   }
 
+  /** Per-document top-`k` terms by TF-IDF — the keyword-extraction /
+    * document-signature sweep (what is this page about, which docs to route
+    * to which domain bucket). The idf factor is kept LOG-FREE as the exact
+    * ratio N/df (the [[bigramStats]] lift precedent): `score =
+    * tf · N / df` with every factor an exact integer, so the one double
+    * division replays bitwise in any IEEE engine — log-idf would rank
+    * identically (log is monotone) while hinging every score on libm
+    * rounding. Deterministic per-doc cut: score desc, term asc.
+    *
+    * Scale shape: one explode → (doc, term) partial-agg (the only
+    * corpus-sized shuffle), document frequencies from a second
+    * distinct-pair-sized aggregation joined back BROADCAST
+    * (vocabulary-sized — at open-web scale cut it with `minDf` or swap the
+    * broadcast for a sort-merge join on term), then a per-doc row_number
+    * window riding the existing doc_id clustering.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 5, minDf: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfCounts = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    perDoc
+      .join(broadcast(dfCounts), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df").cast("double")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Gopher-style quality rule flags (Rae et al. 2021's repetition-free
+    * document filters, re-expressed over this corpus's whitespace
+    * tokenization): per-document word count, mean word length,
+    * symbol-to-word ratio (# and ellipsis runs), fraction of words with an
+    * alphabetic character, and stopword-hit count, plus the conjunctive
+    * `keep` verdict at the given thresholds. Entirely map-side built-ins
+    * (length/replace arithmetic + one filtered-array size) — no shuffle,
+    * stream-composable, and every ratio is an exact-integer IEEE division
+    * so the flags replay bitwise in any engine.
+    */
+  def gopherQuality(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got $minWords..$maxWords")
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val charsNoSpace = length(regexp_replace(col("text"), " ", ""))
+    val hashCount = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val ellipsisCount =
+      (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+    val alphaWords = expr("size(filter(split(text, ' '), t -> t rlike '[A-Za-z]'))")
+    val stopHits = stopwords("en")
+      .map(wrd => when(array_contains(split(lower(col("text")), " "), wrd), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      (charsNoSpace.cast("double") / nWords.cast("double")).as("mean_word_len"),
+      ((hashCount + ellipsisCount).cast("double") / nWords.cast("double")).as("symbol_ratio"),
+      (alphaWords.cast("double") / nWords.cast("double")).as("alpha_frac"),
+      stopHits.as("stopword_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stopword_hits") >= minStopwordHits)
+  }
+
+  /** Canonical text normalization — the first map of any ingestion DAG:
+    * C0/C1 control characters (minus tab/newline/CR, which are whitespace)
+    * become spaces, whitespace runs collapse to one space, edges trim.
+    * Idempotent (normalize ∘ normalize = normalize, property-checked), pure
+    * map-side regexp (RE2-compatible classes so external engines replay it
+    * verbatim), zero state on a stream.
+    */
+  def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+
   /** GPT-2-style BPE pre-tokenization pattern (contractions, letter runs,
     * digit runs, punctuation runs, whitespace runs) — the standard proxy for
     * LLM token counting without a merges table. Kept to RE2-compatible

@@ -255,4 +255,77 @@ class CurationSpec extends SparkTestBase {
     // small binds: m ≈ 4000, targets 3000/1000
     counts("big").toDouble / counts("small").toDouble shouldBe 3.0 +- 0.35
   }
+
+  test("tfIdfTopTerms ranks rare terms above common ones, deterministic cut") {
+    val docs = Seq(
+      (1L, "shared shared rare"),   // "rare" df=1, "shared" df=3
+      (2L, "shared other"),
+      (3L, "shared other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // doc 1: rare tf=1 df=1 → 1·3/1 = 3; shared tf=2 df=3 → 2·3/3 = 2
+    out(0) shouldBe ((1L, "rare", 1L, 1L, 3.0, 1))
+    out(1) shouldBe ((1L, "shared", 2L, 3L, 2.0, 2))
+    // docs 2,3 tie on score (other 1·3/2 = 1.5 > shared 1·3/3 = 1)
+    out(2) shouldBe ((2L, "other", 1L, 2L, 1.5, 1))
+    out(3) shouldBe ((2L, "shared", 1L, 3L, 1.0, 2))
+    out.length shouldBe 6
+  }
+
+  test("tfIdfTopTerms minDf drops hapax terms") {
+    val docs = Seq((1L, "rare shared"), (2L, "shared")).toDF("doc_id", "text")
+    val terms = TextAnalysis.tfIdfTopTerms(docs, k = 5, minDf = 2)
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    terms shouldBe Set("shared")
+  }
+
+  test("gopherQuality computes each rule and the conjunctive verdict") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),       // passes at the test thresholds
+      (2L, "aa bb"),                           // too few words
+      (3L, "the ### #### ##### ######"),       // symbol-heavy, non-alpha words
+      (4L, "it goes on and on and on... yes")  // ellipsis counted, stopword-rich
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, minWords = 3, maxWords = 10,
+      minMeanWordLen = 2.0, maxMeanWordLen = 6.0, maxSymbolRatio = 0.1,
+      minAlphaFrac = 0.8, minStopwordHits = 1)
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    d1.getInt(1) shouldBe 5                      // n_words
+    d1.getDouble(2) shouldBe 21.0 / 5.0          // mean_word_len
+    d1.getDouble(3) shouldBe 0.0                 // symbol_ratio
+    d1.getDouble(4) shouldBe 1.0                 // alpha_frac
+    d1.getInt(5) shouldBe 1                      // "the"
+    d1.getBoolean(6) shouldBe true
+    out(1).getBoolean(6) shouldBe false          // n_words = 2 < 3
+    val d3 = out(2)
+    d3.getDouble(3) shouldBe 18.0 / 5.0          // 18 hashes / 5 words
+    d3.getDouble(4) shouldBe 1.0 / 5.0           // only "the" is alphabetic
+    d3.getBoolean(6) shouldBe false
+    val d4 = out(3)
+    d4.getDouble(3) shouldBe 1.0 / 8.0           // one "..." run / 8 words
+    d4.getInt(5) shouldBe 2                      // the-list hits: it, and
+    d4.getBoolean(6) shouldBe false              // symbol_ratio 0.125 > 0.1
+  }
+
+  test("normalizeText strips controls, collapses whitespace, trims; idempotent") {
+    val rows = Seq(
+      (1L, "  a\tb\u0001c  d\n\ne "),
+      (2L, "already clean"),
+      (3L, "\u0000\u0007only\u007fcontrols\u001f"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val once = rows.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("t"))
+    val expected = Map(1L -> "a b c d e", 2L -> "already clean",
+      3L -> "only controls", 4L -> "")
+    once.collect().foreach(r => r.getString(1) shouldBe expected(r.getLong(0)))
+    val twice = once.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("t")).as("t"))
+    twice.collect().foreach(r => r.getString(1) shouldBe expected(r.getLong(0)))
+  }
 }

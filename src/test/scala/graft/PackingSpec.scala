@@ -70,4 +70,34 @@ class PackingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Packing.packSequences(corpus, "doc_id", "n_tok", seqLen = 1024, shards = 0)
   }
+
+  test("epochOrder is a dense per-shard permutation, stable under repartition") {
+    val df = spark.range(0, 500).select(col("id").as("doc_id"))
+    val out = Packing.epochOrder(df, "doc_id", epoch = 1, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    out.length shouldBe 500
+    out.map(_._1).toSet shouldBe (0L until 500L).toSet            // every row, once
+    out.groupBy(_._2).foreach { case (_, rows) =>                 // dense 1..n per shard
+      rows.map(_._3).sorted shouldBe (1L to rows.length.toLong)
+    }
+    out.map(_._2).distinct.sorted shouldBe Seq(0, 1, 2, 3)        // all shards populated
+    // pure function of (epoch, id): partitioning cannot move a row
+    val again = Packing.epochOrder(df.repartition(13), "doc_id", epoch = 1, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    again shouldBe out.toSet
+  }
+
+  test("epochOrder: different epochs give different permutations") {
+    val df = spark.range(0, 300).select(col("id").as("doc_id"))
+    def layout(e: Int) = Packing.epochOrder(df, "doc_id", epoch = e, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val e0 = layout(0)
+    val e1 = layout(1)
+    e0 should not equal e1          // a re-fold, not a relabel
+    e0.keySet shouldBe e1.keySet    // over the same rows
+    an[IllegalArgumentException] should be thrownBy
+      Packing.epochOrder(df, "doc_id", epoch = -1, shards = 4)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.epochOrder(df, "doc_id", epoch = 0, shards = 0)
+  }
 }
