@@ -378,15 +378,29 @@ object Dedup {
     * ContextCleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
     * is set, or with the checkpoint directory itself.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
-    connectedComponentsIters(pairs, maxIters)._1
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20, jumps: Int = 2): DataFrame =
+    connectedComponentsIters(pairs, maxIters, jumps)._1
 
   /** [[connectedComponents]] also returning the round count it took to
     * converge (the final confirming no-change round included) — spec hook
     * for the logarithmic-convergence guarantee.
+    *
+    * `jumps` chains that many pointer lookups per round (label, then
+    * label-of-label, …): hop reach per round grows from 2× to (jumps+1)×,
+    * so a diameter-d graph converges in ~log_(jumps+1) d rounds instead of
+    * ~log₂ d, at the cost of one extra label-sized exchange per extra
+    * jump. Fewer sequential rounds = fewer barrier jobs — the remaining
+    * cost driver once the edge table stopped re-shuffling (r13) — while
+    * total exchange volume stays ~flat (3 exchanges × log₂ d vs
+    * (2+jumps) × log_(jumps+1) d). Measured on the diameter-31 chain:
+    * jumps=2 converges in 5 rounds vs 7.
     */
-  def connectedComponentsIters(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+  def connectedComponentsIters(
+      pairs: DataFrame, maxIters: Int = 20, jumps: Int = 2): (DataFrame, Int) = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    require(jumps >= 1 && jumps <= 4,
+      s"jumps must be in [1, 4] (each extra jump is a label-sized exchange " +
+        s"per round; past ~4 the plan depth costs more than rounds save), got $jumps")
     // AQE is suspended for the whole loop (restored on exit): under AQE,
     // Dataset.(local)checkpoint wraps an AdaptiveSparkPlanExec whose
     // partitioning is not final at wrap time, so the LogicalRDD comes back
@@ -401,11 +415,12 @@ object Dedup {
     val sess = pairs.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try connectedComponentsLoop(pairs, maxIters)
+    try connectedComponentsLoop(pairs, maxIters, jumps)
     finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
-  private def connectedComponentsLoop(pairs: DataFrame, maxIters: Int): (DataFrame, Int) = {
+  private def connectedComponentsLoop(
+      pairs: DataFrame, maxIters: Int, jumps: Int): (DataFrame, Int) = {
     // Reliable checkpoints when the session has durable checkpoint storage
     // configured, executor-local otherwise (see the scaladoc trade-off).
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
@@ -476,16 +491,27 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(edges("dst")).agg(min(col("component")).as("nbr_min"))
         .select(edges("dst").as("n_id"), col("nbr_min"))
-      val jump = labels.select(col("id").as("j_id"), col("component").as("j_comp"))
-      val withJump = labels
-        .join(jump, labels("component") === col("j_id"), "left")
-      val next = ckpt(withJump
-        .join(nbrMin, withJump("id") === nbrMin("n_id"), "left")
-        .select(withJump("id").as("id"),
-          withJump("component").as("prev"),
-          least(withJump("component"),
-            coalesce(col("nbr_min"), withJump("component")),
-            coalesce(col("j_comp"), withJump("component"))).as("component")))
+      // Chained pointer jumps: p₁ = label(component), p₂ = label(p₁), … —
+      // labels are min-monotone (component(v) ≤ v), so each lookup follows
+      // the pointer chain strictly downward and pₖ is the best label k hops
+      // up. Every pointer target is itself a node, so the left join always
+      // matches; the coalesce is belt-and-braces for a label frame a caller
+      // filtered. Each jump is one label-sized exchange (keyed on the
+      // previous hop's pointer).
+      val jumped = (1 to jumps).foldLeft(
+        labels.select(col("id"), col("component").as("prev"), col("component").as("ptr"))) {
+        case (cur, k) =>
+          val jt = labels.select(col("id").as(s"__j${k}_id"), col("component").as(s"__j${k}_comp"))
+          cur.join(jt, cur("ptr") === col(s"__j${k}_id"), "left")
+            .select(cur("id"), cur("prev"),
+              coalesce(col(s"__j${k}_comp"), cur("ptr")).as("ptr"))
+      }
+      val next = ckpt(jumped
+        .join(nbrMin, jumped("id") === nbrMin("n_id"), "left")
+        .select(jumped("id").as("id"),
+          jumped("prev").as("prev"),
+          least(jumped("prev"), col("ptr"),
+            coalesce(col("nbr_min"), jumped("prev"))).as("component")))
       // ONE job: materializes the round's checkpoint blocks (truncating
       // lineage) and computes the convergence count off them as it goes
       changed = next.filter(col("component") =!= col("prev")).count()
@@ -497,9 +523,9 @@ object Dedup {
     checkpointRdds(edges).foreach(_.unpersist(blocking = false))
     if (changed != 0) superseded.foreach(_.unpersist(blocking = false)) // no frame returned → free now
     require(changed == 0,
-      s"connectedComponents did not converge in $maxIters rounds — pointer " +
-        s"jumping reaches diameter ~2^(maxIters-2), so the graph has a component " +
-        s"chain longer than that; raise maxIters")
+      s"connectedComponents did not converge in $maxIters rounds — $jumps-jump " +
+        s"pointer jumping reaches diameter ~${jumps + 1}^(maxIters-2), so the graph " +
+        s"has a component chain longer than that; raise maxIters (or jumps)")
     // the final round's blocks back the RETURNED frame — they stay alive
     // until the caller is done and calls [[clearCheckpoints]] (weakly
     // registered, so a dropped frame remains ContextCleaner-collectible)

@@ -126,6 +126,32 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("chained jumps converge to identical labels in fewer rounds") {
+    import spark.implicits._
+    // the converged fixed point (min id per component) is independent of
+    // how many lookups each round chains; only the round count changes
+    val edges = ((0L until 31L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+      .toDF("id_a", "id_b")
+    val results = Seq(1, 2, 3).map { j =>
+      val (labels, iters) = Dedup.connectedComponentsIters(edges, jumps = j)
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      Dedup.clearCheckpoints()
+      (got, iters)
+    }
+    results.map(_._1).distinct.length shouldBe 1            // identical labels
+    val rounds = results.map(_._2)
+    rounds(1) should be <= rounds(0)                         // 2 jumps: ≤ rounds of 1
+    rounds(2) should be <= rounds(1)
+    // (jumps+1)-ary reach: ⌈log_(j+1) 31⌉ + 2 upper bound per variant
+    rounds.zip(Seq(1, 2, 3)).foreach { case (r, j) =>
+      r should be <= (math.ceil(math.log(31) / math.log(j + 1)).toInt + 2)
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.connectedComponentsIters(edges, jumps = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.connectedComponentsIters(edges, jumps = 5)
+  }
+
   test("connectedComponents handles a long chain in logarithmic rounds") {
     import spark.implicits._
     // diameter 63 — the r6 implementation OOM'd an 8 GiB JVM at diameter 9
