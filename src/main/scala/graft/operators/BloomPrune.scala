@@ -63,9 +63,18 @@ object BloomPrune {
     * into the task as a literal inside the codegen'd predicate.
     */
   def prefilter(fact: DataFrame, keyCol: String, filterBytes: Array[Byte]): DataFrame =
-    fact.filter(colOf(BloomFilterMightContain(
+    fact.filter(probe(keyCol, filterBytes))
+
+  /** The raw membership-probe predicate (`might_contain(filter,
+    * xxhash64(key))`) as a [[Column]] — for callers that need BOTH branches
+    * of the split (e.g. [[graft.pipeline.Dedup.dropSeenBefore]] routes
+    * bloom-misses straight through map-side and sends only bloom-hits to
+    * the exact confirm).
+    */
+  def probe(keyCol: String, filterBytes: Array[Byte]): org.apache.spark.sql.Column =
+    colOf(BloomFilterMightContain(
       Literal(filterBytes, BinaryType),
-      exprOf(xxhash64(col(keyCol))))))
+      exprOf(xxhash64(col(keyCol)))))
 
   /** Exact `fact ⋉ dim` with the bloom prefilter applied before the
     * shuffle: result ≡ `fact.join(dim, keys, "left_semi")`, but only

@@ -137,6 +137,51 @@ object Dedup {
   private def distinctTexts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(col(textCol)).agg(min(col(idCol)).as("id"))
 
+  /** Incremental ingest dedup: drop every `incoming` row whose `textCol`
+    * already exists in `history` — the continuous-crawl gate ("have we
+    * crawled this page before"), EXACT despite the approximate prefilter.
+    *
+    * Shape: a bloom filter over the history keys (one distributed build
+    * pass; [[graft.operators.BloomPrune]]) splits the batch map-side —
+    * bloom-MISSES are provably unseen and pass straight through (no
+    * shuffle, no history access: the common case for a healthy crawl
+    * frontier), bloom-HITS (true dupes + ~fpp false positives) go to an
+    * exact confirm. The confirm never shuffles the history: the candidate
+    * texts broadcast INTO a map-side semi join over history, and the
+    * (candidate-sized) seen-text list broadcasts back into the anti join —
+    * so per batch the history is one map-side scan and the only joins are
+    * broadcast-sized. False positives are rescued by the confirm, so the
+    * result is exactly `incoming ∖ (textCol ∈ history)`.
+    *
+    * At 100 TB: build the bloom ONCE over the historical corpus and reuse
+    * it across batches (pass `filterBytes`), growing `expectedItems` to the
+    * corpus's key count; when a batch is dupe-heavy enough that its
+    * candidate set outgrows a broadcast (~10⁷ texts), swap the confirm for
+    * the bucketed-index form ([[Decontamination.writeBucketedEvalShingleIndex]]'s
+    * layout over history keys) so the history side still never reshuffles.
+    */
+  def dropSeenBefore(
+      incoming: DataFrame,
+      history: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.03,
+      filterBytes: Option[Array[Byte]] = None): DataFrame = {
+    import graft.operators.BloomPrune
+    val bytes = filterBytes.getOrElse(
+      BloomPrune.buildFilterBytes(history, textCol, expectedItems, fpp))
+    val seen = BloomPrune.probe(textCol, bytes)
+    val fresh = incoming.filter(!seen)
+    val candidates = incoming.filter(seen)
+    val seenTexts = history
+      .join(broadcast(candidates.select(col(textCol)).distinct()), Seq(textCol), "left_semi")
+      .select(col(textCol)).distinct()
+    val confirmed = candidates
+      .join(broadcast(seenTexts), Seq(textCol), "left_anti")
+    fresh.unionByName(confirmed.select(fresh.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Map-side minhash signatures over distinct texts: (id, sig). Shared by
     * [[minhashPairs]] and [[ngramJaccardPairs]] — compute once, persist, and
     * both the band stream and the verify join read the cache instead of

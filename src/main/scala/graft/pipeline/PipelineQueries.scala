@@ -581,7 +581,18 @@ object PipelineQueries {
     // replays the whole permutation from the same md5 construction
     "q_pack_epoch" -> ((s, dir) =>
       Packing.epochOrder(docs(s, dir).select(col("doc_id")), "doc_id",
-        epoch = 3, shards = 8))
+        epoch = 3, shards = 8)),
+    // incremental ingest gate: the planted mix re-crawled against a
+    // 100-doc history — every copy (and every base row already in history)
+    // is dropped, unseen rows pass; the bloom prefilter + exact confirm
+    // must reproduce the plain NOT IN verbatim
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dropSeenBefore(
+        plantedDocs(d, ""),
+        d.filter(col("doc_id") < NPlant).select(col("doc_id"), col("text")),
+        expectedItems = 1000)
+    })
   )
 
   /** Target mixture for q_sample_mixture (relative proportions; sources
@@ -1048,7 +1059,14 @@ object PipelineQueries {
       "(strpos('0123456789abcdef', substr(key, 3, 1)) - 1) * 16 + " +
       "(strpos('0123456789abcdef', substr(key, 4, 1)) - 1)) % 8 AS INT) AS epoch_shard FROM k) " +
       "SELECT doc_id, epoch_shard, CAST(row_number() OVER (" +
-      "PARTITION BY epoch_shard ORDER BY key, doc_id) AS BIGINT) AS epoch_pos FROM s")
+      "PARTITION BY epoch_shard ORDER BY key, doc_id) AS BIGINT) AS epoch_pos FROM s"),
+    // the gate's contract IS the plain NOT IN — bloom + confirm are an
+    // implementation detail the oracle must not see
+    "q_dedup_incremental" -> (s"WITH inc AS (" +
+      s"SELECT doc_id, text FROM documents WHERE doc_id < $NDistract " +
+      s"UNION ALL SELECT doc_id + $PlantOffset AS doc_id, text FROM documents WHERE doc_id < $NPlant) " +
+      "SELECT doc_id, text FROM inc WHERE text NOT IN " +
+      s"(SELECT text FROM documents WHERE doc_id < $NPlant)")
   )
 
   /** Shared CTE prefix for the repetition oracles: per-(doc, 2-gram)

@@ -98,6 +98,36 @@ class PipelineSpec extends SparkTestBase {
     iters shouldBe 1
   }
 
+  test("dropSeenBefore is exact even when the bloom is saturated with false positives") {
+    import spark.implicits._
+    val history = (0L until 200L).map(i => (i, s"seen text number $i")).toDF("doc_id", "text")
+    val incoming = ((0L until 50L).map(i => (1000L + i, s"seen text number $i")) ++ // true dupes
+      (0L until 200L).map(i => (2000L + i, s"brand new page $i")))                   // unseen
+      .toDF("doc_id", "text")
+    // a bloom sized for 1 item but fed 200 saturates — nearly every probe
+    // is a false positive, so the exact confirm is doing all the work
+    val kept = Dedup.dropSeenBefore(incoming, history, expectedItems = 1, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe (0L until 200L).map(2000L + _).toSet
+    // sanely-sized bloom: same exact answer, misses skip the confirm
+    val kept2 = Dedup.dropSeenBefore(incoming, history, expectedItems = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    kept2 shouldBe kept
+    // the split predicate is the codegen'd bloom probe, applied map-side at
+    // the scan (a parquet input — local fixtures constant-fold the probe)
+    val real = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    Dedup.dropSeenBefore(real, history, expectedItems = 1000)
+      .queryExecution.executedPlan.toString should include("might_contain")
+  }
+
+  test("dropSeenBefore with an empty history keeps everything") {
+    import spark.implicits._
+    val incoming = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.dropSeenBefore(incoming, history, expectedItems = 10)
+      .count() shouldBe 2L
+  }
+
   test("dropNearDuplicates with no pairs keeps the corpus unchanged") {
     import spark.implicits._
     val docs = (1L to 4L).map(i => (i, s"text $i")).toDF("doc_id", "text")

@@ -329,6 +329,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("incremental ingest gate (dropSeenBefore) in foreachBatch: exact, bloom built once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val history = (0L until 50L).map(i => (i, s"already crawled page $i")).toDF("doc_id", "text")
+    // the cross-batch form: the bloom is built ONCE over history and reused
+    // by every micro-batch (the filterBytes override) — per-batch cost is
+    // the batch's rows + a map-side history scan for its few candidates
+    val bytes = graft.operators.BloomPrune.buildFilterBytes(history, "text", 1000)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= pipeline.Dedup
+          .dropSeenBefore(batch, history, filterBytes = Some(bytes))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }
+      .start()
+    withQuery(query) {
+      input.addData((100L, "already crawled page 7"), (101L, "a fresh discovery"))
+      query.processAllAvailable()
+      input.addData((102L, "already crawled page 7"), (103L, "another novel page"))
+      query.processAllAvailable()
+      // re-crawls dropped in every batch; fresh rows pass — the stream
+      // itself carries no state (the gate is a pure per-batch function)
+      out.map(_._1).sorted shouldBe Seq(101L, 103L)
+      query.lastProgress.stateOperators shouldBe empty
+    }
+  }
+
   test("custom keyed state accumulates across micro-batches") {
     val s = spark
     import s.implicits._
