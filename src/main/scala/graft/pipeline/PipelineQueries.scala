@@ -592,7 +592,15 @@ object PipelineQueries {
         plantedDocs(d, ""),
         d.filter(col("doc_id") < NPlant).select(col("doc_id"), col("text")),
         expectedItems = 1000)
-    })
+    }),
+    // conjunctive retrieval: docs containing BOTH terms, with the total
+    // query-term occurrence count (map-side isin prune, one doc-keyed agg)
+    "q_text_search" -> ((s, dir) =>
+      Search.searchAll(docs(s, dir), Seq("the", "data"))),
+    // ranked OR retrieval: top-20 by summed ratio-idf (the log-free
+    // BM25-style score), round-6 sum + id tie-break = deterministic cut
+    "q_text_search_ranked" -> ((s, dir) =>
+      Search.searchRanked(docs(s, dir), Seq("data", "query", "spark"), k = 20))
   )
 
   /** Target mixture for q_sample_mixture (relative proportions; sources
@@ -1066,7 +1074,26 @@ object PipelineQueries {
       s"SELECT doc_id, text FROM documents WHERE doc_id < $NDistract " +
       s"UNION ALL SELECT doc_id + $PlantOffset AS doc_id, text FROM documents WHERE doc_id < $NPlant) " +
       "SELECT doc_id, text FROM inc WHERE text NOT IN " +
-      s"(SELECT text FROM documents WHERE doc_id < $NPlant)")
+      s"(SELECT text FROM documents WHERE doc_id < $NPlant)"),
+    // (term, doc)-unique postings make count(*) the distinct-term count;
+    // sum cast BIGINT (DuckDB sums to HUGEINT — the q_pack precedent)
+    "q_text_search" -> ("WITH p AS (SELECT doc_id, term, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
+      "WHERE term IN ('the', 'data') GROUP BY doc_id, term) " +
+      "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf FROM p " +
+      "GROUP BY doc_id HAVING count(*) = 2"),
+    // per-term scores are exact-integer divisions; the cross-term sum sits
+    // under round-6 (the unigramLogProb precedent) and the cut is
+    // (score desc, doc_id asc) on both engines
+    "q_text_search_ranked" -> ("WITH p AS (SELECT doc_id, term, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
+      "WHERE term IN ('data', 'query', 'spark') GROUP BY doc_id, term), " +
+      "d AS (SELECT term, count(*) AS df FROM p GROUP BY term), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents) " +
+      "SELECT doc_id, round(sum(CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / " +
+      "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
+      "FROM p JOIN d USING (term), n GROUP BY doc_id " +
+      "ORDER BY score DESC, doc_id LIMIT 20")
   )
 
   /** Shared CTE prefix for the repetition oracles: per-(doc, 2-gram)

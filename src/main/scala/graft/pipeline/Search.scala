@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Term search over a document corpus — the retrieval side of a training
+  *-data pipeline (find contaminated subsets, audit what the corpus says
+  * about a topic, seed curriculum buckets by keyword). Two access paths:
+  *
+  *   - ad hoc over the corpus ([[searchAll]] / [[searchRanked]]): one
+  *     explode + a map-side `isin` prune to the (tiny) query-term set, so
+  *     only matching (doc, term) rows ever reach an exchange;
+  *   - a persisted inverted index ([[writeInvertedIndex]]): postings
+  *     (term, doc_id, tf) written hash-BUCKETED by term —
+  *     [[searchIndex]]'s per-term lookups then prune buckets at the scan
+  *     and join with no index-side shuffle, the
+  *     [[Decontamination.writeBucketedEvalShingleIndex]] layout applied to
+  *     retrieval. Build once (one explode + one aggregation over the
+  *     corpus), query many — the 100 TB shape, where re-exploding the
+  *     corpus per query would dwarf the lookup.
+  */
+object Search {
+
+  private def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Build + persist the postings table (term, doc_id, tf), bucketed and
+    * sorted by term: joins keyed on term see the bucketing as their
+    * distribution (no index-side shuffle), and point lookups bucket-prune
+    * at the scan — note Spark's planner only keeps the bucketed scan (and
+    * with it bucket pruning) when something downstream wants the term
+    * distribution; a lookup-heavy deployment sets
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    * (spec-demonstrated: 2 query terms read ≤2 of the buckets). Either
+    * way the IN filter pushes to parquet and the per-bucket term sort
+    * makes row-group pruning effective. Returns the registered table.
+    */
+  def writeInvertedIndex(
+      docs: DataFrame,
+      tableName: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numBuckets: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    graft.Tables.dropManaged(spark, tableName)
+    postings(docs, idCol, textCol)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+  }
+
+  /** Conjunctive (AND) search: documents containing EVERY query term, with
+    * the total occurrence count of the query terms in the doc. The term
+    * filter is a map-side `isin` over the (bounded) query list — only
+    * matching postings reach the one doc-keyed exchange.
+    */
+  def searchAll(
+      docs: DataFrame,
+      terms: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    matchAll(postings(docs, idCol, textCol), terms, idCol)
+
+  /** [[searchAll]] against a persisted [[writeInvertedIndex]] table: the
+    * postings are pre-aggregated and bucket-pruned, so the whole lookup
+    * moves query-term-sized data.
+    */
+  def searchIndex(index: DataFrame, terms: Seq[String], idCol: String = "doc_id"): DataFrame =
+    matchAll(index, terms, idCol)
+
+  private def matchAll(postings: DataFrame, terms: Seq[String], idCol: String): DataFrame = {
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    require(distinctTerms.nonEmpty, "terms must be non-empty")
+    postings.filter(col("term").isin(distinctTerms: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"), sum(col("tf")).as("total_tf"))
+      // postings are (term, doc)-unique, so count(*) counts distinct terms
+      .filter(col("__hits") === distinctTerms.length)
+      .select(col(idCol), col("total_tf"))
+  }
+
+  /** Disjunctive ranked (OR) search: top-`k` documents by summed
+    * ratio-idf score Σ_t tf_dt · N / df_t over the matched query terms —
+    * the log-free BM25-style ranking ([[TextAnalysis.tfIdfTopTerms]]'s
+    * scoring summed over the query). Document frequencies come from the
+    * corpus itself, in-plan. Every per-term score is an exact-integer IEEE
+    * division; the cross-term sum is rounded to 6 decimals (the
+    * unigramLogProb precedent — absorbs summation-order ulp drift), and
+    * the cut is deterministic (score desc, id asc).
+    */
+  def searchRanked(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    require(distinctTerms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val p = postings(docs, idCol, textCol)
+    val matched = p.filter(col("term").isin(distinctTerms: _*))
+    val dfCounts = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    matched
+      .join(broadcast(dfCounts), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf").cast("double") * col("n_docs").cast("double") /
+        col("df").cast("double")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Search
+
+/** Term-search operators: conjunctive / ranked retrieval and the bucketed
+  * inverted index.
+  */
+class SearchSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "data flows where data goes"),   // data ×2
+    (2L, "query the data"),               // data + query
+    (3L, "the quick fox"),                // neither
+    (4L, "DATA Query data query")         // case folding; data ×2, query ×2
+  ).toDF("doc_id", "text")
+
+  test("searchAll requires every term and totals their occurrences") {
+    val out = Search.searchAll(docs, Seq("data", "query"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 lacks "query"; doc 3 lacks both
+    out shouldBe Array((2L, 2L), (4L, 4L))
+    // single-term search degenerates to containment
+    Search.searchAll(docs, Seq("fox")).collect().map(_.getLong(0)) shouldBe Array(3L)
+    // duplicated query terms must not double-count the hit requirement
+    Search.searchAll(docs, Seq("data", "Data")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((1L, 2L), (2L, 1L), (4L, 2L))
+    an[IllegalArgumentException] should be thrownBy Search.searchAll(docs, Nil)
+  }
+
+  test("searchRanked scores by summed ratio idf with a deterministic cut") {
+    // df(data)=3, df(query)=2, N=4
+    // doc 1: 2·4/3            = 2.666667
+    // doc 2: 1·4/3 + 1·4/2    = 3.333333
+    // doc 4: 2·4/3 + 2·4/2    = 6.666667
+    val out = Search.searchRanked(docs, Seq("data", "query"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    out shouldBe Array((4L, 6.666667, 2L), (2L, 3.333333, 2L))
+  }
+
+  test("bucketed inverted index: lookups bucket-prune and agree with the ad hoc path") {
+    val s = spark
+    val real = Tables.df(s, "/root/testdata/sf0.001", "documents")
+    try {
+      val idx = Search.writeInvertedIndex(real, "graft_test_inv_idx", numBuckets = 8)
+      val terms = Seq("data", "query")
+      val viaIndex = Search.searchIndex(idx, terms)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adHoc = Search.searchAll(real, terms)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      viaIndex shouldBe adHoc
+      viaIndex.length should be > 0
+      // the IN filter reaches the parquet scan either way
+      val planDefault = Search.searchIndex(idx, terms).queryExecution.executedPlan.toString
+      planDefault should include("PushedFilters: [In(term")
+      // point-lookup configuration (autoBucketedScan off — Spark otherwise
+      // drops the bucketed scan, and with it bucket pruning, when no
+      // downstream operator wants the term distribution): the term filter
+      // prunes buckets AT THE SCAN — ≤2 of 8 buckets read for 2 terms
+      val was = s.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val pruned = Search.searchIndex(idx, terms)
+        pruned.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))) shouldBe adHoc
+        val plan = pruned.queryExecution.executedPlan.toString
+        plan should include("Bucketed: true")
+        plan should include regex "SelectedBucketsCount: [12] out of 8"
+      } finally s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", was)
+    } finally Tables.dropManaged(s, "graft_test_inv_idx")
+  }
+}
