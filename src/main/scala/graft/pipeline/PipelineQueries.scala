@@ -600,7 +600,26 @@ object PipelineQueries {
     // ranked OR retrieval: top-20 by summed ratio-idf (the log-free
     // BM25-style score), round-6 sum + id tie-break = deterministic cut
     "q_text_search_ranked" -> ((s, dir) =>
-      Search.searchRanked(docs(s, dir), Seq("data", "query", "spark"), k = 20))
+      Search.searchRanked(docs(s, dir), Seq("data", "query", "spark"), k = 20)),
+    // ingest monitoring: language-mix drift between the first-250-doc
+    // "snapshot" and the full corpus — counts, shares, and the bitwise-
+    // replayable share ratio (no log, no rounding)
+    "q_profile_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
+    }),
+    // snapshot versioning: per-id diff status against a constructed "new
+    // crawl" — ids < 20 changed, 20-49 removed, plants added, rest
+    // unchanged; all four statuses exercised and id-level hash-gated
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newSnap = d.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
+        .unionByName(d.filter(col("doc_id") < NPlant)
+          .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+      Snapshot.diff(d.select(col("doc_id"), col("text")), newSnap)
+    })
   )
 
   /** Target mixture for q_sample_mixture (relative proportions; sources
@@ -1093,7 +1112,31 @@ object PipelineQueries {
       "SELECT doc_id, round(sum(CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / " +
       "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
       "FROM p JOIN d USING (term), n GROUP BY doc_id " +
-      "ORDER BY score DESC, doc_id LIMIT 20")
+      "ORDER BY score DESC, doc_id LIMIT 20"),
+    // shares are exact-integer divisions; ratio is a division of the two —
+    // bitwise on both engines, NULL only for a key absent from snapshot a
+    "q_profile_drift" -> ("WITH a AS (SELECT lang, count(*) AS n_a FROM documents " +
+      "WHERE doc_id < 250 GROUP BY lang), " +
+      "b AS (SELECT lang, count(*) AS n_b FROM documents GROUP BY lang), " +
+      "ta AS (SELECT count(*) AS t_a FROM documents WHERE doc_id < 250), " +
+      "tb AS (SELECT count(*) AS t_b FROM documents) " +
+      "SELECT coalesce(a.lang, b.lang) AS lang, " +
+      "coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, " +
+      "CAST(coalesce(n_a, 0) AS DOUBLE) / CAST(t_a AS DOUBLE) AS share_a, " +
+      "CAST(coalesce(n_b, 0) AS DOUBLE) / CAST(t_b AS DOUBLE) AS share_b, " +
+      "CASE WHEN coalesce(n_a, 0) > 0 THEN " +
+      "(CAST(coalesce(n_b, 0) AS DOUBLE) / CAST(t_b AS DOUBLE)) / " +
+      "(CAST(coalesce(n_a, 0) AS DOUBLE) / CAST(t_a AS DOUBLE)) END AS ratio " +
+      "FROM a FULL OUTER JOIN b ON a.lang = b.lang, ta, tb"),
+    "q_snapshot_diff" -> (s"WITH o AS (SELECT doc_id, text FROM documents), " +
+      "n AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50 " +
+      "UNION ALL SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id < 20 " +
+      s"UNION ALL SELECT doc_id + $PlantOffset AS doc_id, text FROM documents WHERE doc_id < $NPlant) " +
+      "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+      "CASE WHEN o.doc_id IS NULL THEN 'added' " +
+      "WHEN n.doc_id IS NULL THEN 'removed' " +
+      "WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status " +
+      "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id")
   )
 
   /** Shared CTE prefix for the repetition oracles: per-(doc, 2-gram)

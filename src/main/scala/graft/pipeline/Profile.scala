@@ -157,4 +157,35 @@ object Profile {
       .map { case (key, est) => (if (key == NullKeySentinel) null else key, est) }
       .toDF(keyCol, "est_rows")
   }
+
+  /** Categorical-distribution drift between two corpus snapshots — the
+    * monitoring sweep a continuously-ingested corpus runs per batch (did
+    * the language mix shift? is one source suddenly dominating?): one row
+    * per key value with counts, shares, and the share ratio
+    * `share_b / share_a` (NULL where the key is absent from `a` — a new
+    * key, the loudest drift of all; 0 where absent from `b`). The ratio is
+    * a division of two exact-integer IEEE divisions — bitwise replayable,
+    * no log/rounding — and keys far from ratio 1 are the drifted ones
+    * (the log-free form of a KL contribution, the [[TextAnalysis]] lift
+    * precedent).
+    *
+    * Shape: one tiny aggregation per side (key-cardinality-sized), a full
+    * outer join of the two, totals broadcast back in-plan — the corpus is
+    * scanned once per side and nothing corpus-sized shuffles.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
+    val ta = a.agg(count(lit(1)).as("__t_a"))
+    val tb = b.agg(count(lit(1)).as("__t_b"))
+    ca.join(cb, Seq(keyCol), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col(keyCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("n_a"), lit(0L)).cast("double") / col("__t_a").cast("double")).as("share_a"),
+        (coalesce(col("n_b"), lit(0L)).cast("double") / col("__t_b").cast("double")).as("share_b"))
+      .withColumn("ratio",
+        when(col("share_a") > 0, col("share_b") / col("share_a")))
+  }
 }

@@ -116,4 +116,23 @@ class ProfileSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Profile.approxHeavyHitters(zipf, "key", k = 10, capacity = 5)
   }
+
+  test("distributionDrift: shares, ratios, and the absent-key edges") {
+    import spark.implicits._
+    val a = Seq("en", "en", "en", "de").map(Tuple1(_)).toDF("lang")        // 3/4 en, 1/4 de
+    val b = Seq("en", "en", "de", "de", "fr", "fr").map(Tuple1(_)).toDF("lang") // 2/6 1/3 1/3
+    val out = Profile.distributionDrift(a, b, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    out("en") shouldBe ((3L, 2L, 0.75, 2.0 / 6.0, Some((2.0 / 6.0) / 0.75)))
+    out("de") shouldBe ((1L, 2L, 0.25, 2.0 / 6.0, Some((2.0 / 6.0) / 0.25)))
+    // fr is new in b: ratio NULL (share_a = 0), the loudest drift signal
+    out("fr") shouldBe ((0L, 2L, 0.0, 2.0 / 6.0, None))
+    // a key that vanished: ratio 0
+    val gone = Profile.distributionDrift(b, a, "lang")
+      .filter(col("lang") === "fr").head()
+    gone.getLong(2) shouldBe 0L
+    gone.getDouble(5) shouldBe 0.0
+  }
 }
