@@ -344,6 +344,57 @@ object Similarity {
       .write.mode("overwrite").parquet(path + "__centroids")
   }
 
+  /** [[buildIvfIndex]] into a version-pointer catalog root (see
+    * [[IndexCatalog]]): the index data + centroid table land under
+    * `root/v=N` and `_CURRENT` flips to them atomically, so probes that
+    * resolved the previous version keep a stable set of files — the
+    * durable rebuild/maintenance form the move-aside swap cannot give.
+    * Returns the published version.
+    */
+  def buildIvfIndexVersioned(
+      embeddings: DataFrame,
+      root: String,
+      k: Int = 16,
+      iters: Int = 2,
+      learnFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Int = {
+    val spark = embeddings.sparkSession
+    val next = IndexCatalog.currentVersion(spark, root).map(_ + 1).getOrElse(1)
+    buildIvfIndex(embeddings, IndexCatalog.versionDir(root, next),
+      k, iters, learnFraction, idCol, vecCol)
+    IndexCatalog.publish(spark, root, next)
+    next
+  }
+
+  /** [[compactIvfIndex]]'s race-free form over an [[IndexCatalog]] root:
+    * the compacted layout (same cid partitioning, stats-sized file count)
+    * is written as a NEW version beside the live one and `_CURRENT` flips —
+    * no file the old version's readers hold ever moves; the version before
+    * last is pruned by the publish. Centroids are frozen through
+    * compaction, so the (k-row) centroid table is copied forward into the
+    * new version's sibling path. Returns the published version.
+    */
+  def compactIvfIndexVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sizeFactor: Double = 1.0): Int = {
+    val curV = IndexCatalog.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"nothing published under $root to compact"))
+    val cur = IndexCatalog.versionDir(root, curV)
+    val nextV = curV + 1
+    val next = IndexCatalog.versionDir(root, nextV)
+    val df = spark.read.parquet(cur)
+    val n = Compaction.targetPartitions(df, targetBytes, sizeFactor)
+    df.repartition(n, col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(next)
+    spark.read.parquet(cur + "__centroids")
+      .coalesce(1).write.mode("overwrite").parquet(next + "__centroids")
+    IndexCatalog.publish(spark, root, nextV)
+    nextV
+  }
+
   /** Incremental index maintenance: assign NEW vectors to the existing
     * centroids and APPEND their partitions — the continuous-ingest story at
     * corpus scale, where re-learning and re-writing the whole index per

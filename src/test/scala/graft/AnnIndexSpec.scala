@@ -189,6 +189,47 @@ class AnnIndexSpec extends SparkTestBase {
     probedAfter shouldBe exact
   }
 
+  test("versioned index catalog: pointer flips atomically, readers' files never move") {
+    import graft.pipeline.IndexCatalog
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("graft_ivf_versioned").toFile
+    dir.deleteOnExit()
+    val root = dir.getAbsolutePath + "/ivf"
+    // unpublished root: resolve fails loudly, not with a phantom path
+    an[IllegalStateException] should be thrownBy IndexCatalog.resolve(spark, root)
+    val v1 = Similarity.buildIvfIndexVersioned(embs, root, k = 8)
+    v1 shouldBe 1
+    IndexCatalog.currentVersion(spark, root) shouldBe Some(1)
+    val live1 = IndexCatalog.resolve(spark, root)
+    val queries = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = Similarity.ivfTopKBatch(spark, live1, queries, k = 6, nprobe = 8,
+        corpusFilter = col("vec_id") >= 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // compact publishes v2 WITHOUT touching v1's files (the race the
+    // move-aside swap had): a reader still holding v1's path keeps working
+    val v2 = Similarity.compactIvfIndexVersioned(spark, root)
+    v2 shouldBe 2
+    IndexCatalog.resolve(spark, root) should endWith("v=2")
+    val stillV1 = Similarity.ivfTopKBatch(spark, live1, queries, k = 6, nprobe = 8,
+        corpusFilter = col("vec_id") >= 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    stillV1 shouldBe before
+    // the flipped version answers identically
+    val viaV2 = Similarity.ivfTopKBatch(spark, IndexCatalog.resolve(spark, root),
+        queries, k = 6, nprobe = 8, corpusFilter = col("vec_id") >= 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    viaV2 shouldBe before
+    // one more cycle prunes v1 (bounded two-version footprint), keeps v2
+    val v3 = Similarity.compactIvfIndexVersioned(spark, root)
+    v3 shouldBe 3
+    new java.io.File(IndexCatalog.versionDir(root, 1)).exists() shouldBe false
+    new java.io.File(IndexCatalog.versionDir(root, 1) + "__centroids").exists() shouldBe false
+    new java.io.File(IndexCatalog.versionDir(root, 2)).exists() shouldBe true
+  }
+
   test("int8 quantization: bounded codes, tight reconstruction, high probe recall") {
     import spark.implicits._
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
