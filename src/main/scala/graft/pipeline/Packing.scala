@@ -116,4 +116,41 @@ object Packing {
       .withColumn("epoch_pos", row_number().over(w).cast("long"))
       .drop("__ekey")
   }
+
+  /** Deterministic token-budget selection: keep the prefix of the
+    * [[epochOrder]] layout whose documents START inside the budget — "give
+    * me `budgetTokens` of uniformly-shuffled corpus" (the
+    * down-select a fixed-compute training run makes, and the honest form
+    * of it: membership is a pure function of (epoch, id, token counts), so
+    * the draw replays anywhere and re-draws differently per epoch). The
+    * budget splits evenly across shards ([[packSequences]]' parallelism
+    * discipline — a global prefix would serialize on one cumulative sum);
+    * each shard keeps every doc whose `start_offset` (tokens before it in
+    * shard order) is under its slice, so the kept total lands within one
+    * straddling doc per shard of the asked-for budget.
+    *
+    * Adds `epoch_shard`, `epoch_pos`, `start_offset`. One shuffle on the
+    * shard key + the per-shard running sum, nothing else.
+    */
+  def takeTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budgetTokens: Long,
+      epoch: Int = 0,
+      shards: Int = 64): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(budgetTokens % shards == 0,
+      s"budgetTokens must split evenly over $shards shards so the advertised " +
+        s"budget is exact, got $budgetTokens")
+    require(!df.columns.contains("start_offset"),
+      "start_offset is reserved by takeTokenBudget")
+    val perShard = budgetTokens / shards
+    val w = Window.partitionBy(col("epoch_shard"))
+      .orderBy(col("epoch_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    epochOrder(df, idCol, epoch, shards)
+      .withColumn("start_offset", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("start_offset") < perShard)
+  }
 }

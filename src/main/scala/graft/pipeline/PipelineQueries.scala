@@ -608,6 +608,14 @@ object PipelineQueries {
       val d = docs(s, dir)
       Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
     }),
+    // fixed-compute down-select: 4000 tokens of epoch-0-shuffled corpus
+    // over 8 shards — membership, order, and offsets all replayed by the
+    // oracle from the same md5 layout + running sum
+    "q_pack_budget" -> ((s, dir) =>
+      Packing.takeTokenBudget(
+        docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 4000, epoch = 0, shards = 8)),
     // snapshot versioning: per-id diff status against a constructed "new
     // crawl" — ids < 20 changed, 20-49 removed, plants added, rest
     // unchanged; all four statuses exercised and id-level hash-gated
@@ -1128,6 +1136,22 @@ object PipelineQueries {
       "(CAST(coalesce(n_b, 0) AS DOUBLE) / CAST(t_b AS DOUBLE)) / " +
       "(CAST(coalesce(n_a, 0) AS DOUBLE) / CAST(t_a AS DOUBLE)) END AS ratio " +
       "FROM a FULL OUTER JOIN b ON a.lang = b.lang, ta, tb"),
+    // the epoch-0 md5 layout + a 1-PRECEDING running sum, thresholded at
+    // the 500-token per-shard slice (4000 / 8)
+    "q_pack_budget" -> ("WITH t AS (SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+      "md5('0:' || CAST(doc_id AS VARCHAR)) AS key FROM documents), " +
+      "s AS (SELECT doc_id, n_tokens, key, CAST((" +
+      "(strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 4096 + " +
+      "(strpos('0123456789abcdef', substr(key, 2, 1)) - 1) * 256 + " +
+      "(strpos('0123456789abcdef', substr(key, 3, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(key, 4, 1)) - 1)) % 8 AS INT) AS epoch_shard FROM t), " +
+      "o AS (SELECT doc_id, n_tokens, epoch_shard, " +
+      "CAST(row_number() OVER (PARTITION BY epoch_shard ORDER BY key, doc_id) AS BIGINT) AS epoch_pos, " +
+      "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY epoch_shard ORDER BY key, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM s) " +
+      "SELECT doc_id, n_tokens, epoch_shard, epoch_pos, start_offset FROM o " +
+      "WHERE start_offset < 500"),
     "q_snapshot_diff" -> (s"WITH o AS (SELECT doc_id, text FROM documents), " +
       "n AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50 " +
       "UNION ALL SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id < 20 " +

@@ -87,6 +87,31 @@ class PackingSpec extends SparkTestBase {
     again shouldBe out.toSet
   }
 
+  test("takeTokenBudget keeps the per-shard prefix that starts inside the slice") {
+    val df = spark.range(0, 400).select(col("id").as("doc_id"), lit(10).as("n_tok"))
+    val out = Packing.takeTokenBudget(df, "doc_id", "n_tok",
+      budgetTokens = 400, epoch = 0, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // 100-token slice per shard, 10 tokens/doc → exactly 10 docs per shard
+    out.length shouldBe 40
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1L to 10L)          // the prefix, dense
+      rows.map(_._4).sorted shouldBe (0L until 10L).map(_ * 10)  // offsets tile
+    }
+    // a straddling doc is kept when it STARTS inside the slice: offsets are
+    // what downstream pack-splitting consumes (the packSequences contract)
+    val uneven = spark.range(0, 4).select(col("id").as("doc_id"), lit(70).as("n_tok"))
+    val kept = Packing.takeTokenBudget(uneven, "doc_id", "n_tok",
+      budgetTokens = 100, epoch = 0, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    kept.length shouldBe 2                                 // starts at 0 and 70
+    kept.map(_._2).sorted shouldBe Array(0L, 70L)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.takeTokenBudget(df, "doc_id", "n_tok", budgetTokens = 401, shards = 4)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.takeTokenBudget(df, "doc_id", "n_tok", budgetTokens = 0, shards = 4)
+  }
+
   test("epochOrder: different epochs give different permutations") {
     val df = spark.range(0, 300).select(col("id").as("doc_id"))
     def layout(e: Int) = Packing.epochOrder(df, "doc_id", epoch = e, shards = 4)
