@@ -97,7 +97,9 @@ object Packing {
     * Parallelism = `shards`; a global total order would serialize on one
     * task, which is exactly what the (shard, pos) pair avoids: readers
     * consume shards concurrently and concatenate (shard asc, pos asc) when
-    * a single stream is wanted.
+    * a single stream is wanted. A NULL id hashes to a NULL shard (its own
+    * window group) — like [[Splits.assign]], callers who cannot tolerate
+    * null ids filter them first.
     */
   def epochOrder(
       df: DataFrame,

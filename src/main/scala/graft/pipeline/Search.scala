@@ -101,8 +101,12 @@ object Search {
     val distinctTerms = terms.map(_.toLowerCase).distinct
     require(distinctTerms.nonEmpty, "terms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val p = postings(docs, idCol, textCol)
-    val matched = p.filter(col("term").isin(distinctTerms: _*))
+    // matched postings feed both the df aggregation and the scoring join;
+    // cached so the corpus explode runs once (Dedup's registry — harness
+    // clears between queries). The isin prune keeps the cached frame
+    // query-term-sized, not corpus-sized.
+    val matched = Dedup.cache(
+      postings(docs, idCol, textCol).filter(col("term").isin(distinctTerms: _*)))
     val dfCounts = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     matched

@@ -20,7 +20,9 @@ object Snapshot {
     * Shape: ONE full-outer join keyed on `idCol` — both sides shuffle by
     * id once, everything else is map-side. With both snapshots written
     * bucketed by id (the [[Search.writeInvertedIndex]] layout discipline),
-    * the join is exchange-free end to end.
+    * the join is exchange-free end to end. Ids are assumed unique within a
+    * snapshot (the corpus contract everywhere in this library); duplicate
+    * ids would cross-multiply through the join like any keyed join.
     */
   def diff(
       oldSnap: DataFrame,

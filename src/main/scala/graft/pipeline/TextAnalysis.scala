@@ -262,10 +262,13 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, k: Int = 5, minDf: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
-    val perDoc = docs
+    // the (doc, term, tf) stream feeds BOTH the df aggregation and the
+    // scoring join — cached (Dedup's registry, caller/harness clears) so
+    // the corpus-wide explode+agg materializes once instead of twice
+    val perDoc = Dedup.cache(docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfCounts = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

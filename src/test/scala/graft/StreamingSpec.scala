@@ -303,6 +303,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("normalize + Gopher-rule gates are stateless on a stream, matching batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "  the\tquick   brown fox jumps over the lazy dog today  "),
+      (2L, "## ### ####"),
+      (3L, "a b"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.gopherQuality(
+        df.select(col("doc_id"),
+          graft.pipeline.TextAnalysis.normalizeText(col("text")).as("text")),
+        minWords = 3, maxWords = 100, minMeanWordLen = 2.0, maxMeanWordLen = 8.0,
+        maxSymbolRatio = 0.1, minAlphaFrac = 0.8, minStopwordHits = 1)
+    val input = MemoryStream[(Long, String)]
+    val query = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gophergate")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // pure column algebra end to end: zero streaming state, and the
+      // continuous rows equal the batch transform on the same input
+      query.lastProgress.stateOperators shouldBe empty
+      s.table("gophergate").collect().toSet shouldBe
+        gate(rows.toDF("doc_id", "text")).collect().toSet
+      // and the normalized doc 1 passes while the symbol soup fails
+      val keep = s.table("gophergate").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      keep(1L) shouldBe true
+      keep(2L) shouldBe false
+    }
+  }
+
   test("deterministic sampling composes onto a stream statelessly, matching batch") {
     val s = spark
     import s.implicits._
