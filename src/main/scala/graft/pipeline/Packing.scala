@@ -54,6 +54,39 @@ object Packing {
       .withColumn("pack", expr(s"start_offset DIV $seqLen"))
   }
 
+  /** The materializing form of [[packSequences]]: one row per (shard, pack)
+    * with the documents' text CONCATENATED in layout order, `sep` between
+    * documents — the final-mile step that turns a curated corpus into the
+    * training sequences a tokenizer consumes. Doc order inside a pack is
+    * the layout's (start_offset asc), recovered deterministically by
+    * sorting the collected (offset, text) structs in-plan — collect_list
+    * itself is unordered, the sort makes the concatenation stable on any
+    * partitioning.
+    *
+    * Scale shape: [[packSequences]]' one shard shuffle + one (shard, pack)
+    * aggregation whose partial aggregates collapse map-side (a pack's docs
+    * are consecutive within their shard partition). A pack's bytes ≈
+    * seqLen tokens — bounded rows out, whatever the corpus size.
+    */
+  def packTexts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensCol: String,
+      seqLen: Int,
+      shards: Int,
+      sep: String = " <eos> "): DataFrame = {
+    val packed = packSequences(df, idCol, tokensCol, seqLen, shards)
+    packed.groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("start_offset"), col(textCol).as("t")))),
+            s => s.getField("t")),
+          sep).as("pack_text"))
+  }
+
   /** Fixed-window document chunking with overlap — the context-window split
     * run before tokenization packs long documents into trainable pieces:
     * one row per chunk of `chunkTokens` whitespace tokens, windows starting

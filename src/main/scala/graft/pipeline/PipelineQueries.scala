@@ -608,6 +608,14 @@ object PipelineQueries {
       val d = docs(s, dir)
       Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
     }),
+    // the materialized packs: per-(shard, pack) concatenated text in
+    // layout order, byte-for-byte hash-gated (order recovered by the
+    // in-plan struct sort — any partitioning, same bytes)
+    "q_pack_texts" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n_tok"))
+      Packing.packTexts(d, "doc_id", "text", "n_tok", seqLen = 2048, shards = 4)
+    }),
     // fixed-compute down-select: 4000 tokens of epoch-0-shuffled corpus
     // over 8 shards — membership, order, and offsets all replayed by the
     // oracle from the same md5 layout + running sum
@@ -1136,6 +1144,17 @@ object PipelineQueries {
       "(CAST(coalesce(n_b, 0) AS DOUBLE) / CAST(t_b AS DOUBLE)) / " +
       "(CAST(coalesce(n_a, 0) AS DOUBLE) / CAST(t_a AS DOUBLE)) END AS ratio " +
       "FROM a FULL OUTER JOIN b ON a.lang = b.lang, ta, tb"),
+    // q_pack_sequences' layout CTE + an ordered string_agg: DuckDB
+    // concatenates in the same (start offset) order the struct sort gives
+    "q_pack_texts" -> ("SELECT shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack, " +
+      "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "string_agg(text, ' <eos> ' ORDER BY cum - n_tok) AS pack_text FROM (" +
+      "SELECT shard, n_tok, text, sum(n_tok) OVER (PARTITION BY shard " +
+      "ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM (" +
+      "SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h, " +
+      s"CAST($md5U16Sql % 4 AS BIGINT) AS shard, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)) " +
+      "GROUP BY shard, pack"),
     // the epoch-0 md5 layout + a 1-PRECEDING running sum, thresholded at
     // the 500-token per-shard slice (4000 / 8)
     "q_pack_budget" -> ("WITH t AS (SELECT doc_id, " +

@@ -87,6 +87,31 @@ class PackingSpec extends SparkTestBase {
     again shouldBe out.toSet
   }
 
+  test("packTexts concatenates each pack's docs in layout order, stable under repartition") {
+    val df = spark.range(0, 60).select(col("id").as("doc_id"),
+      concat(lit("doc"), col("id")).as("text"), lit(10).as("n_tok"))
+    val packs = Packing.packTexts(df, "doc_id", "text", "n_tok", seqLen = 40, shards = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // layout replay: the expected order is (md5(id), id) within each shard
+    val layout = Packing.packSequences(
+      df, "doc_id", "n_tok", seqLen = 40, shards = 2)
+      .orderBy("shard", "start_offset")
+      .collect().map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("start_offset"), r.getAs[String]("text")))
+    val expected = layout.groupBy { case (sh, off, _) => (sh, off / 40) }
+      .map { case (k, rows) => k ->
+        ((rows.length.toLong, rows.length * 10L,
+          rows.sortBy(_._2).map(_._3).mkString(" <eos> "))) }
+    packs shouldBe expected
+    // full packs hold exactly seqLen/10 docs; bytes identical on any input layout
+    packs.values.count(_._1 == 4L) should be >= 10
+    val again = Packing.packTexts(df.repartition(7), "doc_id", "text", "n_tok",
+      seqLen = 40, shards = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(4))).toMap
+    again shouldBe packs.map { case (k, v) => k -> v._3 }
+  }
+
   test("takeTokenBudget keeps the per-shard prefix that starts inside the slice") {
     val df = spark.range(0, 400).select(col("id").as("doc_id"), lit(10).as("n_tok"))
     val out = Packing.takeTokenBudget(df, "doc_id", "n_tok",
