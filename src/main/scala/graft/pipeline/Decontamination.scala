@@ -79,6 +79,47 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The reverse direction of [[contaminationReport]] — per EVAL item, how
+    * exposed is it in the training corpus: the number of distinct training
+    * docs sharing at least one n-gram with it, and the number of its own
+    * distinct shingles that leak. The benchmark-integrity report ("which
+    * eval questions has the model effectively seen, and how often") that
+    * decides whether an eval stays usable after a contamination incident;
+    * unexposed eval items are absent.
+    *
+    * Shape: the same broadcast-eval + join-before-distinct discipline as
+    * [[contaminationReport]]; the two exposure counts aggregate in
+    * SEPARATE branches over the (tiny) matched-pair stream and join back
+    * on eval id — one `count_distinct` pair in a single aggregation would
+    * plan an Expand that doubles the stream (the duplicatedSpans lesson).
+    */
+  def evalExposureReport(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      hashed: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(Seq(train, evalDocs).forall(d =>
+        !d.columns.contains("__w") && !d.columns.contains("__s")),
+      "__w/__s are reserved by Decontamination")
+    val key: Column => Column = if (hashed) (c => xxhash64(c)) else identity
+    val evalShingles = explodedShingles(evalDocs, textCol, n, keep = Seq(col(idCol)))
+      .select(col(idCol).as("eval_id"), key(col("__s")).as("shingle")).distinct()
+    val trainShingles = explodedShingles(train, textCol, n, keep = Seq(col(idCol)))
+      .select(col(idCol).as("__train_id"), key(col("__s")).as("shingle"))
+    val pairs = Dedup.cache(trainShingles
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .select(col("eval_id"), col("__train_id"), col("shingle"))
+      .distinct())
+    val docsHit = pairs.select(col("eval_id"), col("__train_id")).distinct()
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_train_docs"))
+    val shinglesHit = pairs.select(col("eval_id"), col("shingle")).distinct()
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_shingles_leaked"))
+    docsHit.join(shinglesHit, Seq("eval_id"))
+  }
+
   /** `train` minus every doc whose shared-shingle count exceeds
     * `maxShared` (default 0: any overlap drops the doc). Left-anti on the
     * id — linear in the corpus.

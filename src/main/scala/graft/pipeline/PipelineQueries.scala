@@ -608,6 +608,16 @@ object PipelineQueries {
       val d = docs(s, dir)
       Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
     }),
+    // the reverse contamination direction: per EVAL item, how many train
+    // docs carry one of its 5-grams and how many of its shingles leak —
+    // the benchmark-integrity report (same eval/train split as
+    // q_decontaminate)
+    "q_decontaminate_exposure" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontamination.evalExposureReport(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 5)
+    }),
     // the materialized packs: per-(shard, pack) concatenated text in
     // layout order, byte-for-byte hash-gated (order recovered by the
     // in-plan struct sort — any partitioning, same bytes)
@@ -839,6 +849,15 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // same shingle CTEs, eval side kept per-id; both exposure counts from
+    // the distinct matched pairs
+    "q_decontaminate_exposure" -> (decontShinglesSql.replace(
+      "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20)",
+      "ev AS (SELECT DISTINCT doc_id AS eval_id, g FROM sh WHERE doc_id < 20)") +
+      ", p AS (SELECT DISTINCT eval_id, tr.doc_id AS train_id, g " +
+      "FROM tr JOIN ev USING (g)) " +
+      "SELECT eval_id, count(DISTINCT train_id) AS n_train_docs, " +
+      "count(DISTINCT g) AS n_shingles_leaked FROM p GROUP BY eval_id"),
     "q_decontaminate_drop" -> (decontShinglesSql +
       "SELECT count(*) AS n_clean, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
       "FROM documents WHERE doc_id >= 20 AND doc_id NOT IN " +

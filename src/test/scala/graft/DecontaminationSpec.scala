@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Decontamination
+import graft.pipeline.{Decontamination, Dedup}
 
 class DecontaminationSpec extends SparkTestBase {
 
@@ -102,6 +102,26 @@ class DecontaminationSpec extends SparkTestBase {
         kept.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     } finally Tables.dropManaged(s, "decont_idx_bucketed")
+  }
+
+  test("evalExposureReport counts leaking docs and shingles per eval item") {
+    val evals = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "an entirely unleaked evaluation question here")
+    ).toDF("doc_id", "text")
+    val report = Decontamination
+      .evalExposureReport(train, evals, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // eval 100 leaks into train docs 1 and 3: doc 1 shares its 5 interior
+    // 5-grams, doc 3 shares only "the quick brown fox jumps" (case-folded)
+    report(100L) shouldBe ((2L, 5L))
+    // unexposed eval items are absent, not zero rows
+    report.contains(101L) shouldBe false
+    // hashed variant agrees (collisions can only add, none at this size)
+    Decontamination.evalExposureReport(train, evals, "doc_id", "text", n = 5, hashed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq shouldBe Seq((100L, 2L, 5L))
+    Dedup.clearCaches()
   }
 
   test("input validation") {
