@@ -76,7 +76,7 @@ object Dedup {
     */
   private val cachedFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  private[pipeline] def cache(df: DataFrame): DataFrame = synchronized {
+  private[graft] def cache(df: DataFrame): DataFrame = synchronized {
     val p = df.persist()
     cachedFrames += p
     p
