@@ -608,6 +608,22 @@ object PipelineQueries {
       val d = docs(s, dir)
       Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
     }),
+    // entity resolution: edit-distance-1 join of part names against a
+    // planted mix (typo'd evens, exact odds) — q-gram candidates + count
+    // filter + early-exit DP; the oracle is an INDEPENDENT brute-force
+    // cross join, so the pruning's losslessness is itself hash-gated
+    "q_join_fuzzy" -> ((s, dir) => {
+      val p = Tables.df(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val left = p.filter(col("p_partkey") < 500)
+      val right = p.filter(col("p_partkey") < 300).select(
+        (col("p_partkey") + PlantOffset).as("p_partkey"),
+        when(pmod(col("p_partkey"), lit(2)) === 0,
+          concat(substring(col("p_name"), 1, 1), lit("x"),
+            expr("substring(p_name, 3)")))
+          .otherwise(col("p_name")).as("p_name"))
+      graft.operators.FuzzyJoin.fuzzyPairs(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name", maxDistance = 1)
+    }),
     // the reverse contamination direction: per EVAL item, how many train
     // docs carry one of its 5-grams and how many of its shingles leak —
     // the benchmark-integrity report (same eval/train split as
@@ -849,6 +865,15 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // brute force on purpose: the oracle must not share the engine's
+    // pruning, or a lossy candidate filter would hash-match itself
+    "q_join_fuzzy" -> (s"WITH l AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500), " +
+      s"r AS (SELECT p_partkey + $PlantOffset AS p_partkey, " +
+      "CASE WHEN p_partkey % 2 = 0 THEN substr(p_name, 1, 1) || 'x' || substr(p_name, 3) " +
+      "ELSE p_name END AS p_name FROM part WHERE p_partkey < 300) " +
+      "SELECT l.p_partkey AS left_id, r.p_partkey AS right_id, " +
+      "CAST(levenshtein(l.p_name, r.p_name) AS INT) AS distance " +
+      "FROM l, r WHERE levenshtein(l.p_name, r.p_name) <= 1"),
     // same shingle CTEs, eval side kept per-id; both exposure counts from
     // the distinct matched pairs
     "q_decontaminate_exposure" -> (decontShinglesSql.replace(
