@@ -608,6 +608,36 @@ object PipelineQueries {
       val d = docs(s, dir)
       Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
     }),
+    // relational surface: day × event-type count matrix via pivot with an
+    // EXPLICIT value list (deterministic schema — never let pivot scan for
+    // values at 100 TB) and zero-filled empty cells to match SQL semantics
+    "q_agg_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.df(s, dir, "events")
+        .groupBy(date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+    }),
+    // event-sequence funnel: per user, first view -> first click AFTER the
+    // view -> first purchase AFTER the click; strictly-ordered stage
+    // timestamps (NULL where the user never advanced). Three user-keyed
+    // aggs + two user-keyed joins — one shuffle key throughout
+    "q_events_funnel" -> ((s, dir) => {
+      val e = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts"))
+      def firstAfter(tpe: String, after: DataFrame, afterCol: String, out: String) =
+        e.filter(col("event_type") === tpe)
+          .join(after, Seq("user_id"))
+          .filter(col("ts") > col(afterCol))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = firstAfter("click", v, "t_view", "t_click")
+      val p = firstAfter("purchase", c, "t_click", "t_purchase")
+      v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+    }),
     // entity resolution: edit-distance-1 join of part names against a
     // planted mix (typo'd evens, exact odds) — q-gram candidates + count
     // filter + early-exit DP; the oracle is an INDEPENDENT brute-force
@@ -865,6 +895,26 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // conditional aggregation is the SQL spelling of pivot; counts cast
+    // BIGINT, absent cells 0 on both engines
+    "q_agg_pivot" -> ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+      Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(", ") +
+      " FROM events GROUP BY day"),
+    // stage logic runs on epoch-MICROS integers on BOTH engines (Spark
+    // reads the nano column as long and truncates; DuckDB surfaces the
+    // parquet at micro precision) — exact integer logic, no timestamp dance
+    "q_events_funnel" -> ("WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS tsn " +
+      "FROM events), " +
+      "v AS (SELECT user_id, min(tsn) AS t_view FROM b " +
+      "WHERE event_type = 'view' GROUP BY user_id), " +
+      "c AS (SELECT b.user_id, min(b.tsn) AS t_click FROM b JOIN v USING (user_id) " +
+      "WHERE b.event_type = 'click' AND b.tsn > v.t_view GROUP BY b.user_id), " +
+      "p AS (SELECT b.user_id, min(b.tsn) AS t_purchase FROM b JOIN c USING (user_id) " +
+      "WHERE b.event_type = 'purchase' AND b.tsn > c.t_click GROUP BY b.user_id) " +
+      "SELECT user_id, t_view, t_click, t_purchase " +
+      "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"),
     // brute force on purpose: the oracle must not share the engine's
     // pruning, or a lossy candidate filter would hash-match itself
     "q_join_fuzzy" -> (s"WITH l AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500), " +
