@@ -62,4 +62,49 @@ object Mixture {
       .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** [[resampleToMixture]] weighted by TOKENS instead of documents — the
+    * form a compute budget actually speaks ("70% of training tokens from
+    * web, 20% code, 10% books"): the output is the largest downsample-only
+    * corpus whose expected per-group TOKEN totals match `weights`. Same
+    * construction with token sums in place of row counts — m = min over
+    * groups of tokens_g / w_g, each group keeps documents with probability
+    * w_g·m / tokens_g, so its expected kept-token total is w_g·m (document
+    * sampling hits a token target in expectation; the draw stays a pure
+    * function of id, so it replays and composes exactly like the
+    * count-weighted form). Same scale shape: one tiny aggregate broadcast
+    * back, map-side threshold filter, corpus never shuffled.
+    */
+  def resampleToTokenMixture(
+      df: DataFrame,
+      groupCol: String,
+      tokensCol: String,
+      weights: Map[String, Double],
+      idCol: String): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), s"weights must be positive, got $weights")
+    val reserved = Set("__w", "__tok", "__m", "__thr")
+    require(!df.columns.exists(reserved),
+      s"input columns collide with Mixture's reserved names: ${df.columns.filter(reserved).mkString(", ")}")
+    val total = weights.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.sortBy(_._1).map { case (g, w) => (g, w / total) }
+      .toDF(groupCol, "__w")
+    val sums = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol).cast("long")).as("__tok"))
+    val joined = wdf.join(sums, Seq(groupCol), "left")
+      .select(col(groupCol), col("__w"),
+        coalesce(col("__tok"), lit(0L)).as("__tok"))
+    val m = joined.agg(floor(min(col("__tok").cast("double") / col("__w"))).as("__m"))
+    val thresholds = joined.crossJoin(m)
+      .select(col(groupCol),
+        when(col("__tok") > 0,
+          floor(col("__w") * col("__m") / col("__tok").cast("double") * lit(65536.0)))
+          .otherwise(lit(0L))
+          .cast("int").as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -608,6 +608,16 @@ object PipelineQueries {
       val d = docs(s, dir)
       Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
     }),
+    // the compute-budget form of mixture: per-LANG token totals (n_chars
+    // as the token proxy) hit 2:1:1 in expectation; same pure-function-of-
+    // id membership, aggregated per group for the gate
+    "q_sample_token_mixture" -> ((s, dir) =>
+      Mixture.resampleToTokenMixture(docs(s, dir), "lang", "n_chars",
+          Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("tok_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))),
     // relational surface: day × event-type count matrix via pivot with an
     // EXPLICIT value list (deterministic schema — never let pivot scan for
     // values at 100 TB) and zero-filled empty cells to match SQL semantics
@@ -895,6 +905,20 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // same replay discipline as q_sample_mixture, with token sums in place
+    // of row counts; normalized weights are exactly-representable literals
+    "q_sample_token_mixture" -> ("WITH wts(lang, w) AS (VALUES " +
+      "('de', CAST(0.25 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.25 AS DOUBLE))), " +
+      "tok AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS t FROM documents GROUP BY lang), " +
+      "j AS (SELECT wts.lang, w, CAST(COALESCE(t, 0) AS DOUBLE) AS t " +
+      "FROM wts LEFT JOIN tok ON wts.lang = tok.lang), " +
+      "m AS (SELECT floor(min(t / w)) AS m FROM j), " +
+      "thr AS (SELECT lang, CASE WHEN t > 0 THEN CAST(floor(w * m / t * 65536.0) AS INT) " +
+      "ELSE 0 END AS thr FROM j, m) " +
+      "SELECT d.lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tok_kept, " +
+      s"CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      s"FROM documents d JOIN thr ON d.lang = thr.lang WHERE $md5U16Sql < thr " +
+      "GROUP BY d.lang"),
     // conditional aggregation is the SQL spelling of pivot; counts cast
     // BIGINT, absent cells 0 on both engines
     "q_agg_pivot" -> ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +

@@ -256,6 +256,29 @@ class CurationSpec extends SparkTestBase {
     counts("big").toDouble / counts("small").toDouble shouldBe 3.0 +- 0.35
   }
 
+  test("resampleToTokenMixture balances token totals, not doc counts") {
+    // same doc count per group, 10x token skew: a doc-count mixture would
+    // keep token totals 10:1; the token mixture must equalize them
+    val df = spark.range(0, 4000).select(col("id").as("doc_id"),
+      when(col("id") < 2000, "big").otherwise("small").as("src"),
+      when(col("id") < 2000, 100).otherwise(10).as("n_tok"))
+    val out = Mixture.resampleToTokenMixture(df, "src", "n_tok",
+      Map("big" -> 1.0, "small" -> 1.0), "doc_id")
+    val toks = out.groupBy("src").agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small binds: m = 20_000/0.5 = 40_000; each group targets 20_000 tokens
+    toks("small").toDouble shouldBe 20000.0 +- 2500.0
+    toks("big").toDouble shouldBe 20000.0 +- 2500.0
+    // membership is a pure function of id
+    def ids(parts: Int) = Mixture.resampleToTokenMixture(df.repartition(parts),
+        "src", "n_tok", Map("big" -> 1.0, "small" -> 1.0), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    ids(3) shouldBe ids(11)
+    // a weight group with no corpus tokens makes the mixture infeasible
+    Mixture.resampleToTokenMixture(df, "src", "n_tok",
+      Map("big" -> 1.0, "nope" -> 1.0), "doc_id").count() shouldBe 0L
+  }
+
   test("tfIdfTopTerms ranks rare terms above common ones, deterministic cut") {
     val docs = Seq(
       (1L, "shared shared rare"),   // "rare" df=1, "shared" df=3
