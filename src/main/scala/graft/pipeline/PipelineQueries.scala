@@ -608,6 +608,20 @@ object PipelineQueries {
       val d = docs(s, dir)
       Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
     }),
+    // quality-decile assignment: ntile(10) over a TOTAL order (n_chars,
+    // doc_id — ties broken, so the decile cut is engine-deterministic),
+    // summarized per decile. NB an unpartitioned window sorts on one task —
+    // the exact relational form, registered as such; at corpus scale the
+    // same binning comes from QuantileFilter's (approx_)percentile cuts
+    // without a global sort
+    "q_window_ntile" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          ntile(10).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars"), col("doc_id"))).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))),
     // the compute-budget form of mixture: per-LANG token totals (n_chars
     // as the token proxy) hit 2:1:1 in expectation; same pure-function-of-
     // id membership, aggregated per group for the gate
@@ -905,6 +919,12 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // both engines implement SQL-standard ntile (even split, remainder to
+    // the leading tiles) over the same total order
+    "q_window_ntile" -> ("SELECT decile, count(*) AS n_docs, " +
+      "min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM (" +
+      "SELECT doc_id, n_chars, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile " +
+      "FROM documents) GROUP BY decile"),
     // same replay discipline as q_sample_mixture, with token sums in place
     // of row counts; normalized weights are exactly-representable literals
     "q_sample_token_mixture" -> ("WITH wts(lang, w) AS (VALUES " +
