@@ -608,6 +608,34 @@ object PipelineQueries {
       val d = docs(s, dir)
       Profile.distributionDrift(d.filter(col("doc_id") < 250), d, "lang")
     }),
+    // sliding windows (2 h window, 1 h slide): every event lands in
+    // exactly two epoch-aligned windows; round-2 on the double sum (the
+    // q_time_tumbling precedent)
+    "q_time_sliding" -> ((s, dir) =>
+      Tables.df(s, dir, "events")
+        .groupBy(window(timestamp_micros(expr("ts div 1000")), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))),
+    // tokenizer-sizing curve: cumulative token share by vocab rank — the
+    // "how big must the vocab be for X% coverage" sweep; exact long cumsum
+    // over the deterministic (tf desc, term) order, one exact division
+    "q_text_vocab_curve" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("tf").desc, col("term"))
+      val tot = d.select(explode(split(lower(col("text")), " ")).as("t"))
+        .agg(count(lit(1)).as("n_total"))
+      TextAnalysis.vocabulary(d, k = 100)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_tf",
+          sum(col("tf")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("term"), col("tf"), col("df"),
+          col("cum_tf"),
+          (col("cum_tf").cast("double") / col("n_total").cast("double")).as("cum_share"))
+    }),
     // quality-decile assignment: ntile(10) over a TOTAL order (n_chars,
     // doc_id — ties broken, so the decile cut is engine-deterministic),
     // summarized per decile. NB an unpartitioned window sorts on one task —
@@ -919,6 +947,26 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // a 2h/1h sliding window membership is exactly two hour slots per
+    // event (floor(t/1h) and the hour before); make_timestamp rebuilds
+    // Spark's epoch-aligned window start from the slot index
+    "q_time_sliding" -> ("WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events), " +
+      "w AS (SELECT tus, value, unnest([CAST(floor(tus / 3600000000) AS BIGINT), " +
+      "CAST(floor(tus / 3600000000) AS BIGINT) - 1]) AS slot FROM e) " +
+      "SELECT make_timestamp(slot * 3600000000) AS w_start, count(*) AS n, " +
+      "round(sum(value), 2) AS sum_value FROM w GROUP BY w_start"),
+    // same top-100 vocab CTE as q_text_vocab + an exact long cumsum window
+    "q_text_vocab_curve" -> ("WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS term " +
+      "FROM documents), " +
+      "v AS (SELECT term, count(*) AS tf FROM tk GROUP BY term ORDER BY tf DESC, term LIMIT 100), " +
+      "vd AS (SELECT v.term, v.tf, " +
+      "(SELECT count(DISTINCT doc_id) FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t2 " +
+      "FROM documents) x WHERE x.t2 = v.term) AS df FROM v), " +
+      "t AS (SELECT count(*) AS n_total FROM tk) " +
+      "SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT) AS rank, term, tf, df, " +
+      "CAST(sum(tf) OVER (ORDER BY tf DESC, term ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tf, " +
+      "CAST(sum(tf) OVER (ORDER BY tf DESC, term ROWS UNBOUNDED PRECEDING) AS DOUBLE) / " +
+      "CAST(n_total AS DOUBLE) AS cum_share FROM vd, t"),
     // both engines implement SQL-standard ntile (even split, remainder to
     // the leading tiles) over the same total order
     "q_window_ntile" -> ("SELECT decile, count(*) AS n_docs, " +
