@@ -663,7 +663,7 @@ object PipelineQueries {
     // relational surface: day × event-type count matrix via pivot with an
     // EXPLICIT value list (deterministic schema — never let pivot scan for
     // values at 100 TB) and zero-filled empty cells to match SQL semantics
-    "q_agg_pivot" -> ((s, dir) => {
+    "q_agg_pivot_events" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       Tables.df(s, dir, "events")
         .groupBy(date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("day"))
@@ -989,7 +989,7 @@ object PipelineQueries {
       "GROUP BY d.lang"),
     // conditional aggregation is the SQL spelling of pivot; counts cast
     // BIGINT, absent cells 0 on both engines
-    "q_agg_pivot" -> ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+    "q_agg_pivot_events" -> ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
       Seq("click", "error", "purchase", "signup", "view").map(t =>
         s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
         .mkString(", ") +

@@ -70,6 +70,20 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("gram path never plans a Cartesian product; the only BNLJ is the bounded short corner") {
+    // name-domain-sized sides with all-long strings: the candidate join is
+    // a keyed equi-join on the gram, never an all-pairs plan
+    val left = (0L until 200L).map(i => (i, s"left name number $i"))
+    val right = (0L until 200L).map(i => (i, s"right name number $i"))
+    val plan = FuzzyJoin.fuzzyPairs(left.toDF("id", "s"), right.toDF("id", "s"),
+        "id", "s", "id", "s", maxDistance = 1)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // the short-string corner is the one nested-loop site, and it is
+    // broadcast (bounded side), not a shuffle NLJ
+    (plan.split("BroadcastNestedLoopJoin").length - 1) should be <= 1
+  }
+
   test("validation and cross-length pairs spanning the short/gram boundary") {
     // one side short (< n·(k+1)), the other long: only non-matches by the
     // length argument — the operator must not lose or invent pairs there
