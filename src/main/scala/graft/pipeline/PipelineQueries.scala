@@ -601,6 +601,11 @@ object PipelineQueries {
     // BM25-style score), round-6 sum + id tie-break = deterministic cut
     "q_text_search_ranked" -> ((s, dir) =>
       Search.searchRanked(docs(s, dir), Seq("data", "query", "spark"), k = 20)),
+    // true Okapi BM25 (k1=1.2, b=0.75): tf saturation + doc-length
+    // normalization + Lucene idf, round-6 sum, id tie-break — the full
+    // scoring formula replayed term-for-term by the DuckDB oracle
+    "q_text_search_bm25" -> ((s, dir) =>
+      Search.searchBm25(docs(s, dir), Seq("data", "query", "spark"), k = 20)),
     // ingest monitoring: language-mix drift between the first-250-doc
     // "snapshot" and the full corpus — counts, shares, and the bitwise-
     // replayable share ratio (no log, no rounding)
@@ -1313,6 +1318,25 @@ object PipelineQueries {
       "n AS (SELECT count(*) AS n_docs FROM documents) " +
       "SELECT doc_id, round(sum(CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / " +
       "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
+      "FROM p JOIN d USING (term), n GROUP BY doc_id " +
+      "ORDER BY score DESC, doc_id LIMIT 20"),
+    // BM25: dl carried through the per-doc grouping exactly as the Spark
+    // side does; ln(1 + (N-df+.5)/(df+.5)) idf; round-6 sum
+    "q_text_search_bm25" -> ("WITH t AS (SELECT doc_id, " +
+      "len(string_split(lower(text), ' ')) AS dl, " +
+      "unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+      "p AS (SELECT doc_id, dl, term, count(*) AS tf FROM t " +
+      "WHERE term IN ('data', 'query', 'spark') GROUP BY doc_id, dl, term), " +
+      "d AS (SELECT term, count(*) AS df FROM p GROUP BY term), " +
+      "n AS (SELECT count(*) AS n_docs, " +
+      "avg(CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS avgdl " +
+      "FROM documents) " +
+      "SELECT doc_id, round(sum(" +
+      "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)) * " +
+      "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS score, " +
+      "count(*) AS n_terms " +
       "FROM p JOIN d USING (term), n GROUP BY doc_id " +
       "ORDER BY score DESC, doc_id LIMIT 20"),
     // shares are exact-integer divisions; ratio is a division of the two —

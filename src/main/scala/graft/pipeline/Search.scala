@@ -119,4 +119,58 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Okapi BM25 top-`k` — the length-normalized ranking [[searchRanked]]'s
+    * ratio-idf deliberately is not: long documents stop winning on raw term
+    * count once tf saturates at `k1 + 1`, and per-term weight is the
+    * always-positive Lucene idf `ln(1 + (N - df + ½)/(df + ½))`.
+    *
+    * Scale shape: document length is computed in the SAME map-side pass as
+    * the explode and carried through the (doc, term) partial agg as a
+    * grouping column (functionally dependent on the id — no second
+    * corpus-keyed join to attach it); the `isin` prune keeps everything
+    * after the scan query-term-sized; df and the (N, avgdl) pair are tiny
+    * aggregates broadcast back. One corpus pass, one doc-keyed exchange,
+    * `TakeOrderedAndProject` for the cut. The cross-term sum is rounded to
+    * 6 decimals (summation-order ulp drift) and ties break on id — the
+    * deterministic-cut contract every ranked operator here keeps.
+    */
+  def searchBm25(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    require(distinctTerms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    val toks = docs.select(col(idCol),
+      split(lower(col(textCol)), " ").as("__toks"))
+    val matched = Dedup.cache(toks
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .filter(col("term").isin(distinctTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfCounts = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N and avgdl come from the corpus, not the matched subset
+    val corpusStats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("__toks")).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfNorm = col("tf").cast("double") * (lit(k1) + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    matched
+      .join(broadcast(dfCounts), Seq("term"))
+      .crossJoin(broadcast(corpusStats))
+      .groupBy(col(idCol))
+      .agg(round(sum(idf * tfNorm), 6).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

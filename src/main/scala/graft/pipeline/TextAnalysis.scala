@@ -254,12 +254,20 @@ object TextAnalysis {
     *
     * Scale shape: one explode → (doc, term) partial-agg (the only
     * corpus-sized shuffle), document frequencies from a second
-    * distinct-pair-sized aggregation joined back BROADCAST
-    * (vocabulary-sized — at open-web scale cut it with `minDf` or swap the
-    * broadcast for a sort-merge join on term), then a per-doc row_number
-    * window riding the existing doc_id clustering.
+    * distinct-pair-sized aggregation joined back BROADCAST by default
+    * (vocabulary-sized), then a per-doc row_number window riding the
+    * existing doc_id clustering. At open-web scale the distinct-term set
+    * outgrows a broadcast even after a `minDf` cut — pass
+    * `broadcastDf = false` and the df join plans shuffle-side (sort-merge
+    * on term): the (doc, term) stream is already term-keyed out of its
+    * partial agg, so the extra exchange is the df side's only, and no
+    * driver ever holds the vocabulary.
     */
-  def tfIdfTopTerms(docs: DataFrame, k: Int = 5, minDf: Int = 1): DataFrame = {
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      k: Int = 5,
+      minDf: Int = 1,
+      broadcastDf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     // the (doc, term, tf) stream feeds BOTH the df aggregation and the
@@ -274,8 +282,10 @@ object TextAnalysis {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    val dfSide = if (broadcastDf) broadcast(dfCounts)
+                 else dfCounts.hint("merge")
     perDoc
-      .join(broadcast(dfCounts), Seq("term"))
+      .join(dfSide, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         (col("tf").cast("double") * col("n_docs").cast("double") /

@@ -306,6 +306,22 @@ class CurationSpec extends SparkTestBase {
     terms shouldBe Set("shared")
   }
 
+  test("tfIdfTopTerms broadcastDf=false sort-merges the df side, same result") {
+    val docs = Seq(
+      (1L, "shared shared rare"),
+      (2L, "shared other"),
+      (3L, "shared other")
+    ).toDF("doc_id", "text")
+    val merged = TextAnalysis.tfIdfTopTerms(docs, k = 2, broadcastDf = false)
+    val plan = merged.queryExecution.executedPlan.toString
+    // the df join must NOT be a broadcast: the vocabulary never reaches the
+    // driver on the open-web path
+    plan should include ("SortMergeJoin")
+    val bcast = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rk").collect().map(_.toSeq)
+    merged.orderBy("doc_id", "rk").collect().map(_.toSeq) shouldBe bcast
+  }
+
   test("gopherQuality computes each rule and the conjunctive verdict") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),       // passes at the test thresholds

