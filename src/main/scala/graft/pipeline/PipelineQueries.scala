@@ -561,6 +561,17 @@ object PipelineQueries {
     // the rank column rides along so the deterministic cut itself is
     // hash-gated
     "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
+    // corpus-trained bigram LM (CCNet's quality axis): add-1 smoothed
+    // P(w|ctx) over top-5000 bigrams / top-1000 contexts, per-doc avg
+    // log-prob and perplexity — the full model replayed by the oracle
+    "q_text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), bigramK = 5000, contextK = 1000)),
+    // the act step: keep docs at perplexity <= 30 (splits this corpus at the median);
+    // too-short-to-score docs fail the gate (absent), join back carries
+    // the full document row
+    "q_text_ppl_drop" -> ((s, dir) =>
+      TextAnalysis.dropByPerplexity(docs(s, dir), maxPerplexity = 30.0,
+        bigramK = 5000, contextK = 1000)),
     // Gopher-style quality rule flags at corpus-fitting thresholds (the
     // synthetic vocab is stopword-poor, so one hit suffices); thresholds
     // chosen so keep splits the corpus — every rule branch exercised
@@ -1320,6 +1331,11 @@ object PipelineQueries {
       "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
       "FROM p JOIN d USING (term), n GROUP BY doc_id " +
       "ORDER BY score DESC, doc_id LIMIT 20"),
+    "q_text_bigram_lm" -> (bigramLmSql + "SELECT * FROM ppl"),
+    "q_text_ppl_drop" -> (bigramLmSql +
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, p.perplexity " +
+      "FROM documents d JOIN ppl p ON d.doc_id = p.doc_id " +
+      "WHERE p.perplexity <= 30.0"),
     // BM25: dl carried through the per-doc grouping exactly as the Spark
     // side does; ln(1 + (N-df+.5)/(df+.5)) idf; round-6 sum
     "q_text_search_bm25" -> ("WITH t AS (SELECT doc_id, " +
@@ -1397,6 +1413,30 @@ object PipelineQueries {
     * definition as [[Repetition.ngramRepetition]]. A def: it is referenced
     * from the `oracles` val above, which initializes first.
     */
+  /** Bigram-LM scoring CTEs shared by q_text_bigram_lm and q_text_ppl_drop:
+    * the same shingle construction as rep2gramSql, the same top-K cuts and
+    * add-1 smoothing as TextAnalysis.bigramLogProb, perplexity = exp of the
+    * ALREADY-ROUNDED avg (both engines exp the identical round-6 double).
+    */
+  private def bigramLmSql =
+    "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+      "g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS bigram " +
+      "FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)), " +
+      "b2 AS (SELECT bigram, count(*) AS c2 FROM g GROUP BY bigram " +
+      "ORDER BY c2 DESC, bigram LIMIT 5000), " +
+      "cx AS (SELECT string_split(bigram, ' ')[1] AS ctx, count(*) AS c1 FROM g " +
+      "GROUP BY ctx ORDER BY c1 DESC, ctx LIMIT 1000), " +
+      "v AS (SELECT count(DISTINCT term) AS v_size FROM " +
+      "(SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)), " +
+      "lm AS (SELECT doc_id, count(*) AS n_bigrams, " +
+      "round(avg(ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + 1.0 * (v_size + 1)))), 6) " +
+      "AS avg_logprob " +
+      "FROM g LEFT JOIN b2 USING (bigram) " +
+      "LEFT JOIN cx ON string_split(g.bigram, ' ')[1] = cx.ctx, v " +
+      "GROUP BY doc_id), " +
+      "ppl AS (SELECT doc_id, n_bigrams, avg_logprob, " +
+      "round(exp(-avg_logprob), 6) AS perplexity FROM lm) "
+
   private def rep2gramSql =
     "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
       "g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g " +

@@ -221,6 +221,80 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("__lp")), 6).as("avg_logprob"))
   }
 
+  /** Per-document bigram language-model score — the CCNet-style quality
+    * lever ([[unigramLogProb]] with one token of context): train add-`alpha`
+    * bigram counts on the corpus itself, score each document by the average
+    * `ln P(w_i | w_{i-1})` over its bigrams, and report perplexity
+    * `exp(-avg)`. Prose written like the corpus scores low perplexity;
+    * boilerplate, gibberish, and wrong-language text score high — the
+    * standard keep/drop axis for web-scrape curation.
+    *
+    * Model: `P(v | u) = (c(u,v) + α) / (c(u) + α·(V+1))` with the bigram
+    * table cut to the top `bigramK` types and contexts to the top
+    * `contextK` (count desc, key asc — deterministic cuts); an absent
+    * entry contributes count 0, so every bigram gets positive mass. `V` is
+    * the corpus's distinct-unigram count (one scalar aggregate).
+    *
+    * Scale shape: both model tables are top-K-bounded broadcasts (the
+    * [[tfIdfTopTerms]] lever applies verbatim if K must grow: swap the
+    * broadcasts for sort-merge joins on the key); the doc side is one
+    * map-side shingle explode and one doc-keyed aggregation. Documents
+    * with fewer than 2 tokens have no bigrams and are absent from the
+    * output. `avg_logprob` is rounded to 6 (summation-order drift);
+    * `perplexity` is exp of that already-rounded value, rounded again.
+    */
+  def bigramLogProb(
+      docs: DataFrame,
+      bigramK: Int = 5000,
+      contextK: Int = 1000,
+      alpha: Double = 1.0): DataFrame = {
+    require(bigramK > 0, s"bigramK must be positive, got $bigramK")
+    require(contextK > 0, s"contextK must be positive, got $contextK")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val words = split(lower(col("text")), " ")
+    val bg = docs.select(col("doc_id"),
+      explode(shinglesOfWords(words, 2)).as("bigram"))
+    val bgAll = Dedup.cache(bg.select(col("bigram"),
+      substring_index(col("bigram"), " ", 1).as("ctx")))
+    val bigramCounts = bgAll.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram")).limit(bigramK)
+    val contextCounts = bgAll.groupBy(col("ctx")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("ctx")).limit(contextK)
+    val vSize = docs
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .agg(countDistinct(col("term")).as("v_size"))
+    val lp = log((coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") +
+        lit(alpha) * (col("v_size").cast("double") + 1.0)))
+    bg.withColumn("ctx", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(bigramCounts), Seq("bigram"), "left")
+      .join(broadcast(contextCounts), Seq("ctx"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("doc_id"), lp.as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__lp")), 6).as("avg_logprob"))
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 6))
+  }
+
+  /** The act step of [[bigramLogProb]]: keep documents whose corpus-LM
+    * perplexity is at most `maxPerplexity`. Documents too short to score
+    * (fewer than 2 tokens) are DROPPED — an unscoreable document fails the
+    * quality gate rather than bypassing it. Linear: score join is
+    * doc-keyed against the already-doc-keyed score output.
+    */
+  def dropByPerplexity(
+      docs: DataFrame,
+      maxPerplexity: Double,
+      bigramK: Int = 5000,
+      contextK: Int = 1000,
+      alpha: Double = 1.0): DataFrame = {
+    require(maxPerplexity > 0, s"maxPerplexity must be positive, got $maxPerplexity")
+    val kept = bigramLogProb(docs, bigramK, contextK, alpha)
+      .filter(col("perplexity") <= maxPerplexity)
+      .select(col("doc_id"), col("perplexity"))
+    docs.join(kept, Seq("doc_id"))
+  }
+
   /** Per-document out-of-vocabulary rate against a term list (typically
     * [[vocabulary]]'s top-k — the tokenizer-coverage sweep run before
     * committing to a vocab size): token total, OOV count, OOV fraction.

@@ -322,6 +322,43 @@ class CurationSpec extends SparkTestBase {
     merged.orderBy("doc_id", "rk").collect().map(_.toSeq) shouldBe bcast
   }
 
+  test("bigramLogProb scores seen bigrams above unseen; perplexity inverts") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // all bigrams in-model
+      (2L, "a b c"),         // "b c" and context c rarer
+      (3L, "x y"),           // fully out-of-model bigram once cut applies
+      (4L, "solo")           // 1 token: no bigrams, absent from output
+    ).toDF("doc_id", "text")
+    // model with generous K: every bigram/context is in the tables
+    val full = TextAnalysis.bigramLogProb(docs, bigramK = 100, contextK = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    full.map(_._1) shouldBe Array(1L, 2L, 3L)
+    // doc 1's bigrams are the corpus's most frequent → highest avg logprob
+    full(0)._3 should be > full(1)._3
+    // hand-check doc 3: c("x y")=1, c1(x)=1, V=6 distinct unigrams
+    // lp = ln((1+1)/(1+7)) = ln(0.25)
+    val lp3 = BigDecimal(math.log(0.25)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    full(2)._3 shouldBe lp3.toDouble
+    full(2)._4 shouldBe BigDecimal(math.exp(-lp3.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // perplexity orders opposite to avg logprob
+    full.sortBy(_._3).map(_._1).toSeq shouldBe full.sortBy(-_._4).map(_._1).toSeq
+    // tight cuts push doc 3's bigram out of the model: its prob falls to
+    // the unseen floor and its perplexity rises
+    val cut = TextAnalysis.bigramLogProb(docs, bigramK = 2, contextK = 2)
+      .filter(col("doc_id") === 3L).collect()(0).getDouble(3)
+    cut should be > full(2)._4
+    // the act step keeps low-perplexity docs only, carries the row through,
+    // and drops the unscoreable single-token doc
+    val kept = TextAnalysis.dropByPerplexity(docs,
+      maxPerplexity = full(1)._4, bigramK = 100, contextK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.bigramLogProb(docs, bigramK = 0)
+  }
+
   test("gopherQuality computes each rule and the conjunctive verdict") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),       // passes at the test thresholds
