@@ -738,6 +738,19 @@ object PipelineQueries {
       graft.operators.FuzzyJoin.fuzzyPairsPrefix(
         left, right, "p_partkey", "p_name", "p_partkey", "p_name", maxDistance = 2)
     }),
+    // domain centrality: PageRank over a 50-host link graph (two affine
+    // edge families mod 50 — every host links out, in-degree <= 2 so both
+    // engines' contribution sums are order-free 2-term additions), 3
+    // iterations, damping 0.85; the oracle unrolls the same power method
+    "q_graph_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7 + 3) % 50).as("dst"))
+        .unionAll(d.select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 3 + 11) % 50).as("dst")))
+      graft.operators.PageRank.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("id").as("host"), round(col("rank"), 6).as("rank"))
+    }),
     // the reverse contamination direction: per EVAL item, how many train
     // docs carry one of its 5-grams and how many of its shingles leak —
     // the benchmark-integrity report (same eval/train split as
@@ -1354,6 +1367,32 @@ object PipelineQueries {
       "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
       "FROM p JOIN d USING (term), n GROUP BY doc_id " +
       "ORDER BY score DESC, doc_id LIMIT 20"),
+    // every arithmetic step is forced DOUBLE (DuckDB's bare 1.0/0.85 are
+    // DECIMAL) so each engine runs the identical IEEE computation; the
+    // per-vertex contribution sum has at most 2 terms (order-free)
+    "q_graph_pagerank" -> ("WITH e AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst FROM documents " +
+      "UNION ALL SELECT doc_id % 50, (doc_id * 3 + 11) % 50 FROM documents)), " +
+      "vd AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)), " +
+      "n AS (SELECT count(*) AS n_v FROM vd), " +
+      "od AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / CAST(n_v AS DOUBLE) AS rank FROM vd, n), " +
+      "c1 AS (SELECT dst AS id, sum(r.rank / CAST(od.deg AS DOUBLE)) AS contrib " +
+      "FROM e JOIN od USING (src) JOIN r0 r ON e.src = r.id GROUP BY dst), " +
+      "r1 AS (SELECT vd.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n_v AS DOUBLE) + " +
+      "CAST(0.85 AS DOUBLE) * coalesce(c1.contrib, CAST(0.0 AS DOUBLE)) AS rank " +
+      "FROM vd LEFT JOIN c1 USING (id), n), " +
+      "c2 AS (SELECT dst AS id, sum(r.rank / CAST(od.deg AS DOUBLE)) AS contrib " +
+      "FROM e JOIN od USING (src) JOIN r1 r ON e.src = r.id GROUP BY dst), " +
+      "r2 AS (SELECT vd.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n_v AS DOUBLE) + " +
+      "CAST(0.85 AS DOUBLE) * coalesce(c2.contrib, CAST(0.0 AS DOUBLE)) AS rank " +
+      "FROM vd LEFT JOIN c2 USING (id), n), " +
+      "c3 AS (SELECT dst AS id, sum(r.rank / CAST(od.deg AS DOUBLE)) AS contrib " +
+      "FROM e JOIN od USING (src) JOIN r2 r ON e.src = r.id GROUP BY dst), " +
+      "r3 AS (SELECT vd.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n_v AS DOUBLE) + " +
+      "CAST(0.85 AS DOUBLE) * coalesce(c3.contrib, CAST(0.0 AS DOUBLE)) AS rank " +
+      "FROM vd LEFT JOIN c3 USING (id), n) " +
+      "SELECT id AS host, round(rank, 6) AS rank FROM r3"),
     "q_text_bigram_lm" -> (bigramLmSql + "SELECT * FROM ppl"),
     "q_text_ppl_drop" -> (bigramLmSql +
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, p.perplexity " +
