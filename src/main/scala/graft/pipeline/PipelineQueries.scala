@@ -738,6 +738,16 @@ object PipelineQueries {
       graft.operators.FuzzyJoin.fuzzyPairsPrefix(
         left, right, "p_partkey", "p_name", "p_partkey", "p_name", maxDistance = 2)
     }),
+    // weighted sample without replacement: 20 docs per language with odds
+    // proportional to token count (A-ES exponential keys over the md5
+    // uniform, round-9 before ranking, id tie-break); selection runs
+    // through the bounded top-k aggregate, never a per-group sort
+    "q_sample_weighted" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Sampling.weightedSamplePerGroup(d, "doc_id", "lang", "n_tokens", k = 20)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("w_key"))
+    }),
     // domain centrality: PageRank over a 50-host link graph (two affine
     // edge families mod 50 — every host links out, in-degree <= 2 so both
     // engines' contribution sums are order-free 2-term additions), 3
@@ -1367,6 +1377,15 @@ object PipelineQueries {
       "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
       "FROM p JOIN d USING (term), n GROUP BY doc_id " +
       "ORDER BY score DESC, doc_id LIMIT 20"),
+    // same md5-uniform replay as the stratified oracle; the exponential
+    // key is rounded to 9 BEFORE the rank so the cut cannot hinge on ln ulp
+    "q_sample_weighted" -> ("WITH d AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      s"s AS (SELECT doc_id, lang, n_tokens, round(ln((CAST($md5U16Sql AS DOUBLE) + 0.5) " +
+      "/ 65536.0) / CAST(n_tokens AS DOUBLE), 9) AS w_key FROM d WHERE n_tokens > 0), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
+      "ORDER BY w_key DESC, doc_id) AS rn FROM s) " +
+      "SELECT doc_id, lang, n_tokens, w_key FROM r WHERE rn <= 20"),
     // every arithmetic step is forced DOUBLE (DuckDB's bare 1.0/0.85 are
     // DECIMAL) so each engine runs the identical IEEE computation; the
     // per-vertex contribution sum has at most 2 terms (order-free)

@@ -76,4 +76,43 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Weighted sample WITHOUT replacement, `k` rows per group, inclusion
+    * probability ∝ `weightCol` (A-ES exponential keys): each row draws
+    * `w_key = ln(u) / w` from its deterministic uniform
+    * `u = (md5Uniform(id) + ½) / 65536 ∈ (0, 1)`, and the k LARGEST keys
+    * per group win — the Efraimidis–Spirakis reservoir order, so a row's
+    * odds scale with its weight ("sample documents ∝ token count" without
+    * replacement). Membership stays a pure function of (id, weight):
+    * retry-stable, partitioning-independent, engine-replayable.
+    *
+    * Scale shape: selection runs through the bounded
+    * [[graft.functions.TopKByScore]] aggregate — at most k (key, id) pairs
+    * per partition reach the one group-keyed exchange, so a
+    * billion-row group ships k rows, not a sorted billion (the window
+    * form's skew caveat never applies). Selected ids join back to the
+    * input for the full rows; the key rides along as `w_key` for audit.
+    * Keys are rounded to 9 decimals BEFORE ranking with ties broken by
+    * id, so the cut does not hinge on cross-engine `ln` ulp disagreement.
+    * Rows with weight ≤ 0 or NULL are never selected.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("w_key"), "w_key is reserved by weightedSamplePerGroup")
+    val u = (md5Uniform(col(idCol)).cast("double") + lit(0.5)) / lit(65536.0)
+    val key = round(log(u) / col(weightCol).cast("double"), 9)
+    val scored = df.filter(col(weightCol).cast("double") > 0)
+      .select(col(groupCol), col(idCol).as("__sid"), key.as("__wkey"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val picked = scored.groupBy(col(groupCol))
+      .agg(topk(col("__wkey"), col("__sid")).as("__top"))
+      .select(explode(col("__top")).as("__p"))
+      .select(col("__p._2").as("__sid"), col("__p._1").as("w_key"))
+    df.join(picked, df(idCol) === picked("__sid")).drop("__sid")
+  }
 }

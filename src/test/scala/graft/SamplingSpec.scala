@@ -60,10 +60,45 @@ class SamplingSpec extends SparkTestBase {
     filtered shouldBe direct
   }
 
+  test("weighted sample: k per group, agg path equals the window form, retry-stable") {
+    // weights 1..4 by residue; doc 17 gets weight 0 — never selectable
+    val weighted = corpus.withColumn("w",
+      when(col("doc_id") === 17, lit(0L)).otherwise(pmod(col("doc_id"), lit(4)) + 1))
+    val out = Sampling.weightedSamplePerGroup(weighted, "doc_id", "lang", "w", k = 25)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts shouldBe Map("en" -> 25L, "de" -> 25L, "fr" -> 25L)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    ids should not contain 17L
+    // the bounded-aggregate selection must equal the reference window form
+    val u = (Sampling.md5Uniform(col("doc_id")).cast("double") + lit(0.5)) / lit(65536.0)
+    val key = round(log(u) / col("w").cast("double"), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("__k").desc, col("doc_id"))
+    val windowed = weighted.filter(col("w") > 0).withColumn("__k", key)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 25)
+      .select("doc_id").as[Long].collect().toSet
+    ids shouldBe windowed
+    // pure function of content: identical under repartition
+    Sampling.weightedSamplePerGroup(weighted.repartition(7), "doc_id", "lang", "w", 25)
+      .select("doc_id").as[Long].collect().toSet shouldBe ids
+    // monotone in weight: boosting one unselected row's weight far enough
+    // pulls it in (ln(u) < 0 shrinks toward 0 as w grows)
+    val loser = corpus.select("doc_id").as[Long].collect()
+      .filter(i => i % 3 == 0 && !ids.contains(i)).head
+    val boosted = weighted.withColumn("w",
+      when(col("doc_id") === loser, lit(1000000L)).otherwise(col("w")))
+    Sampling.weightedSamplePerGroup(boosted, "doc_id", "lang", "w", 25)
+      .select("doc_id").as[Long].collect().toSet should contain (loser)
+  }
+
   test("input validation") {
     an[IllegalArgumentException] should be thrownBy
       Sampling.stratifiedSample(corpus, "doc_id", "lang", Map("en" -> 1.5))
     an[IllegalArgumentException] should be thrownBy
       Sampling.quotaPerGroup(corpus, "doc_id", "lang", k = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedSamplePerGroup(corpus.withColumn("w", lit(1L)),
+        "doc_id", "lang", "w", k = 0)
   }
 }
