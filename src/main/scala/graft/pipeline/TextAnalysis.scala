@@ -276,6 +276,77 @@ object TextAnalysis {
       .withColumn("perplexity", round(exp(-col("avg_logprob")), 6))
   }
 
+  /** A frozen bigram LM: the top-K count tables and smoothing constants of
+    * [[bigramLogProb]], collected to the driver. Bounded by construction
+    * (`bigramK + contextK` entries — the eval-shingle / ANN-centroid
+    * collect class, NOT corpus-sized), so it can ship as literal maps
+    * inside a streaming gate.
+    */
+  final case class BigramLm(
+      bigramCounts: Map[String, Long],
+      contextCounts: Map[String, Long],
+      vSize: Long,
+      alpha: Double)
+
+  /** Train the [[BigramLm]] on a reference corpus — the bounded prep step
+    * for [[dropByPerplexityStreaming]] (train once on the trusted corpus,
+    * gate every crawl increment against it).
+    */
+  def bigramModel(
+      docs: DataFrame,
+      bigramK: Int = 5000,
+      contextK: Int = 1000,
+      alpha: Double = 1.0): BigramLm = {
+    require(bigramK > 0, s"bigramK must be positive, got $bigramK")
+    require(contextK > 0, s"contextK must be positive, got $contextK")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val words = split(lower(col("text")), " ")
+    val bgAll = Dedup.cache(docs.select(
+      explode(shinglesOfWords(words, 2)).as("bigram"))
+      .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("ctx")))
+    val b2 = bgAll.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram")).limit(bigramK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c1 = bgAll.groupBy(col("ctx")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("ctx")).limit(contextK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+      .agg(countDistinct(col("term"))).collect()(0).getLong(0)
+    BigramLm(b2, c1, v, alpha)
+  }
+
+  /** Ingestion-time perplexity gate: a PURE map-side filter (the frozen
+    * model rides as literal maps, per-row cost is one map probe per
+    * bigram) that composes onto a STREAM with zero state, like the other
+    * streaming curation gates. Keeps rows whose perplexity under the
+    * frozen model is ≤ `maxPerplexity`; unscoreable rows (null text,
+    * fewer than 2 tokens) FAIL the gate, matching [[dropByPerplexity]].
+    * Rounding matches the batch scorer (round-6 avg, then exp), so the
+    * two agree doc for doc when the model matches.
+    *
+    * The per-element HOF here is interpreted, not codegen'd — fine for a
+    * gate whose cost is a few map probes per token; corpus-scale BATCH
+    * scoring should use [[bigramLogProb]]'s relational path instead.
+    */
+  def dropByPerplexityStreaming(
+      docs: DataFrame,
+      model: BigramLm,
+      maxPerplexity: Double,
+      textCol: String = "text"): DataFrame = {
+    require(maxPerplexity > 0, s"maxPerplexity must be positive, got $maxPerplexity")
+    val bgMap = typedLit(model.bigramCounts)
+    val ctxMap = typedLit(model.contextCounts)
+    val denomAdd = model.alpha * (model.vSize.toDouble + 1.0)
+    val bigrams = shinglesOfWords(split(lower(col(textCol)), " "), 2)
+    val lpSum = aggregate(bigrams, lit(0.0), (acc, g) =>
+      acc + log((coalesce(element_at(bgMap, g), lit(0L)).cast("double") + lit(model.alpha)) /
+        (coalesce(element_at(ctxMap, substring_index(g, " ", 1)), lit(0L)).cast("double") +
+          lit(denomAdd))))
+    val avg = round(lpSum / size(bigrams).cast("double"), 6)
+    val ppl = round(exp(-avg), 6)
+    docs.filter(coalesce(size(bigrams) > 0 && ppl <= maxPerplexity, lit(false)))
+  }
+
   /** The act step of [[bigramLogProb]]: keep documents whose corpus-LM
     * perplexity is at most `maxPerplexity`. Documents too short to score
     * (fewer than 2 tokens) are DROPPED — an unscoreable document fails the

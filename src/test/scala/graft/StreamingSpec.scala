@@ -262,6 +262,62 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming perplexity gate: stateless, frozen model, matches the batch scorer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // reference corpus: repetitive in-domain prose; model with generous K
+    val reference = Seq(
+      (100L, "the cat sat on the mat and the cat sat again"),
+      (101L, "the dog sat on the mat and the dog sat again"),
+      (102L, "a cat and a dog sat on the mat")).toDF("doc_id", "text")
+    val model = graft.pipeline.TextAnalysis.bigramModel(reference,
+      bigramK = 100, contextK = 100)
+    model.bigramCounts("the cat") shouldBe 2L
+    model.vSize shouldBe 9L
+    val incoming = Seq(
+      (1L, "the cat sat on the mat"),          // in-domain: low perplexity
+      (2L, "zyx qwv jkl mno ptr stu"),         // out-of-model gibberish
+      (3L, "solo"),                            // one token: unscoreable
+      (4L, null.asInstanceOf[String]))         // null text: unscoreable
+    val input = MemoryStream[(Long, String)]
+    // threshold between the in-domain and gibberish scores, computed from
+    // the batch scorer over the same model constants
+    val gated = graft.pipeline.TextAnalysis.dropByPerplexityStreaming(
+      input.toDF().toDF("doc_id", "text"), model, maxPerplexity = 6.0)
+    val query = gated.writeStream.format("memory").queryName("pplgate")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(incoming: _*)
+      query.processAllAvailable()
+      val kept = s.table("pplgate").select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(1L)
+      query.lastProgress.stateOperators shouldBe empty
+      // the gate's verdicts replay the frozen model exactly: recompute each
+      // incoming doc's perplexity in plain Scala from the model maps
+      def ppl(text: String): Option[Double] = {
+        val ws = text.toLowerCase.split(" ", -1)
+        if (ws.length < 2) None
+        else {
+          val lps = ws.sliding(2).map { p =>
+            val bg = p.mkString(" ")
+            math.log((model.bigramCounts.getOrElse(bg, 0L) + 1.0) /
+              (model.contextCounts.getOrElse(p(0), 0L) + 1.0 * (model.vSize + 1.0)))
+          }.toSeq
+          val avg = BigDecimal(lps.sum / lps.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some(BigDecimal(math.exp(-avg))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      val expected = incoming.collect {
+        case (id, t) if t != null && ppl(t).exists(_ <= 6.0) => id
+      }.toSet
+      kept shouldBe expected
+      ppl(incoming(1)._2).get should be > 6.0 // gibberish really is high
+    }
+  }
+
   test("r13 map-side gates (url canon + host, int8 quantize) are stateless on a stream") {
     val s = spark
     import s.implicits._
