@@ -738,6 +738,13 @@ object PipelineQueries {
       graft.operators.FuzzyJoin.fuzzyPairsPrefix(
         left, right, "p_partkey", "p_name", "p_partkey", "p_name", maxDistance = 2)
     }),
+    // per-label mean embedding: dimension-wise avg through a (group, dim)
+    // partial agg — shuffle volume independent of row count, no vector
+    // collect_list ever forms; elements round-6 for the cross-engine hash
+    "q_embed_centroid" -> ((s, dir) =>
+      Similarity.groupCentroids(embs(s, dir), "label")
+        .select(col("label"), col("n_vectors"),
+          transform(col("centroid"), x => round(x, 6)).as("centroid"))),
     // weighted sample without replacement: 20 docs per language with odds
     // proportional to token count (A-ES exponential keys over the md5
     // uniform, round-9 before ranking, id tie-break); selection runs
@@ -1377,6 +1384,15 @@ object PipelineQueries {
       "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
       "FROM p JOIN d USING (term), n GROUP BY doc_id " +
       "ORDER BY score DESC, doc_id LIMIT 20"),
+    // same per-dim construction as the Spark side: explode each vector by
+    // subscript, avg per (label, dim), reassemble ordered by dim
+    "q_embed_centroid" -> ("WITH x AS (SELECT label, i AS ord, " +
+      "CAST(embedding[i] AS DOUBLE) AS v FROM embeddings, " +
+      "unnest(generate_series(1, len(embedding))) AS t(i)), " +
+      "a AS (SELECT label, ord, round(avg(v), 6) AS m FROM x GROUP BY label, ord), " +
+      "c AS (SELECT label, list(m ORDER BY ord) AS centroid FROM a GROUP BY label), " +
+      "n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) " +
+      "SELECT label, n_vectors, centroid FROM c JOIN n USING (label)"),
     // same md5-uniform replay as the stratified oracle; the exponential
     // key is rounded to 9 BEFORE the rank so the cut cannot hinge on ln ulp
     "q_sample_weighted" -> ("WITH d AS (SELECT doc_id, lang, " +

@@ -37,6 +37,35 @@ object Similarity {
         .otherwise(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
   }
 
+  /** Per-group mean embedding — the semantic summary behind source-level
+    * diversity metrics, cluster naming, and centroid-seeded mixing ("how
+    * far is this domain's content from the corpus center"). Dimension-wise
+    * mean via posexplode → partial agg on (group, dim): the map-side
+    * combine collapses every partition to one partial sum per (group, dim),
+    * so the shuffle carries `partitions × groups × dim` rows — independent
+    * of corpus row count — and the centroid reassembles from the
+    * dim-keyed averages with one more group-keyed aggregation. No
+    * collect_list of raw vectors ever forms (a billion-vector group would
+    * OOM any collected form).
+    */
+  def groupCentroids(
+      vectors: DataFrame,
+      groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val dims = vectors
+      .select(col(groupCol).as("__g"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("__g"), col("__pos"))
+      .agg(avg(col("__v").cast("double")).as("__m"))
+    val cents = dims.groupBy(col("__g"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("centroid"))
+    val counts = vectors.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n_vectors"))
+    cents.join(counts, "__g")
+      .select(col("__g").as(groupCol), col("n_vectors"), col("centroid"))
+  }
+
   /** Exact top-k by cosine similarity against a literal query vector. */
   def bruteForceTopK(
       embeddings: DataFrame,

@@ -54,4 +54,23 @@ class TopKSpec extends SparkTestBase {
     agg.merge(a, b) shouldBe Seq((3.0, 1L), (2.0, 2L), (1.0, 3L))
     an[IllegalArgumentException] should be thrownBy new graft.functions.TopKByScore(0)
   }
+
+  test("groupCentroids: dimension-wise mean, order preserved, no raw-vector collect") {
+    val vecs = Seq(
+      (1L, "a", Seq(1.0f, 0.0f, 2.0f)),
+      (2L, "a", Seq(3.0f, 4.0f, 0.0f)),
+      (3L, "b", Seq(10.0f, 20.0f, 30.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val byLabel = Similarity.groupCentroids(vecs, "label").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    byLabel("a")._1 shouldBe 2L
+    byLabel("a")._2 shouldBe Seq(2.0, 2.0, 1.0)
+    byLabel("b")._1 shouldBe 1L
+    byLabel("b")._2 shouldBe Seq(10.0, 20.0, 30.0)
+    // the plan aggregates (group, dim) partials — no collect_list of the
+    // raw vectors before the first exchange
+    val plan = Similarity.groupCentroids(vecs, "label")
+      .queryExecution.executedPlan.toString
+    plan should include ("partial_avg")
+  }
 }
