@@ -745,6 +745,24 @@ object PipelineQueries {
       Similarity.groupCentroids(embs(s, dir), "label")
         .select(col("label"), col("n_vectors"),
           transform(col("centroid"), x => round(x, 6)).as("centroid"))),
+    // per-label semantic diversity: EXACT mean pairwise cosine from the
+    // unit-centroid identity (n^2*||m||^2 - n) / (n(n-1)) — the O(n^2)
+    // pair sum at one-centroid-pass cost, no pairwise join anywhere
+    "q_embed_diversity" -> ((s, dir) =>
+      Similarity.groupDiversity(embs(s, dir), "label")
+        .select(col("label"), col("n_vectors"),
+          round(col("mean_pairwise_cos"), 6).as("mean_pairwise_cos"),
+          round(col("diversity"), 6).as("diversity"))),
+    // hard-negative mining: nearest non-duplicate neighbors — each query
+    // vector sits IN the corpus, so its self-match (cosine 1.0) must be
+    // excluded BEFORE the top-k cut, which a post-cut filter would get
+    // wrong (k-1 rows); map-side filter, bounded top-k aggregate
+    "q_ann_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e,
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        k = 10)
+    }),
     // weighted sample without replacement: 20 docs per language with odds
     // proportional to token count (A-ES exponential keys over the md5
     // uniform, round-9 before ranking, id tie-break); selection runs
@@ -1384,6 +1402,36 @@ object PipelineQueries {
       "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
       "FROM p JOIN d USING (term), n GROUP BY doc_id " +
       "ORDER BY score DESC, doc_id LIMIT 20"),
+    // the same l2-normalize fold as q_ann_normalize feeds per-dim means;
+    // both engines left-fold the identical doubles, formula rounds at the
+    // end only
+    "q_embed_diversity" -> ("WITH d AS (SELECT vec_id, label, " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "n0 AS (SELECT vec_id, label, v, " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), " +
+      "(a, b) -> a + b)) AS nrm FROM d), " +
+      "u AS (SELECT vec_id, label, CASE WHEN nrm > 0 THEN " +
+      "list_transform(v, x -> x / nrm) ELSE v END AS unit FROM n0), " +
+      "x AS (SELECT label, i AS ord, unit[i] AS val FROM u, " +
+      "unnest(generate_series(1, len(unit))) AS t(i)), " +
+      "a AS (SELECT label, ord, avg(val) AS m FROM x GROUP BY label, ord), " +
+      "c AS (SELECT label, list(m ORDER BY ord) AS cent FROM a GROUP BY label), " +
+      "nn AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label), " +
+      "f AS (SELECT label, n_vectors, CAST(n_vectors AS DOUBLE) AS nd, " +
+      "list_reduce(list_prepend(0.0, list_transform(cent, x -> x * x)), " +
+      "(a, b) -> a + b) AS nsq FROM c JOIN nn USING (label)) " +
+      "SELECT label, n_vectors, " +
+      "CASE WHEN n_vectors >= 2 THEN round((nd * nd * nsq - nd) / (nd * (nd - 1.0)), 6) " +
+      "END AS mean_pairwise_cos, " +
+      "CASE WHEN n_vectors >= 2 THEN round(1.0 - (nd * nd * nsq - nd) / (nd * (nd - 1.0)), 6) " +
+      "END AS diversity FROM f"),
+    "q_ann_hard_negatives" -> ("WITH q AS (SELECT vec_id AS query_id, embedding " +
+      "FROM embeddings WHERE vec_id < 5), " +
+      "s AS (SELECT q.query_id, c.vec_id, " +
+      "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])), 6) AS cosine FROM embeddings c, q) " +
+      "SELECT query_id, vec_id, cosine FROM s WHERE cosine <= 0.999 " +
+      "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 10"),
     // same per-dim construction as the Spark side: explode each vector by
     // subscript, avg per (label, dim), reassemble ordered by dim
     "q_embed_centroid" -> ("WITH x AS (SELECT label, i AS ord, " +

@@ -66,6 +66,65 @@ object Similarity {
       .select(col("__g").as(groupCol), col("n_vectors"), col("centroid"))
   }
 
+  /** Per-group semantic diversity: the EXACT mean pairwise cosine over all
+    * ordered distinct pairs, computed WITHOUT any pairwise join via the
+    * unit-centroid identity — with unit vectors `uᵢ` and mean `m = Σuᵢ/n`:
+    * `Σ_{i≠j} uᵢ·uⱼ = n²‖m‖² − n`, so
+    * `mean_cos = (n²‖m‖² − n) / (n(n−1))` and `diversity = 1 − mean_cos`.
+    * A group of near-copies scores diversity ≈ 0; orthogonal content
+    * scores ≈ 1 — the "is this source semantically varied" curation axis.
+    *
+    * Cost is exactly one [[groupCentroids]] pass over L2-normalized
+    * vectors (shuffle independent of row count) plus arithmetic on the
+    * group-level centroid — an O(n²) pair sum at O(n) cost at any scale.
+    * Groups with fewer than 2 vectors have no pairs: NULL diversity.
+    */
+  def groupDiversity(
+      vectors: DataFrame,
+      groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val unit = l2Normalize(vectors, vecCol, "__unit")
+    val cents = groupCentroids(unit.select(col(groupCol), col("__unit")),
+      groupCol, "__unit")
+    val n = col("n_vectors").cast("double")
+    val normSq = aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)
+    val meanCos = (n * n * normSq - n) / (n * (n - lit(1.0)))
+    cents.select(col(groupCol), col("n_vectors"),
+      when(col("n_vectors") >= 2, meanCos).as("mean_pairwise_cos"),
+      when(col("n_vectors") >= 2, lit(1.0) - meanCos).as("diversity"))
+  }
+
+  /** Hard-negative mining: for every query row, the `k` nearest corpus
+    * vectors that are NOT near-duplicates of it (cosine ≤ `maxCosine`) —
+    * the contrastive-training recipe where the self-match and its copies
+    * must be excluded before the cut, not after (a post-cut filter would
+    * return k − dups rows). Same bounded-aggregate shape as
+    * [[bruteForceTopKBatchAgg]]: the near-dup filter runs map-side on the
+    * scored stream, then at most k pairs per partition reach the
+    * query-keyed exchange.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      maxCosine: Double = 0.999,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!corpus.columns.contains("__qvec"), "__qvec is reserved by hardNegatives")
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val scored = corpus.join(broadcast(q))
+      .select(col(queryIdCol), col(idCol),
+        round(cosineSimilarity(col(vecCol), col("__qvec")), 6).as("cosine"))
+      .filter(col("cosine") <= maxCosine)
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    scored.groupBy(col(queryIdCol))
+      .agg(topk(col("cosine"), col(idCol)).as("__top"))
+      .select(col(queryIdCol), explode(col("__top")).as("__p"))
+      .select(col(queryIdCol), col("__p._2").as(idCol), col("__p._1").as("cosine"))
+  }
+
   /** Exact top-k by cosine similarity against a literal query vector. */
   def bruteForceTopK(
       embeddings: DataFrame,

@@ -55,6 +55,56 @@ class TopKSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy new graft.functions.TopKByScore(0)
   }
 
+  test("groupDiversity: exact mean pairwise cosine from the centroid identity") {
+    val vecs = Seq(
+      (1L, "orth", Seq(1.0f, 0.0f)), (2L, "orth", Seq(0.0f, 1.0f)), // cos = 0
+      (3L, "same", Seq(2.0f, 0.0f)), (4L, "same", Seq(1.0f, 0.0f)), // cos = 1
+      (5L, "solo", Seq(1.0f, 1.0f)) // no pairs
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.groupDiversity(vecs, "label").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    out("orth")._2.get shouldBe 0.0 +- 1e-12
+    out("orth")._3.get shouldBe 1.0 +- 1e-12
+    out("same")._2.get shouldBe 1.0 +- 1e-12
+    out("same")._3.get shouldBe 0.0 +- 1e-12
+    out("solo")._2 shouldBe None
+    out("solo")._3 shouldBe None
+    // three-vector check against the brute pair sum: 120° fan in 2D
+    val fan = Seq(
+      (1L, "f", Seq(1.0f, 0.0f)),
+      (2L, "f", Seq(-0.5f, math.sqrt(3.0).toFloat / 2)),
+      (3L, "f", Seq(-0.5f, -math.sqrt(3.0).toFloat / 2))
+    ).toDF("vec_id", "label", "embedding")
+    // every pair at cos = -1/2 exactly (up to float literal rounding)
+    Similarity.groupDiversity(fan, "label").collect()(0)
+      .getDouble(2) shouldBe -0.5 +- 1e-6
+  }
+
+  test("hardNegatives excludes near-duplicates BEFORE the cut") {
+    // corpus of 6; queries are corpus rows 0 and 1 themselves, and row 10
+    // is an exact copy of row 0 — both the self-match and the copy must be
+    // excluded, and k=3 full rows still come back
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)), (3L, Seq(0.0f, 0.9f, 0.4f)),
+      (4L, Seq(0.5f, 0.5f, 0.0f)), (10L, Seq(1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Similarity.hardNegatives(corpus, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQuery = out.groupBy(_._1)
+    byQuery(0L).map(_._2) should not contain 0L   // self
+    byQuery(0L).map(_._2) should not contain 10L  // exact copy
+    byQuery(0L).length shouldBe 3                 // still k rows
+    byQuery(1L).map(_._2) should not contain 1L
+    out.foreach(_._3 should be <= 0.999)
+    // query 0's nearest admissible neighbor is the 0.9-aligned row 2
+    byQuery(0L).maxBy(_._3)._2 shouldBe 2L
+  }
+
   test("groupCentroids: dimension-wise mean, order preserved, no raw-vector collect") {
     val vecs = Seq(
       (1L, "a", Seq(1.0f, 0.0f, 2.0f)),
