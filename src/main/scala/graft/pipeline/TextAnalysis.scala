@@ -252,13 +252,14 @@ object TextAnalysis {
     require(contextK > 0, s"contextK must be positive, got $contextK")
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val words = split(lower(col("text")), " ")
-    val bg = docs.select(col("doc_id"),
+    // ONE corpus explode feeds the two model aggregations AND the scoring
+    // join — cached (doc_id rides along; the model aggs just ignore it)
+    val bg = Dedup.cache(docs.select(col("doc_id"),
       explode(shinglesOfWords(words, 2)).as("bigram"))
-    val bgAll = Dedup.cache(bg.select(col("bigram"),
-      substring_index(col("bigram"), " ", 1).as("ctx")))
-    val bigramCounts = bgAll.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .withColumn("ctx", substring_index(col("bigram"), " ", 1)))
+    val bigramCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bigram")).limit(bigramK)
-    val contextCounts = bgAll.groupBy(col("ctx")).agg(count(lit(1)).as("c1"))
+    val contextCounts = bg.groupBy(col("ctx")).agg(count(lit(1)).as("c1"))
       .orderBy(col("c1").desc, col("ctx")).limit(contextK)
     val vSize = docs
       .select(explode(split(lower(col("text")), " ")).as("term"))
@@ -266,7 +267,7 @@ object TextAnalysis {
     val lp = log((coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha)) /
       (coalesce(col("c1"), lit(0L)).cast("double") +
         lit(alpha) * (col("v_size").cast("double") + 1.0)))
-    bg.withColumn("ctx", substring_index(col("bigram"), " ", 1))
+    bg
       .join(broadcast(bigramCounts), Seq("bigram"), "left")
       .join(broadcast(contextCounts), Seq("ctx"), "left")
       .crossJoin(broadcast(vSize))
