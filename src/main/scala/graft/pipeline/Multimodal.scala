@@ -118,6 +118,61 @@ object Multimodal {
     * The per-byte loop is still a real pass over the payload (the shape a
     * codec call has); only the arithmetic after it is the stub.
     */
+  /** 60-bit perceptual hash of each payload — STUBBED feature extraction:
+    * a real pHash DCTs the decoded pixel grid; with no codec in this
+    * container, the "features" are the payload's md5 (first 15 hex chars →
+    * a 60-bit key both engines can derive), which preserves the one
+    * property the downstream join needs for verification: identical
+    * payloads collide exactly. The banding/verification machinery in
+    * [[phashNearDupPairs]] is the real, production-shaped part — swap this
+    * one projection for a real pHash and nothing downstream changes.
+    */
+  def pHashStub(media: DataFrame, idCol: String = "doc_id"): DataFrame =
+    media.select(col(idCol),
+      conv(substring(md5(col("payload")), 1, 15), 16, 10).cast("long").as("phash"))
+
+  /** Near-duplicate media pairs at Hamming distance ≤ `maxHamming` over the
+    * 60-bit perceptual hash — the image-dedup step of a multimodal
+    * pipeline. Pigeonhole banding: the 60 bits split into `maxHamming + 1`
+    * contiguous bands, so any pair within distance k agrees on at least
+    * one whole band; candidates equi-join on (band, bits) — map-side band
+    * explode, signature-not-pixels over the shuffle, buckets capped like
+    * every other dedup join here (`graft_cap_*` observes shed rows) — and
+    * the exact `bit_count(xor)` decides. Exact over the capped candidate
+    * set; returns (id_a < id_b, hamming).
+    */
+  def phashNearDupPairs(
+      hashed: DataFrame,
+      maxHamming: Int = 5,
+      idCol: String = "doc_id",
+      bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 59,
+      s"maxHamming must be in [0, 59], got $maxHamming")
+    val nBands = maxHamming + 1
+    val widths = Array.tabulate(nBands)(b => 60 / nBands + (if (b < 60 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("bits"))
+    }
+    val banded = hashed
+      .select(col(idCol).as("id"), col("phash"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col("id"), col("phash"),
+        col("bd.band").as("band"), col("bd.bits").as("bits"))
+    val capped = Dedup.capBuckets(banded, bucketCap, "band", "bits")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.phash").as("__ha"), col("b.phash").as("__hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def decodeStub(docs: DataFrame): Dataset[DecodedMedia] = {
     val spark = docs.sparkSession
     import spark.implicits._

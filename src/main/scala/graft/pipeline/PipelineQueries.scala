@@ -309,6 +309,17 @@ object PipelineQueries {
     "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)).select("doc_id", "roll_hash")),
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withPayload(docs(s, dir)).select("doc_id", "n_bytes", "sha256_hex")),
+    // image near-dup over the 60-bit perceptual hash (stub features, real
+    // banding): planted payload copies + the corpus's own exact-text dupes
+    // must all surface; the oracle brute-forces every pair's bit_count —
+    // the banded join's losslessness at k=5 is itself hash-verified
+    "q_multimodal_phash" -> ((s, dir) => {
+      val m = Multimodal.withPayload(docs(s, dir)).select(col("doc_id"), col("payload"))
+      val planted = m.filter(col("doc_id") < NPlant)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("payload"))
+      Multimodal.phashNearDupPairs(
+        Multimodal.pHashStub(m.unionByName(planted)), maxHamming = 5)
+    }),
     "q_multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(docs(s, dir)).toDF()),
     "q_multimodal_resize" -> ((s, dir) => Multimodal.resizeStub(docs(s, dir)).toDF()),
     // frame indices are derivable from payload size alone, so the sampling
@@ -989,6 +1000,14 @@ object PipelineQueries {
     // 32-bit halves so intermediates stay inside 128 bits; the final CASE
     // maps the unsigned value back onto Spark's signed LongType.
     "q_text_rollhash" -> rollHashOracle,
+    // the oracle skips the banding entirely: every pair, exact popcount
+    "q_multimodal_phash" -> ("WITH m AS (SELECT doc_id, text FROM documents " +
+      s"UNION ALL SELECT doc_id + $PlantOffset, text FROM documents WHERE doc_id < 100), " +
+      "h AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS phash FROM m) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming " +
+      "FROM h a JOIN h b ON a.doc_id < b.doc_id " +
+      "AND bit_count(xor(a.phash, b.phash)) <= 5"),
     "q_multimodal_meta" -> ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
       "sha256(text) AS sha256_hex FROM documents"),
     // CAST(sum(int) AS BIGINT): DuckDB's sum(INTEGER) yields HUGEINT, which

@@ -371,4 +371,39 @@ class PipelineSpec extends SparkTestBase {
     out(1L) shouldBe "en"
     out(2L) shouldBe "es"
   }
+
+  test("phash banding finds every pair within maxHamming and nothing beyond") {
+    val s = spark
+    import s.implicits._
+    // controlled 60-bit hashes: banding must be decided by Hamming distance
+    // alone, so drive the operator with explicit phash values
+    val base = 0x0123456789ABCDL
+    def flip(bits: Int*): Long = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+    val hashed = Seq(
+      (1L, base),
+      (2L, base),                            // hamming 0
+      (3L, flip(0, 13, 27, 41, 59)),         // hamming 5: spread across bands
+      (4L, flip(0, 1, 2, 3, 4, 5)),          // hamming 6: must NOT match id 1
+      (5L, flip(59))                         // hamming 1
+    ).toDF("doc_id", "phash")
+    val pairs = Multimodal.phashNearDupPairs(hashed, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs((1L, 2L)) shouldBe 0
+    pairs((1L, 3L)) shouldBe 5
+    pairs((1L, 5L)) shouldBe 1
+    pairs((2L, 3L)) shouldBe 5
+    pairs.keySet should not contain ((1L, 4L))
+    // id 4 is within 5 of nothing except... check it against 3 and 5: both
+    // beyond 5 bits → absent entirely on the left or right
+    pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 4L
+    // stub hash: identical payloads collide, distinct payloads do not
+    val media = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val h = Multimodal.pHashStub(Multimodal.withPayload(media))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h(1L) shouldBe h(2L)
+    h(1L) should not be h(3L)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.phashNearDupPairs(hashed, maxHamming = 60)
+  }
 }
