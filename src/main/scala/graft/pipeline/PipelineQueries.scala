@@ -784,6 +784,19 @@ object PipelineQueries {
       Sampling.weightedSamplePerGroup(d, "doc_id", "lang", "n_tokens", k = 20)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("w_key"))
     }),
+    // host communities: 2 rounds of synchronous label propagation over the
+    // same 50-host graph, undirected — pure integer arithmetic, min-label
+    // tie-break, so the oracle replays it bitwise with no rounding at all
+    "q_graph_communities" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = d.select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7 + 3) % 50).as("dst"))
+        .unionAll(d.select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 3 + 11) % 50).as("dst")))
+      graft.operators.LabelPropagation.labelPropagation(edges, "src", "dst",
+          iterations = 2)
+        .select(col("id").as("host"), col("community"))
+    }),
     // domain centrality: PageRank over a 50-host link graph (two affine
     // edge families mod 50 — every host links out, in-degree <= 2 so both
     // engines' contribution sums are order-free 2-term additions), 3
@@ -1469,6 +1482,29 @@ object PipelineQueries {
       "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
       "ORDER BY w_key DESC, doc_id) AS rn FROM s) " +
       "SELECT doc_id, lang, n_tokens, w_key FROM r WHERE rn <= 20"),
+    // unrolled 2-round LPA: symmetrized distinct edges, neighbor-label
+    // histogram argmax with (count DESC, label ASC) — all BIGINT
+    "q_graph_communities" -> ("WITH e0 AS (SELECT doc_id % 50 AS src, " +
+      "(doc_id * 7 + 3) % 50 AS dst FROM documents " +
+      "UNION ALL SELECT doc_id % 50, (doc_id * 3 + 11) % 50 FROM documents), " +
+      "e AS (SELECT DISTINCT src, dst FROM " +
+      "(SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0) " +
+      "WHERE src <> dst), " +
+      "l0 AS (SELECT DISTINCT id, id AS label FROM " +
+      "(SELECT src AS id FROM e UNION SELECT dst FROM e)), " +
+      "c1 AS (SELECT e.dst AS id, l.label, count(*) AS c FROM e " +
+      "JOIN l0 l ON e.src = l.id GROUP BY e.dst, l.label), " +
+      "b1 AS (SELECT id, label FROM c1 QUALIFY " +
+      "row_number() OVER (PARTITION BY id ORDER BY c DESC, label) = 1), " +
+      "l1 AS (SELECT l0.id, coalesce(b1.label, l0.label) AS label " +
+      "FROM l0 LEFT JOIN b1 USING (id)), " +
+      "c2 AS (SELECT e.dst AS id, l.label, count(*) AS c FROM e " +
+      "JOIN l1 l ON e.src = l.id GROUP BY e.dst, l.label), " +
+      "b2 AS (SELECT id, label FROM c2 QUALIFY " +
+      "row_number() OVER (PARTITION BY id ORDER BY c DESC, label) = 1), " +
+      "l2 AS (SELECT l1.id, coalesce(b2.label, l1.label) AS label " +
+      "FROM l1 LEFT JOIN b2 USING (id)) " +
+      "SELECT id AS host, label AS community FROM l2"),
     // every arithmetic step is forced DOUBLE (DuckDB's bare 1.0/0.85 are
     // DECIMAL) so each engine runs the identical IEEE computation; the
     // per-vertex contribution sum has at most 2 terms (order-free)

@@ -58,4 +58,42 @@ class PageRankSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       PageRank.pageRank(e, "src", "dst", damping = 1.0)
   }
+
+  test("label propagation: two cliques joined by one bridge split into two communities") {
+    import graft.operators.LabelPropagation.labelPropagation
+    // cliques {1,2,3} and {10,11,12}, bridge 3—10
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val out = labelPropagation(clique.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the min-label tie-break floods 1 through its clique; the bridge is
+    // outvoted by the far clique's internal majority
+    out(1L) shouldBe out(2L)
+    out(2L) shouldBe out(3L)
+    out(10L) shouldBe out(11L)
+    out(11L) shouldBe out(12L)
+    out(1L) should not be out(10L)
+    // round 1 is exactly the min-neighbor relabel: vertex 2's neighbors
+    // {1, 3} all count 1 → label 1
+    val r1 = labelPropagation(clique.toDF("src", "dst"), "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r1(2L) shouldBe 1L
+    r1(12L) shouldBe 10L
+    // undirected semantics: direction of the input edge must not matter
+    val flipped = clique.map(_.swap)
+    labelPropagation(flipped.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe out
+    // self-loops are ignored; isolated-by-self-loop vertices keep their id
+    val selfy = Seq((7L, 7L), (1L, 2L))
+    val so = labelPropagation(selfy.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    so.get(7L) shouldBe None // a self-loop-only vertex has no real edges
+    // a lone pair under SYNCHRONOUS updates swaps labels each round (the
+    // textbook LPA oscillation — why the round count is fixed, not
+    // converged-on): after 2 rounds each is back to… the other's start
+    so(1L) shouldBe 1L
+    so(2L) shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      labelPropagation(clique.toDF("src", "dst"), "src", "dst", iterations = 0)
+  }
 }
