@@ -572,6 +572,9 @@ object PipelineQueries {
     // the rank column rides along so the deterministic cut itself is
     // hash-gated
     "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
+    // Zipf-law fit on the top-200 vocabulary: slope/r2 of ln tf vs ln rank
+    // — the corpus-health one-rower
+    "q_text_zipf" -> ((s, dir) => TextAnalysis.zipfFit(docs(s, dir), k = 200)),
     // corpus-trained bigram LM (CCNet's quality axis): add-1 smoothed
     // P(w|ctx) over top-5000 bigrams / top-1000 contexts, per-doc avg
     // log-prob and perplexity — the full model replayed by the oracle
@@ -1508,6 +1511,14 @@ object PipelineQueries {
     // every arithmetic step is forced DOUBLE (DuckDB's bare 1.0/0.85 are
     // DECIMAL) so each engine runs the identical IEEE computation; the
     // per-vertex contribution sum has at most 2 terms (order-free)
+    "q_text_zipf" -> ("WITH w AS (SELECT doc_id, " +
+      "unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+      "v AS (SELECT term, count(*) AS tf FROM w GROUP BY term " +
+      "ORDER BY tf DESC, term LIMIT 200), " +
+      "r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM v) " +
+      "SELECT count(*) AS n_terms, " +
+      "round(regr_slope(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope, " +
+      "round(regr_r2(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_r2 FROM r"),
     "q_graph_pagerank" -> ("WITH e AS (SELECT DISTINCT src, dst FROM (" +
       "SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst FROM documents " +
       "UNION ALL SELECT doc_id % 50, (doc_id * 3 + 11) % 50 FROM documents)), " +

@@ -221,6 +221,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("__lp")), 6).as("avg_logprob"))
   }
 
+  /** Zipf-law fit over the top-`k` vocabulary — the one-row corpus health
+    * diagnostic: natural text follows `ln tf ≈ a + s·ln rank` with slope
+    * `s ≈ −1`; a flat slope flags boilerplate/template floods, a cliff
+    * flags a degenerate vocabulary. Returns (n_terms, zipf_slope, zipf_r2)
+    * from a least-squares fit on the log-log curve.
+    *
+    * The window ranks only the top-k vocabulary (k bounded — the
+    * single-partition sort is k rows, not the corpus), and the fit is one
+    * `regr_slope`/`regr_r2` aggregate over it; the corpus-sized work is
+    * [[vocabulary]]'s one explode + term agg. Round-6 absorbs the
+    * engine-side `ln` and summation-order ulp.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 200): DataFrame = {
+    require(k >= 2, s"k must be >= 2 to fit a line, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    vocabulary(docs, k)
+      .withColumn("rank", row_number().over(w))
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(log(col("tf").cast("double")),
+          log(col("rank").cast("double"))), 6).as("zipf_slope"),
+        round(regr_r2(log(col("tf").cast("double")),
+          log(col("rank").cast("double"))), 6).as("zipf_r2"))
+  }
+
   /** Per-document bigram language-model score — the CCNet-style quality
     * lever ([[unigramLogProb]] with one token of context): train add-`alpha`
     * bigram counts on the corpus itself, score each document by the average

@@ -322,6 +322,22 @@ class CurationSpec extends SparkTestBase {
     merged.orderBy("doc_id", "rk").collect().map(_.toSeq) shouldBe bcast
   }
 
+  test("zipfFit recovers an exact power law and flags a flat corpus") {
+    // tf·rank = 12 exactly: ln tf = ln 12 − ln rank → slope −1, r² = 1
+    val powerLaw = Seq((1L,
+      (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+        Seq.fill(3)("d")).mkString(" "))).toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(powerLaw, k = 4).collect()(0)
+    fit.getLong(0) shouldBe 4L
+    fit.getDouble(1) shouldBe -1.0 +- 1e-6
+    fit.getDouble(2) shouldBe 1.0 +- 1e-6
+    // uniform frequencies: slope 0 (template flood signature)
+    val flat = Seq((1L, "w x y z")).toDF("doc_id", "text")
+    val flatFit = TextAnalysis.zipfFit(flat, k = 4).collect()(0)
+    flatFit.getDouble(1) shouldBe 0.0 +- 1e-9
+    an[IllegalArgumentException] should be thrownBy TextAnalysis.zipfFit(flat, k = 1)
+  }
+
   test("bigramLogProb scores seen bigrams above unseen; perplexity inverts") {
     val docs = Seq(
       (1L, "a b a b a b"),   // all bigrams in-model
