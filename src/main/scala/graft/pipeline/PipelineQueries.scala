@@ -752,6 +752,12 @@ object PipelineQueries {
       graft.operators.FuzzyJoin.fuzzyPairsPrefix(
         left, right, "p_partkey", "p_name", "p_partkey", "p_name", maxDistance = 2)
     }),
+    // budget water-filling: 400 docs across languages — the four small
+    // langs keep everything, the spillover caps en at 118; allocation
+    // computed in-plan over the 5-row size table, membership by md5 rank
+    "q_sample_waterfall" -> ((s, dir) =>
+      Sampling.budgetWaterfall(docs(s, dir), "doc_id", "lang", budget = 400L)
+        .select(col("doc_id"), col("lang"))),
     // per-label mean embedding: dimension-wise avg through a (group, dim)
     // partial agg — shuffle volume independent of row count, no vector
     // collect_list ever forms; elements round-6 for the cross-engine hash
@@ -1437,6 +1443,20 @@ object PipelineQueries {
       "CAST(df AS DOUBLE)), 6) AS score, count(*) AS n_terms " +
       "FROM p JOIN d USING (term), n GROUP BY doc_id " +
       "ORDER BY score DESC, doc_id LIMIT 20"),
+    // the identical ascending-prefix water-filling windows, all integers
+    "q_sample_waterfall" -> ("WITH s AS (SELECT lang, count(*) AS sz FROM documents GROUP BY lang), " +
+      "o AS (SELECT lang, sz, row_number() OVER (ORDER BY sz, lang) AS i, " +
+      "sum(sz) OVER (ORDER BY sz, lang) AS cum, count(*) OVER () AS gn FROM s), " +
+      "f AS (SELECT *, (sz * (gn - i + 1) + (cum - sz)) <= 400 AS is_full FROM o), " +
+      "g AS (SELECT *, max(CASE WHEN is_full THEN cum ELSE 0 END) OVER () AS spent, " +
+      "sum(CASE WHEN is_full THEN 0 ELSE 1 END) OVER () AS ng, " +
+      "sum(CASE WHEN is_full THEN 0 ELSE 1 END) OVER (ORDER BY sz, lang) AS j FROM f), " +
+      "a AS (SELECT lang, CASE WHEN is_full THEN sz ELSE " +
+      "((400 - spent) // ng) + (CASE WHEN j <= ((400 - spent) % ng) THEN 1 ELSE 0 END) " +
+      "END AS take FROM g), " +
+      "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+      "SELECT r.doc_id, r.lang FROM r JOIN a USING (lang) WHERE rn <= take"),
     // the same l2-normalize fold as q_ann_normalize feeds per-dim means;
     // both engines left-fold the identical doubles, formula rounds at the
     // end only

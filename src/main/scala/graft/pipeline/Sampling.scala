@@ -77,6 +77,62 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Fill a TOTAL budget of `budget` rows fairly across groups
+    * (water-filling): every group keeps min(size, level) rows where the
+    * level is the largest equal share the budget allows — small groups
+    * keep everything and their unused share spills over to larger groups,
+    * so exactly `min(budget, total)` rows come back. The classic "fill a
+    * 10M-doc training mix across sources without starving small ones".
+    *
+    * The allocation is computed IN-PLAN over the group-size aggregate
+    * (G rows — the [[graft.pipeline.Mixture]] precedent): ascending-size
+    * prefix scan finds the groups that fit fully (`sᵢ·(G−i+1) + cum_{i−1}
+    * ≤ B` is monotone in i, so the fully-kept set is a prefix), the rest
+    * take `⌊remaining/⌈groups left⌉⌋` with the integer remainder going to
+    * the first groups in (size, name) order — pure integer arithmetic,
+    * bitwise replayable. Membership within a group is the same
+    * smallest-md5 draw as [[quotaPerGroup]] (retry-stable, and the same
+    * prefilter remedy applies to billion-row groups).
+    */
+  def budgetWaterfall(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("__rn"), "__rn is reserved by budgetWaterfall")
+    val byAsc = Window.orderBy(col("__s"), col("__g"))
+    val all = Window.partitionBy()
+    val sizes = df.groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__s"))
+      .withColumn("__i", row_number().over(byAsc))
+      .withColumn("__cum", sum(col("__s")).over(byAsc))
+      .withColumn("__gn", count(lit(1)).over(all))
+    // a group fits fully iff giving it (and implicitly every later, larger
+    // group) its own size still fits the budget
+    val fits = col("__s") * (col("__gn") - col("__i") + 1) +
+      (col("__cum") - col("__s")) <= budget
+    val alloc = sizes
+      .withColumn("__full", fits)
+      // budget spent on the full prefix / groups beyond it
+      .withColumn("__spent", max(when(col("__full"), col("__cum")).otherwise(0L)).over(all))
+      .withColumn("__left", greatest(lit(0L), lit(budget) - col("__spent")))
+      .withColumn("__ng", sum(when(col("__full"), 0L).otherwise(1L)).over(all))
+      .withColumn("__lvl", when(col("__ng") > 0, expr("__left div __ng")).otherwise(lit(0L)))
+      .withColumn("__rem", when(col("__ng") > 0, col("__left") % col("__ng")).otherwise(lit(0L)))
+      // rank among the NON-full groups in the same ascending order
+      .withColumn("__j", sum(when(col("__full"), 0L).otherwise(1L)).over(byAsc))
+      .withColumn("__take",
+        when(col("__full"), col("__s"))
+          .otherwise(col("__lvl") + when(col("__j") <= col("__rem"), 1L).otherwise(0L)))
+      .select(col("__g"), col("__take"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(alloc), col(groupCol) === col("__g"))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__rn", "__g", "__take")
+  }
+
   /** Weighted sample WITHOUT replacement, `k` rows per group, inclusion
     * probability ∝ `weightCol` (A-ES exponential keys): each row draws
     * `w_key = ln(u) / w` from its deterministic uniform

@@ -92,6 +92,36 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet should contain (loser)
   }
 
+  test("budgetWaterfall: small groups keep everything, spillover fills the rest exactly") {
+    def groups(spec: (String, Int)*) = spec.toSeq.flatMap { case (g, n) =>
+      (0 until n).map(i => (g.hashCode.toLong * 10000 + i, g))
+    }.toDF("doc_id", "grp")
+    def takes(df: org.apache.spark.sql.DataFrame, b: Long) =
+      Sampling.budgetWaterfall(df, "doc_id", "grp", b)
+        .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10/20/100 at B=60: 10 and 20 fit fully, the rest levels at 30
+    takes(groups("a" -> 10, "b" -> 20, "c" -> 100), 60L) shouldBe
+      Map("a" -> 10L, "b" -> 20L, "c" -> 30L)
+    // 5/50/50 at B=60: level 27 with remainder 1 → first big group gets 28
+    takes(groups("a" -> 5, "b" -> 50, "c" -> 50), 60L) shouldBe
+      Map("a" -> 5L, "b" -> 28L, "c" -> 27L)
+    // budget beyond the corpus: everything kept
+    takes(groups("a" -> 3, "b" -> 4), 100L) shouldBe Map("a" -> 3L, "b" -> 4L)
+    // budget below the smallest equal share: flat split, no group full
+    takes(groups("a" -> 10, "b" -> 20, "c" -> 100), 9L) shouldBe
+      Map("a" -> 3L, "b" -> 3L, "c" -> 3L)
+    // membership is the quota draw: the selected subset of a group equals
+    // quotaPerGroup at the same take (retry-stable by construction)
+    val df = groups("a" -> 10, "b" -> 20, "c" -> 100)
+    val viaWf = Sampling.budgetWaterfall(df, "doc_id", "grp", 60L)
+      .filter(col("grp") === "c").select("doc_id").as[Long].collect().toSet
+    val viaQuota = Sampling.quotaPerGroup(df.filter(col("grp") === "c"),
+      "doc_id", "grp", 30).select("doc_id").as[Long].collect().toSet
+    viaWf shouldBe viaQuota
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.budgetWaterfall(df, "doc_id", "grp", 0L)
+  }
+
   test("input validation") {
     an[IllegalArgumentException] should be thrownBy
       Sampling.stratifiedSample(corpus, "doc_id", "lang", Map("en" -> 1.5))
