@@ -30,13 +30,22 @@ object PageRank {
   /** (id, rank) for every vertex of the graph, after `iterations` rounds
     * from the uniform start. Edges are deduplicated; self-loops are legal
     * (a self-loop feeds rank back to its own vertex).
+    *
+    * `initialRanks` warm-starts the power method from a previous result —
+    * the incremental story: after a crawl delta perturbs the graph, seed
+    * from yesterday's ranks and converge in a round or two instead of
+    * from-scratch iterations. Vertices absent from the seed (new hosts)
+    * enter at the uniform share; the seeded vector is renormalized to a
+    * probability vector in-plan, so the sum-to-1 invariant holds from
+    * round one whatever the seed.
     */
   def pageRank(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      initialRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
     val e = Dedup.cache(edges
@@ -47,8 +56,20 @@ object PageRank {
     val nV = verts.agg(count(lit(1)).as("n_v"))
     val outDeg = Dedup.cache(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
 
-    var ranks = verts.crossJoin(broadcast(nV))
-      .select(col("id"), (lit(1.0) / col("n_v").cast("double")).as("rank"))
+    var ranks = initialRanks match {
+      case None =>
+        verts.crossJoin(broadcast(nV))
+          .select(col("id"), (lit(1.0) / col("n_v").cast("double")).as("rank"))
+      case Some(init) =>
+        val seeded = Dedup.cache(verts
+          .join(init.select(col("id"), col("rank").as("__seed")), Seq("id"), "left")
+          .crossJoin(broadcast(nV))
+          .select(col("id"),
+            coalesce(col("__seed"), lit(1.0) / col("n_v").cast("double")).as("__raw")))
+        val total = seeded.agg(sum(col("__raw")).as("__tot"))
+        seeded.crossJoin(broadcast(total))
+          .select(col("id"), (col("__raw") / col("__tot")).as("rank"))
+    }
     for (_ <- 1 to iterations) {
       val withDeg = Dedup.cache(ranks
         .join(outDeg, ranks("id") === outDeg("src"), "left")

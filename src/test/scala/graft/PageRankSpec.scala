@@ -51,6 +51,27 @@ class PageRankSpec extends SparkTestBase {
     hr(2L) shouldBe hr(3L)
   }
 
+  test("warm start: composition, new-vertex fill, renormalization") {
+    val hub = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("src", "dst")
+    def run(it: Int, init: Option[org.apache.spark.sql.DataFrame]) =
+      PageRank.pageRank(hub, "src", "dst", iterations = it, initialRanks = init)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def asDF(m: Map[Long, Double]) = m.toSeq.toDF("id", "rank")
+    // cold 6 rounds == warm(cold 3, 3 more) up to renormalization ulp
+    val cold3 = run(3, None)
+    val cold6 = run(6, None)
+    val warm = run(3, Some(asDF(cold3)))
+    cold6.keySet shouldBe warm.keySet
+    cold6.foreach { case (id, r) => warm(id) shouldBe r +- 1e-12 }
+    // a seed missing a vertex (new host) still yields a probability vector
+    run(1, Some(asDF(cold3 - 2L))).values.sum shouldBe 1.0 +- 1e-12
+    // an unnormalized seed (counts, say) is renormalized before round one:
+    // scaling the seed by 1000 changes nothing
+    val a = run(1, Some(asDF(cold3)))
+    val b = run(1, Some(asDF(cold3.map { case (k, v) => k -> v * 1000.0 })))
+    a.foreach { case (id, r) => b(id) shouldBe r +- 1e-12 }
+  }
+
   test("validation") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     an[IllegalArgumentException] should be thrownBy
