@@ -572,6 +572,10 @@ object PipelineQueries {
     // the rank column rides along so the deterministic cut itself is
     // hash-gated
     "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
+    // BPE merge candidates: top-50 word-internal adjacent character pairs
+    // — the statistic the first BPE merge maximizes, lexicographic
+    // tie-break
+    "q_text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpeMergePairs(docs(s, dir), k = 50)),
     // Zipf-law fit on the top-200 vocabulary: slope/r2 of ln tf vs ln rank
     // — the corpus-health one-rower
     "q_text_zipf" -> ((s, dir) => TextAnalysis.zipfFit(docs(s, dir), k = 200)),
@@ -1531,6 +1535,11 @@ object PipelineQueries {
     // every arithmetic step is forced DOUBLE (DuckDB's bare 1.0/0.85 are
     // DECIMAL) so each engine runs the identical IEEE computation; the
     // per-vertex contribution sum has at most 2 terms (order-free)
+    "q_text_bpe_pairs" -> ("WITH w AS (SELECT unnest(string_split(lower(text), ' ')) " +
+      "AS word FROM documents), " +
+      "p AS (SELECT substr(word, i, 2) AS pair FROM w, " +
+      "unnest(generate_series(1, greatest(len(word) - 1, 0))) AS t(i)) " +
+      "SELECT pair, count(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50"),
     "q_text_zipf" -> ("WITH w AS (SELECT doc_id, " +
       "unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
       "v AS (SELECT term, count(*) AS tf FROM w GROUP BY term " +

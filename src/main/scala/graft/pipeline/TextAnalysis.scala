@@ -542,6 +542,31 @@ object TextAnalysis {
       regexp_count(col("text"), lit(" ?[A-Za-z]+")).cast("int").as("n_word_runs"),
       regexp_count(col("text"), lit(" ?[0-9]+")).cast("int").as("n_num_runs"))
 
+  /** The BPE merge-candidate table: the top-`k` ADJACENT character pairs
+    * inside lowercased words, weighted by occurrence — exactly the
+    * statistic the first BPE merge step maximizes, and the re-runnable
+    * core of tokenizer training over a corpus (apply a merge, re-count,
+    * repeat). Word boundaries never pair (BPE merges stay word-internal
+    * here), ties break lexicographically so the k-cut is deterministic.
+    *
+    * One map-side explode of word-internal character bigrams (bounded by
+    * text length, the shingle shape) into the one term-keyed partial agg,
+    * then `TakeOrderedAndProject` for the cut — the [[vocabulary]] plan
+    * over a finer alphabet.
+    */
+  def bpeMergePairs(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = split(lower(col("text")), " ")
+    val pairs = explode(flatten(transform(words, w =>
+      when(length(w) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(w) - 1),
+          i => w.substr(i, lit(2)))))))
+    docs.select(pairs.as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Quality heuristics from length / word-shape ratios; built from
     * `replace`/`length` only so the DuckDB oracle is exact.
     */

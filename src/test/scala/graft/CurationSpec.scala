@@ -322,6 +322,15 @@ class CurationSpec extends SparkTestBase {
     merged.orderBy("doc_id", "rk").collect().map(_.toSeq) shouldBe bcast
   }
 
+  test("bpeMergePairs counts word-internal adjacent character pairs") {
+    val docs = Seq((1L, "banana a BA")).toDF("doc_id", "text")
+    // banana → ba an na an na; "a" too short; "BA" folds to ba
+    val out = TextAnalysis.bpeMergePairs(docs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("an", 2L), ("ba", 2L), ("na", 2L))
+    an[IllegalArgumentException] should be thrownBy TextAnalysis.bpeMergePairs(docs, 0)
+  }
+
   test("zipfFit recovers an exact power law and flags a flat corpus") {
     // tf·rank = 12 exactly: ln tf = ln 12 − ln rank → slope −1, r² = 1
     val powerLaw = Seq((1L,
