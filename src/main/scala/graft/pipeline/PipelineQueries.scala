@@ -572,6 +572,14 @@ object PipelineQueries {
     // the rank column rides along so the deterministic cut itself is
     // hash-gated
     "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
+    // composite curation score: equal-weight blend of the percent-ranks of
+    // two incomparable signals (count vs ratio) — exact-integer rank
+    // divisions, id tie-break, so the normalization replays bitwise
+    "q_text_quality_blend" -> ((s, dir) =>
+      TextAnalysis.blendQualitySignals(
+        TextAnalysis.qualityScore(docs(s, dir))
+          .select(col("doc_id"), col("n_words"), col("stopword_ratio")),
+        "doc_id", Map("n_words" -> 1.0, "stopword_ratio" -> 1.0))),
     // BPE merge candidates: top-50 word-internal adjacent character pairs
     // — the statistic the first BPE merge maximizes, lexicographic
     // tie-break
@@ -1535,6 +1543,15 @@ object PipelineQueries {
     // every arithmetic step is forced DOUBLE (DuckDB's bare 1.0/0.85 are
     // DECIMAL) so each engine runs the identical IEEE computation; the
     // per-vertex contribution sum has at most 2 terms (order-free)
+    "q_text_quality_blend" -> ("WITH q AS (SELECT doc_id, " +
+      "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_words, " +
+      "round(CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3 AS DOUBLE) " +
+      "/ (length(text) - length(replace(text, ' ', '')) + 1), 4) AS stopword_ratio " +
+      "FROM documents) " +
+      "SELECT doc_id, n_words, stopword_ratio, " +
+      "round(percent_rank() OVER (ORDER BY n_words, doc_id) * 0.5 + " +
+      "percent_rank() OVER (ORDER BY stopword_ratio, doc_id) * 0.5, 6) AS quality_blend " +
+      "FROM q"),
     "q_text_bpe_pairs" -> ("WITH w AS (SELECT unnest(string_split(lower(text), ' ')) " +
       "AS word FROM documents), " +
       "p AS (SELECT substr(word, i, 2) AS pair FROM w, " +

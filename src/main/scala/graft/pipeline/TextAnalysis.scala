@@ -584,6 +584,45 @@ object TextAnalysis {
       round(theCount.cast("double") / words.cast("double"), 4).as("stopword_ratio"))
   }
 
+  /** Blend heterogeneous quality signals into ONE composite score by rank
+    * normalization: each signal maps to its percent-rank (position in the
+    * corpus-wide total order, ties broken by id so the cut is
+    * deterministic), and the composite is the weighted mean of the
+    * normalized ranks — the standard way to combine signals whose raw
+    * scales are incomparable (token counts vs ratios vs perplexities).
+    * Signals where HIGHER is worse (perplexity, repetition) should be
+    * negated by the caller before blending.
+    *
+    * Scale note: each signal's percent-rank is a TOTAL-order window — a
+    * corpus-wide sort per signal (fine through the bench scales; the
+    * q_window_ntile caveat applies verbatim). At open-web scale replace
+    * the exact ranks with [[QuantileFilter]]-style approx-percentile bin
+    * assignments: same composite semantics, no global sort.
+    */
+  def blendQualitySignals(
+      signals: DataFrame,
+      idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.keys.forall(signals.columns.contains), {
+      val missing = weights.keys.filterNot(signals.columns.contains)
+      s"signal columns not in frame: ${missing.mkString(", ")}"
+    })
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val total = weights.values.sum
+    val ranked = weights.keys.toSeq.sorted.foldLeft(signals) { (df, c) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(c), col(idCol))
+      df.withColumn(s"__pr_$c", percent_rank().over(w))
+    }
+    val composite = weights.keys.toSeq.sorted
+      .map(c => col(s"__pr_$c") * lit(weights(c) / total))
+      .reduce(_ + _)
+    ranked
+      .withColumn("quality_blend", round(composite, 6))
+      .drop(weights.keys.toSeq.sorted.map(c => s"__pr_$c"): _*)
+  }
+
   /** Visible to PipelineQueries so the DuckDB oracle is generated from the
     * same word lists (no drift between engine and oracle).
     */

@@ -322,6 +322,31 @@ class CurationSpec extends SparkTestBase {
     merged.orderBy("doc_id", "rk").collect().map(_.toSeq) shouldBe bcast
   }
 
+  test("blendQualitySignals: weighted mean of percent-ranks, deterministic ties") {
+    val sig = Seq((1L, 10L, 40.0), (2L, 20L, 30.0), (3L, 30L, 20.0), (4L, 40L, 10.0))
+      .toDF("doc_id", "a", "b")
+    // perfectly anti-correlated signals at equal weight: everyone blends 0.5
+    val eq = TextAnalysis.blendQualitySignals(sig, "doc_id", Map("a" -> 1.0, "b" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    eq.values.foreach(_ shouldBe 0.5 +- 1e-9)
+    // 3:1 weights: blend = 0.75·pr_a + 0.25·pr_b
+    val w31 = TextAnalysis.blendQualitySignals(sig, "doc_id", Map("a" -> 3.0, "b" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    w31(1L) shouldBe 0.25 +- 1e-9  // pr_a = 0, pr_b = 1
+    w31(4L) shouldBe 0.75 +- 1e-9  // pr_a = 1, pr_b = 0
+    w31(2L) shouldBe (0.75 / 3 + 0.25 * 2.0 / 3) +- 1e-6
+    // ties on the signal break by id: equal values get distinct ranks
+    val tied = Seq((1L, 5L, 1.0), (2L, 5L, 1.0)).toDF("doc_id", "a", "b")
+    val t = TextAnalysis.blendQualitySignals(tied, "doc_id", Map("a" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    t(1L) shouldBe 0.0
+    t(2L) shouldBe 1.0
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.blendQualitySignals(sig, "doc_id", Map.empty)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.blendQualitySignals(sig, "doc_id", Map("nope" -> 1.0))
+  }
+
   test("bpeMergePairs counts word-internal adjacent character pairs") {
     val docs = Seq((1L, "banana a BA")).toDF("doc_id", "text")
     // banana → ba an na an na; "a" too short; "BA" folds to ba
@@ -343,7 +368,7 @@ class CurationSpec extends SparkTestBase {
     // uniform frequencies: slope 0 (template flood signature)
     val flat = Seq((1L, "w x y z")).toDF("doc_id", "text")
     val flatFit = TextAnalysis.zipfFit(flat, k = 4).collect()(0)
-    flatFit.getDouble(1) shouldBe 0.0 +- 1e-9
+    flatFit.getDouble(1) shouldBe 0.0 +- 1e-6
     an[IllegalArgumentException] should be thrownBy TextAnalysis.zipfFit(flat, k = 1)
   }
 
