@@ -141,11 +141,14 @@ object Multimodal {
     * the exact `bit_count(xor)` decides. Exact over the capped candidate
     * set; returns (id_a < id_b, hamming).
     */
-  def phashNearDupPairs(
+  /** The (id, phash, band, bits) band explode shared by the batch
+    * self-join and the streaming gate — one struct per pigeonhole band of
+    * the 60-bit hash, map-side.
+    */
+  private[graft] def phashBands(
       hashed: DataFrame,
-      maxHamming: Int = 5,
-      idCol: String = "doc_id",
-      bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+      maxHamming: Int,
+      idCol: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 59,
       s"maxHamming must be in [0, 59], got $maxHamming")
     val nBands = maxHamming + 1
@@ -156,11 +159,19 @@ object Multimodal {
         shiftrightunsigned(col("phash"), offsets(b))
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("bits"))
     }
-    val banded = hashed
+    hashed
       .select(col(idCol).as("id"), col("phash"),
         explode(array(bandCols: _*)).as("bd"))
       .select(col("id"), col("phash"),
         col("bd.band").as("band"), col("bd.bits").as("bits"))
+  }
+
+  def phashNearDupPairs(
+      hashed: DataFrame,
+      maxHamming: Int = 5,
+      idCol: String = "doc_id",
+      bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    val banded = phashBands(hashed, maxHamming, idCol)
     val capped = Dedup.capBuckets(banded, bucketCap, "band", "bits")
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&

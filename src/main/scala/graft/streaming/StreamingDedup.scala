@@ -131,4 +131,41 @@ object StreamingDedup {
       .withColumn("est_jaccard", signatureAgreement(col("sig"), col("corpus_sig")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id"), col("corpus_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+
+  /** The media analog of [[corpusBandIndex]]: one row per pigeonhole band
+    * of each corpus item's 60-bit perceptual hash —
+    * (band, bits, corpus_id, corpus_phash). Build once offline; the
+    * `maxHamming` MUST match the [[phashMatches]] call (it fixes the band
+    * split). Same bucketed-table scale path applies (write with
+    * `bucketBy(n, "band", "bits")`).
+    */
+  def corpusPhashIndex(
+      corpus: DataFrame,
+      maxHamming: Int = 5,
+      idCol: String = "doc_id",
+      bucketCap: Int = Dedup.defaultBucketCap): DataFrame =
+    Dedup.capBuckets(
+        graft.pipeline.Multimodal.phashBands(
+          graft.pipeline.Multimodal.pHashStub(corpus, idCol), maxHamming, idCol),
+        bucketCap, "band", "bits")
+      .select(col("band"), col("bits"),
+        col("id").as("corpus_id"), col("phash").as("corpus_phash"))
+
+  /** Ingestion-time media near-dup gate: incoming payloads hash and band
+    * map-side, stream-static equi join on (band, bits), exact
+    * `bit_count(xor)` verify — ZERO streaming state, per-batch cost ∝
+    * batch size. Multiset semantics like [[nearDupMatches]] (one row per
+    * colliding band); aggregate downstream.
+    */
+  def phashMatches(
+      media: DataFrame,
+      phashIndex: DataFrame,
+      maxHamming: Int = 5,
+      idCol: String = "doc_id"): DataFrame =
+    graft.pipeline.Multimodal.phashBands(
+        graft.pipeline.Multimodal.pHashStub(media, idCol), maxHamming, idCol)
+      .join(phashIndex, Seq("band", "bits"))
+      .withColumn("hamming", bit_count(col("phash").bitwiseXOR(col("corpus_phash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id"), col("corpus_id"), col("hamming"))
 }

@@ -262,6 +262,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming media near-dup gate: phash bands against the static index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.pipeline.Multimodal
+    val corpus = Multimodal.withPayload(Seq(
+      (1L, "the quick brown fox media payload"),
+      (2L, "spark structured streaming media payload"),
+      (3L, "minhash signatures media payload")).toDF("doc_id", "text"))
+    val idx = StreamingDedup.corpusPhashIndex(corpus).persist()
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingDedup.phashMatches(
+      Multimodal.withPayload(input.toDF().toDF("doc_id", "text")), idx)
+    val query = gated.writeStream.format("memory").queryName("phashgate")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(
+        (100L, "the quick brown fox media payload"),   // exact copy of 1
+        (101L, "an entirely novel media payload"))
+      query.processAllAvailable()
+      val got = s.table("phashgate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct
+      got.toSet shouldBe Set((100L, 1L, 0))
+      query.lastProgress.stateOperators shouldBe empty
+      // batch twin agrees: the self-join over corpus+copy finds the pair
+      val union = corpus.select("doc_id", "payload").unionByName(
+        Multimodal.withPayload(Seq((100L, "the quick brown fox media payload"))
+          .toDF("doc_id", "text")).select("doc_id", "payload"))
+      val batch = Multimodal.phashNearDupPairs(Multimodal.pHashStub(union))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      batch shouldBe Set((1L, 100L, 0))
+    }
+    idx.unpersist()
+  }
+
   test("streaming perplexity gate: stateless, frozen model, matches the batch scorer") {
     val s = spark
     import s.implicits._
