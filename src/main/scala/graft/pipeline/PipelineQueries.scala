@@ -572,6 +572,24 @@ object PipelineQueries {
     // the rank column rides along so the deterministic cut itself is
     // hash-gated
     "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
+    // CDC merge: upserts (incl. out-of-order seq — highest wins), deletes,
+    // and brand-new ids applied to the base corpus in one full-outer join
+    "q_cdc_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def ch(df: org.apache.spark.sql.DataFrame, op: String, seq: Long,
+             text: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+        df.select(id.as("doc_id"), lit(op).as("op"), lit(seq).as("seq"),
+          text.as("text"), col("lang"), col("source"), col("n_chars"))
+      val changes = ch(d.filter(col("doc_id") < 50), "upsert", 1L,
+          concat(col("text"), lit(" v1")), col("doc_id"))
+        .unionByName(ch(d.filter(col("doc_id") < 10), "upsert", 2L,
+          concat(col("text"), lit(" v2")), col("doc_id")))
+        .unionByName(ch(d.filter(col("doc_id") >= 50 && col("doc_id") < 80),
+          "delete", 1L, col("text"), col("doc_id")))
+        .unionByName(ch(d.filter(col("doc_id") < 20), "upsert", 1L,
+          col("text"), col("doc_id") + PlantOffset))
+      Snapshot.applyChangeLog(d, changes)
+    }),
     // composite curation score: equal-weight blend of the percent-ranks of
     // two incomparable signals (count vs ratio) — exact-integer rank
     // divisions, id tie-break, so the normalization replays bitwise
@@ -1543,6 +1561,25 @@ object PipelineQueries {
     // every arithmetic step is forced DOUBLE (DuckDB's bare 1.0/0.85 are
     // DECIMAL) so each engine runs the identical IEEE computation; the
     // per-vertex contribution sum has at most 2 terms (order-free)
+    // same change feed, same winner-per-id window, same merge semantics
+    "q_cdc_apply" -> ("WITH ch AS (" +
+      "SELECT doc_id, 'upsert' AS op, 1 AS seq, text || ' v1' AS text, " +
+      "lang, source, n_chars FROM documents WHERE doc_id < 50 " +
+      "UNION ALL SELECT doc_id, 'upsert', 2, text || ' v2', lang, source, n_chars " +
+      "FROM documents WHERE doc_id < 10 " +
+      "UNION ALL SELECT doc_id, 'delete', 1, text, lang, source, n_chars " +
+      "FROM documents WHERE doc_id >= 50 AND doc_id < 80 " +
+      s"UNION ALL SELECT doc_id + $PlantOffset, 'upsert', 1, text, lang, source, n_chars " +
+      "FROM documents WHERE doc_id < 20), " +
+      "l AS (SELECT * FROM ch QUALIFY row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY seq DESC, (op = 'delete') DESC, op) = 1) " +
+      "SELECT coalesce(b.doc_id, l.doc_id) AS doc_id, " +
+      "CASE WHEN l.op = 'upsert' THEN l.text ELSE b.text END AS text, " +
+      "CASE WHEN l.op = 'upsert' THEN l.lang ELSE b.lang END AS lang, " +
+      "CASE WHEN l.op = 'upsert' THEN l.source ELSE b.source END AS source, " +
+      "CASE WHEN l.op = 'upsert' THEN l.n_chars ELSE b.n_chars END AS n_chars " +
+      "FROM documents b FULL OUTER JOIN l ON b.doc_id = l.doc_id " +
+      "WHERE coalesce(l.op, 'keep') <> 'delete'"),
     "q_text_quality_blend" -> ("WITH q AS (SELECT doc_id, " +
       "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_words, " +
       "round(CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3 AS DOUBLE) " +

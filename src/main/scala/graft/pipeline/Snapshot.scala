@@ -11,6 +11,48 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** Apply a change log to a base snapshot — the CDC merge that keeps an
+    * incrementally-crawled corpus current without rewriting it from
+    * scratch: `changes` carries (id, op ∈ {upsert, delete}, seq, payload
+    * columns); for each id the HIGHEST-`seq` change wins (ties break
+    * toward delete, then by op name — deterministic on malformed feeds),
+    * an `upsert` replaces or inserts the row, a `delete` removes it, and
+    * ids without changes pass through. Returns the new snapshot with the
+    * base's columns.
+    *
+    * Shape: the change log compacts to one winner per id (one
+    * change-log-sized aggregation), then ONE full-outer join against the
+    * base on id — the [[diff]] plan with a merge instead of a status
+    * column. With base and changes bucketed by id, exchange-free end to
+    * end. Base ids are assumed unique (the corpus contract); `seq` must
+    * order a key's changes totally (crawl timestamp, log offset).
+    */
+  def applyChangeLog(
+      base: DataFrame,
+      changes: DataFrame,
+      idCol: String = "doc_id",
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    val dataCols = base.columns.filterNot(_ == idCol)
+    require(dataCols.forall(changes.columns.contains), {
+      val missing = dataCols.filterNot(changes.columns.contains)
+      s"changes is missing base columns: ${missing.mkString(", ")}"
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col(seqCol).desc, (col(opCol) === "delete").desc, col(opCol))
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((col(idCol).as("__cid") +: col(opCol).as("__op") +:
+        dataCols.map(c => col(c).as(s"__c_$c"))): _*)
+    base.join(latest, col(idCol) === col("__cid"), "full_outer")
+      .filter(coalesce(col("__op"), lit("keep")) =!= "delete")
+      .select(coalesce(col(idCol), col("__cid")).as(idCol) +:
+        dataCols.map(c =>
+          when(col("__op") === "upsert", col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** One row per id present in either snapshot, with the diff status.
     * Content comparison is by `contentCol` equality (pass a precomputed
     * hash column to diff 10-100 KB documents without shipping text — the

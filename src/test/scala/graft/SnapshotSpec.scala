@@ -44,4 +44,29 @@ class SnapshotSpec extends SparkTestBase {
     Snapshot.diffCounts(a, a).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap shouldBe Map("unchanged" -> 2L)
   }
+
+  test("applyChangeLog: upsert, delete, insert, out-of-order seq, same-seq delete wins") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")).toDF("doc_id", "text")
+    val changes = Seq(
+      (1L, "upsert", 1L, "A1"),
+      (1L, "upsert", 2L, "A2"),  // later seq wins
+      (2L, "upsert", 1L, "B"),
+      (3L, "delete", 1L, ""),
+      (4L, "upsert", 1L, "d"),   // brand-new id
+      (5L, "upsert", 3L, "E"),   // same seq as the delete below
+      (5L, "delete", 3L, ""),    // tie → delete wins
+      (9L, "delete", 1L, "")     // delete of an absent id: no-op
+    ).toDF("doc_id", "op", "seq", "text")
+    val out = Snapshot.applyChangeLog(base, changes)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "A2", 2L -> "B", 4L -> "d")
+    // no changes → identity
+    val empty = Seq.empty[(Long, String, Long, String)].toDF("doc_id", "op", "seq", "text")
+    Snapshot.applyChangeLog(base, empty)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      Map(1L -> "a", 2L -> "b", 3L -> "c", 5L -> "e")
+    // a change feed missing a base column is rejected loudly
+    an[IllegalArgumentException] should be thrownBy
+      Snapshot.applyChangeLog(base, Seq((1L, "upsert", 1L)).toDF("doc_id", "op", "seq"))
+  }
 }
