@@ -129,11 +129,13 @@ object PipelineQueries {
     * md5(doc_id) decoded positionally into a 16-bit int (DuckDB has no
     * base-16 `conv`).
     */
-  private val md5U16Sql =
-    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096" +
-      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256" +
-      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16" +
-      "+(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1))"
+  private def md5U16On(e: String): String =
+    s"((strpos('0123456789abcdef', substr(md5($e),1,1))-1)*4096" +
+      s"+(strpos('0123456789abcdef', substr(md5($e),2,1))-1)*256" +
+      s"+(strpos('0123456789abcdef', substr(md5($e),3,1))-1)*16" +
+      s"+(strpos('0123456789abcdef', substr(md5($e),4,1))-1))"
+
+  private val md5U16Sql = md5U16On("CAST(doc_id AS VARCHAR)")
 
   /** Shared CTE prefix for the decontamination oracles: lowercased word
     * 5-gram shingles of every doc, split into eval (id < 20, distinct
@@ -656,6 +658,14 @@ object PipelineQueries {
     // BM25-style score), round-6 sum + id tie-break = deterministic cut
     "q_text_search_ranked" -> ((s, dir) =>
       Search.searchRanked(docs(s, dir), Seq("data", "query", "spark"), k = 20)),
+    // exact phrase search: consecutive-word membership over the shared
+    // shingle definition — pure map-side, zero shuffle, occurrence counts
+    "q_text_search_phrase" -> ((s, dir) =>
+      Search.searchPhrase(docs(s, dir), "table hash")),
+    // feature-hashing doc vectors (dim 16): text -> vector with no model,
+    // md5-bucket construction replayed term for term by the oracle
+    "q_embed_hashdoc" -> ((s, dir) =>
+      Similarity.hashEmbed(docs(s, dir), dim = 16)),
     // true Okapi BM25 (k1=1.2, b=0.75): tf saturation + doc-length
     // normalization + Lucene idf, round-6 sum, id tie-break — the full
     // scoring formula replayed term-for-term by the DuckDB oracle
@@ -1630,6 +1640,21 @@ object PipelineQueries {
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, p.perplexity " +
       "FROM documents d JOIN ppl p ON d.doc_id = p.doc_id " +
       "WHERE p.perplexity <= 30.0"),
+    // same 2-gram shingle construction as rep2gramSql, filtered to the
+    // phrase; docs with zero occurrences never group, matching the filter
+    "q_text_search_phrase" -> ("WITH w AS (SELECT doc_id, " +
+      "string_split(lower(text), ' ') AS ws FROM documents), " +
+      "g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g " +
+      "FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)) " +
+      "SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences FROM g " +
+      "WHERE g = 'table hash' GROUP BY doc_id"),
+    "q_embed_hashdoc" -> ("WITH t AS (SELECT doc_id, " +
+      "unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+      s"b AS (SELECT doc_id, (${md5U16On("term")}) % 16 AS b FROM t) " +
+      "SELECT doc_id, [" +
+      (0 until 16).map(i => s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT)")
+        .mkString(", ") +
+      "] AS vec FROM b GROUP BY doc_id"),
     // BM25: dl carried through the per-doc grouping exactly as the Spark
     // side does; ln(1 + (N-df+.5)/(df+.5)) idf; round-6 sum
     "q_text_search_bm25" -> ("WITH t AS (SELECT doc_id, " +

@@ -120,6 +120,31 @@ object Search {
       .limit(k)
   }
 
+  /** Exact phrase search: documents containing the words of `phrase`
+    * CONSECUTIVELY (what the bag-of-words [[searchAll]] cannot express),
+    * with the occurrence count. Implemented as membership over the shared
+    * word-shingle definition — `n = |phrase|` shingles of the doc equal to
+    * the normalized phrase — so it is a PURE map-side filter: zero
+    * shuffle, rides the scan, stream-composable like every other gate
+    * here. No positional index needed until phrase queries dominate a
+    * workload (then: postings with positions, the standard next step).
+    */
+  def searchPhrase(
+      docs: DataFrame,
+      phrase: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = phrase.toLowerCase.split(" ").filter(_.nonEmpty)
+    require(words.nonEmpty, "phrase must contain at least one word")
+    val needle = words.mkString(" ")
+    val shingles = graft.pipeline.TextAnalysis.shinglesOfWords(
+      split(lower(col(textCol)), " "), words.length)
+    docs
+      .select(col(idCol),
+        size(filter(shingles, s => s === needle)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
   /** Okapi BM25 top-`k` — the length-normalized ranking [[searchRanked]]'s
     * ratio-idf deliberately is not: long documents stop winning on raw term
     * count once tf saturates at `k1 + 1`, and per-term weight is the

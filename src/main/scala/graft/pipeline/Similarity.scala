@@ -37,6 +37,46 @@ object Similarity {
         .otherwise(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
   }
 
+  /** Feature-hashing document vectors — text → vector WITHOUT a model (the
+    * hashing trick): each token maps to bucket `md5_16(term) mod dim` and
+    * the doc's vector is the bucket-count histogram. Crude but real:
+    * cosine over these vectors is a lexical similarity signal, and every
+    * downstream vector operator here (ANN, centroids, diversity, semantic
+    * dedup) composes with it unchanged — the bridge between the text and
+    * embedding pipelines when no encoder is available. The md5-derived
+    * bucket is the same cross-engine construction as [[Splits]] /
+    * [[Sampling.md5Uniform]], so the vectors replay exactly in any engine.
+    *
+    * Shape: one explode → (doc, bucket) partial agg (map-side combine
+    * collapses repeats), then per-doc reassembly from a bucket→count map —
+    * the [[groupCentroids]] pattern. Docs with no tokens still emit (the
+    * zero vector).
+    */
+  def hashEmbed(
+      docs: DataFrame,
+      dim: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+    val counts = toks
+      .select(col(idCol),
+        (graft.pipeline.Sampling.md5Uniform(col("term")) % dim).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    val vec = transform(sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(col("__m"), i), lit(0L)))
+    val assembled = counts.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("__m"))
+      .select(col(idCol), vec.as("vec"))
+    // docs whose tokenization is empty (no rows survive the explode) still
+    // deserve a vector: left-join back and zero-fill
+    docs.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("vec"),
+          transform(sequence(lit(0), lit(dim - 1)), _ => lit(0L))).as("vec"))
+  }
+
   /** Per-group mean embedding — the semantic summary behind source-level
     * diversity metrics, cluster naming, and centroid-seeded mixing ("how
     * far is this domain's content from the corpus center"). Dimension-wise

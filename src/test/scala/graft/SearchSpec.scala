@@ -42,6 +42,26 @@ class SearchSpec extends SparkTestBase {
     out shouldBe Array((4L, 6.666667, 2L), (2L, 3.333333, 2L))
   }
 
+  test("searchPhrase requires consecutive words, counts occurrences, map-side plan") {
+    val d = Seq(
+      (1L, "the data flows and the data goes"), // "the data" ×2
+      (2L, "data the and the data"),            // ×1 (first pair reversed)
+      (3L, "the and data"),                     // words present, never adjacent
+      (4L, "THE DATA")                          // case folds
+    ).toDF("doc_id", "text")
+    val out = Search.searchPhrase(d, "The Data")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    out shouldBe Map(1L -> 2, 2L -> 1, 4L -> 1)
+    // single-word phrase degenerates to term occurrence counting
+    Search.searchPhrase(d, "data").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap shouldBe
+      Map(1L -> 2, 2L -> 2, 3L -> 1, 4L -> 1)
+    // zero shuffle: the whole gate rides the scan
+    Search.searchPhrase(d, "the data").queryExecution.executedPlan
+      .toString should not include "Exchange"
+    an[IllegalArgumentException] should be thrownBy Search.searchPhrase(d, "  ")
+  }
+
   test("searchBm25 saturates tf and normalizes by document length") {
     // a reference implementation computed independently in plain Scala:
     // same tokenization, same Lucene idf, same saturation formula

@@ -105,6 +105,32 @@ class TopKSpec extends SparkTestBase {
     byQuery(0L).maxBy(_._3)._2 shouldBe 2L
   }
 
+  test("hashEmbed: bucket-count vectors, identical text → identical vector") {
+    val d = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha beta alpha"),  // exact copy
+      (3L, "gamma delta"),
+      (4L, null.asInstanceOf[String]) // null text → zero vector
+    ).toDF("doc_id", "text")
+    val out = Similarity.hashEmbed(d, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    out(1L) shouldBe out(2L)
+    out(1L).sum shouldBe 3L   // one entry per token
+    out(3L).sum shouldBe 2L
+    out(4L) shouldBe Seq.fill(8)(0L)
+    out.values.foreach(_.length shouldBe 8)
+    // vectors feed the vector pipeline unchanged: cosine of the copies = 1
+    val vecs = Similarity.hashEmbed(d.filter(col("doc_id") < 3), dim = 8)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+    val pair = Similarity.bruteForceTopKBatchAgg(
+      vecs, vecs.select(col("vec_id").as("query_id"), col("embedding")), k = 2)
+      .filter(col("query_id") === 1L && col("vec_id") === 2L)
+      .collect()(0).getDouble(2)
+    pair shouldBe 1.0 +- 1e-9
+    an[IllegalArgumentException] should be thrownBy Similarity.hashEmbed(d, dim = 1)
+  }
+
   test("groupCentroids: dimension-wise mean, order preserved, no raw-vector collect") {
     val vecs = Seq(
       (1L, "a", Seq(1.0f, 0.0f, 2.0f)),
