@@ -658,6 +658,16 @@ object PipelineQueries {
     // BM25-style score), round-6 sum + id tie-break = deterministic cut
     "q_text_search_ranked" -> ((s, dir) =>
       Search.searchRanked(docs(s, dir), Seq("data", "query", "spark"), k = 20)),
+    // per-doc token entropy: the diversity axis paired with the repetition
+    // profile — near 0 for one-token spam, ln(n) for all-distinct text
+    "q_text_entropy" -> ((s, dir) => TextAnalysis.docEntropy(docs(s, dir))),
+    // retention cohorts over events: distinct users per (first-seen day,
+    // day offset), activity collapsed to (user, day) before any join
+    "q_events_retention" -> ((s, dir) =>
+      Profile.retentionCohorts(
+        Tables.df(s, dir, "events")
+          .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts")),
+        "user_id", "ts", maxOffset = 7)),
     // exact phrase search: consecutive-word membership over the shared
     // shingle definition — pure map-side, zero shuffle, occurrence counts
     "q_text_search_phrase" -> ((s, dir) =>
@@ -1640,6 +1650,22 @@ object PipelineQueries {
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, p.perplexity " +
       "FROM documents d JOIN ppl p ON d.doc_id = p.doc_id " +
       "WHERE p.perplexity <= 30.0"),
+    "q_text_entropy" -> ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
+      "GROUP BY doc_id, term), " +
+      "n AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, count(*) AS n_distinct, " +
+      "round(-sum((CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "ln(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy " +
+      "FROM tf JOIN n USING (doc_id) GROUP BY doc_id, n"),
+    "q_events_retention" -> ("WITH d AS (SELECT DISTINCT user_id AS u, " +
+      "date_trunc('day', ts) AS day FROM events), " +
+      "c AS (SELECT u, min(day) AS cohort_day FROM d GROUP BY u) " +
+      "SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, " +
+      "CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, " +
+      "count(DISTINCT u) AS n_users " +
+      "FROM d JOIN c USING (u) WHERE date_diff('day', cohort_day, day) <= 7 " +
+      "GROUP BY 1, 2"),
     // same 2-gram shingle construction as rep2gramSql, filtered to the
     // phrase; docs with zero occurrences never group, matching the filter
     "q_text_search_phrase" -> ("WITH w AS (SELECT doc_id, " +

@@ -188,4 +188,33 @@ object Profile {
       .withColumn("ratio",
         when(col("share_a") > 0, col("share_b") / col("share_a")))
   }
+
+  /** Retention cohort matrix — per (first-seen day, day offset) distinct
+    * active users: the standard engagement table, and for a data pipeline
+    * the crawl-freshness analog (how much of a source's day-0 population
+    * is still producing on day k). `maxOffset` bounds the matrix width.
+    *
+    * Shape: activity collapses to DISTINCT (user, day) FIRST (one shuffle
+    * sized user×days, not events); the first-seen day is a user-keyed
+    * aggregation over that same frame, the join back rides the user
+    * clustering, and the output aggregation is matrix-sized. All date
+    * arithmetic is integer days — bitwise replayable.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxOffset: Int = 7): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val days = events
+      .select(col(userCol).as("__u"), date_trunc("day", col(tsCol)).as("__day"))
+      .distinct()
+    val cohorts = days.groupBy(col("__u")).agg(min(col("__day")).as("cohort_day"))
+    days.join(cohorts, Seq("__u"))
+      .select(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("day_offset"), col("__u"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
 }

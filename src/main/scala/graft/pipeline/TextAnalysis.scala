@@ -221,6 +221,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("__lp")), 6).as("avg_logprob"))
   }
 
+  /** Per-document token-distribution entropy (nats): `−Σ (tf/n)·ln(tf/n)`
+    * over the doc's own term frequencies — near 0 for one-token spam,
+    * `ln(n_tokens)` for all-distinct text; with [[Repetition]] it is the
+    * pair of standard repetition/diversity axes. One explode → (doc, term)
+    * partial agg → doc-keyed finish, round-6 (summation order).
+    */
+  def docEntropy(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val p = col("tf").cast("double") / col("__n").cast("double")
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("__n", sum(col("tf")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum(p * log(p)), 6).as("entropy"))
+  }
+
   /** Zipf-law fit over the top-`k` vocabulary — the one-row corpus health
     * diagnostic: natural text follows `ln tf ≈ a + s·ln rank` with slope
     * `s ≈ −1`; a flat slope flags boilerplate/template floods, a cliff

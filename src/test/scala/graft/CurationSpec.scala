@@ -347,6 +347,22 @@ class CurationSpec extends SparkTestBase {
       TextAnalysis.blendQualitySignals(sig, "doc_id", Map("nope" -> 1.0))
   }
 
+  test("docEntropy: 0 for uniform single-term docs, ln(n) for all-distinct") {
+    val docs = Seq(
+      (1L, "a a a a"),       // one term: entropy 0
+      (2L, "a b a b"),       // two equiprobable: ln 2
+      (3L, "w x y z")        // all distinct: ln 4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.docEntropy(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out(0)._4 shouldBe 0.0 +- 1e-9
+    out(0)._2 shouldBe 4L; out(0)._3 shouldBe 1L
+    out(1)._4 shouldBe math.log(2.0) +- 1e-6
+    out(2)._4 shouldBe math.log(4.0) +- 1e-6
+    // entropy orders the repetition axis: spam < mixed < distinct
+    out.map(_._4).toSeq shouldBe out.map(_._4).sorted.toSeq
+  }
+
   test("bpeMergePairs counts word-internal adjacent character pairs") {
     val docs = Seq((1L, "banana a BA")).toDF("doc_id", "text")
     // banana → ba an na an na; "a" too short; "BA" folds to ba

@@ -135,4 +135,25 @@ class ProfileSpec extends SparkTestBase {
     gone.getLong(2) shouldBe 0L
     gone.getDouble(5) shouldBe 0.0
   }
+
+  test("retentionCohorts: distinct users per (first-seen day, offset)") {
+    import java.sql.Timestamp
+    def ts(day: Int, hour: Int) = Timestamp.valueOf(f"2026-01-${10 + day}%02d $hour%02d:00:00")
+    val events = Seq(
+      (1L, ts(0, 9)), (1L, ts(0, 15)), (1L, ts(1, 3)), (1L, ts(3, 8)), // u1: d0,d1,d3
+      (2L, ts(0, 1)),                                                  // u2: d0 only
+      (3L, ts(1, 2)), (3L, ts(2, 4))                                   // u3: first d1
+    ).toDF("user_id", "ts")
+    val out = Profile.retentionCohorts(events, "user_id", "ts", maxOffset = 7)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    out shouldBe Map(
+      ("2026-01-10", 0) -> 2L, ("2026-01-10", 1) -> 1L, ("2026-01-10", 3) -> 1L,
+      ("2026-01-11", 0) -> 1L, ("2026-01-11", 1) -> 1L)
+    // maxOffset bounds the matrix
+    Profile.retentionCohorts(events, "user_id", "ts", maxOffset = 0)
+      .collect().map(_.getInt(1)).toSet shouldBe Set(0)
+    an[IllegalArgumentException] should be thrownBy
+      Profile.retentionCohorts(events, "user_id", "ts", maxOffset = -1)
+  }
 }
