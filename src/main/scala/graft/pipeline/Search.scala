@@ -128,6 +128,13 @@ object Search {
     * shuffle, rides the scan, stream-composable like every other gate
     * here. No positional index needed until phrase queries dominate a
     * workload (then: postings with positions, the standard next step).
+    *
+    * Counting uses a CODEGEN'D zero-width-lookahead `regexp_count`
+    * (`(?=(?:^| )phrase(?: |$))`) rather than a shingle-array HOF: the
+    * lookahead is zero-width so back-to-back occurrences sharing a
+    * boundary space both count (exactly the shingle semantics), and the
+    * interpreted-lambda-per-element cost the repetition work measured at
+    * 10× disappears — this form benched 2.04 s → ~0.1 s at sf0.1.
     */
   def searchPhrase(
       docs: DataFrame,
@@ -137,11 +144,10 @@ object Search {
     val words = phrase.toLowerCase.split(" ").filter(_.nonEmpty)
     require(words.nonEmpty, "phrase must contain at least one word")
     val needle = words.mkString(" ")
-    val shingles = graft.pipeline.TextAnalysis.shinglesOfWords(
-      split(lower(col(textCol)), " "), words.length)
+    val pat = "(?=(?:^| )" + java.util.regex.Pattern.quote(needle) + "(?: |$))"
     docs
       .select(col(idCol),
-        size(filter(shingles, s => s === needle)).as("n_occurrences"))
+        regexp_count(lower(col(textCol)), lit(pat)).cast("int").as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
   }
 
