@@ -35,7 +35,8 @@ object LabelPropagation {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 2): DataFrame = {
+      iterations: Int = 2,
+      initialLabels: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -43,9 +44,19 @@ object LabelPropagation {
       .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct())
-    var labels = Dedup.cache(
+    val verts =
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
-        .select(col("id"), col("id").as("label")))
+    // warm start (the PageRank incremental story, and — labels being pure
+    // integer functions of last round's labels — EXACT here: cold(a + b)
+    // == warm(cold(a), b) bit for bit); vertices absent from the seed
+    // (new hosts) start as their own community
+    var labels = Dedup.cache(initialLabels match {
+      case None => verts.select(col("id"), col("id").as("label"))
+      case Some(init) =>
+        verts.join(init.select(col("id"), col("community").as("__seed")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("__seed"), col("id")).as("label"))
+    })
     for (_ <- 1 to iterations) {
       val votes = e.join(labels, e("src") === labels("id"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))

@@ -116,5 +116,15 @@ class PageRankSpec extends SparkTestBase {
     so(2L) shouldBe 2L
     an[IllegalArgumentException] should be thrownBy
       labelPropagation(clique.toDF("src", "dst"), "src", "dst", iterations = 0)
+    // warm start: labels are pure integer functions of the previous round,
+    // so cold(1+2) == warm(cold(1), 2) EXACTLY
+    def lp(it: Int, init: Option[org.apache.spark.sql.DataFrame]) =
+      labelPropagation(clique.toDF("src", "dst"), "src", "dst", it, init)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold1 = lp(1, None)
+    lp(2, Some(cold1.toSeq.toDF("id", "community"))) shouldBe lp(3, None)
+    // a seed missing vertices fills them with their own id
+    val partial = (cold1 - 1L).toSeq.toDF("id", "community")
+    lp(1, Some(partial)).keySet shouldBe cold1.keySet
   }
 }
