@@ -23,8 +23,21 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // the driver's pandas compare crashes on array/map/struct cells
+        // (r9/r13 lesson) — fail the query loudly instead of the harness
+        val nonScalar = df.schema.fields.filter { f =>
+          import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+          f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType]
+        }
+        require(nonScalar.isEmpty,
+          s"non-scalar output columns ${nonScalar.map(_.name).mkString(",")} " +
+            "— project to scalar rows/strings before registering")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

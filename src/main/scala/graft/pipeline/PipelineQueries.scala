@@ -673,9 +673,14 @@ object PipelineQueries {
     "q_text_search_phrase" -> ((s, dir) =>
       Search.searchPhrase(docs(s, dir), "table hash")),
     // feature-hashing doc vectors (dim 16): text -> vector with no model,
-    // md5-bucket construction replayed term for term by the oracle
+    // md5-bucket construction replayed term for term by the oracle. The
+    // vector ships as a comma-joined string — the harness compare cannot
+    // hash array cells (the r9/r13 scalar-projection lesson), and the CSV
+    // form is bitwise (integer counts, no float formatting)
     "q_embed_hashdoc" -> ((s, dir) =>
-      Similarity.hashEmbed(docs(s, dir), dim = 16)),
+      Similarity.hashEmbed(docs(s, dir), dim = 16)
+        .select(col("doc_id"),
+          array_join(col("vec").cast("array<string>"), ",").as("vec_csv"))),
     // true Okapi BM25 (k1=1.2, b=0.75): tf saturation + doc-length
     // normalization + Lucene idf, round-6 sum, id tie-break — the full
     // scoring formula replayed term-for-term by the DuckDB oracle
@@ -810,11 +815,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))),
     // per-label mean embedding: dimension-wise avg through a (group, dim)
     // partial agg — shuffle volume independent of row count, no vector
-    // collect_list ever forms; elements round-6 for the cross-engine hash
+    // collect_list ever forms; the centroid ships posexploded to scalar
+    // (dim, value) rows because the harness compare cannot hash array
+    // cells (the r9/r13 lesson); elements round-6 for the cross-engine hash
     "q_embed_centroid" -> ((s, dir) =>
       Similarity.groupCentroids(embs(s, dir), "label")
         .select(col("label"), col("n_vectors"),
-          transform(col("centroid"), x => round(x, 6)).as("centroid"))),
+          posexplode(transform(col("centroid"), x => round(x, 6)))
+            .as(Seq("dim", "value")))),
     // per-label semantic diversity: EXACT mean pairwise cosine from the
     // unit-centroid identity (n^2*||m||^2 - n) / (n(n-1)) — the O(n^2)
     // pair sum at one-centroid-pass cost, no pairwise join anywhere
@@ -1538,14 +1546,15 @@ object PipelineQueries {
       "SELECT query_id, vec_id, cosine FROM s WHERE cosine <= 0.999 " +
       "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 10"),
     // same per-dim construction as the Spark side: explode each vector by
-    // subscript, avg per (label, dim), reassemble ordered by dim
+    // subscript, avg per (label, dim) — emitted as scalar (dim, value)
+    // rows (0-based dim, matching Spark's posexplode position)
     "q_embed_centroid" -> ("WITH x AS (SELECT label, i AS ord, " +
       "CAST(embedding[i] AS DOUBLE) AS v FROM embeddings, " +
       "unnest(generate_series(1, len(embedding))) AS t(i)), " +
       "a AS (SELECT label, ord, round(avg(v), 6) AS m FROM x GROUP BY label, ord), " +
-      "c AS (SELECT label, list(m ORDER BY ord) AS centroid FROM a GROUP BY label), " +
       "n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) " +
-      "SELECT label, n_vectors, centroid FROM c JOIN n USING (label)"),
+      "SELECT label, n_vectors, CAST(ord - 1 AS INT) AS dim, m AS value " +
+      "FROM a JOIN n USING (label)"),
     // same md5-uniform replay as the stratified oracle; the exponential
     // key is rounded to 9 BEFORE the rank so the cut cannot hinge on ln ulp
     "q_sample_weighted" -> ("WITH d AS (SELECT doc_id, lang, " +
@@ -1674,13 +1683,17 @@ object PipelineQueries {
       "FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)) " +
       "SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences FROM g " +
       "WHERE g = 'table hash' GROUP BY doc_id"),
+    // the 16 bucket counts comma-joined into one scalar string column
+    // (integer-only formatting, bitwise on both engines)
     "q_embed_hashdoc" -> ("WITH t AS (SELECT doc_id, " +
       "unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
       s"b AS (SELECT doc_id, (${md5U16On("term")}) % 16 AS b FROM t) " +
-      "SELECT doc_id, [" +
-      (0 until 16).map(i => s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT)")
+      "SELECT doc_id, concat_ws(',', " +
+      (0 until 16)
+        .map(i =>
+          s"CAST(CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR)")
         .mkString(", ") +
-      "] AS vec FROM b GROUP BY doc_id"),
+      ") AS vec_csv FROM b GROUP BY doc_id"),
     // BM25: dl carried through the per-doc grouping exactly as the Spark
     // side does; ln(1 + (N-df+.5)/(df+.5)) idf; round-6 sum
     "q_text_search_bm25" -> ("WITH t AS (SELECT doc_id, " +

@@ -93,4 +93,30 @@ class PlanShapeSpec extends SparkTestBase {
     // exact verify stays: prune-then-verify, reference physical.rs:257-263
     p should include("bit_count")
   }
+
+  // The r9 lesson that regressed in r13 (q_embed_centroid/q_embed_hashdoc):
+  // the driver's pandas-based oracle compare sorts result columns and
+  // crashes on array-typed cells ("unhashable type: numpy.ndarray"), so a
+  // registered query may only emit atomic top-level columns. Project
+  // vectors to scalar rows (posexplode) or strings (array_join) first.
+  test("no registered query emits array/map/struct top-level columns") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df =
+          try fn(spark, dir)
+          catch { case e: Throwable => fail(s"$name failed to build: $e") }
+        df.schema.fields.collect {
+          case f
+              if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    spark.catalog.clearCache()
+    pipeline.Dedup.clearCaches()
+    pipeline.Dedup.clearCheckpoints()
+    offenders shouldBe empty
+  }
 }
