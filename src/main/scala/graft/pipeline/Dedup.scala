@@ -147,18 +147,23 @@ object Dedup {
     * shuffle, no history access: the common case for a healthy crawl
     * frontier), bloom-HITS (true dupes + ~fpp false positives) go to an
     * exact confirm. The confirm never shuffles the history: the candidate
-    * texts broadcast INTO a map-side semi join over history, and the
-    * (candidate-sized) seen-text list broadcasts back into the anti join —
-    * so per batch the history is one map-side scan and the only joins are
-    * broadcast-sized. False positives are rescued by the confirm, so the
-    * result is exactly `incoming ∖ (textCol ∈ history)`.
+    * text HASHES (xxhash64 — 8 bytes each, so even a batch-sized candidate
+    * set broadcasts in MBs, not document-corpus GBs) broadcast INTO a
+    * map-side semi join that narrows history to the hash-matched slice,
+    * and the final anti join confirms on the FULL text (rescuing both
+    * bloom and hash false positives) with the strategy left to the
+    * planner — AQE broadcasts the candidate-sized slice when it is small
+    * and degrades to a shuffle join on a dupe-heavy batch instead of
+    * failing the broadcast. The result is exactly
+    * `incoming ∖ (textCol ∈ history)`.
     *
     * At 100 TB: build the bloom ONCE over the historical corpus and reuse
     * it across batches (pass `filterBytes`), growing `expectedItems` to the
-    * corpus's key count; when a batch is dupe-heavy enough that its
-    * candidate set outgrows a broadcast (~10⁷ texts), swap the confirm for
-    * the bucketed-index form ([[Decontamination.writeBucketedEvalShingleIndex]]'s
-    * layout over history keys) so the history side still never reshuffles.
+    * corpus's key count; the history side never reshuffles regardless of
+    * batch dupe rate — at worst the candidate-sized hash-matched slice
+    * shuffles into the confirm join. For a standing high-dupe ingest the
+    * bucketed-index form ([[Decontamination.writeBucketedEvalShingleIndex]]'s
+    * layout over history keys) amortizes even that.
     */
   def dropSeenBefore(
       incoming: DataFrame,
@@ -174,11 +179,13 @@ object Dedup {
     val seen = BloomPrune.probe(textCol, bytes)
     val fresh = incoming.filter(!seen)
     val candidates = incoming.filter(seen)
+    val candHashes = candidates
+      .select(xxhash64(col(textCol)).as("__th")).distinct()
     val seenTexts = history
-      .join(broadcast(candidates.select(col(textCol)).distinct()), Seq(textCol), "left_semi")
+      .join(broadcast(candHashes), xxhash64(history(textCol)) === col("__th"), "left_semi")
       .select(col(textCol)).distinct()
     val confirmed = candidates
-      .join(broadcast(seenTexts), Seq(textCol), "left_anti")
+      .join(seenTexts, Seq(textCol), "left_anti")
     fresh.unionByName(confirmed.select(fresh.columns.map(col).toIndexedSeq: _*))
   }
 

@@ -16,9 +16,17 @@ import org.apache.spark.sql.SparkSession
   * Retention is the usual table-format discipline: [[publish]] keeps the
   * previous version (in-flight readers may still be on it) and deletes
   * anything older, so the footprint is bounded at two versions. The
-  * pointer write is create-temp + rename, atomic on HDFS/posix; object
-  * stores without atomic rename want their real catalog (this IS the
-  * miniature of that contract).
+  * pointer write is create-temp + rename: where the filesystem supports an
+  * overwrite-capable atomic rename (HDFS via `FileContext` with
+  * `Options.Rename.OVERWRITE`) the flip really is one atomic replace; on
+  * Hadoop's LocalFileSystem, which refuses overwrite-by-rename, the flip
+  * degrades to delete+rename with a transient no-pointer window — which is
+  * why [[currentVersion]] falls back to the highest on-disk `v=N` directory
+  * when the pointer is momentarily absent, so readers racing a publish
+  * still resolve a live version instead of failing. Object stores without
+  * atomic rename want their real catalog (this IS the miniature of that
+  * contract). Concurrent publishers are last-writer-wins on the pointer;
+  * serialize publishes externally if version numbers can race.
   */
 object IndexCatalog {
 
@@ -27,11 +35,16 @@ object IndexCatalog {
 
   private def pointer(root: String) = new Path(root, "_CURRENT")
 
-  /** The live version number, if the root has ever been published. */
+  /** The live version number, if the root has ever been published. When the
+    * pointer file is transiently absent (a LocalFileSystem publish is between
+    * its delete and rename) the highest fully-written `v=N` directory is the
+    * version the in-flight publish is flipping to or past, so falling back to
+    * it returns a published version rather than a spurious "unpublished".
+    */
   def currentVersion(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
     val p = pointer(root)
-    if (!f.exists(p)) None
+    if (!f.exists(p)) highestVersionDir(spark, root)
     else {
       val in = f.open(p)
       try {
@@ -42,6 +55,22 @@ object IndexCatalog {
         Some(new String(buf.toByteArray,
           java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
       } finally in.close()
+    }
+  }
+
+  /** Highest on-disk `v=N` data directory (side tables like `v=N__centroids`
+    * excluded) — the no-pointer fallback for [[currentVersion]].
+    */
+  private def highestVersionDir(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) None
+    else {
+      val vDir = "^v=(\\d+)$".r
+      val versions = Option(f.listStatus(rootPath)).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .flatMap(st => vDir.findFirstMatchIn(st.getPath.getName).map(_.group(1).toInt))
+      if (versions.isEmpty) None else Some(versions.max)
     }
   }
 
@@ -71,13 +100,23 @@ object IndexCatalog {
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // posix/HDFS rename onto an existing file is an atomic replace; Hadoop's
-    // LocalFileSystem refuses overwrite-by-rename, so drop the old pointer
-    // first — the pointer is re-created in the very next call and [[resolve]]
-    // treats a vanished pointer as unpublished, never as corrupt
-    f.delete(pointer(root), false)
-    if (!f.rename(tmp, pointer(root)))
-      throw new java.io.IOException(s"could not flip $root/_CURRENT to v$version")
+    // prefer a single atomic replace: FileContext.rename(OVERWRITE) is one
+    // operation on HDFS, leaving no window where the pointer is absent
+    val overwrote =
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, pointer(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch { case _: Exception => false }
+    if (!overwrote) {
+      // LocalFileSystem refuses overwrite-by-rename — fall back to
+      // delete+rename; [[currentVersion]]'s highest-v=N fallback covers the
+      // transient no-pointer window this leaves for racing readers
+      f.delete(pointer(root), false)
+      if (!f.rename(tmp, pointer(root)))
+        throw new java.io.IOException(s"could not flip $root/_CURRENT to v$version")
+    }
     // prune everything older than the previous version (side tables that
     // version with the data — e.g. v=N__centroids — prune on its schedule)
     val keep = Set(version, version - 1)

@@ -625,14 +625,14 @@ object PipelineQueries {
       TextAnalysis.gopherQuality(docs(s, dir), minWords = 30, maxWords = 100000,
         minMeanWordLen = 3.0, maxMeanWordLen = 8.0, maxSymbolRatio = 0.1,
         minAlphaFrac = 0.8, minStopwordHits = 1)),
-    // ingestion normalization over PLANTED-messy text (tab/control-char/
+    // ingestion normalization over PLANTED-messy text (tab/C0/C1-control/
     // newline runs wrapped around the clean corpus text); the oracle
     // derives the expected output INDEPENDENTLY (text || ' x'), so every
     // strip/collapse/trim step is ground-truth-gated, not a regex replay
     "q_text_normalize" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.normalizeText(
-          concat(lit("  \t"), col("text"), lit(" \u0001  x\n\n"))).as("norm_text"))),
+          concat(lit("  \t"), col("text"), lit(" \u0001 \u0085 \u009C x\n\n"))).as("norm_text"))),
     // deterministic epoch-3 training order over 8 shards: shard AND dense
     // in-shard position are pure functions of (epoch, id), so DuckDB
     // replays the whole permutation from the same md5 construction

@@ -165,10 +165,15 @@ object Sampling {
     val scored = df.filter(col(weightCol).cast("double") > 0)
       .select(col(groupCol), col(idCol).as("__sid"), key.as("__wkey"))
     val topk = udaf(new graft.functions.TopKByScore(k))
-    val picked = scored.groupBy(col(groupCol))
+    // the join-back keys on (group, id), not id alone — ids only need to be
+    // unique WITHIN a group, so an id reused across groups never leaks a
+    // selection from one group onto another group's rows
+    val picked = scored.groupBy(col(groupCol).as("__sg"))
       .agg(topk(col("__wkey"), col("__sid")).as("__top"))
-      .select(explode(col("__top")).as("__p"))
-      .select(col("__p._2").as("__sid"), col("__p._1").as("w_key"))
-    df.join(picked, df(idCol) === picked("__sid")).drop("__sid")
+      .select(col("__sg"), explode(col("__top")).as("__p"))
+      .select(col("__sg"), col("__p._2").as("__sid"), col("__p._1").as("w_key"))
+    df.join(picked,
+        df(idCol) === picked("__sid") && df(groupCol) === picked("__sg"))
+      .drop("__sid", "__sg")
   }
 }

@@ -530,7 +530,8 @@ object TextAnalysis {
   }
 
   /** Canonical text normalization — the first map of any ingestion DAG:
-    * C0/C1 control characters (minus tab/newline/CR, which are whitespace)
+    * C0 controls (minus tab/newline/CR, which are whitespace), DEL, and the
+    * C1 range (U+0080–U+009F, endemic in mis-decoded latin-1 crawl text)
     * become spaces, whitespace runs collapse to one space, edges trim.
     * Idempotent (normalize ∘ normalize = normalize, property-checked), pure
     * map-side regexp (RE2-compatible classes so external engines replay it
@@ -538,7 +539,7 @@ object TextAnalysis {
     */
   def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(
-      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", " "),
       "\\s+", " "))
 
   /** GPT-2-style BPE pre-tokenization pattern (contractions, letter runs,
