@@ -55,9 +55,27 @@ class PreparedStatement(
     case Some(logical) =>
       Internals.ofRows(spark, Params.bindLogical(logical, params))
     case None =>
-      val bound = Params.bind(physicalPlan, params)
-      val pruned = ScanRebind.rebind(bound)
-      Internals.dfFromPhysical(spark, pruned)
+      Internals.dfFromPhysical(spark, boundPlan(params))
+  }
+
+  /** Bind + re-push scan predicates, stamping the measured bind time onto
+    * every [[graft.plans.DynamicFilterExec]]'s `bindTime` SQLMetric (set
+    * AFTER the rebind — a rebind that copies the exec would re-create its
+    * metric accumulators and lose an earlier stamp). The exec posts the
+    * value to the SQL listener when execution starts. Public: the returned
+    * tree is the statement's per-execution plan, the inspection point for
+    * metrics and plan-shape assertions (static mode only).
+    */
+  def boundPlan(params: Map[String, Any]): SparkPlan = {
+    val start = System.nanoTime()
+    val bound = Params.bind(physicalPlan, params)
+    val pruned = ScanRebind.rebind(bound)
+    val elapsed = System.nanoTime() - start
+    pruned.foreach {
+      case d: graft.plans.DynamicFilterExec => d.longMetric("bindTime").set(elapsed)
+      case _ => ()
+    }
+    pruned
   }
 
   /** Convenience: positional binding — args(0) -> "$1", args(1) -> "$2", … */
@@ -71,8 +89,6 @@ class PreparedStatement(
     */
   def executeCollect(params: Map[String, Any]): Array[Row] = adaptiveLogical match {
     case Some(_) => execute(params).collect()
-    case None =>
-      val bound = Params.bind(physicalPlan, params)
-      Internals.collectPhysical(ScanRebind.rebind(bound))
+    case None    => Internals.collectPhysical(boundPlan(params))
   }
 }

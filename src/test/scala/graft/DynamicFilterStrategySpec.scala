@@ -48,4 +48,20 @@ class DynamicFilterStrategySpec extends SparkTestBase {
     val swapped = exec.withNewChildren(exec.children)
     swapped.asInstanceOf[DynamicFilterExec].condition shouldBe cond
   }
+
+  // physical.rs:27, :266-268 — the reference exec carries an
+  // ExecutionPlanMetricsSet; ours populates numOutputRows from tasks and
+  // bindTime from the driver-side parameter substitution
+  test("SQLMetrics populated after an execute") {
+    import org.apache.spark.sql.graft.Internals
+    spark.range(0, 100).selectExpr("id").createOrReplaceTempView("metrics_t")
+    val st = graft.prepared.PreparedStatements.prepare(
+      spark, "SELECT id FROM metrics_t WHERE id >= $1")
+    val plan = st.boundPlan(Map("$1" -> 90L))
+    val exec = plan.collectFirst { case d: DynamicFilterExec => d }
+      .getOrElse(fail(s"no DynamicFilterExec in\n$plan"))
+    Internals.collectPhysical(plan) should have length 10
+    exec.metrics("numOutputRows").value shouldBe 10L
+    exec.metrics("bindTime").value should be > 0L
+  }
 }
