@@ -11,16 +11,26 @@ import graft.pipeline.Dedup
   * full dangling-mass redistribution, fixed iteration count so the result
   * is a deterministic function of the edge set.
   *
-  * Per iteration: ranks join out-degrees (rank share per edge), one
-  * dst-keyed aggregation of shares, dangling mass from a scalar aggregate
-  * broadcast back with the vertex count — two corpus-sized exchanges, no
-  * driver-side vertex state, same job-per-round shape as
-  * [[Dedup.connectedComponents]]'s pointer jumping (and the same bucketed
-  * edge-table lever applies if the per-round edge re-shuffle ever
-  * dominates). Each iteration's ranks are persisted via the shared cache
-  * registry: both downstream consumers (dangling aggregate, contribution
-  * join) read the materialized frame, and the lineage stays one
-  * iteration deep instead of exponential.
+  * Scale shape (the [[Dedup.connectedComponents]] bucketed-checkpoint
+  * layout, applied here in r14): the edge table — the BIG side at corpus
+  * scale — is checkpointed PARTITIONED AND SORTED on `src` before the loop
+  * and never re-shuffles again; out-degrees aggregate exchange-free over
+  * that layout and checkpoint partitioned the same way; the vertex table
+  * checkpoints partitioned by id. Every round's rank⋈degree and
+  * edge⋈share joins are then co-partitioned by construction, so the only
+  * per-round shuffle exchanges are the (≤ vertex-sized, partially
+  * aggregated) contribution groupBy(dst) and the one-row dangling-mass
+  * aggregate — none edge-sized. Each round's (rank, degree) frame is a
+  * lazy checkpoint: one materialization serves both its readers (dangling
+  * aggregate, contribution join), lineage stays one round deep, and —
+  * because `Dataset.localCheckpoint` plans at call time — every round is
+  * physically planned inside the loop's AQE-off scope, so the carried
+  * partitionings are trusted verbatim and no round silently re-shuffles
+  * (the CC loop's probe-verified AQE/checkpoint interaction).
+  *
+  * Checkpoint blocks are registered in the shared [[Dedup.clearCheckpoints]]
+  * pool: consume the returned frame, then clear (destructive — same
+  * contract as connected components).
   *
   * Ranks sum to 1 every iteration (dangling redistribution closes the
   * leak), so the output is a probability vector regardless of graph shape.
@@ -48,20 +58,51 @@ object PageRank {
       initialRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
-    val e = Dedup.cache(edges
+    // AQE off for the whole loop, restored on exit — same rationale as
+    // connectedComponentsIters: checkpoints created under AQE lose their
+    // outputPartitioning, which would re-shuffle the edge table per round
+    val sess = edges.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try pageRankLoop(edges, srcCol, dstCol, iterations, damping, initialRanks)
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def pageRankLoop(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      damping: Double,
+      initialRanks: Option[DataFrame]): DataFrame = {
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+      Dedup.registerCheckpointBlocks(c)
+      c
+    }
+    // one edge shuffle for the whole run: dedup, then lay out by src — the
+    // in-session form of a bucketed+sorted edge table
+    val e = ckpt(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct())
-    val verts = Dedup.cache(
+      .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src")))
+    val verts = ckpt(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val nV = verts.agg(count(lit(1)).as("n_v"))
-    val outDeg = Dedup.cache(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // exchange-free over the src-partitioned edges; checkpoints hash(src)
+    val outDeg = ckpt(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
 
+    // broadcast nested-loop joins against 1-row aggregates preserve the
+    // streamed side's hash(id) partitioning, so ranks enters (and leaves)
+    // every round co-partitioned with verts/outDeg
     var ranks = initialRanks match {
       case None =>
         verts.crossJoin(broadcast(nV))
           .select(col("id"), (lit(1.0) / col("n_v").cast("double")).as("rank"))
       case Some(init) =>
-        val seeded = Dedup.cache(verts
+        val seeded = ckpt(verts
           .join(init.select(col("id"), col("rank").as("__seed")), Seq("id"), "left")
           .crossJoin(broadcast(nV))
           .select(col("id"),
@@ -71,7 +112,7 @@ object PageRank {
           .select(col("id"), (col("__raw") / col("__tot")).as("rank"))
     }
     for (_ <- 1 to iterations) {
-      val withDeg = Dedup.cache(ranks
+      val withDeg = ckpt(ranks
         .join(outDeg, ranks("id") === outDeg("src"), "left")
         .select(col("id"), col("rank"), col("deg")))
       val dangling = withDeg.filter(col("deg").isNull)

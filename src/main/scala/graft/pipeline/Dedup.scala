@@ -101,6 +101,15 @@ object Dedup {
   private def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
     df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }
 
+  /** Register a checkpointed frame's blocks in the [[clearCheckpoints]]
+    * pool — the hook for iterative operators outside this object (e.g.
+    * [[graft.operators.PageRank]]) that adopt the bucketed-checkpoint loop
+    * shape and need the same harness-managed block lifecycle.
+    */
+  private[graft] def registerCheckpointBlocks(df: DataFrame): Unit = synchronized {
+    checkpointedRdds ++= checkpointRdds(df).map(scala.ref.WeakReference(_))
+  }
+
   /** Unpersist every frame cached by previous dedup calls (see [[cache]]).
     * Always safe: cached frames recompute transparently if read again.
     * Does NOT touch [[connectedComponents]] checkpoint blocks — those have

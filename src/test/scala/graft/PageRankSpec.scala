@@ -72,6 +72,34 @@ class PageRankSpec extends SparkTestBase {
     a.foreach { case (id, r) => b(id) shouldBe r +- 1e-12 }
   }
 
+  test("checkpointed edge layout: the last round plans with ONE hash exchange") {
+    // Mirrors PipelineSpec's CC invariant for the r14 PageRank rework: the
+    // returned frame's plan IS the final round (earlier rounds are behind
+    // the withDeg checkpoint), so it must show exactly one hash exchange —
+    // the label-sized contribution groupBy(dst). The edge table reads back
+    // partitioned+sorted on src from its checkpoint; a second hash exchange
+    // would mean the corpus-sized edge side re-shuffles every round.
+    // AQE + broadcast off, as in the production loop / the CC test.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = (0L until 500L).map(i => (i, (i + 1) % 500L)).toDF("src", "dst")
+      val out = PageRank.pageRank(edges, "src", "dst", iterations = 3)
+      val plan = out.queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+      // edge side arrives sorted on src: at most the shares + the two
+      // verts⋈contribs SMJ sides re-sort, never the edges
+      "\\bSort \\[".r.findAllIn(plan).size should be <= 3
+      out.collect().map(_.getDouble(1)).sum shouldBe 1.0 +- 1e-9
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("validation") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     an[IllegalArgumentException] should be thrownBy
