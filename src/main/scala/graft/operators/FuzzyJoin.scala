@@ -103,12 +103,26 @@ object FuzzyJoin {
     * `α = max(|s|,|t|) − n + 1 − n·k`, and two sets overlapping by `α ≥ 1`
     * must collide within their first `|G| − α + 1 ≤ n·k + 1` elements of
     * the shared order. So each side keeps only the first `n·k + 1` tagged
-    * grams — here ordered by `(xxhash64(gram), occ)`, a stats-free order
-    * computed map-side (a document-frequency order prunes harder but costs
-    * a corpus pass; the hash order is the right default) — and the
-    * candidate join runs on the 16-byte `(hash, occ)` key, signature-not-
-    * text over the shuffle. Hash collisions only ADD candidates; the exact
-    * early-exit levenshtein still decides every pair.
+    * grams, and the candidate join runs on the 16-byte `(hash, occ)` key,
+    * signature-not-text over the shuffle. Hash collisions only ADD
+    * candidates; the exact early-exit levenshtein still decides every pair.
+    *
+    * TWO orders, both exact (the lemma holds for ANY shared total order):
+    *
+    *   - `dfOrder = false` (default): `(xxhash64(gram), occ)` — stats-free,
+    *     computed map-side, zero extra passes. Hash-uniform, so the prefix
+    *     keeps a RANDOM n·k+1 of each string's grams.
+    *   - `dfOrder = true`: `(df(gram), xxhash64(gram), occ)` ascending —
+    *     the prefix keeps each string's RAREST grams, so common grams
+    *     ("th", "er") stop generating candidates and the join fan-out on
+    *     Zipf-shaped text drops sharply. Costs one corpus stats pass (gram
+    *     document frequencies over BOTH sides, keyed by the 8-byte hash)
+    *     and a per-string row_number window; the df table is
+    *     vocabulary-sized (≤ alphabet^n) and broadcasts by default — pass
+    *     `broadcastDfTable = false` to sort-merge it instead. df is a pure
+    *     function of the hash, so the order stays a shared total order and
+    *     equal-key elements are identical signatures — exactness is
+    *     unconditional either way.
     *
     * The tagging pass is O(G²) per row in the gram count G — map-side,
     * fine for the name/host/title domains this operator targets. The
@@ -122,7 +136,9 @@ object FuzzyJoin {
       rightId: String,
       rightStr: String,
       maxDistance: Int,
-      n: Int = 2): DataFrame = {
+      n: Int = 2,
+      dfOrder: Boolean = false,
+      broadcastDfTable: Boolean = true): DataFrame = {
     require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
     require(n >= 1, s"n must be >= 1, got $n")
     val shortLen = n * (maxDistance + 1)
@@ -151,8 +167,42 @@ object FuzzyJoin {
         .select(col(id), col(s), col(len),
           col("__pg.h").as("__h"), col("__pg.o").as("__o"))
 
-    val lp = prefixGrams(l, "__lid", "__ls", "__ll")
-    val rp = prefixGrams(r, "__rid", "__rs", "__rl")
+    // every tagged gram, unsliced — the df-order path picks its prefix
+    // AFTER the stats join
+    def allGrams(df: DataFrame, id: String, s: String, len: String): DataFrame =
+      df.filter(col(len) >= n)
+        .withColumn("__grams", expr(
+          s"transform(sequence(1, $len - ${n - 1}), i -> substring($s, i, $n))"))
+        .select(col(id), col(s), col(len),
+          explode(expr(
+            "transform(sequence(1, size(__grams)), i -> named_struct(" +
+              "'h', xxhash64(element_at(__grams, i)), " +
+              "'o', size(filter(slice(__grams, 1, i - 1), " +
+              "x -> x = element_at(__grams, i))) + 1))")).as("__tg"))
+        .select(col(id), col(s), col(len),
+          col("__tg.h").as("__h"), col("__tg.o").as("__o"))
+
+    val (lp, rp) = if (!dfOrder) {
+      (prefixGrams(l, "__lid", "__ls", "__ll"),
+        prefixGrams(r, "__rid", "__rs", "__rl"))
+    } else {
+      // one gram stream per side feeds the df aggregation AND the prefix
+      // pick — cached so the explode materializes once
+      val lg = graft.pipeline.Dedup.cache(allGrams(l, "__lid", "__ls", "__ll"))
+      val rg = graft.pipeline.Dedup.cache(allGrams(r, "__rid", "__rs", "__rl"))
+      val dfTab = lg.select(col("__h")).unionAll(rg.select(col("__h")))
+        .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      val dfSide = if (broadcastDfTable) broadcast(dfTab) else dfTab.hint("merge")
+      def pick(g: DataFrame, id: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+          .orderBy(col("__df").asc, col("__h").asc, col("__o").asc)
+        g.join(dfSide, Seq("__h"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= prefixLen)
+          .drop("__rk", "__df")
+      }
+      (pick(lg, "__lid"), pick(rg, "__rid"))
+    }
     val candidates = lp.join(rp,
         lp("__h") === rp("__h") && lp("__o") === rp("__o"))
       // a pair sharing several prefix elements must pay ONE levenshtein

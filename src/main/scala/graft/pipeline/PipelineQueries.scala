@@ -612,6 +612,12 @@ object PipelineQueries {
     // log-prob and perplexity — the full model replayed by the oracle
     "q_text_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), bigramK = 5000, contextK = 1000)),
+    // the web-scale-LM path: model joins plan sort-merge instead of
+    // broadcast (broadcastModel=false) — the SAME oracle must hash-match,
+    // proving the join strategy is invisible to the result
+    "q_text_bigram_lm_merge" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), bigramK = 5000, contextK = 1000,
+        broadcastModel = false)),
     // the act step: keep docs at perplexity <= 30 (splits this corpus at the median);
     // too-short-to-score docs fail the gate (absent), join back carries
     // the full document row
@@ -806,6 +812,22 @@ object PipelineQueries {
           .otherwise(col("p_name")).as("p_name"))
       graft.operators.FuzzyJoin.fuzzyPairsPrefix(
         left, right, "p_partkey", "p_name", "p_partkey", "p_name", maxDistance = 2)
+    }),
+    // the df-ascending prefix order (rarest grams kept, one stats pass)
+    // against the SAME independent brute-force oracle: the lemma must be
+    // order-invariant, so a different prefix choice may not change one row
+    "q_join_fuzzy_dfprefix" -> ((s, dir) => {
+      val p = Tables.df(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val left = p.filter(col("p_partkey") < 500)
+      val right = p.filter(col("p_partkey") < 300).select(
+        (col("p_partkey") + PlantOffset).as("p_partkey"),
+        when(pmod(col("p_partkey"), lit(2)) === 0,
+          concat(substring(col("p_name"), 1, 1), lit("x"),
+            expr("substring(p_name, 3)"), lit("y")))
+          .otherwise(col("p_name")).as("p_name"))
+      graft.operators.FuzzyJoin.fuzzyPairsPrefix(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name",
+        maxDistance = 2, dfOrder = true)
     }),
     // budget water-filling: 400 docs across languages — the four small
     // langs keep everything, the spillover caps en at 118; allocation
@@ -1196,6 +1218,13 @@ object PipelineQueries {
       "CAST(levenshtein(l.p_name, r.p_name) AS INT) AS distance " +
       "FROM l, r WHERE levenshtein(l.p_name, r.p_name) <= 1"),
     "q_join_fuzzy_prefix" -> (s"WITH l AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500), " +
+      s"r AS (SELECT p_partkey + $PlantOffset AS p_partkey, " +
+      "CASE WHEN p_partkey % 2 = 0 THEN substr(p_name, 1, 1) || 'x' || substr(p_name, 3) || 'y' " +
+      "ELSE p_name END AS p_name FROM part WHERE p_partkey < 300) " +
+      "SELECT l.p_partkey AS left_id, r.p_partkey AS right_id, " +
+      "CAST(levenshtein(l.p_name, r.p_name) AS INT) AS distance " +
+      "FROM l, r WHERE levenshtein(l.p_name, r.p_name) <= 2"),
+    "q_join_fuzzy_dfprefix" -> (s"WITH l AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500), " +
       s"r AS (SELECT p_partkey + $PlantOffset AS p_partkey, " +
       "CASE WHEN p_partkey % 2 = 0 THEN substr(p_name, 1, 1) || 'x' || substr(p_name, 3) || 'y' " +
       "ELSE p_name END AS p_name FROM part WHERE p_partkey < 300) " +
@@ -1655,6 +1684,7 @@ object PipelineQueries {
       "FROM vd LEFT JOIN c3 USING (id), n) " +
       "SELECT id AS host, round(rank, 6) AS rank FROM r3"),
     "q_text_bigram_lm" -> (bigramLmSql + "SELECT * FROM ppl"),
+    "q_text_bigram_lm_merge" -> (bigramLmSql + "SELECT * FROM ppl"),
     "q_text_ppl_drop" -> (bigramLmSql +
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, p.perplexity " +
       "FROM documents d JOIN ppl p ON d.doc_id = p.doc_id " +

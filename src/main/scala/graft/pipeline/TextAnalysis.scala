@@ -278,10 +278,13 @@ object TextAnalysis {
     * entry contributes count 0, so every bigram gets positive mass. `V` is
     * the corpus's distinct-unigram count (one scalar aggregate).
     *
-    * Scale shape: both model tables are top-K-bounded broadcasts (the
-    * [[tfIdfTopTerms]] lever applies verbatim if K must grow: swap the
-    * broadcasts for sort-merge joins on the key); the doc side is one
-    * map-side shingle explode and one doc-keyed aggregation. Documents
+    * Scale shape: both model tables are top-K-bounded broadcasts by
+    * default; when K must grow past broadcast size (a web-scale LM keeps
+    * hundreds of millions of bigram types), pass `broadcastModel = false`
+    * and both model joins plan shuffle-side (sort-merge on bigram / ctx —
+    * the [[tfIdfTopTerms]] `broadcastDf` lever verbatim), so no executor
+    * ever holds the whole model. The doc side is one map-side shingle
+    * explode and one doc-keyed aggregation either way. Documents
     * with fewer than 2 tokens have no bigrams and are absent from the
     * output. `avg_logprob` is rounded to 6 (summation-order drift);
     * `perplexity` is exp of that already-rounded value, rounded again.
@@ -290,7 +293,8 @@ object TextAnalysis {
       docs: DataFrame,
       bigramK: Int = 5000,
       contextK: Int = 1000,
-      alpha: Double = 1.0): DataFrame = {
+      alpha: Double = 1.0,
+      broadcastModel: Boolean = true): DataFrame = {
     require(bigramK > 0, s"bigramK must be positive, got $bigramK")
     require(contextK > 0, s"contextK must be positive, got $contextK")
     require(alpha > 0, s"alpha must be positive, got $alpha")
@@ -310,9 +314,12 @@ object TextAnalysis {
     val lp = log((coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha)) /
       (coalesce(col("c1"), lit(0L)).cast("double") +
         lit(alpha) * (col("v_size").cast("double") + 1.0)))
+    val (bgSide, ctxSide) =
+      if (broadcastModel) (broadcast(bigramCounts), broadcast(contextCounts))
+      else (bigramCounts.hint("merge"), contextCounts.hint("merge"))
     bg
-      .join(broadcast(bigramCounts), Seq("bigram"), "left")
-      .join(broadcast(contextCounts), Seq("ctx"), "left")
+      .join(bgSide, Seq("bigram"), "left")
+      .join(ctxSide, Seq("ctx"), "left")
       .crossJoin(broadcast(vSize))
       .select(col("doc_id"), lp.as("__lp"))
       .groupBy(col("doc_id"))

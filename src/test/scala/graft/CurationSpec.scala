@@ -425,6 +425,23 @@ class CurationSpec extends SparkTestBase {
       TextAnalysis.bigramLogProb(docs, bigramK = 0)
   }
 
+  test("bigramLogProb broadcastModel=false sort-merges both model joins, same result") {
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c"),
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    val merged = TextAnalysis.bigramLogProb(docs, bigramK = 100, contextK = 100,
+      broadcastModel = false)
+    // neither model table may broadcast on the web-scale-LM path — both
+    // joins plan shuffle-side
+    val plan = merged.queryExecution.executedPlan.toString
+    "SortMergeJoin".r.findAllIn(plan).size should be >= 2
+    val bcast = TextAnalysis.bigramLogProb(docs, bigramK = 100, contextK = 100)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    merged.orderBy("doc_id").collect().map(_.toSeq) shouldBe bcast
+  }
+
   test("gopherQuality computes each rule and the conjunctive verdict") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),       // passes at the test thresholds

@@ -110,6 +110,38 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("df-order prefix is exact on every fixture family (both df-table paths)") {
+    // any shared total order preserves the lemma — df-ascending included;
+    // re-check every fixture family under dfOrder=true, and the
+    // sort-merge df-table lever on one of them
+    val fixtures = Seq(
+      (Seq((1L, "red widget"), (2L, "blue bolt"), (3L, "small ring"),
+        (4L, "green gear"), (5L, "copper pipe")),
+        Seq((10L, "red widgit"), (11L, "blue bolts"), (12L, "smal ring"),
+          (13L, "copper pipe"), (14L, "entirely different"))),
+      (Seq((1L, "aaaa"), (2L, "aaaaaaaa"), (3L, "abababab")),
+        Seq((10L, "aaab"), (11L, "aaaaaaa"), (12L, "babababa"), (13L, "aaaa"))),
+      (Seq((1L, "ab"), (2L, "x"), (3L, "abc"), (4L, ""), (5L, "abcdefgh")),
+        Seq((10L, "ba"), (11L, "y"), (12L, "abd"), (13L, "a"), (14L, "zzzz"),
+          (15L, "abcdefg"), (16L, "abcd"))))
+    for (((l, r), fi) <- fixtures.zipWithIndex; k <- 0 to 2; n <- Seq(2, 3)) {
+      withClue(s"fixture=$fi k=$k n=$n dfOrder: ") {
+        FuzzyJoin.fuzzyPairsPrefix(l.toDF("id", "s"), r.toDF("id", "s"),
+            "id", "s", "id", "s", maxDistance = k, n = n, dfOrder = true)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+          .toSet shouldBe brute(l, r, k)
+      }
+    }
+    val (l0, r0) = fixtures.head
+    val merged = FuzzyJoin.fuzzyPairsPrefix(l0.toDF("id", "s"), r0.toDF("id", "s"),
+      "id", "s", "id", "s", maxDistance = 1, dfOrder = true,
+      broadcastDfTable = false)
+    merged.queryExecution.executedPlan.toString should include ("SortMergeJoin")
+    merged.collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+      .toSet shouldBe brute(l0, r0, 1)
+    graft.pipeline.Dedup.clearCaches()
+  }
+
   test("prefix candidates are a subset of the count-filter candidates' cost class") {
     // the point of the prefix level: on sides where every string is long,
     // each string contributes at most n·k+1 join rows instead of one per
