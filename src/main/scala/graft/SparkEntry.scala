@@ -722,18 +722,20 @@ object SparkEntry {
         .select(col("doc_id"),
           functions.WordShinglesFunction.wordShingles(col("text"), 3).as("shingle"))),
     // Event-time tumbling window over the events stream table (batch form of
-    // the Structured Streaming windowed aggregation; ts arrives as epoch
-    // nanos, see Tables.register)
-    "q_time_tumbling" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(timestamp_micros(expr("ts div 1000")), "1 hour")
+    // the Structured Streaming windowed aggregation; ts schema-adaptive via
+    // Tables.eventTs — see Tables.register)
+    "q_time_tumbling" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(window(Tables.eventTs(e), "1 hour")
           .getField("start").as("hr"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
     // Gap-based session windows per user (same operator runs over the event
     // stream — see streaming.EventStreams + StreamingSpec)
     "q_time_sessions" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(
-        timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"), col("value"))
+      val raw = t(s, dir, "events")
+      val e = raw.select(
+        Tables.eventTs(raw).as("ts"), col("user_id"), col("value"))
       graft.streaming.EventStreams.userSessions(e, gap = "30 minutes")
     }),
     // Per-user daily activity densified (operators/GapFill.scala): every
@@ -741,9 +743,10 @@ object SparkEntry {
     // zero-filled — the spine comes from a per-key aggregate + sequence
     // explode, never a driver collect
     "q_time_gapfill" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
+      val e = t(s, dir, "events")
+      val daily = e
         .select(col("user_id"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+          to_date(Tables.eventTs(e)).as("day"))
         .groupBy(col("user_id"), col("day"))
         .agg(count(lit(1)).as("n_events"))
       graft.operators.GapFill.gapFillDaily(daily, "user_id", "day",
@@ -753,9 +756,10 @@ object SparkEntry {
     // carrying the last observed peak forward (no arithmetic on the value —
     // the carried double is bitwise the engine-agnostic source value)
     "q_time_ffill" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
+      val e = t(s, dir, "events")
+      val daily = e
         .select(col("user_id"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("day"), col("value"))
+          to_date(Tables.eventTs(e)).as("day"), col("value"))
         .groupBy(col("user_id"), col("day"))
         .agg(max(col("value")).as("peak_value"))
       val dense = graft.operators.GapFill.gapFillDaily(daily, "user_id", "day")

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table catalog: registers the driver-generated parquet tables of one
   * scale-factor directory as temp views. Registration is memoized per
@@ -20,9 +22,11 @@ object Tables {
   def register(spark: SparkSession, sfDir: String): Unit =
     if (!registered.get(spark).contains(sfDir)) synchronized {
       if (!registered.get(spark).contains(sfDir)) {
-        // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-        // type for; read as epoch-nanos long (convert with timestamp_micros
-        // where a timestamp is needed).
+        // Older driver generations wrote events.ts as TIMESTAMP(NANOS),
+        // which Spark has no native type for — keep nanosAsLong so those
+        // files still load (as epoch-nanos long); newer generations write
+        // timestamp[us] (TIMESTAMP_NTZ). Consumers go through eventTs /
+        // eventTsMicros, which adapt to whichever the file carries.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         names.foreach { n =>
           spark.read.parquet(s"$sfDir/$n.parquet").createOrReplaceTempView(n)
@@ -34,6 +38,30 @@ object Tables {
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     register(spark, sfDir)
     spark.table(name)
+  }
+
+  /** Schema-adaptive event timestamp. The driver's events.parquet has
+    * shipped `ts` both as TIMESTAMP(NANOS) — which Spark has no native type
+    * for and reads as epoch-nanos long under `nanosAsLong` — and as
+    * timestamp[us], which Spark reads as TIMESTAMP_NTZ. The engine adapts to
+    * whatever the file carries, not vice versa (the reference's contract:
+    * tests/preparable_context_parquet_test.rs:75-79 infers from the file).
+    * Always returns a session-zoned TimestampType column; sessions run UTC,
+    * so the wall clock equals the file's naive value either way.
+    */
+  def eventTs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => timestamp_micros(expr("ts div 1000"))
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case _                => col("ts")
+  }
+
+  /** Event time as epoch micros (long) — the ordered-stage form used where
+    * the query wants integer arithmetic rather than a timestamp (funnel).
+    * Same schema adaptivity as [[eventTs]].
+    */
+  def eventTsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case _        => unix_micros(eventTs(df))
   }
 
   /** Bucketed copies of customer/orders on their join key, memoized per

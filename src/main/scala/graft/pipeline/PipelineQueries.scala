@@ -242,10 +242,11 @@ object PipelineQueries {
     // condition — same user, click within the 30-minute horizon before the
     // purchase — is oracle-gated here, not just micro-batch spec'd
     "q_stream_attribution" -> ((s, dir) => {
-      // ts rides the parquet as int64 nanos; the streaming operator needs a
-      // real timestamp column (same micros conversion as q_time_sessions)
-      val e = Tables.df(s, dir, "events").select(
-        col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+      // the streaming operator needs a real timestamp column; ts is
+      // schema-adaptive (same conversion as q_time_sessions)
+      val raw = Tables.df(s, dir, "events")
+      val e = raw.select(
+        col("event_id"), Tables.eventTs(raw).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       graft.streaming.EventStreams.clickToPurchaseJoin(
         e.filter(col("event_type") === "click"),
@@ -669,11 +670,12 @@ object PipelineQueries {
     "q_text_entropy" -> ((s, dir) => TextAnalysis.docEntropy(docs(s, dir))),
     // retention cohorts over events: distinct users per (first-seen day,
     // day offset), activity collapsed to (user, day) before any join
-    "q_events_retention" -> ((s, dir) =>
+    "q_events_retention" -> ((s, dir) => {
+      val raw = Tables.df(s, dir, "events")
       Profile.retentionCohorts(
-        Tables.df(s, dir, "events")
-          .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts")),
-        "user_id", "ts", maxOffset = 7)),
+        raw.select(col("user_id"), Tables.eventTs(raw).as("ts")),
+        "user_id", "ts", maxOffset = 7)
+    }),
     // exact phrase search: consecutive-word membership over the shared
     // shingle definition — pure map-side, zero shuffle, occurrence counts
     "q_text_search_phrase" -> ((s, dir) =>
@@ -702,11 +704,12 @@ object PipelineQueries {
     // sliding windows (2 h window, 1 h slide): every event lands in
     // exactly two epoch-aligned windows; round-2 on the double sum (the
     // q_time_tumbling precedent)
-    "q_time_sliding" -> ((s, dir) =>
-      Tables.df(s, dir, "events")
-        .groupBy(window(timestamp_micros(expr("ts div 1000")), "2 hours", "1 hour"))
+    "q_time_sliding" -> ((s, dir) => {
+      val e = Tables.df(s, dir, "events")
+      e.groupBy(window(Tables.eventTs(e), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))),
+        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+    }),
     // tokenizer-sizing curve: cumulative token share by vocab rank — the
     // "how big must the vocab be for X% coverage" sweep; exact long cumsum
     // over the deterministic (tf desc, term) order, one exact division
@@ -756,8 +759,8 @@ object PipelineQueries {
     // values at 100 TB) and zero-filled empty cells to match SQL semantics
     "q_agg_pivot_events" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
-      Tables.df(s, dir, "events")
-        .groupBy(date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("day"))
+      val e = Tables.df(s, dir, "events")
+      e.groupBy(date_trunc("day", Tables.eventTs(e)).as("day"))
         .pivot("event_type", types)
         .agg(count(lit(1)))
         .na.fill(0L, types)
@@ -767,8 +770,9 @@ object PipelineQueries {
     // timestamps (NULL where the user never advanced). Three user-keyed
     // aggs + two user-keyed joins — one shuffle key throughout
     "q_events_funnel" -> ((s, dir) => {
-      val e = Tables.df(s, dir, "events")
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts"))
+      val raw = Tables.df(s, dir, "events")
+      val e = raw
+        .select(col("user_id"), col("event_type"), Tables.eventTsMicros(raw).as("ts"))
       def firstAfter(tpe: String, after: DataFrame, afterCol: String, out: String) =
         e.filter(col("event_type") === tpe)
           .join(after, Seq("user_id"))
