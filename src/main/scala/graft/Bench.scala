@@ -262,9 +262,14 @@ object Bench {
     val slowest = results.collect { case (k, Some(ts)) => k -> median(ts) }
       .sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // metric name carries the failure state: a broken query family must not
+    // be able to hide behind a green-looking "total" (failed queries report
+    // null and contribute 0 s, so a smaller total with failures is NOT
+    // better than a larger clean one)
+    val headlineMetric = if (failedNames.isEmpty) "total" else s"total_INCOMPLETE_${failedNames.size}_FAILED"
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-        s""""n_queries":${results.length},"failed":$failedJson,""" +
+      s"""{"metric":"$headlineMetric","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
+        s""""n_queries":${results.length},"n_failed":${failedNames.size},"failed":$failedJson,""" +
         f""""amortization_speedup":${medUnprep / medPrep}%.2f,""" +
         s""""slowest_queries":$slowest,"detail":"$out","sf":"$sfDir"}""")
     spark.stop()

@@ -41,3 +41,53 @@ case class WordShingles(child: Expression, n: Int)
 object WordShinglesFunction {
   def wordShingles(text: Column, n: Int = 3): Column = colOf(WordShingles(exprOf(text), n))
 }
+
+/** Word n-gram shingles with their xxhash64, one row per shingle — the
+  * hot-path form behind [[graft.pipeline.TextAnalysis.duplicatedSpans]]'s
+  * hash-first span mining. Semantics are BIT-EXACT with the declarative
+  * chain `explode(transform(sequence(...), i => array_join(slice(
+  * split(lower(text), " "), i, n), " ")))` + `xxhash64(span)`:
+  * tokenization is UTF8String.toLowerCase + regex-split on " " with
+  * limit -1 (trailing empties kept, matching Spark's `split`), spans are
+  * concatWs(" ") over token slices (matching `array_join`), and the hash
+  * is XXH64 over the span's UTF8 bytes with Spark's seed 42 (matching
+  * `xxhash64`) — so a downstream pass may interchangeably key on
+  * `xxhash64(col("span"))`. The point of existing at all: the transform/
+  * slice HOF chain is interpreted per ELEMENT (the r12 lesson — no
+  * codegen, per-slice lambda projection overhead), while this generator
+  * tokenizes each document once at JVM speed inside the same
+  * partition-local `Generate` fan-out as built-in `explode`.
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def elementSchema: StructType =
+    StructType(StructField("__h", org.apache.spark.sql.types.LongType, nullable = false) ::
+      StructField("span", StringType, nullable = false) :: Nil)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) Nil
+    else {
+      // limit -1 keeps trailing empty tokens — Spark's split() semantics
+      val tokens = s.toLowerCase.split(space, -1)
+      if (tokens.length < n) Nil
+      else (0 to tokens.length - n).map { i =>
+        val span = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(tokens, i, i + n): _*)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          span.getBaseObject, span.getBaseOffset, span.numBytes, 42L)
+        InternalRow(h, span)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingleHashesFunction {
+  def wordShingleHashes(text: Column, n: Int): Column =
+    colOf(WordShingleHashes(exprOf(text), n))
+}

@@ -114,17 +114,24 @@ object TextAnalysis {
     * count, top `k` by occurrences (span tie-break — fully deterministic
     * cut).
     *
-    * Scale shape: one explode → a TWO-LEVEL aggregation — per-(span, doc)
-    * multiplicities first, then per-span totals with `count(*)` as the
-    * distinct-doc count. A single-level `count + count_distinct` pass
-    * plans an Expand that DOUBLES the exploded stream through the
-    * exchange; the two-level form ships each (span, doc) row once (and
-    * the second aggregation is distinct-pair-sized). Top-k as
-    * TakeOrderedAndProject. The shuffle carries the span STRINGS
-    * (n·~7 bytes) because the report needs them; the signature-only
-    * variant — count by xxhash64(span) first, semi-join the top hashes
-    * back for text — halves shuffle bytes again when n is large, the same
-    * narrowing [[Decontamination]] uses.
+    * Scale shape — HASH-FIRST narrowing: neither the mining aggregation
+    * nor the exchange ever sees span STRINGS. Pass 1 explodes to
+    * `(doc_id, xxhash64(word-slice))` via [[explodedSliceHashes]] (8-byte
+    * keys, ~10× fewer exchange bytes than the n·~7-byte strings for n=10)
+    * and runs the TWO-LEVEL aggregation — per-(hash, doc) multiplicities
+    * first, then per-hash totals with `count(*)` as the distinct-doc
+    * count. (A single-level `count + count_distinct` pass plans an Expand
+    * that DOUBLES the exploded stream through the exchange; the two-level
+    * form ships each (hash, doc) row once.) The k-th-largest count becomes
+    * an IN-PLAN threshold (the [[Mixture]] pattern — no driver collect),
+    * its ≥-filter keeps every boundary tie, so the candidate hash set is a
+    * provable superset of the true top-k. Pass 2 re-explodes map-side,
+    * broadcast-semi-joins the candidate hashes (k + ties rows), builds the
+    * span strings ONLY for that boilerplate-sized survivor stream, and
+    * aggregates EXACT string counts before the final (count desc, span)
+    * cut as TakeOrderedAndProject. At 100 TB the map-side re-scan is far
+    * cheaper than either caching the exploded stream or shuffling raw
+    * strings. The same narrowing [[Decontamination]] uses.
     */
   def duplicatedSpans(
       docs: DataFrame,
@@ -134,9 +141,10 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     require(k > 0, s"k must be positive, got $k")
-    docs
-      .select(col("doc_id"),
-        explode(shinglesOfWords(split(lower(col("text")), " "), n)).as("span"))
+    val exploded = explodedSliceHashes(docs, n)
+    val candidateHashes = topSpanHashes(exploded, minDocs, k)
+    exploded
+      .join(broadcast(candidateHashes), Seq("__h"), "left_semi")
       .groupBy(col("span"), col("doc_id"))
       .agg(count(lit(1)).as("__per_doc"))
       .groupBy(col("span"))
@@ -145,6 +153,47 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(k)
+  }
+
+  /** Shingles as `(doc_id, __h, span)` rows from the
+    * [[graft.functions.WordShingleHashes]] generator — each document
+    * tokenized ONCE at JVM speed (the transform/slice HOF chain is
+    * interpreted per element; it benchmarked ~10× slower on the same
+    * corpus), hashes bit-equal to `xxhash64(span)`. Recomputed per mining
+    * pass rather than cached: the generate is map-side-only work, while
+    * caching would value-serialize the full ~n× span-string blowup into
+    * storage memory.
+    */
+  private def explodedSliceHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.WordShingleHashesFunction.wordShingleHashes(col("text"), n))
+
+  /** The hash-side mining pass shared by [[duplicatedSpans]] and
+    * [[dropBoilerplate]]: per-hash (total occurrences, distinct docs) over
+    * [[explodedSliceHashes]] input, minDocs-filtered, narrowed to every
+    * hash whose count reaches the k-th largest (ties INCLUDED — the
+    * ≥-threshold keeps the candidate set a superset of the final top-k, so
+    * the exact string-side cut downstream is lossless). Returns a
+    * one-column `__h` frame of ~k + ties rows — broadcast-sized by
+    * construction.
+    */
+  private def topSpanHashes(exploded: DataFrame, minDocs: Int, k: Int): DataFrame = {
+    val perHash = exploded
+      .select(col("__h"), col("doc_id"))
+      .groupBy(col("__h"), col("doc_id"))
+      .agg(count(lit(1)).as("__per_doc"))
+      .groupBy(col("__h"))
+      .agg(sum(col("__per_doc")).as("__n_occ"), count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+    // k-th-largest count as a 1-row in-plan threshold (empty input → cross
+    // join yields no rows, which is the right answer)
+    val kth = perHash
+      .orderBy(col("__n_occ").desc).limit(k)
+      .agg(min(col("__n_occ")).as("__kth"))
+    perHash
+      .crossJoin(broadcast(kth))
+      .filter(col("__n_occ") >= col("__kth"))
+      .select(col("__h"))
   }
 
   /** The curation form of [[duplicatedSpans]]: drop every document
@@ -164,22 +213,30 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     require(k > 0, s"k must be positive, got $k")
-    // the exploded span stream feeds BOTH the mining aggregation and the
-    // membership semi join — cached (Dedup's registry; caller clears via
-    // Dedup.clearCaches / spark.catalog.clearCache) so the corpus-wide
-    // explode materializes once instead of twice
-    val exploded = Dedup.cache(docs.select(col("doc_id"),
-      explode(shinglesOfWords(split(lower(col("text")), " "), n)).as("span")))
-    val spans = exploded
-      .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("__per_doc"))
+    // the slice-hash stream feeds the hash-side mining pass, the exact
+    // candidate re-aggregation, and the membership gate — recomputed per
+    // pass (map-side only; see the explodedSliceHashes scale note)
+    val exploded = explodedSliceHashes(docs, n)
+    val candidateHashes = topSpanHashes(exploded, minDocs, k)
+    // exact string-side top-k over the candidate-narrowed stream — the
+    // same lossless cut as duplicatedSpans — reduced to WINNER hashes
+    // (exactly k, so the membership gate matches the mined list, not the
+    // tie-inflated candidate superset). The generator's __h is bit-equal
+    // to xxhash64(span), so re-hashing the winner strings lands back on
+    // the membership key.
+    val winnerHashes = exploded
+      .join(broadcast(candidateHashes), Seq("__h"), "left_semi")
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("__per_doc"))
       .groupBy(col("span"))
-      .agg(sum(col("__per_doc")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .agg(sum(col("__per_doc")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(k)
-      .select(col("span"))
+      .select(xxhash64(col("span")).as("__h"))
     val flagged = exploded
-      .join(broadcast(spans), Seq("span"), "left_semi")
+      .join(broadcast(winnerHashes), Seq("__h"), "left_semi")
       .select(col("doc_id")).distinct()
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }

@@ -150,6 +150,32 @@ class CurationSpec extends SparkTestBase {
     rows.map(_._1).foreach(_ should not include "completely")
   }
 
+  test("WordShingleHashes is bit-equal to the declarative shingle + xxhash64 chain") {
+    // edge shapes: trailing spaces (split keeps trailing empties), repeated
+    // separators, mixed case, exactly-n tokens, fewer-than-n tokens, null
+    val docs = Seq(
+      (1L, "The License  HEADER text appears "),
+      (2L, "a b c"),
+      (3L, "a b"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val viaGenerator = docs.select(col("doc_id"),
+        graft.functions.WordShingleHashesFunction.wordShingleHashes(col("text"), 3))
+      .select(col("doc_id"), col("__h"), col("span"))
+    val viaBuiltins = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        explode(when(org.apache.spark.sql.functions.size(col("w")) < 3, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), org.apache.spark.sql.functions.size(col("w")) - 2),
+            i => array_join(slice(col("w"), i, lit(3)), " ")))).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("__h"), col("span"))
+    val g = viaGenerator.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val b = viaBuiltins.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    g shouldBe b
+    g.nonEmpty shouldBe true
+  }
+
   test("dropBoilerplate removes every carrier of a mined span, keeps the rest") {
     val docs = Seq(
       (1L, "the license header text appears here once"),
