@@ -4,8 +4,8 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamedParameter, PosParameter, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, In, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, GlobalLimit, InsertIntoStatement, LocalLimit, LogicalPlan, Offset, Tail}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BinaryExpression, Cast, Expression, In, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, GlobalLimit, InsertIntoStatement, LocalLimit, LogicalPlan, Offset, Project, Tail}
 import org.apache.spark.sql.graft.Internals
 import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
@@ -24,8 +24,11 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, 
   * `:name` becomes `$name`.
   *
   * Types: looked up in `paramTypes` (keys `"$1"`, …); if absent, inferred
-  * from the comparison sibling's column type against the referenced tables'
-  * schemas; final fallback IntegerType.
+  * from the comparison sibling — a column typed against the referenced
+  * tables' schemas, a projection alias over a literal/cast (the reference's
+  * rule.rs:110-113 shape), or a literal/cast sibling directly. A
+  * placeholder that is neither declared nor inferable fails at prepare()
+  * with a message naming it.
   */
 object PreparedStatements {
 
@@ -106,8 +109,35 @@ object PreparedStatements {
       .map(f => f.name.toLowerCase -> f.dataType)
       .toMap
 
+    // aliases over statically-typed children — the reference's
+    // rule.rs:110-113 shape filters a projection of LITERAL aliases
+    // (`lit(1).alias("id")`), so the comparison sibling may be an alias
+    // that no table schema knows; one level deep (literal, cast, or a
+    // table column), which avoids alias→alias cycles
+    val aliasTypes: Map[String, DataType] = {
+      def staticType(e: Expression): Option[DataType] = e match {
+        case l: Literal             => Some(l.dataType)
+        case c: Cast                => Some(c.dataType)
+        case a: UnresolvedAttribute => colTypes.get(a.nameParts.last.toLowerCase)
+        case _                      => None
+      }
+      withSubqueryPlans(parsed)
+        .flatMap(_.collect { case p: Project =>
+          p.projectList.collect { case al: Alias => al.name.toLowerCase -> staticType(al.child) }
+        })
+        .flatten
+        .collect { case (n, Some(t)) => (n, t) }
+        .toMap
+    }
+
     def colType(e: Expression): Option[DataType] = e match {
-      case a: UnresolvedAttribute => colTypes.get(a.nameParts.last.toLowerCase)
+      case a: UnresolvedAttribute =>
+        colTypes.get(a.nameParts.last.toLowerCase)
+          .orElse(aliasTypes.get(a.nameParts.last.toLowerCase))
+      // a literal or cast sibling types the placeholder directly
+      // (`WHERE $1 = 5`, `WHERE col = CAST($1 AS DATE)` reversed forms)
+      case l: Literal => Some(l.dataType)
+      case c: Cast    => Some(c.dataType)
       // result types of common functions, so HAVING count(*) >= $1 and
       // friends infer without a declaration
       case f: UnresolvedFunction =>

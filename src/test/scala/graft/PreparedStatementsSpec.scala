@@ -155,6 +155,23 @@ class PreparedStatementsSpec extends SparkTestBase {
     st.execute(Map("$1" -> "ed", "$2" -> 50.0)).collect() shouldBe Array(Row(5))
   }
 
+  // rule.rs:107-123 shape: the filtered relation is a projection of
+  // LITERAL aliases — no table schema carries `id`, so the sibling alias
+  // itself must type the placeholder (no paramTypes declared)
+  test("type inferred from a literal-alias sibling (rule.rs:110-113 shape)") {
+    val st = PreparedStatements.prepare(
+      spark, "SELECT * FROM (SELECT 1 AS id, 'test' AS name) WHERE id = $1")
+    st.execute(Map("$1" -> 1)).collect() shouldBe Array(Row(1, "test"))
+    st.execute(Map("$1" -> 2)).collect() shouldBe Array.empty[Row]
+  }
+
+  test("type inferred from a literal sibling") {
+    // no column on either side of `$1 = 'ed'` — the literal types it
+    val st = prepare("SELECT id FROM users WHERE id = 1 AND $1 = 'ed'")
+    st.execute(Map("$1" -> "ed")).collect() shouldBe Array(Row(1))
+    st.execute(Map("$1" -> "zz")).collect() shouldBe Array.empty[Row]
+  }
+
   test("uninferable placeholder type fails fast at prepare") {
     users
     val ex = intercept[IllegalArgumentException] {
