@@ -58,6 +58,23 @@ class PlanShapeSpec extends SparkTestBase {
     planOf("q_text_dupspans") should include("TakeOrderedAndProject")
   }
 
+  test("duplicated-span mining aggregates on span hashes, never span strings") {
+    // the hash-first narrowing: the corpus-wide two-level aggregation keys
+    // on the generator's 8-byte __h; span strings enter an exchange only
+    // after the candidate semi join (boilerplate-sized stream). A plan
+    // whose FIRST aggregate keys on `span` has regressed to shuffling raw
+    // 10-gram strings — ~10x the exchange bytes at 100 TB.
+    // explain prints root-first, so the DEEPEST aggregates (last lines) are
+    // the corpus-wide mining pass inside the broadcast-candidate subtree
+    val p = planOf("q_text_dupspans")
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    aggs.last should include("__h")
+    (aggs.last should not).include("span#")
+    // and the span fan-out is the JVM-speed generator, not the interpreted
+    // transform/slice HOF chain
+    p.toLowerCase should include("wordshinglehashes")
+  }
+
   test("the corpus-wide embedding sweep is non-vacuous at every sf") {
     // the r12 registration returned 0 rows at sf0.01 (true on near-random
     // embeddings, but it verified nothing end-to-end); the in-query plants
