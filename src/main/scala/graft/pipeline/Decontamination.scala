@@ -33,14 +33,17 @@ object Decontamination {
   private def shinglesOfWords(words: Column, n: Int): Column =
     TextAnalysis.shinglesOfWords(words, n)
 
-  /** Explodes `textCol`'s shingles with the word array materialized ONCE
-    * per row in a prior projection (the inline form recomputes
-    * `split(lower(text))` for the size guard, the sequence bound, and
-    * every slice).
+  /** Explodes `textCol`'s shingles through the JVM-speed
+    * [[graft.functions.WordShingleHashes]] generator as (`__sh`, `__s`) =
+    * (xxhash64, string) pairs — one tokenization per row with no
+    * interpreted HOF in the corpus-wide fan-out (the r12 lesson), and the
+    * hash comes free for the `hashed`/streaming paths (bit-equal to
+    * `xxhash64(__s)`, parity-tested in CurationSpec).
     */
   private def explodedShingles(df: DataFrame, textCol: String, n: Int, keep: Seq[Column]): DataFrame =
-    df.select(keep :+ split(lower(col(textCol)), " ").as("__w"): _*)
-      .select(keep :+ explode(shinglesOfWords(col("__w"), n)).as("__s"): _*)
+    df.select(keep :+
+      graft.functions.WordShingleHashesFunction.wordShingleHashes(col(textCol), n)
+        .as(Seq("__sh", "__s")): _*)
 
   /** One row per CONTAMINATED training doc: (`idCol`, n_shared) where
     * n_shared counts the distinct n-gram shingles the doc shares with the
@@ -55,18 +58,19 @@ object Decontamination {
       hashed: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(Seq(train, evalDocs).forall(d =>
-        !d.columns.contains("__w") && !d.columns.contains("__s")),
-      "__w/__s are reserved by Decontamination")
+        !d.columns.contains("__sh") && !d.columns.contains("__s")),
+      "__sh/__s are reserved by Decontamination")
     // the 100 TB form: join on the 64-bit hash of the shingle instead of
     // the string — a 5-gram averages ~30 bytes, so hashing cuts the
     // distinct + join shuffle bytes ~4× (and more for larger n); a
     // collision can only ADD a spurious flag (never hide a real one), with
     // ~n_shingles²/2⁶⁴ probability
-    val key: Column => Column = if (hashed) (c => xxhash64(c)) else identity
+    // hashed=true keys on the generator's precomputed __sh (≡ xxhash64(__s))
+    val key: Column = if (hashed) col("__sh") else col("__s")
     val evalShingles = explodedShingles(evalDocs, textCol, n, keep = Nil)
-      .select(key(col("__s")).as("shingle")).distinct()
+      .select(key.as("shingle")).distinct()
     val trainShingles = explodedShingles(train, textCol, n, keep = Seq(col(idCol)))
-      .select(col(idCol), key(col("__s")).as("shingle"))
+      .select(col(idCol), key.as("shingle"))
     // join BEFORE deduplicating the train side: the eval set is small
     // (benchmark-sized), so the join broadcasts and filters ~every train
     // shingle map-side — only the matching (doc, shingle) pairs (tiny)
@@ -102,13 +106,13 @@ object Decontamination {
       hashed: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(Seq(train, evalDocs).forall(d =>
-        !d.columns.contains("__w") && !d.columns.contains("__s")),
-      "__w/__s are reserved by Decontamination")
-    val key: Column => Column = if (hashed) (c => xxhash64(c)) else identity
+        !d.columns.contains("__sh") && !d.columns.contains("__s")),
+      "__sh/__s are reserved by Decontamination")
+    val key: Column = if (hashed) col("__sh") else col("__s")
     val evalShingles = explodedShingles(evalDocs, textCol, n, keep = Seq(col(idCol)))
-      .select(col(idCol).as("eval_id"), key(col("__s")).as("shingle")).distinct()
+      .select(col(idCol).as("eval_id"), key.as("shingle")).distinct()
     val trainShingles = explodedShingles(train, textCol, n, keep = Seq(col(idCol)))
-      .select(col(idCol).as("__train_id"), key(col("__s")).as("shingle"))
+      .select(col(idCol).as("__train_id"), key.as("shingle"))
     val pairs = Dedup.cache(trainShingles
       .join(broadcast(evalShingles), Seq("shingle"))
       .select(col("eval_id"), col("__train_id"), col("shingle"))
@@ -145,7 +149,7 @@ object Decontamination {
     */
   def evalShingleHashes(evalDocs: DataFrame, textCol: String, n: Int): Array[Long] =
     explodedShingles(evalDocs, textCol, n, keep = Nil)
-      .select(xxhash64(col("__s")).as("h")).distinct()
+      .select(col("__sh").as("h")).distinct()
       .collect().map(_.getLong(0)).sorted
 
   /** Ingestion-time decontamination: a PURE map-side gate (per-row
@@ -191,7 +195,7 @@ object Decontamination {
     val spark = evalDocs.sparkSession
     graft.Tables.dropManaged(spark, tableName)
     explodedShingles(evalDocs, textCol, n, keep = Nil)
-      .select(xxhash64(col("__s")).as("shingle_hash")).distinct()
+      .select(col("__sh").as("shingle_hash")).distinct()
       .write.mode("overwrite")
       .bucketBy(numBuckets, "shingle_hash")
       .sortBy("shingle_hash")
@@ -216,7 +220,7 @@ object Decontamination {
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val docShingles = explodedShingles(docs, textCol, n, keep = Seq(col(idCol)))
-      .select(col(idCol), xxhash64(col("__s")).as("shingle_hash"))
+      .select(col(idCol), col("__sh").as("shingle_hash"))
     val contaminated = docShingles
       .join(evalIndex, Seq("shingle_hash"), "left_semi")
       .select(col(idCol)).distinct()

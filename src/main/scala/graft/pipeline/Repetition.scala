@@ -49,9 +49,13 @@ object Repetition {
     require(!docs.columns.exists(c => reserved(c) && c != idCol),
       s"input columns collide with Repetition's reserved names: " +
         docs.columns.filter(reserved).mkString(", "))
+    // JVM-speed generator fan-out (the r12 interpreted-HOF lesson); the
+    // hash column is unused here — the profile needs the gram string
     val grams = docs
-      .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
-      .select(col(idCol), explode(shinglesOfWords(col("__w"), n)).as("__g"))
+      .select(col(idCol),
+        graft.functions.WordShingleHashesFunction.wordShingleHashes(col(textCol), n)
+          .as(Seq("__gh", "__g")))
+      .select(col(idCol), col("__g"))
     grams
       .groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__c"))

@@ -355,11 +355,14 @@ object TextAnalysis {
     require(bigramK > 0, s"bigramK must be positive, got $bigramK")
     require(contextK > 0, s"contextK must be positive, got $contextK")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val words = split(lower(col("text")), " ")
     // ONE corpus explode feeds the two model aggregations AND the scoring
-    // join — cached (doc_id rides along; the model aggs just ignore it)
+    // join — cached (doc_id rides along; the model aggs just ignore it).
+    // The fan-out is the JVM-speed generator, not the interpreted
+    // transform/slice HOF (the r12 lesson; hash column unused here).
     val bg = Dedup.cache(docs.select(col("doc_id"),
-      explode(shinglesOfWords(words, 2)).as("bigram"))
+      graft.functions.WordShingleHashesFunction.wordShingleHashes(col("text"), 2)
+        .as(Seq("__h", "bigram")))
+      .select(col("doc_id"), col("bigram"))
       .withColumn("ctx", substring_index(col("bigram"), " ", 1)))
     val bigramCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bigram")).limit(bigramK)
@@ -408,9 +411,9 @@ object TextAnalysis {
     require(bigramK > 0, s"bigramK must be positive, got $bigramK")
     require(contextK > 0, s"contextK must be positive, got $contextK")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val words = split(lower(col("text")), " ")
     val bgAll = Dedup.cache(docs.select(
-      explode(shinglesOfWords(words, 2)).as("bigram"))
+      graft.functions.WordShingleHashesFunction.wordShingleHashes(col("text"), 2)
+        .as(Seq("__h", "bigram")))
       .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("ctx")))
     val b2 = bgAll.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bigram")).limit(bigramK)

@@ -91,11 +91,12 @@ class DecontaminationSpec extends SparkTestBase {
         val plan = kept.queryExecution
           .explainString(org.apache.spark.sql.execution.SimpleMode)
         plan should include("Bucketed: true")
-        // exactly ONE shuffle keyed on the shingle hash — the doc side's.
-        // If the index side were reshuffled for the semi join there would
-        // be a second hashpartitioning(shingle_hash...) exchange; its
-        // bucketed layout satisfies the join's distribution instead.
-        "Exchange hashpartitioning\\(shingle_hash".r.findAllIn(plan).size shouldBe 1
+        // exactly ONE shuffle keyed on the shingle hash — the doc side's
+        // (printed under the generator's pre-alias name __sh since the
+        // hash-first rewire). If the index side were reshuffled for the
+        // semi join there would be a second such exchange; its bucketed
+        // layout satisfies the join's distribution instead.
+        "Exchange hashpartitioning\\((shingle_hash|__sh)".r.findAllIn(plan).size shouldBe 1
         kept.select("doc_id").as[Long].collect().toSet shouldBe
           Decontamination.dropContaminated(train, evalDocs, "doc_id", "text", n = 5)
             .select("doc_id").as[Long].collect().toSet
