@@ -435,9 +435,12 @@ object TextAnalysis {
     * Rounding matches the batch scorer (round-6 avg, then exp), so the
     * two agree doc for doc when the model matches.
     *
-    * The per-element HOF here is interpreted, not codegen'd — fine for a
-    * gate whose cost is a few map probes per token; corpus-scale BATCH
-    * scoring should use [[bigramLogProb]]'s relational path instead.
+    * Scoring is the native codegen'd
+    * [[graft.functions.BigramLogProb]] expression (tight JVM loop over
+    * HashMap probes; bit-parity with the interpreted
+    * `aggregate`/`element_at` HOF form it replaced — same tokenization,
+    * fold order, and Math.log); the round/exp/threshold stay in-plan so
+    * the gate's arithmetic remains engine-replayable.
     */
   def dropByPerplexityStreaming(
       docs: DataFrame,
@@ -445,17 +448,13 @@ object TextAnalysis {
       maxPerplexity: Double,
       textCol: String = "text"): DataFrame = {
     require(maxPerplexity > 0, s"maxPerplexity must be positive, got $maxPerplexity")
-    val bgMap = typedLit(model.bigramCounts)
-    val ctxMap = typedLit(model.contextCounts)
     val denomAdd = model.alpha * (model.vSize.toDouble + 1.0)
-    val bigrams = shinglesOfWords(split(lower(col(textCol)), " "), 2)
-    val lpSum = aggregate(bigrams, lit(0.0), (acc, g) =>
-      acc + log((coalesce(element_at(bgMap, g), lit(0L)).cast("double") + lit(model.alpha)) /
-        (coalesce(element_at(ctxMap, substring_index(g, " ", 1)), lit(0L)).cast("double") +
-          lit(denomAdd))))
-    val avg = round(lpSum / size(bigrams).cast("double"), 6)
+    val lm = graft.functions.TextFunctions.bigramLogProb(
+      col(textCol), model.bigramCounts, model.contextCounts, model.alpha, denomAdd)
+    val nB = lm.getField("n_bigrams")
+    val avg = round(lm.getField("lp_sum") / nB.cast("double"), 6)
     val ppl = round(exp(-avg), 6)
-    docs.filter(coalesce(size(bigrams) > 0 && ppl <= maxPerplexity, lit(false)))
+    docs.filter(coalesce(nB > 0 && ppl <= maxPerplexity, lit(false)))
   }
 
   /** The act step of [[bigramLogProb]]: keep documents whose corpus-LM
