@@ -22,13 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Repetition {
 
-  /** Same word n-gram definition as [[Decontamination]] /
-    * [[graft.functions.WordShingles]] — the shared
-    * [[TextAnalysis.shinglesOfWords]].
-    */
-  private def shinglesOfWords(words: Column, n: Int): Column =
-    TextAnalysis.shinglesOfWords(words, n)
-
   /** Per-document n-gram repetition profile: total / distinct gram counts,
     * the multiplicity of the most frequent gram, and two fractions —
     * `top_fraction` (share of all grams that are copies of the single most
@@ -44,7 +37,7 @@ object Repetition {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val reserved = Set("__w", "__g", "n_grams", "n_distinct", "top_count",
+    val reserved = Set("__gh", "__g", "n_grams", "n_distinct", "top_count",
       "top_fraction", "dup_fraction")
     require(!docs.columns.exists(c => reserved(c) && c != idCol),
       s"input columns collide with Repetition's reserved names: " +

@@ -124,8 +124,12 @@ object TextAnalysis {
     * that DOUBLES the exploded stream through the exchange; the two-level
     * form ships each (hash, doc) row once.) The k-th-largest count becomes
     * an IN-PLAN threshold (the [[Mixture]] pattern — no driver collect),
-    * its ≥-filter keeps every boundary tie, so the candidate hash set is a
-    * provable superset of the true top-k. Pass 2 re-explodes map-side,
+    * its ≥-filter keeps every boundary tie, so modulo hash collisions the
+    * candidate hash set is a superset of the true top-k. (A 64-bit
+    * collision merging two spans' counts could in principle inflate the
+    * threshold past a true winner — ~n²/2⁶⁴ for n distinct spans, the
+    * same vanishing odds [[Decontamination]] documents; the exact
+    * string-side cut downstream bounds the damage to that one cut.) Pass 2 re-explodes map-side,
     * broadcast-semi-joins the candidate hashes (k + ties rows), builds the
     * span strings ONLY for that boilerplate-sized survivor stream, and
     * aggregates EXACT string counts before the final (count desc, span)
@@ -221,20 +225,21 @@ object TextAnalysis {
     // exact string-side top-k over the candidate-narrowed stream — the
     // same lossless cut as duplicatedSpans — reduced to WINNER hashes
     // (exactly k, so the membership gate matches the mined list, not the
-    // tie-inflated candidate superset). The generator's __h is bit-equal
-    // to xxhash64(span), so re-hashing the winner strings lands back on
-    // the membership key.
+    // tie-inflated candidate superset). __h is carried THROUGH the
+    // aggregation (span↔hash is 1:1, min() just picks the one value)
+    // rather than re-derived from the winner strings, so the membership
+    // key cannot drift from the mining key.
     val winnerHashes = exploded
       .join(broadcast(candidateHashes), Seq("__h"), "left_semi")
       .groupBy(col("span"), col("doc_id"))
-      .agg(count(lit(1)).as("__per_doc"))
+      .agg(count(lit(1)).as("__per_doc"), min(col("__h")).as("__hm"))
       .groupBy(col("span"))
       .agg(sum(col("__per_doc")).as("n_occurrences"),
-        count(lit(1)).as("n_docs"))
+        count(lit(1)).as("n_docs"), min(col("__hm")).as("__h"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(k)
-      .select(xxhash64(col("span")).as("__h"))
+      .select(col("__h"))
     val flagged = exploded
       .join(broadcast(winnerHashes), Seq("__h"), "left_semi")
       .select(col("doc_id")).distinct()
@@ -448,13 +453,19 @@ object TextAnalysis {
       maxPerplexity: Double,
       textCol: String = "text"): DataFrame = {
     require(maxPerplexity > 0, s"maxPerplexity must be positive, got $maxPerplexity")
+    require(!docs.columns.contains("__lm"), "__lm is reserved by the perplexity gate")
     val denomAdd = model.alpha * (model.vSize.toDouble + 1.0)
     val lm = graft.functions.TextFunctions.bigramLogProb(
       col(textCol), model.bigramCounts, model.contextCounts, model.alpha, denomAdd)
-    val nB = lm.getField("n_bigrams")
-    val avg = round(lm.getField("lp_sum") / nB.cast("double"), 6)
+    // project the struct ONCE and filter on its fields — referencing the
+    // expression three times inside one Filter would tokenize and probe
+    // every row ~3× (predicate codegen does no subexpression elimination)
+    val nB = col("__lm").getField("n_bigrams")
+    val avg = round(col("__lm").getField("lp_sum") / nB.cast("double"), 6)
     val ppl = round(exp(-avg), 6)
-    docs.filter(coalesce(nB > 0 && ppl <= maxPerplexity, lit(false)))
+    docs.withColumn("__lm", lm)
+      .filter(coalesce(nB > 0 && ppl <= maxPerplexity, lit(false)))
+      .drop("__lm")
   }
 
   /** The act step of [[bigramLogProb]]: keep documents whose corpus-LM

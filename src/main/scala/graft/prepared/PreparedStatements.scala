@@ -121,13 +121,18 @@ object PreparedStatements {
         case a: UnresolvedAttribute => colTypes.get(a.nameParts.last.toLowerCase)
         case _                      => None
       }
-      withSubqueryPlans(parsed)
+      val all = withSubqueryPlans(parsed)
         .flatMap(_.collect { case p: Project =>
           p.projectList.collect { case al: Alias => al.name.toLowerCase -> staticType(al.child) }
         })
         .flatten
         .collect { case (n, Some(t)) => (n, t) }
-        .toMap
+      // the map is scope-blind; a name aliased to DIFFERENT types in two
+      // subqueries is ambiguous here — drop it (declare via paramTypes)
+      // rather than resolve to whichever scope happened to collect last
+      all.groupBy(_._1).collect {
+        case (n, ts) if ts.map(_._2).distinct.sizeIs == 1 => (n, ts.head._2)
+      }
     }
 
     def colType(e: Expression): Option[DataType] = e match {
@@ -159,7 +164,13 @@ object PreparedStatements {
       case _ => None
     }
 
-    val inferred = Map.newBuilder[String, DataType]
+    // FIRST write wins: visit() descends outer-to-inner, so the enclosing
+    // comparison's column-derived type lands before a nested arithmetic
+    // sibling's literal can re-infer — `amount = $1 + 1` (amount DOUBLE)
+    // must type $1 double from the comparison, not int from the `+ 1`
+    val inferred = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    def record(id: String, t: DataType): Unit =
+      if (!inferred.contains(id)) inferred(id) = t
 
     // every placeholder id anywhere under `e`
     def nestedPhs(e: Expression): Seq[String] =
@@ -172,11 +183,11 @@ object PreparedStatements {
         // one side types the placeholders anywhere under the other side
         // (`id = $1 + 1`, `name LIKE $1`, `u.id = b.uid + $1`)
         case b: BinaryExpression =>
-          colType(b.right).foreach(t => nestedPhs(b.left).foreach(id => inferred += id -> t))
-          colType(b.left).foreach(t => nestedPhs(b.right).foreach(id => inferred += id -> t))
+          colType(b.right).foreach(t => nestedPhs(b.left).foreach(record(_, t)))
+          colType(b.left).foreach(t => nestedPhs(b.right).foreach(record(_, t)))
         case In(v, list) =>
           colType(v).foreach { t =>
-            list.flatMap(placeholderId(_, posOrdinals)).foreach(id => inferred += id -> t)
+            list.flatMap(placeholderId(_, posOrdinals)).foreach(record(_, t))
           }
         // `x BETWEEN $1 AND $2` parses as the unresolved function
         // between(x, $1, $2)
@@ -184,14 +195,14 @@ object PreparedStatements {
             if f.nameParts.lastOption.exists(_.equalsIgnoreCase("between")) &&
               f.arguments.nonEmpty =>
           colType(f.arguments.head).foreach { t =>
-            f.arguments.tail.flatMap(nestedPhs).foreach(id => inferred += id -> t)
+            f.arguments.tail.flatMap(nestedPhs).foreach(record(_, t))
           }
         case _ =>
       }
       e.children.foreach(visit)
     }
     allExpressions(parsed).foreach(visit)
-    inferred.result()
+    inferred.toMap
   }
 
   private def rejectDdl(parsed: LogicalPlan, sql: String): Unit = {

@@ -165,6 +165,14 @@ class PreparedStatementsSpec extends SparkTestBase {
     st.execute(Map("$1" -> 2)).collect() shouldBe Array.empty[Row]
   }
 
+  // the enclosing comparison's column type must win over a nested
+  // arithmetic literal's — `amount = $1 + 1` types $1 double (amount's
+  // type), never int from the `+ 1` (first-write-wins traversal order)
+  test("column sibling outranks a nested arithmetic literal") {
+    val st = prepare("SELECT id FROM users WHERE amount = $1 + 1")
+    st.execute(Map("$1" -> 19.5)).collect() shouldBe Array(Row(2)) // 19.5 + 1 = 20.5 = bo
+  }
+
   test("type inferred from a literal sibling") {
     // no column on either side of `$1 = 'ed'` — the literal types it
     val st = prepare("SELECT id FROM users WHERE id = 1 AND $1 = 'ed'")

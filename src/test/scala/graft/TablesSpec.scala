@@ -18,8 +18,10 @@ class TablesSpec extends SparkTestBase {
 
   test("eventTs agrees across the nanos-long and timestamp[us] generations") {
     val asLong = Seq(micros * 1000L).toDF("ts") // epoch nanos as int64
+    // integer `div`, not `/`: double division of an epoch-nanos long loses
+    // sub-microsecond exactness past 2^53
     val asNtz = Seq(micros * 1000L).toDF("ts")
-      .select(timestamp_micros((col("ts") / 1000).cast(LongType)).cast(TimestampNTZType).as("ts"))
+      .select(timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType).as("ts"))
     asLong.schema("ts").dataType shouldBe LongType
     asNtz.schema("ts").dataType shouldBe TimestampNTZType
 
@@ -38,7 +40,7 @@ class TablesSpec extends SparkTestBase {
 
   test("eventTs passes a plain TimestampType column through") {
     val asTz = Seq(micros * 1000L).toDF("ts")
-      .select(timestamp_micros((col("ts") / 1000).cast(LongType)).as("ts"))
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"))
     asTz.schema("ts").dataType shouldBe TimestampType
     asTz.select(Tables.eventTs(asTz).as("t")).head().getTimestamp(0).getTime shouldBe micros / 1000
     asTz.select(Tables.eventTsMicros(asTz).as("m")).head().getLong(0) shouldBe micros
