@@ -64,15 +64,32 @@ class PlanShapeSpec extends SparkTestBase {
     // after the candidate semi join (boilerplate-sized stream). A plan
     // whose FIRST aggregate keys on `span` has regressed to shuffling raw
     // 10-gram strings — ~10x the exchange bytes at 100 TB.
-    // explain prints root-first, so the DEEPEST aggregates (last lines) are
-    // the corpus-wide mining pass inside the broadcast-candidate subtree
-    val p = planOf("q_text_dupspans")
-    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
-    aggs.last should include("__h")
-    (aggs.last should not).include("span#")
+    // anchored structurally on the plan TREE (not explain print order,
+    // which AQE/version bumps can shuffle): the corpus-wide mining pass —
+    // an aggregate with NO join below it — must key on the 8-byte __h;
+    // any span-string-keyed aggregate may only run above a join, i.e.
+    // over the candidate-narrowed (boilerplate-sized) survivor stream
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = SparkEntry.queries("q_text_dupspans")(spark, dir)
+      .queryExecution.sparkPlan
+    val aggs = plan.collect { case a: BaseAggregateExec => a }
+    def keyNames(a: BaseAggregateExec): Seq[String] =
+      a.groupingExpressions.flatMap(_.references.map(_.name).toSeq)
+    def hasJoinBelow(a: BaseAggregateExec): Boolean =
+      a.children.exists(_.collectFirst { case j: BaseJoinExec => j }.nonEmpty)
+    val corpusWide = aggs.filterNot(hasJoinBelow)
+    corpusWide should not be empty
+    all(corpusWide.map(keyNames)) should not contain "span"
+    atLeast(1, corpusWide.map(keyNames)) should contain("__h")
+    aggs.filter(a => keyNames(a).contains("span")).foreach { a =>
+      withClue(s"span-keyed aggregate over a non-narrowed stream: $a") {
+        hasJoinBelow(a) shouldBe true
+      }
+    }
     // and the span fan-out is the JVM-speed generator, not the interpreted
     // transform/slice HOF chain
-    p.toLowerCase should include("wordshinglehashes")
+    planOf("q_text_dupspans").toLowerCase should include("wordshinglehashes")
   }
 
   test("the corpus-wide embedding sweep is non-vacuous at every sf") {
@@ -109,6 +126,23 @@ class PlanShapeSpec extends SparkTestBase {
     p should include("simhash_bucket_keys")
     // exact verify stays: prune-then-verify, reference physical.rs:257-263
     p should include("bit_count")
+  }
+
+  test("group centroids aggregate vectors natively — no posexplode fan-out") {
+    // the r16 rewrite: one fixed-width VectorAvg buffer per group per
+    // partition instead of fanning rows × dim through a (group, pos)
+    // double-aggregation — a Generate here means the fan-out is back
+    val p = pipeline.Similarity
+      .groupCentroids(Tables.df(spark, dir, "embeddings"), "label")
+      .queryExecution.explainString(SimpleMode)
+    p should not include "Generate"
+    p should not include "posexplode"
+    p should not include "collect_list"
+    // diversity composes the same centroid pass; its whole registered plan
+    // must stay fan-out-free (its output is already scalar per group)
+    val pd = planOf("q_embed_diversity")
+    pd should not include "Generate"
+    pd should not include "posexplode"
   }
 
   // The r9 lesson that regressed in r13 (q_embed_centroid/q_embed_hashdoc):

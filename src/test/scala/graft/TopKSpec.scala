@@ -143,10 +143,28 @@ class TopKSpec extends SparkTestBase {
     byLabel("a")._2 shouldBe Seq(2.0, 2.0, 1.0)
     byLabel("b")._1 shouldBe 1L
     byLabel("b")._2 shouldBe Seq(10.0, 20.0, 30.0)
-    // the plan aggregates (group, dim) partials — no collect_list of the
-    // raw vectors before the first exchange
+    // the plan reduces each partition to one fixed-width VectorAvg buffer
+    // per group BEFORE the exchange (partial aggregation) — no collect_list
+    // of raw vectors, no posexplode fan-out
     val plan = Similarity.groupCentroids(vecs, "label")
       .queryExecution.executedPlan.toString
-    plan should include ("partial_avg")
+    plan.toLowerCase should include ("partial")
+    plan.toLowerCase should include ("vectoravg")
+    plan should not include "collect_list"
+    plan should not include "Generate"
+  }
+
+  test("VectorAvg matches avg per dimension on ragged and null input") {
+    // ragged vectors: a dimension's mean divides by the vectors that reach
+    // it (posexplode-avg semantics); null vectors are skipped entirely
+    val vecs = Seq(
+      (1L, "a", Seq(1.0, 3.0, 10.0)),
+      (2L, "a", Seq(3.0, 5.0)),
+      (3L, "a", null)
+    ).toDF("vec_id", "label", "v")
+    val vecAvg = udaf(new graft.functions.VectorAvg)
+    val out = vecs.groupBy(col("label")).agg(vecAvg(col("v")).as("m"))
+      .collect()(0).getSeq[Double](1)
+    out shouldBe Seq(2.0, 4.0, 10.0)
   }
 }
