@@ -5,10 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (driver prompt): media payloads are opaque
   * `binary` columns with typed metadata; decode / feature-extraction runs
-  * batch-wise over partitions. The actual image/audio decode is STUBBED with
-  * a deterministic fake (no media libraries in this environment) — the
-  * Spark-side contract (schema, partitioning, batch iteration shape) is
-  * real and tested.
+  * batch-wise over partitions.
+  *
+  * IMAGE decode is REAL as of r16: payloads whose magic bytes identify a
+  * format `javax.imageio` ships with in every standard JDK (PNG, JPEG,
+  * BMP, GIF — no external media libraries needed) are decoded to actual
+  * pixel rasters, and dimensions/channels/mean intensity come from the
+  * decoded image. Payloads that are not decodable images (this corpus's
+  * text-derived payloads, truncated files, audio) fall back to the
+  * deterministic byte-sum arithmetic — which is also what keeps the
+  * registered query DuckDB-replayable on the text corpus. Video frame
+  * sampling and the perceptual hash remain deterministic stubs (the JDK
+  * carries no video codec or DCT pipeline); their banding/verification
+  * machinery is the real, production-shaped part.
   *
   * The test corpus has no binary column, so the payload is derived from
   * `documents.text` via a UTF-8 binary cast; on a real corpus the payload
@@ -48,26 +57,21 @@ object Multimodal {
       length(col("text").cast("binary")).as("n_bytes"),
       sha2(col("text").cast("binary"), 256).as("sha256_hex"))
 
-  /** Batch "decode": partition-wise iteration over payload bytes, emitting a
-    * typed record per media item. The decode itself is a deterministic fake
-    * (dimensions + intensity derived from the payload bytes); swap the body
-    * for an actual codec call in production. Runs fully distributed — one
-    * task per partition, no driver involvement.
-    */
-  /** Batch "resize": consumes the decode output and computes target
-    * dimensions for a max-`maxSide`-px bounding box (aspect preserved). The
-    * geometry is real; only the pixel work is stubbed out. Chained
-    * partition-wise transforms — no shuffle anywhere in the media pipeline.
+  /** Batch "resize": consumes the decode output ([[decode]] — real pixel
+    * dimensions for image payloads, deterministic fallback otherwise) and
+    * computes target dimensions for a max-`maxSide`-px bounding box
+    * (aspect preserved). Chained partition-wise transforms — no shuffle
+    * anywhere in the media pipeline.
     *
     * Target sides use integer arithmetic (`src * maxSide div longest`) and
     * the reported scale is a single IEEE division, so the output is exactly
     * replayable by an independent engine (no float round-to-nearest step
     * whose tie-breaking could differ across implementations).
     */
-  def resizeStub(docs: DataFrame, maxSide: Int = 256): Dataset[ResizedMedia] = {
+  def resize(docs: DataFrame, maxSide: Int = 256): Dataset[ResizedMedia] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    decodeStub(docs).mapPartitions { batch =>
+    decode(docs).mapPartitions { batch =>
       batch.map { m =>
         val longest = math.max(m.width, m.height)
         if (longest <= maxSide)
@@ -104,20 +108,6 @@ object Multimodal {
       }
   }
 
-  /** The fake decode derives every output from the payload byte sum and
-    * length so an independent engine can replay it exactly and hash-compare
-    * the result (the r1-r3 FNV-derived dimensions were deterministic but
-    * only this JVM could compute them — rows-only checkable):
-    *
-    *   - width  = 64 + byte_sum mod 1024
-    *   - height = 64 + (byte_sum div 7 + n_bytes) mod 1024
-    *   - mean_intensity = byte_sum / n_bytes as ONE IEEE-754 division of two
-    *     exactly-representable integers — bitwise identical in any engine,
-    *     no rounding step to diverge on.
-    *
-    * The per-byte loop is still a real pass over the payload (the shape a
-    * codec call has); only the arithmetic after it is the stub.
-    */
   /** 60-bit perceptual hash of each payload — STUBBED feature extraction:
     * a real pHash DCTs the decoded pixel grid; with no codec in this
     * container, the "features" are the payload's md5 (first 15 hex chars →
@@ -184,24 +174,100 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  def decodeStub(docs: DataFrame): Dataset[DecodedMedia] = {
-    val spark = docs.sparkSession
+  /** Magic-byte sniff for the formats a standard JDK's `javax.imageio`
+    * decodes: PNG (\x89PNG), JPEG (FF D8), BMP ("BM"), GIF ("GIF8").
+    * A sniff hit only routes the payload to the codec — a payload that
+    * merely STARTS like an image (e.g. text beginning "BM") fails the
+    * actual decode and falls back deterministically.
+    */
+  private[graft] def sniffImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') ||
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) ||
+      (bytes(0) == 'B' && bytes(1) == 'M') ||
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'))
+
+  /** Real image decode of one payload, or None when the bytes are not a
+    * decodable image. Mean intensity is the average over every raster
+    * sample (all channels), as ONE division of a long sample sum — for the
+    * lossless formats (PNG/BMP/GIF) this is exactly reproducible anywhere.
+    */
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val (w, h, c) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < c) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, c, sum.toDouble / (w.toLong * h * c)))
+      }
+    } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
+
+  /** The non-image fallback: every output derived from the payload byte
+    * sum and length so an independent engine can replay it exactly and
+    * hash-compare the result (the r1-r3 FNV-derived dimensions were
+    * deterministic but only this JVM could compute them — rows-only
+    * checkable):
+    *
+    *   - width  = 64 + byte_sum mod 1024
+    *   - height = 64 + (byte_sum div 7 + n_bytes) mod 1024
+    *   - mean_intensity = byte_sum / n_bytes as ONE IEEE-754 division of two
+    *     exactly-representable integers — bitwise identical in any engine,
+    *     no rounding step to diverge on.
+    *
+    * The per-byte loop is still a real pass over the payload (the shape a
+    * codec call has).
+    */
+  private def decodeFallback(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      sum += bytes(i) & 0xffL
+      i += 1
+    }
+    val width = 64 + (sum % 1024L).toInt
+    val height = 64 + ((sum / 7L + bytes.length) % 1024L).toInt
+    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    DecodedMedia(id, bytes.length, width, height, 3, mean)
+  }
+
+  /** Batch decode over an (id, payload binary) frame: partition-wise
+    * iteration, one typed record per media item, fully distributed. Image
+    * payloads decode for real via `javax.imageio` (PNG/JPEG/BMP/GIF in
+    * every standard JDK); everything else takes the deterministic
+    * fallback. `ImageIO`'s disk-backed stream cache is disabled once per
+    * executor JVM — payloads are already in memory and a tmp-file per
+    * decode would put a filesystem write on the hot path.
+    */
+  def decodePayload(media: DataFrame): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
         batch.map { case (id, bytes) =>
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) {
-            sum += bytes(i) & 0xffL
-            i += 1
+          val img = if (sniffImage(bytes)) decodeImage(bytes) else None
+          img match {
+            case Some((w, h, c, mean)) => DecodedMedia(id, bytes.length, w, h, c, mean)
+            case None                  => decodeFallback(id, bytes)
           }
-          val width = 64 + (sum % 1024L).toInt
-          val height = 64 + ((sum / 7L + bytes.length) % 1024L).toInt
-          val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-          DecodedMedia(id, bytes.length, width, height, 3, mean)
         }
       }
   }
+
+  /** [[decodePayload]] over the text-derived payload of the test corpus. */
+  def decode(docs: DataFrame): Dataset[DecodedMedia] =
+    decodePayload(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
 }

@@ -370,8 +370,8 @@ object PipelineQueries {
       Multimodal.phashNearDupPairs(
         Multimodal.pHashStub(m.unionByName(planted)), maxHamming = 5)
     }),
-    "q_multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(docs(s, dir)).toDF()),
-    "q_multimodal_resize" -> ((s, dir) => Multimodal.resizeStub(docs(s, dir)).toDF()),
+    "q_multimodal_decode" -> ((s, dir) => Multimodal.decode(docs(s, dir)).toDF()),
+    "q_multimodal_resize" -> ((s, dir) => Multimodal.resize(docs(s, dir)).toDF()),
     // frame indices are derivable from payload size alone, so the sampling
     // fan-out (the flatMap shape) gets a real DuckDB oracle
     "q_multimodal_frames" -> ((s, dir) =>
@@ -1017,7 +1017,7 @@ object PipelineQueries {
 
   /** Shared decode-oracle base: UTF-8 byte count and byte sum per document,
     * as BIGINTs so the downstream modular arithmetic matches the Scala
-    * Long math in [[Multimodal.decodeStub]].
+    * Long math in [[Multimodal.decode]].
     */
   private val multimodalByteSums: String =
     "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
@@ -1153,7 +1153,7 @@ object PipelineQueries {
     "q_multimodal_frames" -> ("SELECT doc_id, CAST(unnest(generate_series(0, " +
       "least(CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) // 1000, 4))) AS INTEGER) AS frame_idx " +
       "FROM documents"),
-    // Replays decodeStub's byte-sum arithmetic. ascii() per split character
+    // Replays the decode fallback's byte-sum arithmetic (the corpus's text payloads are not images, so every row takes the fallback path). ascii() per split character
     // equals the UTF-8 byte value only for an ASCII corpus — which the
     // synthetic documents are (the fake payload is the text itself; a real
     // binary payload column would be summed directly).

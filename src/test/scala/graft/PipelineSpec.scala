@@ -322,15 +322,44 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("decode stub is deterministic and row-preserving") {
-    val a = Multimodal.decodeStub(docs).collect().sortBy(_.doc_id)
-    val b = Multimodal.decodeStub(docs).collect().sortBy(_.doc_id)
+    val a = Multimodal.decode(docs).collect().sortBy(_.doc_id)
+    val b = Multimodal.decode(docs).collect().sortBy(_.doc_id)
     a shouldBe b
     a.length shouldBe docs.count()
     all(a.map(_.channels)) shouldBe 3
   }
 
+  test("decode reads REAL pixels from PNG/BMP payloads; non-images fall back") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 4x3 all-gray-100 RGB image: mean over every sample is exactly 100
+    def pixels(img: BufferedImage): BufferedImage = {
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        img.setRGB(x, y, (100 << 16) | (100 << 8) | 100)
+      img
+    }
+    def bytesOf(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png = bytesOf(pixels(new BufferedImage(4, 3, BufferedImage.TYPE_INT_RGB)), "png")
+    val bmp = bytesOf(pixels(new BufferedImage(5, 2, BufferedImage.TYPE_3BYTE_BGR)), "bmp")
+    val text = "BM but this is not a bitmap at all".getBytes("UTF-8")
+    import spark.implicits._
+    val media = Seq((1L, png), (2L, bmp), (3L, text)).toDF("doc_id", "payload")
+    val out = Multimodal.decodePayload(media).collect().sortBy(_.doc_id)
+    // real decoded dimensions + channels + intensity, not byte-sum fakes
+    out(0) shouldBe Multimodal.DecodedMedia(1L, png.length, 4, 3, 3, 100.0)
+    out(1) shouldBe Multimodal.DecodedMedia(2L, bmp.length, 5, 2, 3, 100.0)
+    // the sniffed-but-undecodable payload takes the deterministic fallback
+    val sum = text.map(_ & 0xff).map(_.toLong).sum
+    out(2).width shouldBe 64 + (sum % 1024L).toInt
+    out(2).mean_intensity shouldBe sum.toDouble / text.length
+  }
+
   test("resize stub preserves aspect ratio within the bounding box") {
-    val out = Multimodal.resizeStub(docs, maxSide = 100).collect()
+    val out = Multimodal.resize(docs, maxSide = 100).collect()
     out.length shouldBe docs.count()
     all(out.map(r => math.max(r.dst_width, r.dst_height))) should be <= 100
     out.foreach { r =>
