@@ -60,6 +60,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the eventTs contract (Tables.scala): the TIMESTAMP_NTZ parquet
+      // generation casts to session-zoned timestamps, so every entrypoint
+      // that reads events must pin UTC or the two parquet generations
+      // produce different instants/buckets (ADVICE r15 — Verify and the
+      // test base pinned it, Bench did not)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Long-session hygiene: the r9 official run showed the prepared path
       // ~2× slower in the post-loop bracket while unprepared stayed flat —
@@ -192,8 +198,23 @@ object Bench {
     // keep ALL rep timings per query: the headline stays the median, but
     // min/max go into "queries_stats" so run-to-run spread (host load, cold
     // page cache) is visible in the artifact itself instead of argued about
+    // family = the prefix through the second underscore (q_dedup_*,
+    // q_embed_*, …): a GC settle at each family boundary keeps one family's
+    // heap litter (checkpoint blocks, codegen classes, shuffle buffers)
+    // from taxing its alphabetical successor — the r6/r15 pattern where
+    // the dedup family inherited pressure from its predecessors. Settle
+    // time is outside every timed region.
+    def familyOf(name: String): String = {
+      val i = name.indexOf('_', name.indexOf('_') + 1)
+      if (i < 0) name else name.substring(0, i)
+    }
+    var lastFamily: String = null
     def runQueries(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
         : Seq[(String, Option[Seq[Double]])] = qs.map { case (name, fn) =>
+      if (familyOf(name) != lastFamily) {
+        if (lastFamily != null) settle()
+        lastFamily = familyOf(name)
+      }
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var r = 0

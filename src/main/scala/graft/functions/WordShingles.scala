@@ -58,13 +58,16 @@ object WordShinglesFunction {
   * tokenizes each document once at JVM speed inside the same
   * partition-local `Generate` fan-out as built-in `explode`.
   */
-case class WordShingleHashes(child: Expression, n: Int)
+case class WordShingleHashes(child: Expression, n: Int, withHashes: Boolean = true)
     extends UnaryExpression with Generator with CodegenFallback {
   require(n >= 1, "shingle size must be >= 1")
 
   override def elementSchema: StructType =
-    StructType(StructField("__h", org.apache.spark.sql.types.LongType, nullable = false) ::
-      StructField("span", StringType, nullable = false) :: Nil)
+    if (withHashes)
+      StructType(StructField("__h", org.apache.spark.sql.types.LongType, nullable = false) ::
+        StructField("span", StringType, nullable = false) :: Nil)
+    else
+      StructType(StructField("span", StringType, nullable = false) :: Nil)
 
   private val space = UTF8String.fromString(" ")
 
@@ -77,9 +80,11 @@ case class WordShingleHashes(child: Expression, n: Int)
       if (tokens.length < n) Nil
       else (0 to tokens.length - n).map { i =>
         val span = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(tokens, i, i + n): _*)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          span.getBaseObject, span.getBaseOffset, span.numBytes, 42L)
-        InternalRow(h, span)
+        if (withHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            span.getBaseObject, span.getBaseOffset, span.numBytes, 42L)
+          InternalRow(h, span)
+        } else InternalRow(span)
       }
     }
   }
@@ -88,6 +93,11 @@ case class WordShingleHashes(child: Expression, n: Int)
 }
 
 object WordShingleHashesFunction {
-  def wordShingleHashes(text: Column, n: Int): Column =
-    colOf(WordShingleHashes(exprOf(text), n))
+  /** `withHashes = false` emits the span column alone and skips the XXH64
+    * pass entirely — for string-keyed consumers (ADVICE r15: the unhashed
+    * decontamination paths were paying a per-shingle hash whose column was
+    * discarded on the corpus-wide fan-out).
+    */
+  def wordShingleHashes(text: Column, n: Int, withHashes: Boolean = true): Column =
+    colOf(WordShingleHashes(exprOf(text), n, withHashes))
 }

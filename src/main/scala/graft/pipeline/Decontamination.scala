@@ -36,14 +36,19 @@ object Decontamination {
   /** Explodes `textCol`'s shingles through the JVM-speed
     * [[graft.functions.WordShingleHashes]] generator as (`__sh`, `__s`) =
     * (xxhash64, string) pairs — one tokenization per row with no
-    * interpreted HOF in the corpus-wide fan-out (the r12 lesson), and the
-    * hash comes free for the `hashed`/streaming paths (bit-equal to
-    * `xxhash64(__s)`, parity-tested in CurationSpec).
+    * interpreted HOF in the corpus-wide fan-out (the r12 lesson). The hash
+    * is bit-equal to `xxhash64(__s)` (parity-tested in CurationSpec);
+    * string-keyed callers pass `withHashes = false` and get `__s` alone,
+    * skipping the per-shingle XXH64 on the corpus-wide fan-out entirely
+    * (ADVICE r15 — the unhashed paths were computing and discarding it).
     */
-  private def explodedShingles(df: DataFrame, textCol: String, n: Int, keep: Seq[Column]): DataFrame =
+  private def explodedShingles(
+      df: DataFrame, textCol: String, n: Int, keep: Seq[Column],
+      withHashes: Boolean = true): DataFrame =
     df.select(keep :+
-      graft.functions.WordShingleHashesFunction.wordShingleHashes(col(textCol), n)
-        .as(Seq("__sh", "__s")): _*)
+      graft.functions.WordShingleHashesFunction
+        .wordShingleHashes(col(textCol), n, withHashes)
+        .as(if (withHashes) Seq("__sh", "__s") else Seq("__s")): _*)
 
   /** One row per CONTAMINATED training doc: (`idCol`, n_shared) where
     * n_shared counts the distinct n-gram shingles the doc shares with the
@@ -65,11 +70,13 @@ object Decontamination {
     // distinct + join shuffle bytes ~4× (and more for larger n); a
     // collision can only ADD a spurious flag (never hide a real one), with
     // ~n_shingles²/2⁶⁴ probability
-    // hashed=true keys on the generator's precomputed __sh (≡ xxhash64(__s))
+    // hashed=true keys on the generator's precomputed __sh (≡ xxhash64(__s));
+    // hashed=false skips the hash pass entirely (withHashes threads down)
     val key: Column = if (hashed) col("__sh") else col("__s")
-    val evalShingles = explodedShingles(evalDocs, textCol, n, keep = Nil)
+    val evalShingles = explodedShingles(evalDocs, textCol, n, keep = Nil, withHashes = hashed)
       .select(key.as("shingle")).distinct()
-    val trainShingles = explodedShingles(train, textCol, n, keep = Seq(col(idCol)))
+    val trainShingles = explodedShingles(train, textCol, n, keep = Seq(col(idCol)),
+        withHashes = hashed)
       .select(col(idCol), key.as("shingle"))
     // join BEFORE deduplicating the train side: the eval set is small
     // (benchmark-sized), so the join broadcasts and filters ~every train
@@ -109,9 +116,11 @@ object Decontamination {
         !d.columns.contains("__sh") && !d.columns.contains("__s")),
       "__sh/__s are reserved by Decontamination")
     val key: Column = if (hashed) col("__sh") else col("__s")
-    val evalShingles = explodedShingles(evalDocs, textCol, n, keep = Seq(col(idCol)))
+    val evalShingles = explodedShingles(evalDocs, textCol, n, keep = Seq(col(idCol)),
+        withHashes = hashed)
       .select(col(idCol).as("eval_id"), key.as("shingle")).distinct()
-    val trainShingles = explodedShingles(train, textCol, n, keep = Seq(col(idCol)))
+    val trainShingles = explodedShingles(train, textCol, n, keep = Seq(col(idCol)),
+        withHashes = hashed)
       .select(col(idCol).as("__train_id"), key.as("shingle"))
     val pairs = Dedup.cache(trainShingles
       .join(broadcast(evalShingles), Seq("shingle"))

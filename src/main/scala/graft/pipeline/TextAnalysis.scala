@@ -223,25 +223,29 @@ object TextAnalysis {
     val exploded = explodedSliceHashes(docs, n)
     val candidateHashes = topSpanHashes(exploded, minDocs, k)
     // exact string-side top-k over the candidate-narrowed stream — the
-    // same lossless cut as duplicatedSpans — reduced to WINNER hashes
-    // (exactly k, so the membership gate matches the mined list, not the
-    // tie-inflated candidate superset). __h is carried THROUGH the
-    // aggregation (span↔hash is 1:1, min() just picks the one value)
-    // rather than re-derived from the winner strings, so the membership
-    // key cannot drift from the mining key.
-    val winnerHashes = exploded
+    // same lossless cut as duplicatedSpans — kept as WINNER SPANS (exactly
+    // k strings, so the membership gate matches the mined list, not the
+    // tie-inflated candidate superset)
+    val winnerSpans = exploded
       .join(broadcast(candidateHashes), Seq("__h"), "left_semi")
       .groupBy(col("span"), col("doc_id"))
-      .agg(count(lit(1)).as("__per_doc"), min(col("__h")).as("__hm"))
+      .agg(count(lit(1)).as("__per_doc"))
       .groupBy(col("span"))
       .agg(sum(col("__per_doc")).as("n_occurrences"),
-        count(lit(1)).as("n_docs"), min(col("__hm")).as("__h"))
+        count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(k)
-      .select(col("__h"))
+      .select(col("span"))
+    // membership gate = hash PREFILTER then exact string CONFIRM (ADVICE
+    // r15): the corpus-wide pass still touches only the 8-byte __h (the
+    // candidate superset broadcast), and the span-string equi-join runs
+    // over the already-narrowed boilerplate-sized survivor stream — so a
+    // 64-bit collision with a winner span can no longer silently DROP a
+    // non-carrier document; at worst it costs one extra confirm-side row
     val flagged = exploded
-      .join(broadcast(winnerHashes), Seq("__h"), "left_semi")
+      .join(broadcast(candidateHashes), Seq("__h"), "left_semi")
+      .join(broadcast(winnerSpans), Seq("span"), "left_semi")
       .select(col("doc_id")).distinct()
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }

@@ -17,11 +17,11 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, 
   * with `$n` placeholders surviving into the physical plan as
   * [[ParamPlaceholder]] leaves.
   *
-  * Placeholder syntax: `$1`, `$2`, … (the reference's convention) or `?`
-  * positional markers (numbered left to right) or `:name` named markers
-  * (bound by `$name`-keyed… no — by `":name"`? they are keyed `"$name"`? see
-  * note) — all normalized to `$`-ids: `?`s become `$1..$n` in textual order,
-  * `:name` becomes `$name`.
+  * Placeholder syntax: `$1`, `$2`, … (the reference's convention), `?`
+  * positional markers, or `:name` named markers — all normalized to
+  * `$`-ids at prepare time: `?`s become `$1..$n` in textual order and
+  * `:name` becomes `$name`, so bind maps are always `$`-keyed (e.g.
+  * `execute(Map("$1" -> 5))`, `execute(Map("$limit" -> 10))`).
   *
   * Types: looked up in `paramTypes` (keys `"$1"`, …); if absent, inferred
   * from the comparison sibling — a column typed against the referenced
@@ -135,42 +135,50 @@ object PreparedStatements {
       }
     }
 
-    def colType(e: Expression): Option[DataType] = e match {
+    // Sibling types carry a RANK: schema-anchored sources (table columns,
+    // projection aliases, function result types, explicit casts) rank 2,
+    // a bare literal sibling ranks 1. A reused named param can meet both —
+    // `WHERE :p = 5 AND amount = :p` — and the literal's clause position
+    // must not decide the type (ADVICE r15): the column's wins regardless
+    // of order.
+    def ranked(e: Expression): Option[(DataType, Int)] = e match {
       case a: UnresolvedAttribute =>
         colTypes.get(a.nameParts.last.toLowerCase)
           .orElse(aliasTypes.get(a.nameParts.last.toLowerCase))
+          .map((_, 2))
       // a literal or cast sibling types the placeholder directly
       // (`WHERE $1 = 5`, `WHERE col = CAST($1 AS DATE)` reversed forms)
-      case l: Literal => Some(l.dataType)
-      case c: Cast    => Some(c.dataType)
+      case l: Literal => Some((l.dataType, 1))
+      case c: Cast    => Some((c.dataType, 2))
       // result types of common functions, so HAVING count(*) >= $1 and
       // friends infer without a declaration
       case f: UnresolvedFunction =>
         f.nameParts.last.toLowerCase match {
-          case "count" | "count_distinct"        => Some(LongType)
-          case "avg" | "mean"                    => Some(DoubleType)
-          case "length" | "char_length" | "size" => Some(IntegerType)
+          case "count" | "count_distinct"        => Some((LongType, 2))
+          case "avg" | "mean"                    => Some((DoubleType, 2))
+          case "length" | "char_length" | "size" => Some((IntegerType, 2))
           case "sum" =>
-            f.arguments.headOption.flatMap(colType).map {
-              case ByteType | ShortType | IntegerType | LongType => LongType
-              case FloatType | DoubleType                        => DoubleType
-              case d: DecimalType                                => d
-              case other                                         => other
+            f.arguments.headOption.flatMap(ranked).map {
+              case (ByteType | ShortType | IntegerType | LongType, r) => (LongType, r)
+              case (FloatType | DoubleType, r)                        => (DoubleType, r)
+              case (d: DecimalType, r)                                => (d, r)
+              case other                                              => other
             }
           case "min" | "max" | "abs" | "round" | "floor" | "ceil" =>
-            f.arguments.headOption.flatMap(colType)
+            f.arguments.headOption.flatMap(ranked)
           case _ => None
         }
       case _ => None
     }
-
-    // FIRST write wins: visit() descends outer-to-inner, so the enclosing
-    // comparison's column-derived type lands before a nested arithmetic
-    // sibling's literal can re-infer — `amount = $1 + 1` (amount DOUBLE)
-    // must type $1 double from the comparison, not int from the `+ 1`
-    val inferred = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    def record(id: String, t: DataType): Unit =
-      if (!inferred.contains(id)) inferred(id) = t
+    // Within a rank, FIRST write wins: visit() descends outer-to-inner, so
+    // the enclosing comparison's column-derived type lands before a nested
+    // arithmetic sibling's literal can re-infer — `amount = $1 + 1`
+    // (amount DOUBLE) must type $1 double from the comparison, not int
+    // from the `+ 1`. Across ranks, the higher-ranked source wins whatever
+    // the clause order.
+    val inferred = scala.collection.mutable.LinkedHashMap.empty[String, (DataType, Int)]
+    def record(id: String, tr: (DataType, Int)): Unit =
+      if (!inferred.get(id).exists(_._2 >= tr._2)) inferred(id) = tr
 
     // every placeholder id anywhere under `e`
     def nestedPhs(e: Expression): Seq[String] =
@@ -183,10 +191,10 @@ object PreparedStatements {
         // one side types the placeholders anywhere under the other side
         // (`id = $1 + 1`, `name LIKE $1`, `u.id = b.uid + $1`)
         case b: BinaryExpression =>
-          colType(b.right).foreach(t => nestedPhs(b.left).foreach(record(_, t)))
-          colType(b.left).foreach(t => nestedPhs(b.right).foreach(record(_, t)))
+          ranked(b.right).foreach(t => nestedPhs(b.left).foreach(record(_, t)))
+          ranked(b.left).foreach(t => nestedPhs(b.right).foreach(record(_, t)))
         case In(v, list) =>
-          colType(v).foreach { t =>
+          ranked(v).foreach { t =>
             list.flatMap(placeholderId(_, posOrdinals)).foreach(record(_, t))
           }
         // `x BETWEEN $1 AND $2` parses as the unresolved function
@@ -194,7 +202,7 @@ object PreparedStatements {
         case f: UnresolvedFunction
             if f.nameParts.lastOption.exists(_.equalsIgnoreCase("between")) &&
               f.arguments.nonEmpty =>
-          colType(f.arguments.head).foreach { t =>
+          ranked(f.arguments.head).foreach { t =>
             f.arguments.tail.flatMap(nestedPhs).foreach(record(_, t))
           }
         case _ =>
@@ -202,7 +210,7 @@ object PreparedStatements {
       e.children.foreach(visit)
     }
     allExpressions(parsed).foreach(visit)
-    inferred.toMap
+    inferred.view.mapValues(_._1).toMap
   }
 
   private def rejectDdl(parsed: LogicalPlan, sql: String): Unit = {

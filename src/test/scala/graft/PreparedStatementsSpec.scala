@@ -180,6 +180,19 @@ class PreparedStatementsSpec extends SparkTestBase {
     st.execute(Map("$1" -> "zz")).collect() shouldBe Array.empty[Row]
   }
 
+  // ADVICE r15: a REUSED named param meeting a bare literal in one clause
+  // and a typed column in another must take the column's type whatever the
+  // clause ORDER — ranked inference, not pure first-write-wins
+  test("column sibling outranks an earlier literal sibling for a reused param") {
+    // literal INT comparison FIRST: :p would be IntegerType under pure
+    // first-write-wins; amount's DoubleType must win whatever the order,
+    // so binding 20.5 survives un-truncated and matches row 2
+    val st = prepare("SELECT id FROM users WHERE :p = 5 OR amount = :p")
+    st.execute(Map("$p" -> 20.5)).collect() shouldBe Array(Row(2))
+    val st2 = prepare("SELECT id FROM users WHERE amount = :p OR :p = 5")
+    st2.execute(Map("$p" -> 20.5)).collect() shouldBe Array(Row(2))
+  }
+
   test("uninferable placeholder type fails fast at prepare") {
     users
     val ex = intercept[IllegalArgumentException] {
