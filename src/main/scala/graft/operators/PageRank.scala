@@ -22,11 +22,13 @@ import graft.pipeline.Dedup
   * aggregated) contribution groupBy(dst) and the one-row dangling-mass
   * aggregate — none edge-sized. Each round's (rank, degree) frame is a
   * lazy checkpoint: one materialization serves both its readers (dangling
-  * aggregate, contribution join), lineage stays one round deep, and —
-  * because `Dataset.localCheckpoint` plans at call time — every round is
-  * physically planned inside the loop's AQE-off scope, so the carried
-  * partitionings are trusted verbatim and no round silently re-shuffles
-  * (the CC loop's probe-verified AQE/checkpoint interaction).
+  * aggregate, contribution join) and lineage stays one round deep. AQE is
+  * suspended only while the UPFRONT edge/vertex/degree layout is planned
+  * (`Dataset.localCheckpoint` plans at call time; under AQE the carried
+  * partitioning comes back UNKNOWN — the CC loop's probe-verified
+  * interaction); the rounds themselves plan ADAPTIVE since r16, trading
+  * one vertex-sized exchange a round for AQE-coalesced task counts on
+  * every label-sized shuffle.
   *
   * Checkpoint blocks are registered in the shared [[Dedup.clearCheckpoints]]
   * pool: consume the returned frame, then clear (destructive — same
@@ -58,14 +60,7 @@ object PageRank {
       initialRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
-    // AQE off for the whole loop, restored on exit — same rationale as
-    // connectedComponentsIters: checkpoints created under AQE lose their
-    // outputPartitioning, which would re-shuffle the edge table per round
-    val sess = edges.sparkSession
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try pageRankLoop(edges, srcCol, dstCol, iterations, damping, initialRanks)
-    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    pageRankLoop(edges, srcCol, dstCol, iterations, damping, initialRanks)
   }
 
   private def pageRankLoop(
@@ -81,18 +76,32 @@ object PageRank {
       Dedup.registerCheckpointBlocks(c)
       c
     }
+    // AQE suspended ONLY while the upfront graph layout is planned (r16,
+    // was loop-wide — the connectedComponentsLoop rationale verbatim):
+    // checkpoints created under AQE lose their outputPartitioning, and the
+    // edge table is the one side whose re-shuffle per round is corpus-
+    // sized. The per-round (vertex-sized) checkpoints stay ADAPTIVE so
+    // their label-sized exchanges coalesce to real parallelism instead of
+    // the static shuffle-partition count.
+    val sess = edges.sparkSession
+    def withAqeOff[T](body: => T): T = {
+      val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      try body
+      finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
     // one edge shuffle for the whole run: dedup, then lay out by src — the
     // in-session form of a bucketed+sorted edge table
-    val e = ckpt(edges
+    val e = withAqeOff(ckpt(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
-      .sortWithinPartitions(col("src")))
-    val verts = ckpt(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+      .sortWithinPartitions(col("src"))))
+    val verts = withAqeOff(ckpt(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()))
     val nV = verts.agg(count(lit(1)).as("n_v"))
     // exchange-free over the src-partitioned edges; checkpoints hash(src)
-    val outDeg = ckpt(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val outDeg = withAqeOff(ckpt(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))))
 
     // broadcast nested-loop joins against 1-row aggregates preserve the
     // streamed side's hash(id) partitioning, so ranks enters (and leaves)

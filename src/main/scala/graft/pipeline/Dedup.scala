@@ -462,22 +462,7 @@ object Dedup {
     require(jumps >= 1 && jumps <= 4,
       s"jumps must be in [1, 4] (each extra jump is a label-sized exchange " +
         s"per round; past ~4 the plan depth costs more than rounds save), got $jumps")
-    // AQE is suspended for the whole loop (restored on exit): under AQE,
-    // Dataset.(local)checkpoint wraps an AdaptiveSparkPlanExec whose
-    // partitioning is not final at wrap time, so the LogicalRDD comes back
-    // with UNKNOWN partitioning (probe-verified on this Spark) — which
-    // silently re-shuffles the corpus-sized edge table every round, the
-    // exact cost this layout exists to remove. The loop's joins are
-    // fixed-shape and co-partitioned by construction, so AQE has nothing
-    // to add here that is worth that loss; queries outside the loop are
-    // unaffected (the flag is restored before returning). NOT thread-safe
-    // against concurrent planning in the same session — the session-conf
-    // scope is the documented trade.
-    val sess = pairs.sparkSession
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try connectedComponentsLoop(pairs, maxIters, jumps)
-    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    connectedComponentsLoop(pairs, maxIters, jumps)
   }
 
   private def connectedComponentsLoop(
@@ -511,13 +496,38 @@ object Dedup {
     // by its join key — an edge-sized exchange × rounds; now edges shuffle
     // exactly once for the whole run, in round 1's materializing job, where
     // the old round-1 groupBy shuffled them anyway.
-    val edges = ckpt(pairs
+    //
+    // AQE is suspended ONLY while this checkpoint is planned (r16, was
+    // loop-wide since r13): under AQE, Dataset.(local)checkpoint wraps an
+    // AdaptiveSparkPlanExec whose partitioning is not final at wrap time,
+    // so the LogicalRDD comes back with UNKNOWN partitioning
+    // (probe-verified on this Spark) and the corpus-sized edge table would
+    // silently re-shuffle every round — the exact cost this layout
+    // removes. The per-round LABEL frames are a different trade: their
+    // carried partitioning saves one label-sized exchange a round, but
+    // planning the rounds NON-adaptive pins every label exchange at the
+    // static shuffle-partition count — 32 tasks per exchange over
+    // label-sized (often tiny) frames, the dominant cost of the loop's
+    // many short barrier jobs on local[32] (and needless task pressure at
+    // any scale). Rounds therefore stay ADAPTIVE: AQE coalesces the
+    // label-sized exchanges to the data's real parallelism, while the
+    // edge side's materialized hash(src) distribution keeps satisfying
+    // the join requirement with no exchange — verified both ways in
+    // PipelineSpec's checkpointed-edge-table plan tests.
+    val sess = pairs.sparkSession
+    def withAqeOff[T](body: => T): T = {
+      val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      try body
+      finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+    val edges = withAqeOff(ckpt(pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
-      .sortWithinPartitions(col("src")))
+      .sortWithinPartitions(col("src"))))
     // Round 1 degenerates: over identity labels (component = id), the
     // neighbor minimum is just min(dst) per src and the label-of-label
     // lookup is the identity — so the whole round (plus the distinct-id
@@ -540,15 +550,17 @@ object Dedup {
     var iters = 1
     while (changed > 0 && iters < maxIters) {
       // Exchange inventory per round (the 100 TB accounting): edges join on
-      // src — edge side pre-partitioned+sorted (zero exchange, zero sort),
-      // labels side already partitioned by id from the previous round's
-      // checkpoint (zero exchange). Labels are grouped at the OTHER endpoint
+      // src — edge side pre-partitioned+sorted (zero exchange, zero sort);
+      // the labels side re-distributes by id (one label-sized exchange —
+      // its checkpoint partitioning is UNKNOWN under the adaptive round
+      // plans, the r16 trade). Labels are grouped at the OTHER endpoint
       // (dst) — the same neighbor minimum by symmetry of the edge set — so
       // the only edge-related movement is the partially-aggregated
-      // (label-sized) groupBy(dst) exchange. The jump join then costs one
-      // labels-by-component exchange, and the final nbrMin join restores
-      // hash(id) partitioning, which the checkpoint CARRIES to the next
-      // round. Net: three label-sized exchanges per round, none edge-sized.
+      // (label-sized) groupBy(dst) exchange. The jump joins cost one
+      // labels-by-pointer exchange each. Net: four-ish label-sized
+      // exchanges per round, none edge-sized — and under AQE each
+      // label-sized exchange coalesces to the frame's real parallelism
+      // instead of the static shuffle-partition count.
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(edges("dst")).agg(min(col("component")).as("nbr_min"))
         .select(edges("dst").as("n_id"), col("nbr_min"))

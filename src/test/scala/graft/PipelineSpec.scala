@@ -208,10 +208,12 @@ class PipelineSpec extends SparkTestBase {
     // rework rests on. If a Spark upgrade stopped propagating checkpoint
     // partitioning, this would silently re-shuffle the corpus-sized edge
     // set every round; this test makes that loud.
-    // AQE off, as in connectedComponentsIters itself: under AQE the
-    // checkpoint wraps a non-final adaptive plan and the partitioning comes
-    // back UNKNOWN (probe-verified) — which is exactly why the production
-    // loop suspends it.
+    // The edge CHECKPOINT is created AQE-off, as in connectedComponentsIters
+    // itself: under AQE the checkpoint wraps a non-final adaptive plan and
+    // the partitioning comes back UNKNOWN (probe-verified) — which is
+    // exactly why the production loop suspends AQE for that one plan. The
+    // ROUNDS, by contrast, run adaptive since r16 (label-sized exchanges
+    // coalesce); both planning modes must keep the edge side exchange-free.
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -221,9 +223,9 @@ class PipelineSpec extends SparkTestBase {
         .repartition(col("src")).sortWithinPartitions("src")
         .localCheckpoint(eager = false)
       val labels = (0L until 1000L).map(i => (i, i)).toDF("id", "component")
-      val round = edges.join(labels, edges("src") === labels("id"))
+      def round() = edges.join(labels, edges("src") === labels("id"))
         .groupBy(edges("dst")).agg(min(col("component")).as("nbr_min"))
-      val plan = round.queryExecution
+      val plan = round().queryExecution
         .explainString(org.apache.spark.sql.execution.SimpleMode)
       // exactly TWO exchanges: the (unpartitioned here) labels side and the
       // label-sized groupBy(dst) — a third would be the edge side
@@ -232,7 +234,19 @@ class PipelineSpec extends SparkTestBase {
       // the preserved sort order means the edge side of the sort-merge join
       // needs no per-round re-sort either: one Sort (the labels side) at most
       "\\bSort \\[".r.findAllIn(plan).size should be <= 1
-      round.collect().length shouldBe 1000 // dst values 1..1000
+      round().collect().length shouldBe 1000 // dst values 1..1000
+      // the adaptive round plan (production shape since r16): the FINAL
+      // plan section still has only the two label-sized exchanges — the
+      // checkpointed edge scan feeds the join bare (no exchange, no sort),
+      // and AQE is free to coalesce the label-sized stages
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val adaptive = round()
+      adaptive.collect().length shouldBe 1000
+      val finalSection = adaptive.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      finalSection should include ("isFinalPlan=true")
+      "Exchange hashpartitioning".r.findAllIn(finalSection).size shouldBe 2
+      "\\bSort \\[".r.findAllIn(finalSection).size should be <= 1
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
