@@ -49,6 +49,16 @@ object Multimodal {
       frame_idx: Int,
       frame_checksum: Long)
 
+  /** Typed record produced by the audio decoder ([[decodeAudioPayload]]). */
+  case class DecodedAudio(
+      doc_id: Long,
+      n_bytes: Int,
+      channels: Int,
+      sample_rate_hz: Double,
+      n_frames: Long,
+      duration_sec: Double,
+      mean_abs_amplitude: Double)
+
   /** Attach the opaque payload + cheap metadata (size, content hash). */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(
@@ -270,4 +280,100 @@ object Multimodal {
   /** [[decodePayload]] over the text-derived payload of the test corpus. */
   def decode(docs: DataFrame): Dataset[DecodedMedia] =
     decodePayload(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** RIFF/WAVE magic: "RIFF" at 0, "WAVE" at 8. */
+  private[graft] def sniffWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Real PCM WAV decode of one payload via `javax.sound.sampled` (in
+    * every standard JDK), or None when the bytes are not decodable PCM.
+    * Mean absolute amplitude is normalized to [0, 1] (16-bit signed /
+    * 8-bit signed or unsigned PCM) as ONE division of an exact integer
+    * sum — reproducible anywhere for the lossless WAV container.
+    */
+  private def decodeWav(bytes: Array[Byte]): Option[(Int, Double, Long, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val enc = f.getEncoding
+        val bits = f.getSampleSizeInBits
+        val pcmSigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val pcmUnsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!(pcmSigned && bits == 16) && !((pcmSigned || pcmUnsigned) && bits == 8)) None
+        else {
+          val data = ais.readAllBytes()
+          val channels = f.getChannels
+          var sumAbs = 0L
+          var nSamples = 0L
+          if (bits == 16) {
+            val big = f.isBigEndian
+            var i = 0
+            while (i + 1 < data.length) {
+              val s =
+                if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+              sumAbs += math.abs(s.toLong)
+              nSamples += 1
+              i += 2
+            }
+          } else {
+            var i = 0
+            while (i < data.length) {
+              val s = if (pcmUnsigned) (data(i) & 0xff) - 128 else data(i).toInt
+              sumAbs += math.abs(s.toLong)
+              nSamples += 1
+              i += 1
+            }
+          }
+          val scale = if (bits == 16) 32768.0 else 128.0
+          val nFrames = if (channels > 0) nSamples / channels else 0L
+          val mean = if (nSamples == 0) 0.0 else sumAbs.toDouble / nSamples / scale
+          Some((channels, f.getSampleRate.toDouble, nFrames, mean))
+        }
+      } finally ais.close()
+    } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
+
+  /** Batch audio decode over an (id, payload binary) frame — the audio leg
+    * of the multimodal pipeline, same partition-wise shape as
+    * [[decodePayload]]: WAV payloads decode for REAL (PCM frames via
+    * `javax.sound.sampled`; channels/sample-rate/frame-count from the
+    * container, mean |amplitude| from the decoded samples), everything
+    * else takes a deterministic replayable fallback (nominal 16 kHz mono:
+    * one "frame" per payload byte, amplitude = byte mean / 255 — exact
+    * integer IEEE divisions an independent engine reproduces bitwise).
+    */
+  def decodeAudioPayload(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val wav = if (sniffWav(bytes)) decodeWav(bytes) else None
+          wav match {
+            case Some((ch, rate, frames, mean)) =>
+              val dur = if (rate > 0) frames.toDouble / rate else 0.0
+              DecodedAudio(id, bytes.length, ch, rate, frames, dur, mean)
+            case None =>
+              var sum = 0L
+              var i = 0
+              while (i < bytes.length) { sum += bytes(i) & 0xffL; i += 1 }
+              val mean =
+                if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0
+              DecodedAudio(id, bytes.length, 1, 16000.0, bytes.length.toLong,
+                bytes.length.toDouble / 16000.0, mean)
+          }
+        }
+      }
+  }
+
+  /** [[decodeAudioPayload]] over the text-derived payload of the test
+    * corpus.
+    */
+  def decodeAudio(docs: DataFrame): Dataset[DecodedAudio] =
+    decodeAudioPayload(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
 }

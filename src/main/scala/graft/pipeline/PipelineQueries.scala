@@ -371,6 +371,11 @@ object PipelineQueries {
         Multimodal.pHashStub(m.unionByName(planted)), maxHamming = 5)
     }),
     "q_multimodal_decode" -> ((s, dir) => Multimodal.decode(docs(s, dir)).toDF()),
+    // the audio leg (r16): text payloads are not WAV, so every corpus row
+    // takes the deterministic fallback — which is what the oracle replays;
+    // the REAL PCM decode path is sample-exact-tested in PipelineSpec
+    // with in-test generated WAV bytes
+    "q_multimodal_audio" -> ((s, dir) => Multimodal.decodeAudio(docs(s, dir)).toDF()),
     "q_multimodal_resize" -> ((s, dir) => Multimodal.resize(docs(s, dir)).toDF()),
     // frame indices are derivable from payload size alone, so the sampling
     // fan-out (the flatMap shape) gets a real DuckDB oracle
@@ -1163,6 +1168,15 @@ object PipelineQueries {
       "CAST(3 AS INTEGER) AS channels, " +
       "CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) " +
       "ELSE CAST(bsum AS DOUBLE) / CAST(n_bytes AS DOUBLE) END AS mean_intensity " +
+      s"FROM ($multimodalByteSums)"),
+    // the audio fallback's nominal-rate arithmetic: division order matches
+    // the Spark side exactly (sum/n, then /255; frames/16000)
+    "q_multimodal_audio" -> (s"SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes, " +
+      "CAST(1 AS INTEGER) AS channels, CAST(16000 AS DOUBLE) AS sample_rate_hz, " +
+      "CAST(n_bytes AS BIGINT) AS n_frames, " +
+      "CAST(n_bytes AS DOUBLE) / 16000.0 AS duration_sec, " +
+      "CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(bsum AS DOUBLE) / CAST(n_bytes AS DOUBLE) / 255.0 END AS mean_abs_amplitude " +
       s"FROM ($multimodalByteSums)"),
     "q_multimodal_resize" -> ("SELECT doc_id, CAST(width AS INTEGER) AS src_width, " +
       "CAST(height AS INTEGER) AS src_height, " +

@@ -372,6 +372,42 @@ class PipelineSpec extends SparkTestBase {
     out(2).mean_intensity shouldBe sum.toDouble / text.length
   }
 
+  test("decodeAudio reads REAL PCM from WAV payloads; non-audio falls back") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit signed little-endian mono @ 16 kHz, 100 frames of constant
+    // sample 8192: mean |amplitude| is exactly 8192/32768 = 0.25
+    def wav(sampleValue: Short, frames: Int, channels: Int): Array[Byte] = {
+      val fmt = new AudioFormat(16000f, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * channels * 2)
+      var i = 0
+      while (i < pcm.length) {
+        pcm(i) = (sampleValue & 0xff).toByte
+        pcm(i + 1) = ((sampleValue >> 8) & 0xff).toByte
+        i += 2
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val mono = wav(8192, 100, 1)
+    val stereo = wav(-4096, 50, 2)
+    val text = "RIFF but not actually WAVE audio payload".getBytes("UTF-8")
+    import spark.implicits._
+    val media = Seq((1L, mono), (2L, stereo), (3L, text)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioPayload(media).collect().sortBy(_.doc_id)
+    out(0) shouldBe Multimodal.DecodedAudio(1L, mono.length, 1, 16000.0, 100L,
+      100.0 / 16000.0, 0.25)
+    out(1) shouldBe Multimodal.DecodedAudio(2L, stereo.length, 2, 16000.0, 50L,
+      50.0 / 16000.0, 4096.0 / 32768.0)
+    // "RIFF"-prefixed text is not decodable audio → deterministic fallback
+    val sum = text.map(_ & 0xff).map(_.toLong).sum
+    out(2).channels shouldBe 1
+    out(2).n_frames shouldBe text.length.toLong
+    out(2).mean_abs_amplitude shouldBe sum.toDouble / text.length / 255.0
+  }
+
   test("resize stub preserves aspect ratio within the bounding box") {
     val out = Multimodal.resize(docs, maxSide = 100).collect()
     out.length shouldBe docs.count()
