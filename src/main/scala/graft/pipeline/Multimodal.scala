@@ -131,6 +131,81 @@ object Multimodal {
     media.select(col(idCol),
       conv(substring(md5(col("payload")), 1, 15), 16, 10).cast("long").as("phash"))
 
+  /** 60-bit average-hash of a decoded image: block-average the pixel grid
+    * to 8×8 grayscale cells, then bit i = (cell i ≥ mean of the 64 cells).
+    * Classic aHash — deterministic pure-integer block sums over the
+    * decoded raster, one double division per cell; visually similar
+    * images (resamples, small edits) land within a few bits, unrelated
+    * compositions far apart. The 64 cell bits are folded to the LOW 60 so
+    * the value drops into [[phashNearDupPairs]]'s 60-bit banding
+    * unchanged.
+    */
+  private def aHash60(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val c = cy * 8 + x * 8 / w
+        sums(c) += gray
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(64)(i => if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    val mean = cells.sum / 64.0
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) >= mean) hash |= (1L << (i % 60)) // fold 60..63 onto 0..3
+      i += 1
+    }
+    hash & ((1L << 60) - 1)
+  }
+
+  /** The REAL perceptual-hash leg (r16): image payloads (PNG/JPEG/BMP/GIF)
+    * hash by [[aHash60]] over their decoded pixels; non-image payloads
+    * keep the md5-head fallback BIT-EQUAL to [[pHashStub]]'s SQL form
+    * (identical payloads still collide exactly, and the value is
+    * engine-replayable). Output schema matches pHashStub, so
+    * [[phashNearDupPairs]]' banding/verification consumes either
+    * unchanged — the "swap one projection for a real pHash" promise,
+    * kept.
+    */
+  def imagePHash(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.map { case (id, bytes) =>
+          val fromImage: Option[Long] =
+            if (!sniffImage(bytes)) None
+            else
+              try {
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                if (img == null) None else Some(aHash60(img))
+              } catch { case _: Throwable => None }
+          val phash = fromImage.getOrElse {
+            md.reset()
+            val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+            java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          }
+          (id, phash)
+        }
+      }
+      .toDF(idCol, "phash")
+  }
+
   /** Near-duplicate media pairs at Hamming distance ≤ `maxHamming` over the
     * 60-bit perceptual hash — the image-dedup step of a multimodal
     * pipeline. Pigeonhole banding: the 60 bits split into `maxHamming + 1`

@@ -372,6 +372,45 @@ class PipelineSpec extends SparkTestBase {
     out(2).mean_intensity shouldBe sum.toDouble / text.length
   }
 
+  test("imagePHash: real aHash clusters similar images; fallback is bit-equal to the stub") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = paint(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val leftDark = png((x, _) => if (x < 8) 30 else 220)
+    // one subtly brighter pixel — a visually-identical near-duplicate
+    val leftDarkTweaked = png((x, y) => (if (x < 8) 30 else 220) + (if (x == 3 && y == 3) 4 else 0))
+    val topDark = png((_, y) => if (y < 8) 30 else 220)
+    import spark.implicits._
+    val media = Seq((1L, leftDark), (2L, leftDarkTweaked), (3L, topDark))
+      .toDF("doc_id", "payload")
+    val h = Multimodal.imagePHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    java.lang.Long.bitCount(h(1L) ^ h(2L)) should be <= 2 // near-dup pair
+    java.lang.Long.bitCount(h(1L) ^ h(3L)) should be >= 10 // different layout
+    // the banding machinery consumes real hashes unchanged
+    val pairs = Multimodal.phashNearDupPairs(
+        Multimodal.imagePHash(media), maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+    // non-image payloads: the JVM fallback must be bit-equal to the SQL stub
+    val texts = Seq((10L, "plain payload".getBytes("UTF-8")),
+      (11L, "another one".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val fromJvm = Multimodal.imagePHash(texts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromSql = Multimodal.pHashStub(texts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fromJvm shouldBe fromSql
+  }
+
   test("decodeAudio reads REAL PCM from WAV payloads; non-audio falls back") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 16-bit signed little-endian mono @ 16 kHz, 100 frames of constant
