@@ -439,8 +439,10 @@ object Dedup {
     * ContextCleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
     * is set, or with the checkpoint directory itself.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20, jumps: Int = 2): DataFrame =
-    connectedComponentsIters(pairs, maxIters, jumps)._1
+  def connectedComponents(
+      pairs: DataFrame, maxIters: Int = 20, jumps: Int = 2,
+      driverFinishEdges: Long = -1L): DataFrame =
+    connectedComponentsIters(pairs, maxIters, jumps, driverFinishEdges)._1
 
   /** [[connectedComponents]] also returning the round count it took to
     * converge (the final confirming no-change round included) — spec hook
@@ -455,18 +457,42 @@ object Dedup {
     * total exchange volume stays ~flat (3 exchanges × log₂ d vs
     * (2+jumps) × log_(jumps+1) d). Measured on the diameter-31 chain:
     * jumps=2 converges in 5 rounds vs 7.
+    *
+    * `driverFinishEdges` is the SMALL-GRAPH tier — the runtime analog of
+    * Spark's broadcast-join threshold applied to the iteration itself.
+    * Round 1's one job already aggregates every directed edge, so the edge
+    * count comes back for free; when it is at or under the threshold, the
+    * remaining rounds (each a cluster-wide barrier job that moves only
+    * label-sized data) are replaced by ONE collect of the already-
+    * materialized edge blocks and a driver union-find — O(E α(E)) on data
+    * that is by definition driver-sized. The result comes back as a
+    * LocalRelation with exact size stats, so downstream joins (the
+    * keep-representatives anti join) auto-broadcast instead of shuffling
+    * the corpus side against a tiny label table. Defaults to the session
+    * conf `spark.graft.cc.driverFinishEdges` (2²⁰ directed edges ≈ a few
+    * tens of MB collected; 0 disables); pass an explicit value to override,
+    * 0 to force the distributed loop. At 100 TB the near-dup graph is far
+    * above any sane threshold and the bucketed-checkpoint loop runs — the
+    * tier only catches the converged/tail case (a re-cluster of survivors,
+    * a per-partition shard's residue) where barrier-job overhead dominates
+    * data cost. Label parity between the two tiers is spec-pinned on random
+    * graphs and string ids; id types whose external ordering cannot
+    * reproduce the loop's `least` semantics exactly (non-default string
+    * collations, arrays, binary) always take the loop.
     */
   def connectedComponentsIters(
-      pairs: DataFrame, maxIters: Int = 20, jumps: Int = 2): (DataFrame, Int) = {
+      pairs: DataFrame, maxIters: Int = 20, jumps: Int = 2,
+      driverFinishEdges: Long = -1L): (DataFrame, Int) = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     require(jumps >= 1 && jumps <= 4,
       s"jumps must be in [1, 4] (each extra jump is a label-sized exchange " +
         s"per round; past ~4 the plan depth costs more than rounds save), got $jumps")
-    connectedComponentsLoop(pairs, maxIters, jumps)
+    connectedComponentsLoop(pairs, maxIters, jumps, driverFinishEdges)
   }
 
   private def connectedComponentsLoop(
-      pairs: DataFrame, maxIters: Int, jumps: Int): (DataFrame, Int) = {
+      pairs: DataFrame, maxIters: Int, jumps: Int,
+      driverFinishEdges: Long): (DataFrame, Int) = {
     // Reliable checkpoints when the session has durable checkpoint storage
     // configured, executor-local otherwise (see the scaladoc trade-off).
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
@@ -535,11 +561,34 @@ object Dedup {
     // exchange-free: edges are already partitioned by src, so only the
     // (label-sized) agg output moves. The result is checkpointed
     // partitioned by id, which the loop below maintains as an invariant.
+    // `__deg` (per-src directed-edge count) rides in the same aggregate so
+    // the total edge count — the small-graph gate below — costs nothing: it
+    // is summed in the SAME job that materializes the round.
     val first = ckpt(edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("nbr_min"))
+      .agg(min(col("dst")).as("nbr_min"), count(lit(1)).as("__deg"))
       .select(col("src").as("id"), col("src").as("prev"),
-        least(col("src"), col("nbr_min")).as("component")))
-    var changed = first.filter(col("component") =!= col("prev")).count()
+        least(col("src"), col("nbr_min")).as("component"), col("__deg")))
+    val firstStats = first.agg(
+      sum(when(col("component") =!= col("prev"), 1L).otherwise(0L)).as("changed"),
+      sum(col("__deg")).as("edges")).head()
+    var changed = if (firstStats.isNullAt(0)) 0L else firstStats.getLong(0)
+    val edgeCount = if (firstStats.isNullAt(1)) 0L else firstStats.getLong(1)
+    // Small-graph tier (see the scaladoc): when every directed edge fits a
+    // bounded driver budget, one collect of the just-materialized edge
+    // blocks + a union-find replaces the remaining barrier rounds.
+    val driverCap =
+      if (driverFinishEdges >= 0L) driverFinishEdges
+      else sess.conf.get("spark.graft.cc.driverFinishEdges", (1L << 20).toString).toLong
+    if (changed > 0 && edgeCount <= driverCap) {
+      externalIdOrdering(edges.schema("src").dataType) match {
+        case Some(ord) =>
+          val labelsOut = driverFinishUnionFind(edges, ord)
+          (checkpointRdds(edges) ++ checkpointRdds(first))
+            .foreach(_.unpersist(blocking = false))
+          return (labelsOut, 1)
+        case None => // no exact external `least`-parity ordering — run the loop
+      }
+    }
     // Eager block hygiene: each round's checkpoint supersedes the previous
     // round's — once `next` is materialized the prior blocks are dead
     // weight, so they are freed inside the loop instead of lingering until
@@ -606,6 +655,100 @@ object Dedup {
     (labels, iters)
   }
 
+  /** An ordering over EXTERNAL (collected) id values that reproduces the
+    * loop's internal `least` semantics bit-for-bit, or None when it cannot —
+    * the gate that keeps the small-graph tier exactly label-parity with the
+    * distributed loop. Numerics, dates, timestamps and booleans collect as
+    * `Comparable` JVM types whose order matches Catalyst's. Default-collation
+    * strings need care: Catalyst compares UTF-8 bytes unsigned while
+    * `String.compareTo` compares UTF-16 code units, and the two DISAGREE for
+    * supplementary code points (surrogate pairs sort below U+E000 in UTF-16
+    * but above in UTF-8) — so strings get an explicit UTF-8 byte comparison,
+    * and non-default collations (whose order is ICU-defined, not byte-wise)
+    * fall back to the loop along with arrays/structs/binary.
+    */
+  private def externalIdOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val comparable: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val utf8Bytes: Ordering[Any] = (a: Any, b: Any) => {
+      val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var c = 0
+      while (c == 0 && i < n) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (c != 0) c else x.length - y.length
+    }
+    dt match {
+      case st: StringType if st == StringType => Some(utf8Bytes)
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+          BooleanType | DateType | TimestampType | TimestampNTZType | _: DecimalType =>
+        Some(comparable)
+      case _ => None
+    }
+  }
+
+  /** Finish tiny component graphs driver-side: one collect of the
+    * (already materialized, checkpoint-backed) symmetrized edge table, a
+    * union-find with path halving + union by rank, then min-id labels per
+    * root under the loop-parity ordering. Returns a LocalRelation — exact
+    * size stats, so the downstream anti/semi joins of
+    * [[dropNearDuplicates]]-class callers plan as broadcasts. Bounded by
+    * construction: only reachable under `driverFinishEdges` (the collect is
+    * at most threshold rows of two scalar ids). Rows with a null endpoint
+    * contribute their non-null side as an isolated node (the loop's joins
+    * likewise never propagate through null).
+    */
+  private def driverFinishUnionFind(edges: DataFrame, ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idField = edges.schema("src")
+    val rows = edges.select(col("src"), col("dst")).collect()
+    val index = new java.util.HashMap[Any, Integer]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue
+      else { val i = vals.length; index.put(v, Integer.valueOf(i)); vals += v; i }
+    }
+    val unions = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    rows.foreach { r =>
+      val s = if (r.isNullAt(0)) -1 else intern(r.get(0))
+      val d = if (r.isNullAt(1)) -1 else intern(r.get(1))
+      if (s >= 0 && d >= 0 && s != d) unions += ((s, d))
+    }
+    val n = vals.length
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Int](n)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    unions.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(rb) < rank(ra)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    val minOf = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (minOf(r) == null || ord.lt(vals(i), minOf(r))) minOf(r) = vals(i)
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) { out.add(org.apache.spark.sql.Row(vals(i), minOf(find(i)))); i += 1 }
+    edges.sparkSession.createDataFrame(out, StructType(Seq(
+      StructField("id", idField.dataType, idField.nullable),
+      StructField("component", idField.dataType, idField.nullable))))
+  }
+
   /** The step that makes near-dup pairs actionable: given the corpus and a
     * pair list from any of the operators above, keep ONE representative per
     * duplicate cluster — the minimum-id member, matching [[exact]]'s
@@ -615,8 +758,11 @@ object Dedup {
     * directly); non-representatives are removed with a left-anti join,
     * which shuffles only on the id column — linear at corpus scale.
     *
-    * The returned frame reads the CC checkpoint blocks: consume it before
-    * calling [[clearCheckpoints]].
+    * When the pair graph runs through the distributed CC loop the returned
+    * frame reads the CC checkpoint blocks: consume it before calling
+    * [[clearCheckpoints]]. (Under the small-graph driver tier the labels
+    * are a LocalRelation — nothing to invalidate, and the anti join
+    * broadcasts them.)
     */
   def dropNearDuplicates(
       docs: DataFrame,

@@ -62,7 +62,13 @@ class PipelineSpec extends SparkTestBase {
       val edges = Seq.fill(40)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
         .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // both tiers must agree: the small-graph driver finish (default —
+      // 40 edges is far under the threshold) and the distributed loop
+      // (forced with driverFinishEdges = 0)
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val gotLoop = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), driverFinishEdges = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
       // driver-side union-find oracle
@@ -78,6 +84,7 @@ class PipelineSpec extends SparkTestBase {
       val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
       val expected = nodes.map(n => n -> find(n)).toMap
       got shouldBe expected
+      gotLoop shouldBe expected
     }
   }
 
@@ -88,9 +95,12 @@ class PipelineSpec extends SparkTestBase {
     // (self-pairs, repeated pairs) must not distort components
     val edges = Seq(("b", "c"), ("c", "d"), ("b", "c"), ("e", "e"), ("x", "a"))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(edges)
-      .collect().map(r => (r.getString(0), r.getString(1))).toMap
-    got shouldBe Map("b" -> "b", "c" -> "b", "d" -> "b", "e" -> "e", "a" -> "a", "x" -> "a")
+    val expect = Map("b" -> "b", "c" -> "b", "d" -> "b", "e" -> "e", "a" -> "a", "x" -> "a")
+    // both tiers: driver finish (default at this size) and the forced loop
+    Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap shouldBe expect
+    Dedup.connectedComponents(edges, driverFinishEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap shouldBe expect
 
     val (empty, iters) = Dedup.connectedComponentsIters(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
@@ -142,7 +152,9 @@ class PipelineSpec extends SparkTestBase {
     // isolated pair + a triangle
     val edges = (0L until 9L).map(i => (i, i + 1)) ++
       Seq((100L, 101L)) ++ Seq((200L, 201L), (201L, 202L), (200L, 202L))
-    val (labels, iters) = Dedup.connectedComponentsIters(edges.toDF("id_a", "id_b"))
+    // round-count assertions are about the distributed loop — pin it
+    val (labels, iters) = Dedup.connectedComponentsIters(
+      edges.toDF("id_a", "id_b"), driverFinishEdges = 0L)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // pointer jumping: ⌈log₂ diameter⌉ propagation rounds + 1 settling +
     // 1 confirming no-change round — NOT O(diameter)
@@ -152,7 +164,8 @@ class PipelineSpec extends SparkTestBase {
     Seq(200L, 201L, 202L).foreach(n => got(n) shouldBe 200L)
     // non-convergence must fail loud, not return half-merged labels
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(edges.toDF("id_a", "id_b"), maxIters = 2)
+      Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), maxIters = 2, driverFinishEdges = 0L)
     }
   }
 
@@ -163,7 +176,8 @@ class PipelineSpec extends SparkTestBase {
     val edges = ((0L until 31L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
       .toDF("id_a", "id_b")
     val results = Seq(1, 2, 3).map { j =>
-      val (labels, iters) = Dedup.connectedComponentsIters(edges, jumps = j)
+      val (labels, iters) = Dedup.connectedComponentsIters(
+        edges, jumps = j, driverFinishEdges = 0L)
       val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       Dedup.clearCheckpoints()
       (got, iters)
@@ -188,7 +202,7 @@ class PipelineSpec extends SparkTestBase {
     // (plan doubled per round); per-round localCheckpoint keeps the plan
     // constant-size and pointer jumping keeps rounds logarithmic
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, iters) = Dedup.connectedComponentsIters(edges)
+    val (labels, iters) = Dedup.connectedComponentsIters(edges, driverFinishEdges = 0L)
     iters should be <= (math.ceil(math.log(63) / math.log(2)).toInt + 2)
     // lineage truncation, made executable: the returned frame's plan is a
     // constant-size scan over the last checkpoint, NOT 2^rounds subtrees
@@ -298,7 +312,7 @@ class PipelineSpec extends SparkTestBase {
     spark.sparkContext.setCheckpointDir(dir.toString)
     try {
       val edges = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-      val (labels, iters) = Dedup.connectedComponentsIters(edges)
+      val (labels, iters) = Dedup.connectedComponentsIters(edges, driverFinishEdges = 0L)
       iters should be <= (math.ceil(math.log(15) / math.log(2)).toInt + 2)
       val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
       got.length shouldBe 16
@@ -312,6 +326,49 @@ class PipelineSpec extends SparkTestBase {
       spark.sparkContext.setCheckpointDir(null)
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
+  }
+
+  test("small-graph driver finish: gated by edge count, block-free, broadcastable") {
+    import spark.implicits._
+    val edges = (0L until 31L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // under the default threshold the chain finishes driver-side in one
+    // round-equivalent (round-1 job + collect), holding no checkpoint blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (labels, iters) = Dedup.connectedComponentsIters(edges)
+    iters shouldBe 1
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.length shouldBe 32
+    got.foreach { case (_, comp) => comp shouldBe 0L }
+    // the result is a LocalRelation with exact stats — small enough that the
+    // keep-representatives anti join plans as a broadcast, not a shuffle
+    labels.queryExecution.optimizedPlan.toString should include("LocalRelation")
+    val docs = (0L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, edges)
+    kept.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+    kept.collect().map(_.getLong(0)).sorted shouldBe (Array(0L) ++ (32L to 40L))
+    // 62 directed edges over a 5-edge budget → the distributed loop runs
+    val (_, loopIters) = Dedup.connectedComponentsIters(edges, driverFinishEdges = 5L)
+    loopIters should be > 1
+    Dedup.clearCheckpoints()
+  }
+
+  test("driver finish orders strings by UTF-8 bytes, matching the loop's least") {
+    import spark.implicits._
+    // U+10000 ("𐀀") sorts BELOW U+E000 in UTF-16 code units but
+    // ABOVE it in UTF-8 bytes (Catalyst's binary-collation order) — the two
+    // tiers must pick the same component minimum
+    val pairs = Seq(("𐀀", "")).toDF("id_a", "id_b")
+    // hold the loop-tier frame in a val: its checkpoint blocks are weakly
+    // registered, and a GC between here and clearCheckpoints must not
+    // orphan them for a later suite's persistent-RDD assertions to trip on
+    val smallDf = Dedup.connectedComponents(pairs)
+    val loopDf = Dedup.connectedComponents(pairs, driverFinishEdges = 0L)
+    val small = smallDf.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val loop = loopDf.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    small shouldBe loop
+    small.values.toSet shouldBe Set("")
+    Dedup.clearCheckpoints()
   }
 
   test("embedding near-dup finds planted identical vectors") {
