@@ -30,13 +30,29 @@ object LabelPropagation {
   /** (id, community) for every vertex after `iterations` synchronous
     * rounds. Edges are treated as undirected (symmetrized) and
     * deduplicated.
+    *
+    * `driverFinishEdges` is the small-graph tier, the
+    * [[Dedup.connectedComponents]] pattern applied to LPA: deriving the
+    * graph (the symmetrize + distinct over a corpus-sized link stream) is
+    * the irreducible distributed work and materializes into the cache
+    * either way; when the DERIVED graph is at or under the threshold
+    * (host/domain graphs are tiny however large the corpus), the rounds —
+    * each a join + two aggregations of shuffle stages — are replaced by one
+    * collect and a driver replay of the exact same synchronous
+    * integer-argmax updates. LPA is pure integer arithmetic with
+    * deterministic (count, smallest-label) tie-breaks, so the replay is
+    * bit-parity with the distributed rounds — spec-pinned. Defaults to conf
+    * `spark.graft.lpa.driverFinishEdges` (2²⁰ directed edges; 0 disables).
+    * Warm starts (`initialLabels`) always take the distributed rounds: the
+    * seed frame is label-sized, not bounded by the edge threshold.
     */
   def labelPropagation(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int = 2,
-      initialLabels: Option[DataFrame] = None): DataFrame = {
+      initialLabels: Option[DataFrame] = None,
+      driverFinishEdges: Long = -1L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -44,6 +60,12 @@ object LabelPropagation {
       .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct())
+    val driverCap =
+      if (driverFinishEdges >= 0L) driverFinishEdges
+      else edges.sparkSession.conf
+        .get("spark.graft.lpa.driverFinishEdges", (1L << 20).toString).toLong
+    if (initialLabels.isEmpty && driverCap > 0 && e.count() <= driverCap)
+      return driverReplay(e, iterations)
     val verts =
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
     // warm start (the PageRank incremental story, and — labels being pure
@@ -67,5 +89,51 @@ object LabelPropagation {
         .select(labels("id"), coalesce(col("__new"), labels("label")).as("label")))
     }
     labels.select(col("id"), col("label").as("community"))
+  }
+
+  /** Driver replay of the synchronous rounds on a collected (already
+    * cached) edge table — same update rule as the distributed path: every
+    * vertex adopts the most frequent neighbor label, ties toward the
+    * smallest label, isolated-after-self-loop-filter vertices keep their
+    * own. Pure longs end to end, so the outputs are identical, and the
+    * LocalRelation result carries exact stats for downstream joins.
+    * Bounded by construction (only reachable under `driverFinishEdges`).
+    */
+  private def driverReplay(e: DataFrame, iterations: Int): DataFrame = {
+    val rows = e.collect()
+    val nbrs = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      nbrs.computeIfAbsent(d, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += s
+      nbrs.computeIfAbsent(s, _ => scala.collection.mutable.ArrayBuffer.empty[Long])
+    }
+    var labels = new java.util.HashMap[Long, Long]
+    nbrs.forEach((v, _) => labels.put(v, v))
+    for (_ <- 1 to iterations) {
+      val next = new java.util.HashMap[Long, Long](labels.size)
+      val prev = labels
+      nbrs.forEach { (v, ns) =>
+        if (ns.isEmpty) next.put(v, prev.get(v))
+        else {
+          val hist = new java.util.HashMap[Long, Long]
+          ns.foreach(n => hist.merge(prev.get(n), 1L, _ + _))
+          var bestLabel = Long.MaxValue
+          var bestCount = -1L
+          hist.forEach { (label, c) =>
+            if (c > bestCount || (c == bestCount && label < bestLabel)) {
+              bestLabel = label; bestCount = c
+            }
+          }
+          next.put(v, bestLabel)
+        }
+      }
+      labels = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](labels.size)
+    labels.forEach((v, l) => out.add(org.apache.spark.sql.Row(v, l)))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    e.sparkSession.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("community", LongType, nullable = false))))
   }
 }

@@ -155,4 +155,24 @@ class PageRankSpec extends SparkTestBase {
     val partial = (cold1 - 1L).toSeq.toDF("id", "community")
     lp(1, Some(partial)).keySet shouldBe cold1.keySet
   }
+
+  test("label propagation small-graph driver replay is bit-parity with the rounds") {
+    import graft.operators.LabelPropagation.labelPropagation
+    // random sparse graphs: the driver tier (default at this size) and the
+    // distributed rounds (forced with driverFinishEdges = 0) must agree on
+    // every label — integer arithmetic, deterministic tie-breaks, so the
+    // match is exact, not approximate
+    val rnd = new scala.util.Random(41)
+    for (it <- 1 to 3) {
+      val edges = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .toDF("src", "dst")
+      val fast = labelPropagation(edges, "src", "dst", iterations = it)
+      val slow = labelPropagation(edges, "src", "dst", iterations = it,
+        driverFinishEdges = 0L)
+      fast.queryExecution.optimizedPlan.toString should include("LocalRelation")
+      fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        slow.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.pipeline.Dedup.clearCaches()
+    }
+  }
 }
