@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * decoded image. Payloads that are not decodable images (this corpus's
   * text-derived payloads, truncated files, audio) fall back to the
   * deterministic byte-sum arithmetic — which is also what keeps the
-  * registered query DuckDB-replayable on the text corpus. Video frame
-  * sampling and the perceptual hash remain deterministic stubs (the JDK
-  * carries no video codec or DCT pipeline); their banding/verification
-  * machinery is the real, production-shaped part.
+  * registered query DuckDB-replayable on the text corpus. The perceptual
+  * hash ([[imagePHash]]) and resize ([[resizePayload]]) follow the same
+  * tier split: real pixel work (8×8 average-hash; box-average resampling)
+  * for decodable images, the bit-replayable fallback otherwise. Video
+  * frame sampling remains a deterministic stub — the JDK carries no video
+  * codec — with its banding/verification machinery the real,
+  * production-shaped part.
   *
   * The test corpus has no binary column, so the payload is derived from
   * `documents.text` via a UTF-8 binary cast; on a real corpus the payload
@@ -34,14 +37,20 @@ object Multimodal {
       channels: Int,
       mean_intensity: Double)
 
-  /** Typed record produced by the (stubbed) resize step. */
+  /** Typed record produced by the resize step. `resized_mean_intensity` is
+    * the mean over the RESAMPLED raster: computed from real box-averaged
+    * pixels for image payloads, and equal to the decode mean for the
+    * uniform synthetic fallback raster (a box-average of a uniform raster
+    * is the uniform value — exactly, not approximately).
+    */
   case class ResizedMedia(
       doc_id: Long,
       src_width: Int,
       src_height: Int,
       dst_width: Int,
       dst_height: Int,
-      scale: Double)
+      scale: Double,
+      resized_mean_intensity: Double)
 
   /** One sampled frame of a (stubbed) video payload. */
   case class SampledFrame(
@@ -67,10 +76,18 @@ object Multimodal {
       length(col("text").cast("binary")).as("n_bytes"),
       sha2(col("text").cast("binary"), 256).as("sha256_hex"))
 
-  /** Batch "resize": consumes the decode output ([[decode]] — real pixel
-    * dimensions for image payloads, deterministic fallback otherwise) and
-    * computes target dimensions for a max-`maxSide`-px bounding box
-    * (aspect preserved). Chained partition-wise transforms — no shuffle
+  /** Batch resize to a max-`maxSide`-px bounding box (aspect preserved).
+    * REAL for image payloads (r16, same tier split as [[decodePayload]]):
+    * the decoded raster is box-average resampled — each destination cell
+    * is the mean of its source-pixel bin across all channels, pure integer
+    * bin sums and one double division per cell, fixed iteration order, so
+    * the output is deterministic on any JVM — and `resized_mean_intensity`
+    * is the mean over those resampled cells. Non-image payloads take the
+    * deterministic fallback dimensions, whose synthetic raster is uniform
+    * at the decode mean — and a box-average of a uniform raster is exactly
+    * the uniform value, so the fallback's resized mean is the decode mean
+    * with no approximation (what keeps the registered query
+    * DuckDB-replayable on the text corpus). Partition-wise, no shuffle
     * anywhere in the media pipeline.
     *
     * Target sides use integer arithmetic (`src * maxSide div longest`) and
@@ -78,20 +95,96 @@ object Multimodal {
     * replayable by an independent engine (no float round-to-nearest step
     * whose tie-breaking could differ across implementations).
     */
-  def resize(docs: DataFrame, maxSide: Int = 256): Dataset[ResizedMedia] = {
-    val spark = docs.sparkSession
+  def resize(docs: DataFrame, maxSide: Int = 256): Dataset[ResizedMedia] =
+    resizePayload(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")), maxSide)
+
+  /** [[resize]] over an (doc_id, payload binary) frame. */
+  def resizePayload(media: DataFrame, maxSide: Int = 256): Dataset[ResizedMedia] = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    val spark = media.sparkSession
     import spark.implicits._
-    decode(docs).mapPartitions { batch =>
-      batch.map { m =>
-        val longest = math.max(m.width, m.height)
-        if (longest <= maxSide)
-          ResizedMedia(m.doc_id, m.width, m.height, m.width, m.height, 1.0)
-        else
-          ResizedMedia(m.doc_id, m.width, m.height,
-            math.max(1, m.width * maxSide / longest),
-            math.max(1, m.height * maxSide / longest),
-            maxSide.toDouble / longest)
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, bytes) =>
+          val img =
+            if (!sniffImage(bytes)) None
+            else
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+              catch { case _: Throwable => None }
+          img match {
+            case Some(im) => resampleImage(id, im, maxSide)
+            case None =>
+              val d = decodeFallback(id, bytes)
+              val longest = math.max(d.width, d.height)
+              if (longest <= maxSide)
+                ResizedMedia(id, d.width, d.height, d.width, d.height, 1.0,
+                  d.mean_intensity)
+              else
+                ResizedMedia(id, d.width, d.height,
+                  math.max(1, d.width * maxSide / longest),
+                  math.max(1, d.height * maxSide / longest),
+                  maxSide.toDouble / longest,
+                  d.mean_intensity)
+          }
+        }
       }
+  }
+
+  /** Box-average resample of one decoded image: destination cell (cx, cy)
+    * bins the source pixels with `x * dw / sw == cx && y * dh / sh == cy`
+    * (the integer binning every cell-average here uses), its value is the
+    * bin's sample mean over all channels, and the resized mean is the mean
+    * of the cells. When the image already fits the bounding box nothing is
+    * resampled and the mean is the exact raster mean (one division of the
+    * integer sample sum, [[decodeImage]]'s convention).
+    */
+  private def resampleImage(
+      id: Long, img: java.awt.image.BufferedImage, maxSide: Int): ResizedMedia = {
+    val raster = img.getRaster
+    val (sw, sh, c) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val longest = math.max(sw, sh)
+    if (longest <= maxSide) {
+      var sum = 0L
+      var y = 0
+      while (y < sh) {
+        var x = 0
+        while (x < sw) {
+          var b = 0
+          while (b < c) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      ResizedMedia(id, sw, sh, sw, sh, 1.0, sum.toDouble / (sw.toLong * sh * c))
+    } else {
+      val dw = math.max(1, sw * maxSide / longest)
+      val dh = math.max(1, sh * maxSide / longest)
+      val sums = new Array[Long](dw * dh)
+      val counts = new Array[Long](dw * dh)
+      var y = 0
+      while (y < sh) {
+        val cy = y * dh / sh
+        var x = 0
+        while (x < sw) {
+          val cell = cy * dw + x * dw / sw
+          var b = 0
+          while (b < c) { sums(cell) += raster.getSample(x, y, b); b += 1 }
+          counts(cell) += c.toLong
+          x += 1
+        }
+        y += 1
+      }
+      var cellSum = 0.0
+      var i = 0
+      while (i < dw * dh) {
+        if (counts(i) > 0) cellSum += sums(i).toDouble / counts(i)
+        i += 1
+      }
+      ResizedMedia(id, sw, sh, dw, dh, maxSide.toDouble / longest,
+        cellSum / (dw * dh))
     }
   }
 

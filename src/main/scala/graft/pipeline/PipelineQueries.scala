@@ -1178,15 +1178,20 @@ object PipelineQueries {
       "CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) " +
       "ELSE CAST(bsum AS DOUBLE) / CAST(n_bytes AS DOUBLE) / 255.0 END AS mean_abs_amplitude " +
       s"FROM ($multimodalByteSums)"),
+    // the fallback's synthetic raster is uniform at the decode mean, and a
+    // box-average of a uniform raster is exactly the uniform value — so the
+    // resized mean replays as the decode mean, one division, no rounding
     "q_multimodal_resize" -> ("SELECT doc_id, CAST(width AS INTEGER) AS src_width, " +
       "CAST(height AS INTEGER) AS src_height, " +
       "CAST(CASE WHEN longest <= 256 THEN width ELSE greatest(1, width * 256 // longest) END AS INTEGER) AS dst_width, " +
       "CAST(CASE WHEN longest <= 256 THEN height ELSE greatest(1, height * 256 // longest) END AS INTEGER) AS dst_height, " +
       "CASE WHEN longest <= 256 THEN CAST(1 AS DOUBLE) " +
-      "ELSE CAST(256 AS DOUBLE) / CAST(longest AS DOUBLE) END AS scale " +
-      "FROM (SELECT doc_id, width, height, greatest(width, height) AS longest " +
+      "ELSE CAST(256 AS DOUBLE) / CAST(longest AS DOUBLE) END AS scale, " +
+      "CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(bsum AS DOUBLE) / CAST(n_bytes AS DOUBLE) END AS resized_mean_intensity " +
+      "FROM (SELECT doc_id, width, height, greatest(width, height) AS longest, bsum, n_bytes " +
       "FROM (SELECT doc_id, 64 + (bsum % 1024) AS width, " +
-      "64 + ((bsum // 7 + n_bytes) % 1024) AS height " +
+      "64 + ((bsum // 7 + n_bytes) % 1024) AS height, bsum, n_bytes " +
       s"FROM ($multimodalByteSums)))"),
     "q_text_fingerprint" -> "SELECT doc_id, md5(text) AS md5_hex FROM documents",
     // Exact replay of RollingHash (TextExpressions.scala): polynomial

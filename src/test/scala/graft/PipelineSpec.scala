@@ -429,6 +429,43 @@ class PipelineSpec extends SparkTestBase {
     out(2).mean_intensity shouldBe sum.toDouble / text.length
   }
 
+  test("resize box-average resamples REAL pixels; fallback mean is the decode mean") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int)(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = paint(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // 8x4 two-tone (left 40, right 200), maxSide=2 → 2x1 cells binning the
+    // halves exactly: resized mean = (40 + 200) / 2 = 120, no tolerance
+    val twoTone = png(8, 4)((x, _) => if (x < 4) 40 else 200)
+    // uniform gray survives any box-average exactly
+    val gray = png(6, 3)((_, _) => 100)
+    // already inside the box → untouched dims, exact raster mean
+    val small = png(4, 3)((_, _) => 100)
+    val text = "not an image payload".getBytes("UTF-8")
+    import spark.implicits._
+    val media = Seq((1L, twoTone), (2L, gray), (3L, small), (4L, text))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizePayload(media, maxSide = 2)
+      .collect().sortBy(_.doc_id)
+    out(0) shouldBe Multimodal.ResizedMedia(1L, 8, 4, 2, 1, 0.25, 120.0)
+    out(1) shouldBe Multimodal.ResizedMedia(2L, 6, 3, 2, 1, 2.0 / 6.0, 100.0)
+    val big = Multimodal.resizePayload(media.filter($"doc_id" === 3L), maxSide = 256)
+      .collect()
+    big.head shouldBe Multimodal.ResizedMedia(3L, 4, 3, 4, 3, 1.0, 100.0)
+    // non-image: fallback dims, resized mean = decode mean (uniform raster)
+    val d = Multimodal.decodePayload(media.filter($"doc_id" === 4L)).collect().head
+    out(3).src_width shouldBe d.width
+    out(3).resized_mean_intensity shouldBe d.mean_intensity
+  }
+
   test("imagePHash: real aHash clusters similar images; fallback is bit-equal to the stub") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
@@ -504,7 +541,7 @@ class PipelineSpec extends SparkTestBase {
     out(2).mean_abs_amplitude shouldBe sum.toDouble / text.length / 255.0
   }
 
-  test("resize stub preserves aspect ratio within the bounding box") {
+  test("resize preserves aspect ratio within the bounding box") {
     val out = Multimodal.resize(docs, maxSide = 100).collect()
     out.length shouldBe docs.count()
     all(out.map(r => math.max(r.dst_width, r.dst_height))) should be <= 100
