@@ -63,7 +63,7 @@ object SkewJoin {
     * (standard Spark hash restriction); project them away before salting.
     */
   private[graft] def contentSalt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)).cast("int")
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets.toLong)).cast("int")
 
   /** Inner equi-join on `key` (same column name on both sides) with the hot
     * keys salted across `buckets` sub-keys.

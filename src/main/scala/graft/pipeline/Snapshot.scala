@@ -45,11 +45,11 @@ object Snapshot {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select((col(idCol).as("__cid") +: col(opCol).as("__op") +:
-        dataCols.map(c => col(c).as(s"__c_$c"))): _*)
+        dataCols.toIndexedSeq.map(c => col(c).as(s"__c_$c"))): _*)
     base.join(latest, col(idCol) === col("__cid"), "full_outer")
       .filter(coalesce(col("__op"), lit("keep")) =!= "delete")
       .select(coalesce(col(idCol), col("__cid")).as(idCol) +:
-        dataCols.map(c =>
+        dataCols.toIndexedSeq.map(c =>
           when(col("__op") === "upsert", col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
   }
 

@@ -350,6 +350,12 @@ class PipelineSpec extends SparkTestBase {
     // 62 directed edges over a 5-edge budget → the distributed loop runs
     val (_, loopIters) = Dedup.connectedComponentsIters(edges, driverFinishEdges = 5L)
     loopIters should be > 1
+    // the default (-1) reads the session conf: 0 there disables the tier too
+    spark.conf.set("spark.graft.cc.driverFinishEdges", "0")
+    try {
+      val (_, confIters) = Dedup.connectedComponentsIters(edges)
+      confIters should be > 1
+    } finally spark.conf.unset("spark.graft.cc.driverFinishEdges")
     Dedup.clearCheckpoints()
   }
 
