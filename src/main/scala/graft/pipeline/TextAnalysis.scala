@@ -217,19 +217,29 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     require(k > 0, s"k must be positive, got $k")
-    // the slice-hash stream feeds the hash-side mining pass, the exact
-    // candidate re-aggregation, and the membership gate — recomputed per
-    // pass (map-side only; see the explodedSliceHashes scale note)
     val exploded = explodedSliceHashes(docs, n)
     val candidateHashes = topSpanHashes(exploded, minDocs, k)
-    // exact string-side top-k over the candidate-narrowed stream — the
-    // same lossless cut as duplicatedSpans — kept as WINNER SPANS (exactly
-    // k strings, so the membership gate matches the mined list, not the
-    // tie-inflated candidate superset)
-    val winnerSpans = exploded
+    // ONE candidate-narrowed pass feeds BOTH the exact string-side top-k
+    // and the membership gate (pre-r16 each consumer re-scanned the
+    // corpus-wide shingle stream — three full passes; now the threshold
+    // pass and this one are the only two, the minimum the hash-first
+    // two-phase design admits). Sharing is via an EXPLICIT cache, not
+    // ReuseExchange: the consumers prune different columns (the gate drops
+    // __per_doc), so their subplans are not identical and exchange reuse
+    // cannot fire — while a cache serves pruned reads of either column
+    // set. The cached frame is (span, doc_id, per-doc count) for candidate
+    // hashes only — at most (k + ties) spans × their carrier docs, the
+    // same stream the old membership gate shuffled anyway, far below the
+    // ~n× corpus blowup the explodedSliceHashes note warns against
+    // caching. Both consumers reading it is plan-asserted in CurationSpec.
+    val narrowed = Dedup.cache(exploded
       .join(broadcast(candidateHashes), Seq("__h"), "left_semi")
       .groupBy(col("span"), col("doc_id"))
-      .agg(count(lit(1)).as("__per_doc"))
+      .agg(count(lit(1)).as("__per_doc")))
+    // exact string-side top-k — the same lossless cut as duplicatedSpans —
+    // kept as WINNER SPANS (exactly k strings, so the membership gate
+    // matches the mined list, not the tie-inflated candidate superset)
+    val winnerSpans = narrowed
       .groupBy(col("span"))
       .agg(sum(col("__per_doc")).as("n_occurrences"),
         count(lit(1)).as("n_docs"))
@@ -238,13 +248,11 @@ object TextAnalysis {
       .limit(k)
       .select(col("span"))
     // membership gate = hash PREFILTER then exact string CONFIRM (ADVICE
-    // r15): the corpus-wide pass still touches only the 8-byte __h (the
-    // candidate superset broadcast), and the span-string equi-join runs
-    // over the already-narrowed boilerplate-sized survivor stream — so a
-    // 64-bit collision with a winner span can no longer silently DROP a
+    // r15): the corpus-wide pass touched only the 8-byte __h, and this
+    // span-string equi-join runs over the narrowed carrier pairs — so a
+    // 64-bit collision with a winner span cannot silently DROP a
     // non-carrier document; at worst it costs one extra confirm-side row
-    val flagged = exploded
-      .join(broadcast(candidateHashes), Seq("__h"), "left_semi")
+    val flagged = narrowed
       .join(broadcast(winnerSpans), Seq("span"), "left_semi")
       .select(col("doc_id")).distinct()
     docs.join(flagged, Seq("doc_id"), "left_anti")

@@ -189,6 +189,15 @@ class CurationSpec extends SparkTestBase {
     // a stricter minDocs finds no boilerplate: nothing is dropped
     TextAnalysis.dropBoilerplate(docs, n = 5, minDocs = 3, k = 10)
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L, 3L, 4L)
+    // the winner cut and the membership gate share ONE cached
+    // candidate-narrowed stream: both consumers must read the cache
+    // (two InMemoryTableScans), not re-derive it corpus-wide per consumer
+    // (r16 — was three full shingle scans)
+    val plan = TextAnalysis.dropBoilerplate(docs, n = 5, minDocs = 2, k = 10)
+      .queryExecution.executedPlan.toString
+    plan.sliding("InMemoryTableScan".length)
+      .count(_ == "InMemoryTableScan") should be >= 2
+    graft.pipeline.Dedup.clearCaches()
   }
 
   test("unigramLogProb scores in-vocab fluency above OOV soup") {
