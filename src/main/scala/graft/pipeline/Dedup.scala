@@ -683,7 +683,12 @@ object Dedup {
     }
     dt match {
       case st: StringType if st == StringType => Some(utf8Bytes)
-      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+      // float/double ids are EXCLUDED: Catalyst normalizes -0.0 to 0.0 in
+      // grouping keys (NormalizeFloatingNumbers) so ±0.0 merge into one
+      // node in the loop, while boxed Double.equals keeps them distinct in
+      // a driver HashMap — a parity break no ordering fixes. Fractional
+      // ids take the loop.
+      case ByteType | ShortType | IntegerType | LongType |
           BooleanType | DateType | TimestampType | TimestampNTZType | _: DecimalType =>
         Some(comparable)
       case _ => None

@@ -166,10 +166,11 @@ object Multimodal {
       val counts = new Array[Long](dw * dh)
       var y = 0
       while (y < sh) {
-        val cy = y * dh / sh
+        // long bin math: x * dw overflows Int past ~2^23 px sides
+        val cy = (y.toLong * dh / sh).toInt
         var x = 0
         while (x < sw) {
-          val cell = cy * dw + x * dw / sw
+          val cell = cy * dw + (x.toLong * dw / sw).toInt
           var b = 0
           while (b < c) { sums(cell) += raster.getSample(x, y, b); b += 1 }
           counts(cell) += c.toLong
@@ -240,12 +241,13 @@ object Multimodal {
     val counts = new Array[Long](64)
     var y = 0
     while (y < h) {
-      val cy = y * 8 / h
+      // long bin math: x * 8 overflows Int past ~2^28 px sides
+      val cy = (y.toLong * 8 / h).toInt
       var x = 0
       while (x < w) {
         val rgb = img.getRGB(x, y)
         val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-        val c = cy * 8 + x * 8 / w
+        val c = cy * 8 + (x.toLong * 8 / w).toInt
         sums(c) += gray
         counts(c) += 1
         x += 1

@@ -359,6 +359,21 @@ class PipelineSpec extends SparkTestBase {
     Dedup.clearCheckpoints()
   }
 
+  test("fractional ids always take the distributed loop (±0.0 parity)") {
+    import spark.implicits._
+    // Catalyst merges -0.0 and 0.0 as grouping keys; a driver HashMap of
+    // boxed Doubles would not — so double ids are excluded from the tier
+    // even under the default threshold
+    val edges = Seq((-0.0, 1.5), (1.5, 2.5)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges)
+    cc.queryExecution.optimizedPlan.toString should not include "LocalRelation"
+    val got = cc.collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    // one chain, minimum id 0.0 (the normalized zero)
+    got.values.toSet shouldBe Set(0.0)
+    got.keySet.size shouldBe 3
+    Dedup.clearCheckpoints()
+  }
+
   test("driver finish orders strings by UTF-8 bytes, matching the loop's least") {
     import spark.implicits._
     // U+10000 ("𐀀") sorts BELOW U+E000 in UTF-16 code units but
