@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Packing, Sampling}
+import graft.pipeline.{Dedup, Packing, Sampling}
 
 /** Property checks for the deterministic corpus operators: the invariants
   * that make them safe to re-run at 100 TB (pure functions of content,
@@ -21,6 +21,22 @@ object PipelineProps extends Properties("Pipeline") {
   private val genK = Gen.choose(1, 40)
   private val genSeqLen = Gen.oneOf(64, 257, 1024)
   private val genShards = Gen.choose(1, 8)
+
+  property("connectedComponents: driver tier ≡ distributed loop on arbitrary graphs") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L))).map(_.take(50))) { edges =>
+      import spark.implicits._
+      // self-pairs, duplicates, multi-component shapes — whatever the
+      // generator produces, the small-graph driver finish (default at this
+      // size) and the distributed loop must emit identical labels
+      val df = edges.toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val slow = Dedup.connectedComponents(df, driverFinishEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      Dedup.clearCheckpoints()
+      fast == slow
+    }
 
   property("quotaPerGroup returns exactly min(k, |group|) rows, a subset of the input") =
     Prop.forAll(genIds, genK) { (ids, k) =>
