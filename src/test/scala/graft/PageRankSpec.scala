@@ -162,6 +162,10 @@ class PageRankSpec extends SparkTestBase {
     // distributed rounds (forced with driverFinishEdges = 0) must agree on
     // every label — integer arithmetic, deterministic tie-breaks, so the
     // match is exact, not approximate
+    // empty graphs: both tiers emit an empty (id, community) frame
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    labelPropagation(none, "src", "dst").count() shouldBe 0
+    labelPropagation(none, "src", "dst", driverFinishEdges = 0L).count() shouldBe 0
     val rnd = new scala.util.Random(41)
     for (it <- 1 to 3) {
       val edges = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
