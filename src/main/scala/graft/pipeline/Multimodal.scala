@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * registered query DuckDB-replayable on the text corpus. The perceptual
   * hash ([[imagePHash]]) and resize ([[resizePayload]]) follow the same
   * tier split: real pixel work (8×8 average-hash; box-average resampling)
-  * for decodable images, the bit-replayable fallback otherwise. Video
-  * frame sampling remains a deterministic stub — the JDK carries no video
-  * codec — with its banding/verification machinery the real,
-  * production-shaped part.
+  * for decodable images, the bit-replayable fallback otherwise. Frame
+  * sampling ([[frameSamplePayload]]) decodes REAL frames for animated GIFs
+  * — the one multi-frame motion format in a standard JDK — and falls back
+  * to deterministic byte-block checksums for true video codecs the JDK
+  * lacks.
   *
   * The test corpus has no binary column, so the payload is derived from
   * `documents.text` via a UTF-8 binary cast; on a real corpus the payload
@@ -52,7 +53,10 @@ object Multimodal {
       scale: Double,
       resized_mean_intensity: Double)
 
-  /** One sampled frame of a (stubbed) video payload. */
+  /** One sampled frame of a motion payload ([[frameSamplePayload]]):
+    * decoded-raster checksums for animated GIFs, byte-block checksums for
+    * the fallback.
+    */
   case class SampledFrame(
       doc_id: Long,
       frame_idx: Int,
@@ -189,28 +193,97 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for "video" payloads: one frame per 1000 payload bytes,
-    * capped at `maxFrames` per document (flatMap — the row-explosion shape a
-    * real decoder produces). Frame checksum is the deterministic stand-in
-    * for decoded frame content.
+  /** Frame sampling — REAL for animated GIF payloads (r16): GIF is the one
+    * multi-frame motion format a standard JDK decodes, so a "GIF8" payload
+    * samples up to `maxFrames` frames spread evenly across the animation
+    * (first and last always included via `i·(n−1)/(k−1)` source indices,
+    * strictly increasing since n ≥ k) and checksums each DECODED frame's
+    * ARGB raster row-major with FNV-1a — pure-integer, deterministic on any
+    * JVM. Every other payload (this corpus's text payloads; true video
+    * codecs the JDK lacks) takes the deterministic byte-block fallback —
+    * one frame per 1000 payload bytes, capped — which keeps the registered
+    * query engine-replayable. `frame_idx` is the SOURCE frame index for
+    * GIFs, the block index for the fallback. flatMap — the row-explosion
+    * shape a real decoder produces, partition-wise, no shuffle.
     */
-  def frameSampleStub(docs: DataFrame, maxFrames: Int = 5): Dataset[SampledFrame] = {
-    val spark = docs.sparkSession
+  def frameSample(docs: DataFrame, maxFrames: Int = 5): Dataset[SampledFrame] =
+    frameSamplePayload(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")), maxFrames)
+
+  /** [[frameSample]] over an (doc_id, payload binary) frame. */
+  def frameSamplePayload(media: DataFrame, maxFrames: Int = 5): Dataset[SampledFrame] = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val spark = media.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val n = math.min(bytes.length / 1000 + 1, maxFrames)
-        (0 until n).map { i =>
-          var h = 0xcbf29ce484222325L ^ i.toLong
-          val start = i * 1000
-          val end = math.min(start + 1000, bytes.length)
-          var j = start
-          while (j < end) { h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
-          SampledFrame(id, i, h)
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.flatMap { case (id, bytes) =>
+          val real = if (sniffGif(bytes)) gifFrames(id, bytes, maxFrames) else None
+          real.getOrElse {
+            val n = math.min(bytes.length / 1000 + 1, maxFrames)
+            (0 until n).map { i =>
+              var h = 0xcbf29ce484222325L ^ i.toLong
+              val start = i * 1000
+              val end = math.min(start + 1000, bytes.length)
+              var j = start
+              while (j < end) { h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
+              SampledFrame(id, i, h)
+            }
+          }
         }
       }
   }
+
+  /** "GIF8" magic at offset 0. A sniff hit only routes to the GIF reader —
+    * text that merely starts "GIF8" fails the decode and falls back.
+    */
+  private[graft] def sniffGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
+
+  /** Decode and checksum up to `maxFrames` evenly-spread frames of an
+    * animated GIF, or None when the bytes do not decode as one.
+    */
+  private def gifFrames(
+      id: Long, bytes: Array[Byte], maxFrames: Int): Option[Seq[SampledFrame]] =
+    try {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            val k = math.min(n, maxFrames)
+            val idxs = if (k == 1) Seq(0) else (0 until k).map(i => i * (n - 1) / (k - 1))
+            Some(idxs.map { i =>
+              val img = reader.read(i)
+              var h = 0xcbf29ce484222325L ^ i.toLong
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  h = (h ^ (p & 0xffL)) * 0x100000001b3L
+                  h = (h ^ ((p >> 8) & 0xffL)) * 0x100000001b3L
+                  h = (h ^ ((p >> 16) & 0xffL)) * 0x100000001b3L
+                  h = (h ^ ((p >>> 24) & 0xffL)) * 0x100000001b3L
+                  x += 1
+                }
+                y += 1
+              }
+              SampledFrame(id, i, h)
+            })
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
 
   /** 60-bit perceptual hash of each payload — STUBBED feature extraction:
     * a real pHash DCTs the decoded pixel grid; with no codec in this

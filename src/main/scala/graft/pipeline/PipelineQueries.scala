@@ -380,7 +380,7 @@ object PipelineQueries {
     // frame indices are derivable from payload size alone, so the sampling
     // fan-out (the flatMap shape) gets a real DuckDB oracle
     "q_multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSampleStub(docs(s, dir)).toDF().select("doc_id", "frame_idx")),
+      Multimodal.frameSample(docs(s, dir)).toDF().select("doc_id", "frame_idx")),
     // deterministic train/val/test assignment: membership is a pure
     // function of doc_id (md5 bucket), so the full (doc_id, split) frame is
     // replayable by any engine — the DuckDB twin re-derives every row

@@ -575,14 +575,49 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("frame sampling emits one frame per 1000 bytes, capped, deterministic") {
-    val a = Multimodal.frameSampleStub(docs).collect().sortBy(f => (f.doc_id, f.frame_idx))
-    val b = Multimodal.frameSampleStub(docs).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val a = Multimodal.frameSample(docs).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val b = Multimodal.frameSample(docs).collect().sortBy(f => (f.doc_id, f.frame_idx))
     a shouldBe b
     val byDoc = a.groupBy(_.doc_id)
     docs.select("doc_id", "text").collect().foreach { row =>
       val n = row.getString(1).getBytes("UTF-8").length
       byDoc(row.getLong(0)).length shouldBe math.min(n / 1000 + 1, 5)
     }
+  }
+
+  test("frame sampling decodes REAL frames from animated GIF payloads") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+    def frame(v: Int): BufferedImage = {
+      val img = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    def animatedGif(vals: Seq[Int]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      vals.foreach(v => writer.writeToSequence(new IIOImage(frame(v), null, null), null))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    import spark.implicits._
+    val gif5 = animatedGif(Seq(10, 60, 110, 160, 210))
+    val media = Seq((1L, gif5),
+      (2L, "GIF8 but not actually a gif payload".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Multimodal.frameSamplePayload(media, maxFrames = 3)
+      .collect().groupBy(_.doc_id)
+    // 5 source frames sampled at indices 0, 2, 4 (first and last included),
+    // each checksum from DECODED pixels — distinct since the frames differ
+    got(1L).map(_.frame_idx).sorted shouldBe Array(0, 2, 4)
+    got(1L).map(_.frame_checksum).distinct.length shouldBe 3
+    // sniffed-but-undecodable: the deterministic byte-block fallback
+    got(2L).map(_.frame_idx).sorted shouldBe Array(0)
+    // asking for more frames than exist returns every source frame once
+    Multimodal.frameSamplePayload(media.filter($"doc_id" === 1L), maxFrames = 9)
+      .collect().map(_.frame_idx).sorted shouldBe Array(0, 1, 2, 3, 4)
   }
 
   test("bpe token stats count subword-ish runs") {
