@@ -524,17 +524,31 @@ object Multimodal {
   def decode(docs: DataFrame): Dataset[DecodedMedia] =
     decodePayload(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
 
-  /** RIFF/WAVE magic: "RIFF" at 0, "WAVE" at 8. */
+  /** Magic bytes of the PCM audio containers a standard JDK's
+    * `javax.sound.sampled` parses: WAV (RIFF/WAVE), AIFF/AIFF-C
+    * (FORM/AIF*), and AU (".snd"). A sniff hit only routes to the decoder;
+    * payloads it cannot parse as linear PCM fall back deterministically.
+    */
   private[graft] def sniffWav(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
-  /** Real PCM WAV decode of one payload via `javax.sound.sampled` (in
-    * every standard JDK), or None when the bytes are not decodable PCM.
-    * Mean absolute amplitude is normalized to [0, 1] (16-bit signed /
-    * 8-bit signed or unsigned PCM) as ONE division of an exact integer
-    * sum — reproducible anywhere for the lossless WAV container.
+  private[graft] def sniffAudio(bytes: Array[Byte]): Boolean =
+    sniffWav(bytes) ||
+      (bytes.length >= 12 &&
+        bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M' &&
+        bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F') || // AIFF / AIFC
+      (bytes.length >= 4 &&
+        bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd')
+
+  /** Real linear-PCM decode of one payload via `javax.sound.sampled` (in
+    * every standard JDK — WAV, AIFF/AIFF-C, AU containers), or None when
+    * the bytes are not decodable linear PCM (compressed encodings like
+    * µ-law fall back rather than guess). Mean absolute amplitude is
+    * normalized to [0, 1] (16-bit signed big- or little-endian / 8-bit
+    * signed or unsigned PCM) as ONE division of an exact integer sum —
+    * reproducible anywhere for these lossless containers.
     */
   private def decodeWav(bytes: Array[Byte]): Option[(Int, Double, Long, Double)] =
     try {
@@ -582,10 +596,10 @@ object Multimodal {
 
   /** Batch audio decode over an (id, payload binary) frame — the audio leg
     * of the multimodal pipeline, same partition-wise shape as
-    * [[decodePayload]]: WAV payloads decode for REAL (PCM frames via
-    * `javax.sound.sampled`; channels/sample-rate/frame-count from the
-    * container, mean |amplitude| from the decoded samples), everything
-    * else takes a deterministic replayable fallback (nominal 16 kHz mono:
+    * [[decodePayload]]: WAV / AIFF / AU payloads decode for REAL (linear
+    * PCM frames via `javax.sound.sampled`; channels/sample-rate/frame-count
+    * from the container, mean |amplitude| from the decoded samples),
+    * everything else takes a deterministic replayable fallback (nominal 16 kHz mono:
     * one "frame" per payload byte, amplitude = byte mean / 255 — exact
     * integer IEEE divisions an independent engine reproduces bitwise).
     */
@@ -596,7 +610,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          val wav = if (sniffWav(bytes)) decodeWav(bytes) else None
+          val wav = if (sniffAudio(bytes)) decodeWav(bytes) else None
           wav match {
             case Some((ch, rate, frames, mean)) =>
               val dur = if (rate > 0) frames.toDouble / rate else 0.0

@@ -526,7 +526,7 @@ class PipelineSpec extends SparkTestBase {
     fromJvm shouldBe fromSql
   }
 
-  test("decodeAudio reads REAL PCM from WAV payloads; non-audio falls back") {
+  test("decodeAudio reads REAL PCM from WAV/AIFF/AU payloads; non-audio falls back") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 16-bit signed little-endian mono @ 16 kHz, 100 frames of constant
     // sample 8192: mean |amplitude| is exactly 8192/32768 = 0.25
@@ -560,6 +560,31 @@ class PipelineSpec extends SparkTestBase {
     out(2).channels shouldBe 1
     out(2).n_frames shouldBe text.length.toLong
     out(2).mean_abs_amplitude shouldBe sum.toDouble / text.length / 255.0
+    // AIFF (big-endian PCM) and AU containers decode through the same JDK
+    // provider chain to the identical exact amplitudes
+    def container(t: AudioFileFormat.Type, sampleValue: Short, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(16000f, 16, 1, true, true) // big-endian PCM
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < pcm.length) {
+        pcm(i) = ((sampleValue >> 8) & 0xff).toByte
+        pcm(i + 1) = (sampleValue & 0xff).toByte
+        i += 2
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val o = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, t, o)
+      o.toByteArray
+    }
+    val aiff = container(AudioFileFormat.Type.AIFF, 8192, 80)
+    val au = container(AudioFileFormat.Type.AU, -16384, 40)
+    val more = Seq((10L, aiff), (11L, au)).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudioPayload(more).collect().sortBy(_.doc_id)
+    got(0) shouldBe Multimodal.DecodedAudio(10L, aiff.length, 1, 16000.0, 80L,
+      80.0 / 16000.0, 0.25)
+    got(1) shouldBe Multimodal.DecodedAudio(11L, au.length, 1, 16000.0, 40L,
+      40.0 / 16000.0, 0.5)
   }
 
   test("resize preserves aspect ratio within the bounding box") {
