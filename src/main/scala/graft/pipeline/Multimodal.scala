@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * hash ([[imagePHash]]) and resize ([[resizePayload]]) follow the same
   * tier split: real pixel work (8×8 average-hash; box-average resampling)
   * for decodable images, the bit-replayable fallback otherwise. Frame
-  * sampling ([[frameSamplePayload]]) decodes REAL frames for animated GIFs
-  * — the one multi-frame motion format in a standard JDK — and falls back
-  * to deterministic byte-block checksums for true video codecs the JDK
-  * lacks.
+  * sampling ([[frameSamplePayload]]) decodes REAL frames for animated
+  * GIFs and for AVI video containers (RIFF chunk walk to true frame
+  * boundaries; MJPEG frames decode to pixels via the JDK's JPEG codec),
+  * falling back to deterministic byte-block checksums for raw codec
+  * bitstreams the JDK cannot parse. Audio ([[decodeAudioPayload]])
+  * decodes linear PCM and G.711 µ-law/A-law from WAV/AIFF/AU containers.
   *
   * The test corpus has no binary column, so the payload is derived from
   * `documents.text` via a UTF-8 binary cast; on a real corpus the payload
@@ -199,8 +201,11 @@ object Multimodal {
     * (first and last always included via `i·(n−1)/(k−1)` source indices,
     * strictly increasing since n ≥ k) and checksums each DECODED frame's
     * ARGB raster row-major with FNV-1a — pure-integer, deterministic on any
-    * JVM. Every other payload (this corpus's text payloads; true video
-    * codecs the JDK lacks) takes the deterministic byte-block fallback —
+    * JVM. AVI payloads go through [[aviFrames]] — a real RIFF container
+    * walk that recovers true frame boundaries, decoding MJPEG frames to
+    * pixels. Every other payload (this corpus's text payloads; codec
+    * bitstreams outside a container) takes the deterministic byte-block
+    * fallback —
     * one frame per 1000 payload bytes, capped — which keeps the registered
     * query engine-replayable. `frame_idx` is the SOURCE frame index for
     * GIFs, the block index for the fallback. flatMap — the row-explosion
@@ -220,7 +225,10 @@ object Multimodal {
       .mapPartitions { batch =>
         javax.imageio.ImageIO.setUseCache(false)
         batch.flatMap { case (id, bytes) =>
-          val real = if (sniffGif(bytes)) gifFrames(id, bytes, maxFrames) else None
+          val real =
+            if (sniffGif(bytes)) gifFrames(id, bytes, maxFrames)
+            else if (sniffAvi(bytes)) aviFrames(id, bytes, maxFrames)
+            else None
           real.getOrElse {
             val n = math.min(bytes.length / 1000 + 1, maxFrames)
             (0 until n).map { i =>
@@ -282,6 +290,99 @@ object Multimodal {
             })
           }
         } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
+
+  /** "RIFF….AVI " magic — the AVI video container. A sniff hit only routes
+    * to the RIFF walker; payloads that fail to parse fall back.
+    */
+  private[graft] def sniffAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** TRUE-VIDEO frame sampling for AVI payloads (r16): AVI is a RIFF
+    * container, so a ~40-line chunk walker recovers the REAL frame
+    * boundaries — video-stream chunks carry fourccs `##dc` (compressed) /
+    * `##db` (uncompressed DIB), nested inside `LIST` chunks (`movi` /
+    * `rec `). Up to `maxFrames` frames spread evenly across the stream
+    * (first and last included, [[gifFrames]]' index rule) then decode:
+    * an MJPEG frame is a complete JPEG stream (`FF D8` magic) that
+    * `javax.imageio` decodes to pixels — its checksum is the FNV-1a of
+    * the DECODED ARGB raster, byte-parity with the GIF tier. Frames in
+    * codecs the JDK cannot decode checksum their exact frame BYTES
+    * (boundaries still real — that is what the container parse buys).
+    * `frame_idx` is the source frame index. Returns None when the movi
+    * walk finds no video chunks (hostile/truncated bytes → fallback).
+    */
+  private def aviFrames(
+      id: Long, bytes: Array[Byte], maxFrames: Int): Option[Seq[SampledFrame]] =
+    try {
+      // (offset, length) of each ##dc/##db chunk, in stream order
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val size = u32(p + 4)
+          val body = p + 8
+          if (size < 0 || body + size > end) return // corrupt size → stop
+          val isList =
+            (bytes(p) == 'L' && bytes(p + 1) == 'I' && bytes(p + 2) == 'S' &&
+              bytes(p + 3) == 'T') ||
+            (bytes(p) == 'R' && bytes(p + 1) == 'I' && bytes(p + 2) == 'F' &&
+              bytes(p + 3) == 'F')
+          if (isList && size >= 4) walk(body + 4, body + size.toInt)
+          else if (isDigit(bytes(p)) && isDigit(bytes(p + 1)) &&
+              (bytes(p + 3) == 'c' || bytes(p + 3) == 'b') && bytes(p + 2) == 'd')
+            frames += ((body, size.toInt))
+          p = body + size.toInt + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      walk(12, bytes.length)
+      val n = frames.length
+      if (n == 0) None
+      else {
+        val k = math.min(n, maxFrames)
+        val idxs = if (k == 1) Seq(0) else (0 until k).map(i => i * (n - 1) / (k - 1))
+        Some(idxs.map { i =>
+          val (off, len) = frames(i)
+          val jpeg =
+            if (len >= 2 && bytes(off) == 0xff.toByte && bytes(off + 1) == 0xd8.toByte)
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, off, len)))
+              catch { case _: Throwable => None }
+            else None
+          val h = jpeg match {
+            case Some(img) => // decoded-raster FNV, the gifFrames convention
+              var acc = 0xcbf29ce484222325L ^ i.toLong
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  acc = (acc ^ (p & 0xffL)) * 0x100000001b3L
+                  acc = (acc ^ ((p >> 8) & 0xffL)) * 0x100000001b3L
+                  acc = (acc ^ ((p >> 16) & 0xffL)) * 0x100000001b3L
+                  acc = (acc ^ ((p >>> 24) & 0xffL)) * 0x100000001b3L
+                  x += 1
+                }
+                y += 1
+              }
+              acc
+            case None => // undecodable codec: exact frame bytes
+              var acc = 0xcbf29ce484222325L ^ i.toLong
+              var j = off
+              while (j < off + len) {
+                acc = (acc ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1
+              }
+              acc
+          }
+          SampledFrame(id, i, h)
+        })
       }
     } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
 
@@ -542,18 +643,35 @@ object Multimodal {
       (bytes.length >= 4 &&
         bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd')
 
-  /** Real linear-PCM decode of one payload via `javax.sound.sampled` (in
-    * every standard JDK — WAV, AIFF/AIFF-C, AU containers), or None when
-    * the bytes are not decodable linear PCM (compressed encodings like
-    * µ-law fall back rather than guess). Mean absolute amplitude is
-    * normalized to [0, 1] (16-bit signed big- or little-endian / 8-bit
-    * signed or unsigned PCM) as ONE division of an exact integer sum —
-    * reproducible anywhere for these lossless containers.
+  /** Real audio decode of one payload via `javax.sound.sampled` (in every
+    * standard JDK — WAV, AIFF/AIFF-C, AU containers), or None when the
+    * bytes are not decodable audio. Linear PCM reads directly; G.711
+    * µ-law/A-law COMPRESSED payloads (the telephony encodings the JDK
+    * ships a codec for) are first expanded to 16-bit signed PCM through
+    * `AudioSystem`'s conversion chain — the G.711 expansion tables are
+    * fixed by the ITU spec, so the decoded samples are deterministic.
+    * Mean absolute amplitude is normalized to [0, 1] (16-bit signed big-
+    * or little-endian / 8-bit signed or unsigned PCM) as ONE division of
+    * an exact integer sum — reproducible anywhere for these containers.
     */
   private def decodeWav(bytes: Array[Byte]): Option[(Int, Double, Long, Double)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      val rawEnc = raw.getFormat.getEncoding
+      val compressed = rawEnc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+        rawEnc == javax.sound.sampled.AudioFormat.Encoding.ALAW
+      val ais =
+        if (!compressed) raw
+        else {
+          val g = raw.getFormat
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              g.getSampleRate, 16, g.getChannels, g.getChannels * 2,
+              g.getSampleRate, false),
+            raw)
+        }
       try {
         val f = ais.getFormat
         val enc = f.getEncoding
@@ -597,8 +715,9 @@ object Multimodal {
   /** Batch audio decode over an (id, payload binary) frame — the audio leg
     * of the multimodal pipeline, same partition-wise shape as
     * [[decodePayload]]: WAV / AIFF / AU payloads decode for REAL (linear
-    * PCM frames via `javax.sound.sampled`; channels/sample-rate/frame-count
-    * from the container, mean |amplitude| from the decoded samples),
+    * PCM plus G.711 µ-law/A-law compressed frames via
+    * `javax.sound.sampled`; channels/sample-rate/frame-count from the
+    * container, mean |amplitude| from the decoded samples),
     * everything else takes a deterministic replayable fallback (nominal 16 kHz mono:
     * one "frame" per payload byte, amplitude = byte mean / 255 — exact
     * integer IEEE divisions an independent engine reproduces bitwise).
@@ -633,4 +752,91 @@ object Multimodal {
     */
   def decodeAudio(docs: DataFrame): Dataset[DecodedAudio] =
     decodeAudioPayload(docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Typed record produced by [[inflatePayload]]. `payload` is the inflated
+    * bytes (or the original bytes when `codec` is "none"); `truncated`
+    * marks payloads cut at the decompression-bomb cap.
+    */
+  case class InflatedPayload(
+      doc_id: Long,
+      payload: Array[Byte],
+      codec: String,
+      n_bytes_stored: Int,
+      n_bytes_raw: Int,
+      truncated: Boolean)
+
+  /** gzip magic `1f 8b`. */
+  private[graft] def sniffGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte
+
+  /** zlib two-byte header: CMF low nibble 8 (deflate) and the CMF·256+FLG
+    * checksum divisible by 31 (RFC 1950) — the framing WARC/HTTP bodies
+    * commonly arrive in alongside gzip.
+    */
+  private[graft] def sniffZlib(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0x0f) == 8 && (bytes(0) & 0xff) <= 0x7f &&
+      (((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)) % 31 == 0
+
+  /** Transparent payload decompression — the ingest step a web-scale corpus
+    * needs before any text/media tier runs, since WARC/WET captures and
+    * HTTP bodies arrive gzip- or zlib-framed. REAL decompression via
+    * `java.util.zip` (in every standard JDK): gzip (`1f 8b`) through
+    * `GZIPInputStream` — multi-member streams read member-by-member the
+    * way `wget`-style tooling concatenates them — and zlib (RFC 1950
+    * header) through `Inflater`. Everything else passes through untouched
+    * with `codec = "none"`.
+    *
+    * Decompression-BOMB guarded: inflation stops at `maxInflatedBytes`
+    * output bytes and marks the row `truncated` instead of buffering an
+    * unbounded expansion into executor memory — at 100 TB a single hostile
+    * 42.zip-style payload must not OOM a task. Malformed compressed bytes
+    * (sniff hit, inflate failure) pass through as "none" like every other
+    * tier's fallback. Partition-wise `mapPartitions`, no shuffle; one
+    * `Inflater` reused across a partition's zlib rows.
+    */
+  def inflatePayload(
+      media: DataFrame, maxInflatedBytes: Int = 64 << 20): Dataset[InflatedPayload] = {
+    require(maxInflatedBytes >= 1, s"maxInflatedBytes must be >= 1, got $maxInflatedBytes")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val buf = new Array[Byte](64 * 1024)
+        def drain(in: java.io.InputStream): (Array[Byte], Boolean) = {
+          val out = new java.io.ByteArrayOutputStream()
+          var truncated = false
+          var n = in.read(buf)
+          while (n >= 0 && !truncated) {
+            val room = maxInflatedBytes - out.size()
+            if (n >= room) { out.write(buf, 0, room); truncated = true }
+            else out.write(buf, 0, n)
+            if (!truncated) n = in.read(buf)
+          }
+          (out.toByteArray, truncated)
+        }
+        batch.map { case (id, bytes) =>
+          def passthrough = InflatedPayload(id, bytes, "none", bytes.length, bytes.length, false)
+          if (sniffGzip(bytes)) {
+            try {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+              try {
+                val (raw, truncated) = drain(in)
+                InflatedPayload(id, raw, "gzip", bytes.length, raw.length, truncated)
+              } finally in.close()
+            } catch { case _: Throwable => passthrough }
+          } else if (sniffZlib(bytes)) {
+            try {
+              val in = new java.util.zip.InflaterInputStream(
+                new java.io.ByteArrayInputStream(bytes), new java.util.zip.Inflater(), 64 * 1024)
+              try {
+                val (raw, truncated) = drain(in)
+                InflatedPayload(id, raw, "zlib", bytes.length, raw.length, truncated)
+              } finally in.close()
+            } catch { case _: Throwable => passthrough }
+          } else passthrough
+        }
+      }
+  }
 }

@@ -587,6 +587,106 @@ class PipelineSpec extends SparkTestBase {
       40.0 / 16000.0, 0.5)
   }
 
+  test("decodeAudio expands G.711 u-law/A-law compressed payloads via the JDK codec") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 8 kHz mono 16-bit PCM at constant sample 8192, compressed to G.711
+    // inside an AU container — the compressed encodings the JDK ships a
+    // codec for. The expansion is table-driven (ITU G.711), so the decode
+    // must be deterministic and within quantization error of the source.
+    def g711(enc: AudioFormat.Encoding, sampleValue: Short, frames: Int): Array[Byte] = {
+      val pcmFmt = new AudioFormat(8000f, 16, 1, true, true)
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < pcm.length) {
+        pcm(i) = ((sampleValue >> 8) & 0xff).toByte
+        pcm(i + 1) = (sampleValue & 0xff).toByte
+        i += 2
+      }
+      val pcmAis = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), pcmFmt, frames.toLong)
+      val compAis = AudioSystem.getAudioInputStream(enc, pcmAis)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(compAis, AudioFileFormat.Type.AU, out)
+      out.toByteArray
+    }
+    val ulaw = g711(AudioFormat.Encoding.ULAW, 8192, 60)
+    val alaw = g711(AudioFormat.Encoding.ALAW, -8192, 30)
+    import spark.implicits._
+    val media = Seq((1L, ulaw), (2L, alaw)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioPayload(media).collect().sortBy(_.doc_id)
+    // container metadata is exact: rate/channels/frame-count survive the
+    // compress-expand round trip (NOT the byte-per-frame fallback shape)
+    out(0).sample_rate_hz shouldBe 8000.0
+    out(0).channels shouldBe 1
+    out(0).n_frames shouldBe 60L
+    out(0).duration_sec shouldBe 60.0 / 8000.0
+    out(1).sample_rate_hz shouldBe 8000.0
+    out(1).n_frames shouldBe 30L
+    // decoded amplitude is the G.711-quantized source level: within the
+    // codec's ~3% relative quantization error of |8192|/32768 = 0.25
+    out(0).mean_abs_amplitude shouldBe 0.25 +- 0.01
+    out(1).mean_abs_amplitude shouldBe 0.25 +- 0.01
+    // and bit-deterministic across runs
+    val again = Multimodal.decodeAudioPayload(media).collect().sortBy(_.doc_id)
+    again shouldBe out
+  }
+
+  test("frame sampling walks REAL frame boundaries out of AVI containers (MJPEG)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def jpegFrame(v: Int): Array[Byte] = {
+      val img = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val baos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    // minimal RIFF/AVI: 'movi' LIST of 00dc chunks, each a whole JPEG
+    // stream (MJPEG — every frame is an independent JPEG), even-padded
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def u32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum + 4
+      fourcc("RIFF"); u32(4 + 8 + moviBody); fourcc("AVI ")
+      fourcc("LIST"); u32(moviBody); fourcc("movi")
+      frames.foreach { f =>
+        fourcc("00dc"); u32(f.length); out.write(f)
+        if ((f.length & 1) == 1) out.write(0)
+      }
+      out.toByteArray
+    }
+    val vals = Seq(10, 60, 110, 160, 210)
+    val clip = avi(vals.map(jpegFrame))
+    import spark.implicits._
+    val media = Seq((1L, clip),
+      (2L, "RIFF....AVI but not actually a video".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Multimodal.frameSamplePayload(media, maxFrames = 3)
+      .collect().groupBy(_.doc_id)
+    // 5 source frames sampled at 0, 2, 4; checksums from DECODED pixels —
+    // distinct because the frames' gray levels differ
+    got(1L).map(_.frame_idx).sorted shouldBe Array(0, 2, 4)
+    got(1L).map(_.frame_checksum).distinct.length shouldBe 3
+    // checksums are the decoded-raster FNV, not byte hashes: re-encoding
+    // the same pixels must reproduce them even if JPEG bytes differ
+    val again = Multimodal.frameSamplePayload(
+        Seq((1L, avi(vals.map(jpegFrame)))).toDF("doc_id", "payload"), maxFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    again.map(_.frame_checksum) shouldBe got(1L).sortBy(_.frame_idx).map(_.frame_checksum)
+    // sniffed-but-unparseable AVI prefix: the byte-block fallback
+    got(2L).map(_.frame_idx).sorted shouldBe Array(0)
+    // a non-JPEG codec still gets REAL boundaries: frame-byte checksums
+    val raw = avi(Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7)))
+    val rawGot = Multimodal.frameSamplePayload(
+        Seq((3L, raw)).toDF("doc_id", "payload"), maxFrames = 9)
+      .collect().sortBy(_.frame_idx)
+    rawGot.map(_.frame_idx) shouldBe Array(0, 1)
+    rawGot.map(_.frame_checksum).distinct.length shouldBe 2
+  }
+
   test("resize preserves aspect ratio within the bounding box") {
     val out = Multimodal.resize(docs, maxSide = 100).collect()
     out.length shouldBe docs.count()
@@ -643,6 +743,54 @@ class PipelineSpec extends SparkTestBase {
     // asking for more frames than exist returns every source frame once
     Multimodal.frameSamplePayload(media.filter($"doc_id" === 1L), maxFrames = 9)
       .collect().map(_.frame_idx).sorted shouldBe Array(0, 1, 2, 3, 4)
+  }
+
+  test("inflatePayload decompresses gzip/zlib payloads with a bomb guard") {
+    import java.util.zip.{Deflater, DeflaterOutputStream, GZIPOutputStream}
+    def gzip(raw: Array[Byte]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new GZIPOutputStream(baos)
+      out.write(raw); out.close(); baos.toByteArray
+    }
+    def zlib(raw: Array[Byte]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new DeflaterOutputStream(baos, new Deflater())
+      out.write(raw); out.close(); baos.toByteArray
+    }
+    val textA = ("the quick brown fox " * 50).getBytes("UTF-8")
+    val textB = ("jumps over the lazy dog " * 40).getBytes("UTF-8")
+    val plain = "already raw".getBytes("UTF-8")
+    import spark.implicits._
+    val media = Seq(
+      (1L, gzip(textA)), (2L, zlib(textB)), (3L, plain),
+      // two gzip members back to back — the WARC/wget concatenation shape
+      (4L, gzip(textA) ++ gzip(textB)),
+      // gzip magic but garbage after: inflate fails → passthrough
+      (5L, Array[Byte](0x1f, 0x8b.toByte, 77, 77, 77))).toDF("doc_id", "payload")
+    val out = Multimodal.inflatePayload(media).collect()
+      .map(r => r.doc_id -> r).toMap
+    out(1L).codec shouldBe "gzip"
+    out(1L).payload shouldBe textA
+    out(1L).n_bytes_raw shouldBe textA.length
+    out(1L).n_bytes_stored shouldBe gzip(textA).length
+    out(1L).truncated shouldBe false
+    out(2L).codec shouldBe "zlib"
+    out(2L).payload shouldBe textB
+    out(3L).codec shouldBe "none"
+    out(3L).payload shouldBe plain
+    out(4L).codec shouldBe "gzip"
+    out(4L).payload shouldBe (textA ++ textB)
+    out(5L).codec shouldBe "none"
+    out(5L).payload.length shouldBe 5
+    // the decompression-bomb cap: a megabyte of zeros gzips tiny but must
+    // stop inflating at the cap instead of buffering the full expansion
+    val bomb = gzip(new Array[Byte](1 << 20))
+    val capped = Multimodal.inflatePayload(
+        Seq((9L, bomb)).toDF("doc_id", "payload"), maxInflatedBytes = 1000)
+      .collect().head
+    capped.truncated shouldBe true
+    capped.payload.length shouldBe 1000
+    capped.codec shouldBe "gzip"
   }
 
   test("bpe token stats count subword-ish runs") {
