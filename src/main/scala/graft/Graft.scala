@@ -46,6 +46,8 @@ object Graft {
     two("dot_product")(graft.functions.DotProduct(_, _))
     one("simhash64")(graft.functions.SimHash64(_))
     one("rolling_hash")(graft.functions.RollingHash(_))
+    one("html_text")(graft.functions.HtmlText(_))
+    one("html_main_text")(e => graft.functions.HtmlMainText(e))
     // second arg must be a literal int (the gram size is a plan-time shape)
     reg.createOrReplaceTempFunction("repetition_profile",
       repetitionProfileBuilder, "internal")

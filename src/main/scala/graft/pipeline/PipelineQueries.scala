@@ -348,6 +348,26 @@ object PipelineQueries {
     }),
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(s, ivfIndexPath(s, dir), queryVec(s, dir), k = 10, nprobe = IvfNProbe)),
+    // HTML → text extraction round trip: each doc's text is entity-escaped
+    // and embedded in a full page (head with script/style, pure-link nav and
+    // footer), then html_main_text must strip the chrome, decode the
+    // entities back, drop the link-only boilerplate lines, and return the
+    // whitespace-collapsed text — which the oracle replays as
+    // trim(regexp_replace(text, '\s+', ' ')) since the extractor's
+    // whitespace class IS the RE2 \s class. Script content includes a bare
+    // '<' and an <a> to prove element-skipping isn't fooled by either.
+    "q_html_extract" -> ((s, dir) => {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val page = concat(
+        lit("<html><head><script>if (1 < 2) { nav(\"<a href='x'>\"); }</script>" +
+          "<style>p > a {color:red}</style></head><body>" +
+          "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav><p>"),
+        esc,
+        lit("</p><footer><a href=\"#top\">Top</a></footer></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.HtmlFunctions.htmlMainText(page).as("extracted"))
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -1132,6 +1152,11 @@ object PipelineQueries {
     // passed).
     "q_ann_lsh" -> annTopKOracle,
     "q_ann_ivf" -> annTopKOracle,
+    // the page chrome (script/style/nav/footer) must vanish entirely and
+    // the escaped entities decode back, so the expected output is just the
+    // RE2-\s-collapsed, trimmed document text
+    "q_html_extract" -> ("SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) " +
+      "AS extracted FROM documents"),
     "q_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
       "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct, " +
       "CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) " +

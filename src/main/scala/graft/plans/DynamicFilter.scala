@@ -203,6 +203,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       graft.functions.DotProduct(_, _))
     one("simhash64", classOf[graft.functions.SimHash64])(graft.functions.SimHash64(_))
     one("rolling_hash", classOf[graft.functions.RollingHash])(graft.functions.RollingHash(_))
+    one("html_text", classOf[graft.functions.HtmlText])(graft.functions.HtmlText(_))
+    one("html_main_text", classOf[graft.functions.HtmlMainText])(
+      e => graft.functions.HtmlMainText(e))
     e.injectFunction((FunctionIdentifier("repetition_profile"),
       info("repetition_profile", classOf[graft.functions.RepetitionProfile]),
       graft.Graft.repetitionProfileBuilder))
