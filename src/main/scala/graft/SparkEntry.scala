@@ -255,6 +255,34 @@ object SparkEntry {
       path
     })
 
+  /** A bounded slice of the documents table rendered as a member-gzipped
+    * WARC file (each doc an HTTP `response` record, the Common Crawl
+    * layout), for the [[sources.Warc]] reader's round-trip query. Bounded
+    * by construction (doc_id < 500) so the driver-side render stays small
+    * at any sf.
+    */
+  private val convertedWarcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def convertedWarc(s: SparkSession, dir: String): String =
+    convertedWarcDirs.getOrElseUpdate(dir, {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_src_warc_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 500).collect().sortBy(_.getLong(0))
+      val records = docs.toSeq.map { r =>
+        ("response", s"urn:graft:doc:${r.getLong(0)}", "2026-01-01T00:00:00Z",
+          "application/http; msgtype=response",
+          sources.Warc.httpResponse(
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            "text/plain; charset=utf-8"))
+      }
+      val bytes = sources.Warc.render(records, gzipMembers = true)
+      val p = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("part-00000.warc.gz"), bytes)
+      path
+    })
+
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1: in-memory (local) table scan — rows collected to the driver and
     // re-registered as a local DataFrame, ≡ the reference's MemTable.
@@ -284,6 +312,18 @@ object SparkEntry {
       s.read.schema(NationSchema)
         .orc(convertedNation(s, dir, "orc"))
         .filter(col("n_regionkey") >= 0)),
+    // WARC crawl-archive source: a bounded documents slice rendered as
+    // member-gzipped HTTP response records, then read back through the
+    // record parser + HTTP body split. A hash match against the original
+    // parquet proves gzip-member decode, header walk, Content-Length
+    // payload framing, and body extraction are all lossless.
+    "q_source_warc" -> ((s, dir) => {
+      val recs = sources.Warc.read(s, convertedWarc(s, dir))
+      sources.Warc.responseTexts(recs).select(
+        regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("body").as("text"))
+    }),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -774,6 +814,7 @@ object SparkEntry {
     "q_source_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
     "q_source_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
     "q_source_orc" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
+    "q_source_warc" -> "SELECT doc_id, text FROM documents WHERE doc_id < 500",
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away

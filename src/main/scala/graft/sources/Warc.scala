@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) record reader — the container format web
+  * crawls actually arrive in (Common Crawl publishes ~100 TB-scale WARC
+  * segments), making this the first step of a crawl → text → quality →
+  * dedup corpus pipeline (compose with [[graft.functions.HtmlText]] and the
+  * TextAnalysis tiers downstream).
+  *
+  * Format essentials the parser implements: a WARC file is a sequence of
+  * records, each `WARC/1.x` + CRLF header lines + blank line + exactly
+  * `Content-Length` payload bytes + blank separator lines; Common Crawl
+  * files gzip each record as its OWN member and concatenate, which
+  * `GZIPInputStream` reads straight through (multi-member), so one stream
+  * pass decodes the whole file either way (plain or gzip).
+  *
+  * Distribution model: `binaryFile` source → one task per WARC file, the
+  * same unit of parallelism the crawl ecosystem uses (a Common Crawl
+  * segment is ~1 GiB so tasks are chunky but bounded; at 100 TB that is
+  * ~100k files = ~100k tasks). Per-record payloads are capped at
+  * `maxRecordBytes` (truncated, stream stays aligned) so one hostile
+  * record cannot OOM a task — same bomb-guard stance as
+  * [[graft.pipeline.Multimodal.inflatePayload]]. Malformed bytes stop the
+  * file's parse at the last whole record instead of failing the task.
+  */
+object Warc {
+
+  /** One parsed WARC record. `payload` is the raw record block (for
+    * `response` records: HTTP status line + headers + body — split with
+    * [[httpBody]]); `content_length` is the declared length even when the
+    * payload was `truncated` at the cap.
+    */
+  case class WarcRecord(
+      file: String,
+      record_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte],
+      truncated: Boolean)
+
+  /** Read every record of every WARC file under `path` (plain or
+    * member-gzipped, `*.warc` / `*.warc.gz`).
+    */
+  def read(
+      spark: SparkSession, path: String,
+      maxRecordBytes: Int = 64 << 20): Dataset[WarcRecord] = {
+    require(maxRecordBytes >= 1, s"maxRecordBytes must be >= 1, got $maxRecordBytes")
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) => parseRecords(file, bytes, maxRecordBytes) }
+  }
+
+  /** Parse one WARC file's bytes (gzip-sniffed) into records. */
+  private[graft] def parseRecords(
+      file: String, bytes: Array[Byte], maxRecordBytes: Int): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    try {
+      val base = new java.io.ByteArrayInputStream(bytes)
+      val in = new java.io.BufferedInputStream(
+        if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
+          new java.util.zip.GZIPInputStream(base, 64 * 1024)
+        else base,
+        64 * 1024)
+
+      // one header/separator line, CRLF or LF, ISO-8859-1 (headers are
+      // ASCII); null at EOF
+      def readLine(): String = {
+        val sb = new java.lang.StringBuilder
+        var c = in.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+        val s = sb.toString
+        if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1)
+        else s
+      }
+
+      var idx = 0
+      var done = false
+      while (!done) {
+        // skip the blank separator lines between records
+        var line = readLine()
+        while (line != null && line.isEmpty) line = readLine()
+        if (line == null || !line.startsWith("WARC/")) done = true
+        else {
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var h = readLine()
+          while (h != null && h.nonEmpty) {
+            val colon = h.indexOf(':')
+            if (colon > 0)
+              headers(h.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)) =
+                h.substring(colon + 1).trim
+            h = readLine()
+          }
+          headers.get("content-length").flatMap(_.toLongOption) match {
+            case None => done = true // a record without a length is unwalkable
+            case Some(len) if len < 0 => done = true
+            case Some(len) =>
+              val take = math.min(len, maxRecordBytes.toLong).toInt
+              val payload = in.readNBytes(take)
+              if (payload.length < take) done = true // truncated file
+              else {
+                if (len > take) in.skipNBytes(len - take) // stay aligned past the cap
+                out += WarcRecord(
+                  file, idx,
+                  headers.getOrElse("warc-type", ""),
+                  headers.getOrElse("warc-target-uri", ""),
+                  headers.getOrElse("warc-date", ""),
+                  headers.getOrElse("content-type", ""),
+                  len, payload, truncated = len > take)
+                idx += 1
+              }
+          }
+        }
+      }
+    } catch { case _: Throwable => () } // malformed tail → keep whole records
+    out.toSeq
+  }
+
+  /** The body of an HTTP message payload: everything after the first blank
+    * line (CRLF CRLF, or bare LF LF from sloppy servers). A payload with no
+    * header break returns unchanged.
+    */
+  def httpBody(payload: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < payload.length) {
+      if (payload(i) == '\n') {
+        // \n\r\n (the tail of \r\n\r\n) or \n\n
+        if (i + 2 < payload.length && payload(i + 1) == '\r' && payload(i + 2) == '\n')
+          return java.util.Arrays.copyOfRange(payload, i + 3, payload.length)
+        if (i + 1 < payload.length && payload(i + 1) == '\n')
+          return java.util.Arrays.copyOfRange(payload, i + 2, payload.length)
+      }
+      i += 1
+    }
+    payload
+  }
+
+  /** `response` records decoded to (target_uri, body) — HTTP headers
+    * stripped, body read as UTF-8 text. The crawl → text entry point.
+    */
+  def responseTexts(records: Dataset[WarcRecord]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.filter(_.warc_type == "response")
+      .map(r => (r.target_uri,
+        new String(httpBody(r.payload), java.nio.charset.StandardCharsets.UTF_8)))
+      .toDF("target_uri", "body")
+  }
+
+  /** Render records to WARC bytes — each record its own gzip member when
+    * `gzipMembers` (the Common Crawl layout). Fixture/writer plumbing for
+    * specs and the round-trip query; the reader above is the product
+    * surface.
+    */
+  private[graft] def render(
+      records: Seq[(String, String, String, String, Array[Byte])],
+      gzipMembers: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (warcType, uri, date, contentType, payload) =>
+      val header =
+        s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $uri\r\n" +
+          s"WARC-Date: $date\r\nContent-Type: $contentType\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n"
+      val rec = new java.io.ByteArrayOutputStream()
+      rec.write(header.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      rec.write(payload)
+      rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      if (gzipMembers) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(rec.toByteArray); gz.finish()
+      } else out.write(rec.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** An HTTP/1.1 200 response payload wrapping `body` — what a crawler
+    * stores in a `response` record.
+    */
+  private[graft] def httpResponse(body: Array[Byte], contentType: String): Array[Byte] = {
+    val head = s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(body)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+/** Specs for the WARC crawl-archive reader (sources/Warc.scala): record
+  * framing, gzip members, the payload cap, HTTP body split, and the
+  * distributed read through the binaryFile source.
+  */
+class WarcSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def rec(uri: String, body: String, warcType: String = "response") =
+    (warcType, uri, "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+      Warc.httpResponse(body.getBytes("UTF-8"), "text/html; charset=utf-8"))
+
+  test("render → parse round trip, plain and member-gzipped") {
+    val records = Seq(rec("http://a/", "alpha"), rec("http://b/", "beta content"),
+      ("warcinfo", "", "2026-01-01T00:00:00Z", "application/warc-fields",
+        "software: graft-test\r\n".getBytes("UTF-8")))
+    for (gz <- Seq(false, true)) {
+      val bytes = Warc.render(records, gzipMembers = gz)
+      val parsed = Warc.parseRecords("f", bytes, maxRecordBytes = 1 << 20)
+      parsed.length shouldBe 3
+      parsed.map(_.record_idx) shouldBe Seq(0, 1, 2)
+      parsed(0).warc_type shouldBe "response"
+      parsed(0).target_uri shouldBe "http://a/"
+      parsed(0).warc_date shouldBe "2026-01-01T00:00:00Z"
+      parsed(0).content_length shouldBe parsed(0).payload.length.toLong
+      new String(Warc.httpBody(parsed(0).payload), "UTF-8") shouldBe "alpha"
+      new String(Warc.httpBody(parsed(1).payload), "UTF-8") shouldBe "beta content"
+      parsed(2).warc_type shouldBe "warcinfo"
+      parsed.forall(!_.truncated) shouldBe true
+    }
+  }
+
+  test("payload cap truncates one record but keeps the stream aligned") {
+    val big = "x" * 5000
+    val bytes = Warc.render(
+      Seq(rec("http://big/", big), rec("http://after/", "small")), gzipMembers = true)
+    val parsed = Warc.parseRecords("f", bytes, maxRecordBytes = 100)
+    parsed.length shouldBe 2
+    parsed(0).truncated shouldBe true
+    parsed(0).payload.length shouldBe 100
+    parsed(0).content_length should be > 5000L // declared length survives
+    // the record AFTER the capped one parses whole — alignment held
+    parsed(1).truncated shouldBe false
+    parsed(1).target_uri shouldBe "http://after/"
+    new String(Warc.httpBody(parsed(1).payload), "UTF-8") shouldBe "small"
+  }
+
+  test("malformed tail keeps the whole records before it") {
+    val good = Warc.render(Seq(rec("http://ok/", "fine")), gzipMembers = false)
+    val broken = good ++ "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes("UTF-8")
+    val parsed = Warc.parseRecords("f", broken, maxRecordBytes = 1 << 20)
+    parsed.length shouldBe 1 // no Content-Length on the tail → unwalkable
+    parsed(0).target_uri shouldBe "http://ok/"
+    // not WARC at all → zero records, no exception
+    Warc.parseRecords("f", "random bytes".getBytes("UTF-8"), 1 << 20) shouldBe empty
+  }
+
+  test("httpBody splits at CRLFCRLF or LFLF; payloads without a break pass through") {
+    new String(Warc.httpBody("HTTP/1.1 200 OK\r\nA: b\r\n\r\nBODY".getBytes("UTF-8")),
+      "UTF-8") shouldBe "BODY"
+    new String(Warc.httpBody("HTTP/1.1 200 OK\nA: b\n\nBODY".getBytes("UTF-8")),
+      "UTF-8") shouldBe "BODY"
+    new String(Warc.httpBody("no header break".getBytes("UTF-8")),
+      "UTF-8") shouldBe "no header break"
+  }
+
+  test("distributed read over multiple files; responseTexts feeds html_text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_spec")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"),
+      Warc.render(Seq(
+        rec("http://one/", "<html><body><p>Hello &amp; welcome</p></body></html>"),
+        ("request", "http://one/", "2026-01-01T00:00:00Z", "application/http",
+          "GET / HTTP/1.1\r\n".getBytes("UTF-8"))), gzipMembers = true))
+    java.nio.file.Files.write(dir.resolve("b.warc"),
+      Warc.render(Seq(rec("http://two/", "<p>Second page</p>")), gzipMembers = false))
+    val recs = Warc.read(spark, dir.toString)
+    recs.count() shouldBe 3
+    // request records filter out; response bodies decode and extract
+    val texts = Warc.responseTexts(recs)
+      .select(col("target_uri"),
+        graft.functions.HtmlFunctions.htmlText(col("body")).as("text"))
+      .as[(String, String)].collect().toMap
+    texts.keySet shouldBe Set("http://one/", "http://two/")
+    texts("http://one/") shouldBe "Hello & welcome"
+    texts("http://two/") shouldBe "Second page"
+  }
+}
