@@ -48,6 +48,7 @@ object Graft {
     one("rolling_hash")(graft.functions.RollingHash(_))
     one("html_text")(graft.functions.HtmlText(_))
     one("html_main_text")(e => graft.functions.HtmlMainText(e))
+    one("html_links")(graft.functions.HtmlLinks(_))
     // second arg must be a literal int (the gram size is a plan-time shape)
     reg.createOrReplaceTempFunction("repetition_profile",
       repetitionProfileBuilder, "internal")

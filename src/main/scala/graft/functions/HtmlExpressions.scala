@@ -223,6 +223,90 @@ private[functions] object HtmlExtraction {
     flushLine()
     lines.toArray
   }
+
+  /** The `href` values of `<a>` tags, in document order with duplicates
+    * kept (callers `array_distinct` when building a frontier). Runs the
+    * same skip logic as [[extractLines]] for comments/script/style so URL
+    * strings inside JavaScript do not count as links; values entity-decode
+    * (`&amp;` in query strings is the common case).
+    */
+  def extractLinks(html: String): Array[String] = {
+    val links = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) i = skipPast(html, i + 4, "-->")
+        else if (html.startsWith("<![CDATA[", i)) i = skipPast(html, i + 9, "]]>")
+        else if (tagAt(html, i + 1, "script")) {
+          val close = skipPast(html, skipTag(html, i), "</script")
+          i = if (close >= n) n else skipTag(html, close - "</script".length)
+        } else if (tagAt(html, i + 1, "style")) {
+          val close = skipPast(html, skipTag(html, i), "</style")
+          i = if (close >= n) n else skipTag(html, close - "</style".length)
+        } else if (tagAt(html, i + 1, "a")) {
+          val end = skipTag(html, i)
+          attrValue(html, i, end, "href").foreach(links += _)
+          i = end
+        } else i = skipTag(html, i)
+      } else i += 1
+    }
+    links.toArray
+  }
+
+  /** The decoded value of attribute `name` inside the tag at
+    * `html[tagStart, tagEnd)`, or None. Quoted or unquoted values; the
+    * match must sit at a word boundary (`xhref=` is not `href=`).
+    */
+  private def attrValue(
+      html: String, tagStart: Int, tagEnd: Int, name: String): Option[String] = {
+    var i = tagStart + 1
+    while (i + name.length + 1 < tagEnd) {
+      val before = html.charAt(i - 1)
+      val boundary = isWs(before) || before == '<' || before == '"' || before == '\''
+      var k = 0
+      while (k < name.length &&
+        Character.toLowerCase(html.charAt(i + k)) == name.charAt(k)) k += 1
+      if (boundary && k == name.length) {
+        // skip ws around '='
+        var j = i + name.length
+        while (j < tagEnd && isWs(html.charAt(j))) j += 1
+        if (j < tagEnd && html.charAt(j) == '=') {
+          j += 1
+          while (j < tagEnd && isWs(html.charAt(j))) j += 1
+          if (j < tagEnd) {
+            val q = html.charAt(j)
+            val (vStart, vEnd) =
+              if (q == '"' || q == '\'') {
+                val e = html.indexOf(q, j + 1)
+                (j + 1, if (e < 0 || e >= tagEnd) tagEnd - 1 else e)
+              } else {
+                var e = j
+                while (e < tagEnd - 1 && !isWs(html.charAt(e)) && html.charAt(e) != '>') e += 1
+                (j, e)
+              }
+            if (vEnd > vStart) {
+              // entity-decode the raw value
+              val raw = html.substring(vStart, vEnd)
+              val sb = new java.lang.StringBuilder
+              var p = 0
+              while (p < raw.length) {
+                if (raw.charAt(p) == '&') {
+                  val (dec, next) = entityAt(raw, p)
+                  if (dec == null) { sb.append('&'); p += 1 }
+                  else { sb.append(dec); p = next }
+                } else { sb.append(raw.charAt(p)); p += 1 }
+              }
+              return Some(sb.toString)
+            }
+            return None
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
 }
 
 /** `html_text(html)` — every extracted text line, joined by `\n`. NULL in,
@@ -283,9 +367,35 @@ case class HtmlMainText(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `html_links(html)` — the `href` values of `<a>` tags in document order
+  * (duplicates kept), entity-decoded; script/style/comment content does not
+  * contribute. The outlink edge list a crawl-frontier or link-graph
+  * (PageRank) stage consumes. NULL in, NULL out.
+  */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_links"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("htmllinks", this, classOf[HtmlLinks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HtmlExtraction.extractLinks(s.toString).map(UTF8String.fromString(_)))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column builders (the [[TextFunctions]] convention). */
 object HtmlFunctions {
   def htmlText(html: Column): Column = colOf(HtmlText(exprOf(html)))
   def htmlMainText(html: Column, maxLinkDensity: Double = 0.5, minChars: Int = 0): Column =
     colOf(HtmlMainText(exprOf(html), maxLinkDensity, minChars))
+  def htmlLinks(html: Column): Column = colOf(HtmlLinks(exprOf(html)))
 }

@@ -368,6 +368,20 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         graft.functions.HtmlFunctions.htmlMainText(page).as("extracted"))
     }),
+    // outlink extraction: every <a href> of a per-doc page, exploded to an
+    // edge list (the crawl-frontier / link-graph input). The script URL
+    // must NOT surface (element content is skipped) and the &amp; in the
+    // per-doc query string must decode.
+    "q_html_links" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a></nav>" +
+          "<script>var u = \"<a href='/not-a-link'>\";</script>" +
+          "<p><a href=\"/doc/"),
+        col("doc_id"),
+        lit("?a=1&amp;b=2\">self</a> and <a href='/about'>about</a></p></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+        explode(graft.functions.HtmlFunctions.htmlLinks(page)).as("link"))
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -1157,6 +1171,9 @@ object PipelineQueries {
     // RE2-\s-collapsed, trimmed document text
     "q_html_extract" -> ("SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) " +
       "AS extracted FROM documents"),
+    "q_html_links" -> ("SELECT doc_id, '/' AS link FROM documents " +
+      "UNION ALL SELECT doc_id, '/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' FROM documents " +
+      "UNION ALL SELECT doc_id, '/about' FROM documents"),
     "q_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
       "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct, " +
       "CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) " +

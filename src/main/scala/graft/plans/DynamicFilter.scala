@@ -206,6 +206,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     one("html_text", classOf[graft.functions.HtmlText])(graft.functions.HtmlText(_))
     one("html_main_text", classOf[graft.functions.HtmlMainText])(
       e => graft.functions.HtmlMainText(e))
+    one("html_links", classOf[graft.functions.HtmlLinks])(graft.functions.HtmlLinks(_))
     e.injectFunction((FunctionIdentifier("repetition_profile"),
       info("repetition_profile", classOf[graft.functions.RepetitionProfile]),
       graft.Graft.repetitionProfileBuilder))

@@ -142,15 +142,44 @@ object Warc {
     payload
   }
 
+  /** The charset declared in an HTTP payload's own `Content-Type` header
+    * (`charset=...`), or None. Scans only the header section (before the
+    * body break), ASCII-decoded, case-insensitive.
+    */
+  private[graft] def httpCharset(payload: Array[Byte]): Option[java.nio.charset.Charset] = {
+    // header length = payload length - body length (httpBody found the break)
+    val headerLen = payload.length - httpBody(payload).length
+    if (headerLen <= 0) return None
+    val head = new String(payload, 0, headerLen,
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+    val at = head.indexOf("charset=")
+    if (at < 0) None
+    else {
+      var e = at + "charset=".length
+      val start = e
+      while (e < head.length && (head.charAt(e).isLetterOrDigit ||
+        head.charAt(e) == '-' || head.charAt(e) == '_')) e += 1
+      val name = head.substring(start, e)
+      try Some(java.nio.charset.Charset.forName(name))
+      catch { case _: Exception => None } // unknown label → caller's default
+    }
+  }
+
   /** `response` records decoded to (target_uri, body) — HTTP headers
-    * stripped, body read as UTF-8 text. The crawl → text entry point.
+    * stripped, body text decoded in the charset the response itself
+    * declares (`Content-Type: ...; charset=...`), defaulting to UTF-8:
+    * real crawls are far from all-UTF-8 and mis-decoding latin-1 pages
+    * corrupts every downstream text tier. The crawl → text entry point.
     */
   def responseTexts(records: Dataset[WarcRecord]): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
     records.filter(_.warc_type == "response")
-      .map(r => (r.target_uri,
-        new String(httpBody(r.payload), java.nio.charset.StandardCharsets.UTF_8)))
+      .map { r =>
+        val cs = httpCharset(r.payload)
+          .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+        (r.target_uri, new String(httpBody(r.payload), cs))
+      }
       .toDF("target_uri", "body")
   }
 

@@ -93,6 +93,22 @@ class HtmlExtractSpec extends SparkTestBase {
     }
   }
 
+  test("html_links extracts hrefs in order, decoded, skipping script/comments") {
+    def links(html: String): Seq[String] =
+      spark.range(1).select(htmlLinks(lit(html)).as("l")).head().getSeq[String](0)
+    links("<a href=\"/one\">1</a><p><a href='/two?a=1&amp;b=2'>2</a></p>" +
+      "<a href=unquoted>3</a><a name=\"no-href\">4</a>") shouldBe
+      Seq("/one", "/two?a=1&b=2", "unquoted")
+    // script/comment content contributes nothing; xhref is not href
+    links("<script>var u = \"<a href='/x'>\";</script>" +
+      "<!-- <a href='/y'> --><a xhref='/z' href='/real'>r</a>") shouldBe Seq("/real")
+    // duplicates kept in document order (frontier dedup is the caller's)
+    links("<a href='/a'>1</a><a href='/a'>2</a>") shouldBe Seq("/a", "/a")
+    // attribute order and whitespace around = are tolerated
+    links("<a class='x' href = \"/spaced\">s</a>") shouldBe Seq("/spaced")
+    links("no links here") shouldBe Seq.empty
+  }
+
   test("null in, null out; SQL registration reaches both functions") {
     val r = spark.range(1)
       .select(htmlText(lit(null).cast("string")).as("a"),
@@ -103,6 +119,8 @@ class HtmlExtractSpec extends SparkTestBase {
       "sql works"
     spark.sql("SELECT html_main_text('<p><a href=x>nav only</a></p>') AS t")
       .head().getString(0) shouldBe ""
+    spark.sql("SELECT html_links('<a href=\"/sql\">x</a>') AS l")
+      .head().getSeq[String](0) shouldBe Seq("/sql")
     // arity errors fail loud, matching the other registered functions
     val e = intercept[Exception](spark.sql("SELECT html_text('a', 'b')").collect())
     e.getMessage should include("html_text")

@@ -70,6 +70,26 @@ class WarcSpec extends SparkTestBase {
       "UTF-8") shouldBe "no header break"
   }
 
+  test("responseTexts decodes the charset each response declares") {
+    // a latin-1 page: 0xE9 is é in ISO-8859-1 but an invalid UTF-8 byte
+    val latin1Body = "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val latin1 = ("response", "http://fr/", "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response",
+      Warc.httpResponse(latin1Body, "text/html; charset=ISO-8859-1"))
+    val utf8 = rec("http://utf/", "café") // UTF-8 by default
+    val noCharset = ("response", "http://bare/", "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response",
+      Warc.httpResponse("plain ascii".getBytes("UTF-8"), "text/html"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_cs")
+    java.nio.file.Files.write(dir.resolve("cs.warc.gz"),
+      Warc.render(Seq(latin1, utf8, noCharset), gzipMembers = true))
+    val texts = Warc.responseTexts(Warc.read(spark, dir.toString))
+      .as[(String, String)].collect().toMap
+    texts("http://fr/") shouldBe "café" // latin-1 decoded, not mojibake
+    texts("http://utf/") shouldBe "café"
+    texts("http://bare/") shouldBe "plain ascii" // no charset → UTF-8 default
+  }
+
   test("distributed read over multiple files; responseTexts feeds html_text") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_spec")
     java.nio.file.Files.write(dir.resolve("a.warc.gz"),
