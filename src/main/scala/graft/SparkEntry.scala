@@ -139,6 +139,17 @@ object SparkEntry {
           |  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
           |FROM embeddings WHERE vec_id >= $1 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)(
         "$1" -> 10L)),
+    // the HTML extractor through prepare(): html_text resolves at
+    // prepare-time like cosine_similarity above; the page is built in-plan
+    // from entity-escaped doc text so the expected output is the
+    // \s-collapsed original (the q_html_extract contract), with the doc_id
+    // cut re-bound per execute
+    "q_prep_html" -> ((s, dir) =>
+      prep(s, dir,
+        """SELECT doc_id, html_text(concat('<p>',
+          |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+          |  '</p>')) AS extracted
+          |FROM documents WHERE doc_id < $1""".stripMargin)("$1" -> 100L)),
     // B13 through the DSv2 keyed source: a prepared IN-list lookup against
     // an indexed in-memory table — ScanRebind turns each execute into an
     // index lookup shipping only the matching rows (the reference's
@@ -206,6 +217,8 @@ object SparkEntry {
     "q_prep_const" -> "SELECT 1 AS one",
     "q_prep_proj" -> "SELECT o_orderkey AS k, CAST(CAST(o_totalprice * CAST(0.1 AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS scaled FROM orders WHERE o_orderkey <= 100",
     "q_prep_or" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = 3 OR o_orderkey = 77",
+    "q_prep_html" -> ("SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted " +
+      "FROM documents WHERE doc_id < 100"),
     "q_prep_in" -> "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (5, 17, 42)",
     "q_prep_join" -> ("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 450000.0"),

@@ -803,6 +803,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         val buf = new Array[Byte](64 * 1024)
+        // explicit-Inflater streams do not end() it on close, so one
+        // native zlib context serves the whole partition via reset()
+        val inflater = new java.util.zip.Inflater()
         def drain(in: java.io.InputStream): (Array[Byte], Boolean) = {
           val out = new java.io.ByteArrayOutputStream()
           var truncated = false
@@ -828,8 +831,9 @@ object Multimodal {
             } catch { case _: Throwable => passthrough }
           } else if (sniffZlib(bytes)) {
             try {
+              inflater.reset()
               val in = new java.util.zip.InflaterInputStream(
-                new java.io.ByteArrayInputStream(bytes), new java.util.zip.Inflater(), 64 * 1024)
+                new java.io.ByteArrayInputStream(bytes), inflater, 64 * 1024)
               try {
                 val (raw, truncated) = drain(in)
                 InflatedPayload(id, raw, "zlib", bytes.length, raw.length, truncated)

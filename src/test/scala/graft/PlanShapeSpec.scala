@@ -58,6 +58,19 @@ class PlanShapeSpec extends SparkTestBase {
     planOf("q_text_dupspans") should include("TakeOrderedAndProject")
   }
 
+  test("html extraction runs inside whole-stage codegen off the parquet scan") {
+    // the expressions codegen via the references-array call; a fallback to
+    // interpreted eval would drop the scan out of the codegen stage
+    val p = SparkEntry.queries("q_html_extract")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the * prefix is the whole-stage-codegen marker on the projection
+    // that evaluates the extractor
+    p should include("*(1) Project")
+    p should not include "CodegenFallback"
+    // and the scan reads only the two referenced columns
+    planOf("q_html_extract") should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
   test("duplicated-span mining aggregates on span hashes, never span strings") {
     // the hash-first narrowing: the corpus-wide two-level aggregation keys
     // on the generator's 8-byte __h; span strings enter an exchange only
