@@ -90,6 +90,43 @@ class WarcSpec extends SparkTestBase {
     texts("http://bare/") shouldBe "plain ascii" // no charset → UTF-8 default
   }
 
+  test("end to end: WARC archive → main text → quality signals → exact dedup") {
+    // the full crawl-ingest composition on one fixture: two pages with the
+    // same article body behind different nav chrome (a crawl's most common
+    // duplicate shape), one distinct page, one latin-1 page
+    def page(nav: String, body: String) =
+      s"<html><body><nav><a href='/'>$nav</a></nav><p>$body</p></body></html>"
+    val article = "The quick brown fox jumps over the lazy dog in the morning sun."
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_e2e")
+    java.nio.file.Files.write(dir.resolve("crawl.warc.gz"),
+      Warc.render(Seq(
+        rec("http://a/", page("HomeA", article)),
+        rec("http://b/", page("OtherNav", article)),
+        rec("http://c/", page("HomeC", "A completely different page body here.")),
+        ("response", "http://fr/", "2026-01-01T00:00:00Z",
+          "application/http; msgtype=response",
+          Warc.httpResponse(
+            page("Nav", "Le renard café saute.").getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1),
+            "text/html; charset=ISO-8859-1"))), gzipMembers = true))
+    val texts = Warc.responseTexts(Warc.read(spark, dir.toString))
+      .select(col("target_uri").as("doc_id"),
+        graft.functions.HtmlFunctions.htmlMainText(col("body")).as("text"))
+    // chrome gone: the nav line is link-dense and dropped everywhere
+    val byUri = texts.as[(String, String)].collect().toMap
+    byUri("http://a/") shouldBe article
+    byUri("http://b/") shouldBe article // different chrome, same main text
+    byUri("http://fr/") shouldBe "Le renard café saute." // charset held
+    // quality signals compute over the extracted corpus
+    val quality = graft.pipeline.TextAnalysis.qualityScore(texts)
+    quality.count() shouldBe 4
+    // exact dedup now sees a/b as ONE text despite different raw HTML
+    val deduped = graft.pipeline.Dedup.exact(texts)
+    deduped.count() shouldBe 3
+    deduped.filter(col("n_copies") === 2).select("text")
+      .head().getString(0) shouldBe article
+  }
+
   test("distributed read over multiple files; responseTexts feeds html_text") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_spec")
     java.nio.file.Files.write(dir.resolve("a.warc.gz"),
