@@ -133,7 +133,10 @@ private[functions] object HtmlExtraction {
             if (body.charAt(1) == 'x' || body.charAt(1) == 'X')
               Integer.parseInt(body.substring(2), 16)
             else Integer.parseInt(body.substring(1), 10)
-          if (Character.isValidCodePoint(cp) && cp > 0)
+          // surrogate code points would decode to a lone UTF-16 surrogate,
+          // which UTF-8 encoding mangles to '?' — leave the entity literal
+          if (Character.isValidCodePoint(cp) && cp > 0 &&
+              !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
             new String(Character.toChars(cp))
           else null
         } catch { case _: NumberFormatException => null }
@@ -194,21 +197,37 @@ private[functions] object HtmlExtraction {
         } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           i = skipTag(html, i)
         } else {
-          // a real tag: read the (possibly /-prefixed) name
+          // a real tag: read the (possibly /-prefixed) name — tag names
+          // START with a letter ("<3 items>" is text, not a tag)
           val closing = i + 1 < n && html.charAt(i + 1) == '/'
           val nameStart = if (closing) i + 2 else i + 1
           var j = nameStart
-          while (j < n && (Character.isLetterOrDigit(html.charAt(j)))) j += 1
+          if (j < n && Character.isLetter(html.charAt(j))) {
+            j += 1
+            while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
+          }
           val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
           if (name.isEmpty) { emitChar('<'); i += 1 } // stray '<' is text
           else {
+            val end = skipTag(html, i)
             if (name == "a") {
+              // a self-closing <a/> opens nothing; an unclosed <a> must
+              // not poison the rest of the document (block reset below)
+              val selfClosing = end - 2 >= i && html.charAt(end - 2) == '/'
               if (closing) anchorDepth = math.max(0, anchorDepth - 1)
-              else anchorDepth += 1
+              else if (!selfClosing) anchorDepth += 1
             }
-            if (BlockTags.contains(name)) flushLine()
+            if (BlockTags.contains(name)) {
+              flushLine()
+              // browsers auto-close <a> at block boundaries (pre-HTML5
+              // rule); without this, one unclosed <a> marks every later
+              // line link-dense and main-text drops the whole document.
+              // Cost: an HTML5 card link wrapping block content counts
+              // its inner lines as non-anchor — kept, the safe direction.
+              anchorDepth = 0
+            }
             else if (name == "td" || name == "th") pendingSpace = sb.length > 0
-            i = skipTag(html, i)
+            i = end
           }
         }
       } else if (c == '&') {
@@ -248,7 +267,12 @@ private[functions] object HtmlExtraction {
           val end = skipTag(html, i)
           attrValue(html, i, end, "href").foreach(links += _)
           i = end
-        } else i = skipTag(html, i)
+        } else if (i + 1 < n && (Character.isLetter(html.charAt(i + 1)) ||
+            html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
+            html.charAt(i + 1) == '?')) {
+          i = skipTag(html, i)
+        } else i += 1 // stray '<' in text ("a < b") is not a tag — do not
+                      // let it swallow a following <a> up to its '>'
       } else i += 1
     }
     links.toArray
@@ -256,14 +280,21 @@ private[functions] object HtmlExtraction {
 
   /** The decoded value of attribute `name` inside the tag at
     * `html[tagStart, tagEnd)`, or None. Quoted or unquoted values; the
-    * match must sit at a word boundary (`xhref=` is not `href=`).
+    * match must sit at a word boundary (`xhref=` is not `href=`) and the
+    * scan is quote-aware so `href=` appearing inside ANOTHER attribute's
+    * quoted value (title="see href=/fake") never matches.
     */
   private def attrValue(
       html: String, tagStart: Int, tagEnd: Int, name: String): Option[String] = {
     var i = tagStart + 1
+    var quote: Char = 0
     while (i + name.length + 1 < tagEnd) {
+      val cHere = html.charAt(i)
+      if (quote != 0) { if (cHere == quote) quote = 0; i += 1 }
+      else if (cHere == '"' || cHere == '\'') { quote = cHere; i += 1 }
+      else {
       val before = html.charAt(i - 1)
-      val boundary = isWs(before) || before == '<' || before == '"' || before == '\''
+      val boundary = isWs(before) || before == '<'
       var k = 0
       while (k < name.length &&
         Character.toLowerCase(html.charAt(i + k)) == name.charAt(k)) k += 1
@@ -304,6 +335,7 @@ private[functions] object HtmlExtraction {
         }
       }
       i += 1
+      }
     }
     None
   }

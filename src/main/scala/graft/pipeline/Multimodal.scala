@@ -232,16 +232,45 @@ object Multimodal {
           real.getOrElse {
             val n = math.min(bytes.length / 1000 + 1, maxFrames)
             (0 until n).map { i =>
-              var h = 0xcbf29ce484222325L ^ i.toLong
               val start = i * 1000
               val end = math.min(start + 1000, bytes.length)
-              var j = start
-              while (j < end) { h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
-              SampledFrame(id, i, h)
+              SampledFrame(id, i, bytesFnv(bytes, start, end - start, i.toLong))
             }
           }
         }
       }
+  }
+
+  /** FNV-1a over a decoded image's ARGB raster, row-major, channel order
+    * B,G,R,A — the ONE frame-checksum convention every motion tier (GIF,
+    * AVI) shares; a tweak here applies to all of them at once.
+    */
+  private def rasterFnv(img: java.awt.image.BufferedImage, seed: Long): Long = {
+    var acc = 0xcbf29ce484222325L ^ seed
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        acc = (acc ^ (p & 0xffL)) * 0x100000001b3L
+        acc = (acc ^ ((p >> 8) & 0xffL)) * 0x100000001b3L
+        acc = (acc ^ ((p >> 16) & 0xffL)) * 0x100000001b3L
+        acc = (acc ^ ((p >>> 24) & 0xffL)) * 0x100000001b3L
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  /** FNV-1a over `len` raw bytes at `off` — the frame/byte-block checksum
+    * for payloads no JDK codec decodes.
+    */
+  private def bytesFnv(bytes: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    var acc = 0xcbf29ce484222325L ^ seed
+    var j = off
+    while (j < off + len) { acc = (acc ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
+    acc
   }
 
   /** "GIF8" magic at offset 0. A sniff hit only routes to the GIF reader —
@@ -271,22 +300,7 @@ object Multimodal {
             val k = math.min(n, maxFrames)
             val idxs = if (k == 1) Seq(0) else (0 until k).map(i => i * (n - 1) / (k - 1))
             Some(idxs.map { i =>
-              val img = reader.read(i)
-              var h = 0xcbf29ce484222325L ^ i.toLong
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val p = img.getRGB(x, y)
-                  h = (h ^ (p & 0xffL)) * 0x100000001b3L
-                  h = (h ^ ((p >> 8) & 0xffL)) * 0x100000001b3L
-                  h = (h ^ ((p >> 16) & 0xffL)) * 0x100000001b3L
-                  h = (h ^ ((p >>> 24) & 0xffL)) * 0x100000001b3L
-                  x += 1
-                }
-                y += 1
-              }
-              SampledFrame(id, i, h)
+              SampledFrame(id, i, rasterFnv(reader.read(i), i.toLong))
             })
           }
         } finally { reader.dispose(); iis.close() }
@@ -357,29 +371,8 @@ object Multimodal {
               catch { case _: Throwable => None }
             else None
           val h = jpeg match {
-            case Some(img) => // decoded-raster FNV, the gifFrames convention
-              var acc = 0xcbf29ce484222325L ^ i.toLong
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val p = img.getRGB(x, y)
-                  acc = (acc ^ (p & 0xffL)) * 0x100000001b3L
-                  acc = (acc ^ ((p >> 8) & 0xffL)) * 0x100000001b3L
-                  acc = (acc ^ ((p >> 16) & 0xffL)) * 0x100000001b3L
-                  acc = (acc ^ ((p >>> 24) & 0xffL)) * 0x100000001b3L
-                  x += 1
-                }
-                y += 1
-              }
-              acc
-            case None => // undecodable codec: exact frame bytes
-              var acc = 0xcbf29ce484222325L ^ i.toLong
-              var j = off
-              while (j < off + len) {
-                acc = (acc ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1
-              }
-              acc
+            case Some(img) => rasterFnv(img, i.toLong) // decoded-raster, the gifFrames convention
+            case None      => bytesFnv(bytes, off, len, i.toLong) // undecodable codec: exact frame bytes
           }
           SampledFrame(id, i, h)
         })
@@ -809,12 +802,22 @@ object Multimodal {
         def drain(in: java.io.InputStream): (Array[Byte], Boolean) = {
           val out = new java.io.ByteArrayOutputStream()
           var truncated = false
-          var n = in.read(buf)
-          while (n >= 0 && !truncated) {
-            val room = maxInflatedBytes - out.size()
-            if (n >= room) { out.write(buf, 0, room); truncated = true }
-            else out.write(buf, 0, n)
-            if (!truncated) n = in.read(buf)
+          var eof = false
+          while (!eof && !truncated) {
+            val n = in.read(buf)
+            if (n < 0) eof = true
+            else {
+              val room = maxInflatedBytes - out.size()
+              if (n > room) { out.write(buf, 0, room); truncated = true }
+              else {
+                out.write(buf, 0, n)
+                if (out.size() == maxInflatedBytes) {
+                  // exactly at the cap: truncated only if bytes FOLLOW —
+                  // a payload inflating to the cap precisely is complete
+                  if (in.read(buf) >= 0) truncated = true else eof = true
+                }
+              }
+            }
           }
           (out.toByteArray, truncated)
         }

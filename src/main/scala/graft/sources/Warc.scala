@@ -123,32 +123,42 @@ object Warc {
     out.toSeq
   }
 
-  /** The body of an HTTP message payload: everything after the first blank
-    * line (CRLF CRLF, or bare LF LF from sloppy servers). A payload with no
-    * header break returns unchanged.
+  /** Index where an HTTP payload's body starts — just past the first blank
+    * line (CRLF CRLF, or bare LF LF from sloppy servers) — or 0 when there
+    * is no header break (the whole payload is body). Shared by
+    * [[httpBody]] and [[httpCharset]] so neither copies bytes to find it.
     */
-  def httpBody(payload: Array[Byte]): Array[Byte] = {
+  private[graft] def headerEnd(payload: Array[Byte]): Int = {
     var i = 0
     while (i < payload.length) {
       if (payload(i) == '\n') {
         // \n\r\n (the tail of \r\n\r\n) or \n\n
         if (i + 2 < payload.length && payload(i + 1) == '\r' && payload(i + 2) == '\n')
-          return java.util.Arrays.copyOfRange(payload, i + 3, payload.length)
+          return i + 3
         if (i + 1 < payload.length && payload(i + 1) == '\n')
-          return java.util.Arrays.copyOfRange(payload, i + 2, payload.length)
+          return i + 2
       }
       i += 1
     }
-    payload
+    0
+  }
+
+  /** The body of an HTTP message payload: everything after the first blank
+    * line. A payload with no header break returns unchanged (no copy).
+    */
+  def httpBody(payload: Array[Byte]): Array[Byte] = {
+    val he = headerEnd(payload)
+    if (he == 0) payload
+    else java.util.Arrays.copyOfRange(payload, he, payload.length)
   }
 
   /** The charset declared in an HTTP payload's own `Content-Type` header
-    * (`charset=...`), or None. Scans only the header section (before the
-    * body break), ASCII-decoded, case-insensitive.
+    * (`charset=...`, bare or RFC 7231 quoted), or None. Scans only the
+    * header section (before the body break), ASCII-decoded,
+    * case-insensitive.
     */
   private[graft] def httpCharset(payload: Array[Byte]): Option[java.nio.charset.Charset] = {
-    // header length = payload length - body length (httpBody found the break)
-    val headerLen = payload.length - httpBody(payload).length
+    val headerLen = headerEnd(payload)
     if (headerLen <= 0) return None
     val head = new String(payload, 0, headerLen,
       java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
@@ -156,9 +166,12 @@ object Warc {
     if (at < 0) None
     else {
       var e = at + "charset=".length
+      // RFC 7231 allows the quoted-string form: charset="iso-8859-1"
+      if (e < head.length && (head.charAt(e) == '"' || head.charAt(e) == '\'')) e += 1
       val start = e
       while (e < head.length && (head.charAt(e).isLetterOrDigit ||
-        head.charAt(e) == '-' || head.charAt(e) == '_')) e += 1
+        head.charAt(e) == '-' || head.charAt(e) == '_' ||
+        head.charAt(e) == '.' || head.charAt(e) == ':')) e += 1
       val name = head.substring(start, e)
       try Some(java.nio.charset.Charset.forName(name))
       catch { case _: Exception => None } // unknown label → caller's default

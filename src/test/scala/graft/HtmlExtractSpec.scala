@@ -54,14 +54,18 @@ class HtmlExtractSpec extends SparkTestBase {
     extract("x&nbsp;y") shouldBe "x y"
     extract("&#65;&#x42;&#x1F600;") shouldBe "AB😀"
     extract("AT&T &unknown; 5 & 3 &#xZZ;") shouldBe "AT&T &unknown; 5 & 3 &#xZZ;"
+    // a surrogate code point would mangle to '?' in UTF-8 — stays literal
+    extract("a &#xD800; b") shouldBe "a &#xD800; b"
   }
 
   test("whitespace collapses to the RE2 \\s class semantics, lines trim") {
     extract("<p>  a \t\n b\r\nc  </p>") shouldBe "a b c"
     // empty lines are dropped, not emitted
     extract("<p></p><p>  </p><p>x</p>") shouldBe "x"
-    // a stray '<' that is not a tag is text
+    // a stray '<' that is not a tag is text; "<3" starts with a digit so
+    // it is text too, not a tag that would swallow to the next '>'
     extract("<p>a < b</p>") shouldBe "a < b"
+    extract("<p>i <3 u > all</p>") shouldBe "i <3 u > all"
     extract("") shouldBe ""
   }
 
@@ -75,6 +79,13 @@ class HtmlExtractSpec extends SparkTestBase {
     extractMain("<p><a href=\"x\">all anchor text here</a></p>") shouldBe ""
     // minChars cuts below-threshold lines even at zero link density
     extractMain("<p>ok</p><p>long enough line</p>", minChars = 5) shouldBe "long enough line"
+    // a self-closing <a/> opens no anchor scope
+    extractMain("<a id=\"top\"/><p>Real article text stays.</p>") shouldBe
+      "Real article text stays."
+    // an UNCLOSED <a> must not poison the rest of the document: block
+    // boundaries auto-close it (the pre-HTML5 browser rule)
+    extractMain("<nav><a href=\"/\">Home</nav><p>Content sentence here.</p>") shouldBe
+      "Content sentence here."
   }
 
   test("round trip: escaped text in a full page extracts to collapsed text") {
@@ -107,6 +118,10 @@ class HtmlExtractSpec extends SparkTestBase {
     // attribute order and whitespace around = are tolerated
     links("<a class='x' href = \"/spaced\">s</a>") shouldBe Seq("/spaced")
     links("no links here") shouldBe Seq.empty
+    // a stray '<' in text must not swallow the following anchor
+    links("<p>a < b <a href=\"/z\">z</a></p>") shouldBe Seq("/z")
+    // 'href=' inside ANOTHER attribute's quoted value never matches
+    links("<a title=\"see href=/fake here\" href=\"/real\">x</a>") shouldBe Seq("/real")
   }
 
   test("null in, null out; SQL registration reaches both functions") {

@@ -791,6 +791,13 @@ class PipelineSpec extends SparkTestBase {
     capped.truncated shouldBe true
     capped.payload.length shouldBe 1000
     capped.codec shouldBe "gzip"
+    // a payload inflating to EXACTLY the cap is complete, not truncated
+    val exact = Multimodal.inflatePayload(
+        Seq((10L, gzip(new Array[Byte](1000)))).toDF("doc_id", "payload"),
+        maxInflatedBytes = 1000)
+      .collect().head
+    exact.truncated shouldBe false
+    exact.payload.length shouldBe 1000
   }
 
   test("bpe token stats count subword-ish runs") {

@@ -83,9 +83,16 @@ class WarcSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_cs")
     java.nio.file.Files.write(dir.resolve("cs.warc.gz"),
       Warc.render(Seq(latin1, utf8, noCharset), gzipMembers = true))
+    // the RFC 7231 quoted-string form must parse too
+    val quoted = ("response", "http://qt/", "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response",
+      Warc.httpResponse(latin1Body, "text/html; charset=\"ISO-8859-1\""))
+    java.nio.file.Files.write(dir.resolve("qt.warc"),
+      Warc.render(Seq(quoted), gzipMembers = false))
     val texts = Warc.responseTexts(Warc.read(spark, dir.toString))
       .as[(String, String)].collect().toMap
     texts("http://fr/") shouldBe "café" // latin-1 decoded, not mojibake
+    texts("http://qt/") shouldBe "café" // quoted charset label decoded too
     texts("http://utf/") shouldBe "café"
     texts("http://bare/") shouldBe "plain ascii" // no charset → UTF-8 default
   }
