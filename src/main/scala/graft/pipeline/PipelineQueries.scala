@@ -156,6 +156,50 @@ object PipelineQueries {
 
   private val md5U16Sql = md5U16On("CAST(doc_id AS VARCHAR)")
 
+  /** The q_text_search_hybrid oracle: BM25 pool + hashed-vector cosine
+    * pool + reciprocal-rank fusion, each stage written out in the same
+    * fixed arithmetic order the Spark side uses. The query vector and its
+    * norm are CONSTANTS baked in via the same [[Search.hashQueryVec]] the
+    * operator runs, so both engines score against byte-identical vectors.
+    */
+  private lazy val hybridSearchOracle: String = {
+    val dim = 16
+    val qv = Search.hashQueryVec("spark query engine for data", dim)
+    val qNormSq = qv.map(x => x * x).sum
+    val vcols = (0 until dim).map(i =>
+      s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS v$i").mkString(", ")
+    val dot = (0 until dim).map(i => s"CAST(v$i AS DOUBLE)*${qv(i)}.0").mkString(" + ")
+    val normSq = (0 until dim).map(i =>
+      s"CAST(v$i AS DOUBLE)*CAST(v$i AS DOUBLE)").mkString(" + ")
+    "WITH tl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl, " +
+      "unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+      "p AS (SELECT doc_id, dl, term, count(*) AS tf FROM tl " +
+      "WHERE term IN ('data', 'query', 'spark') GROUP BY doc_id, dl, term), " +
+      "d AS (SELECT term, count(*) AS df FROM p GROUP BY term), " +
+      "n AS (SELECT count(*) AS n_docs, " +
+      "avg(CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
+      "bm AS (SELECT doc_id, round(sum(" +
+      "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)) * " +
+      "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS score " +
+      "FROM p JOIN d USING (term), n GROUP BY doc_id " +
+      "ORDER BY score DESC, doc_id LIMIT 50), " +
+      "lex AS (SELECT doc_id, CAST(row_number() OVER " +
+      "(ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex FROM bm), " +
+      s"hb AS (SELECT doc_id, (${md5U16On("term")}) % $dim AS b FROM tl), " +
+      s"hv AS (SELECT doc_id, $vcols FROM hb GROUP BY doc_id), " +
+      s"cs AS (SELECT doc_id, CASE WHEN ($normSq) = 0 THEN 0.0 " +
+      s"ELSE ($dot) / (sqrt($normSq) * sqrt($qNormSq.0)) END AS c FROM hv " +
+      "ORDER BY c DESC, doc_id LIMIT 50), " +
+      "sem AS (SELECT doc_id, CAST(row_number() OVER " +
+      "(ORDER BY c DESC, doc_id) AS INTEGER) AS r_sem FROM cs) " +
+      "SELECT doc_id, round(coalesce(1.0/(60+r_lex), 0.0) + " +
+      "coalesce(1.0/(60+r_sem), 0.0), 6) AS rrf_score, r_lex, r_sem " +
+      "FROM lex FULL JOIN sem USING (doc_id) " +
+      "ORDER BY rrf_score DESC, doc_id LIMIT 10"
+  }
+
   /** Shared CTE prefix for the decontamination oracles: lowercased word
     * 5-gram shingles of every doc, split into eval (id < 20, distinct
     * shingles) and train (id >= 20, distinct (doc, shingle)) sides.
@@ -782,6 +826,13 @@ object PipelineQueries {
     // scoring formula replayed term-for-term by the DuckDB oracle
     "q_text_search_bm25" -> ((s, dir) =>
       Search.searchBm25(docs(s, dir), Seq("data", "query", "spark"), k = 20)),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 pool and the
+    // hashed-doc-vector cosine pool (Cormack et al. K=60) — both pools,
+    // both rank sequences, and the fused scores replayed end-to-end by
+    // the DuckDB oracle
+    "q_text_search_hybrid" -> ((s, dir) =>
+      Search.searchHybrid(docs(s, dir), Seq("data", "query", "spark"),
+        queryText = "spark query engine for data", k = 10, poolK = 50)),
     // ingest monitoring: language-mix drift between the first-250-doc
     // "snapshot" and the full corpus — counts, shares, and the bitwise-
     // replayable share ratio (no log, no rounding)
@@ -1865,6 +1916,7 @@ object PipelineQueries {
           s"CAST(CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR)")
         .mkString(", ") +
       ") AS vec_csv FROM b GROUP BY doc_id"),
+    "q_text_search_hybrid" -> hybridSearchOracle,
     // BM25: dl carried through the per-doc grouping exactly as the Spark
     // side does; ln(1 + (N-df+.5)/(df+.5)) idf; round-6 sum
     "q_text_search_bm25" -> ("WITH t AS (SELECT doc_id, " +

@@ -204,4 +204,85 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** The query text's feature-hashed vector under EXACTLY
+    * [[Similarity.hashEmbed]]'s convention (md5 head mod dim term bucket),
+    * computed driver-side — the query is one string, not a distributed
+    * job.
+    */
+  private[graft] def hashQueryVec(queryText: String, dim: Int): Array[Long] = {
+    val v = new Array[Long](dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    queryText.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { term =>
+      md.reset()
+      val hex = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(2).map(b => f"$b%02x").mkString
+      v(Integer.parseInt(hex, 16) % dim) += 1L
+    }
+    v
+  }
+
+  /** HYBRID retrieval — reciprocal-rank fusion of the lexical (BM25) and
+    * semantic (hashed-doc-vector cosine) rankings, the standard two-tower
+    * fusion a RAG-style curation stack runs when neither signal alone
+    * suffices (lexical misses paraphrase, embedding misses rare exact
+    * terms). `rrf(d) = Σ_pools 1/(rrfK + rank_pool(d))` over the two
+    * top-`poolK` pools (a doc absent from a pool contributes 0), the
+    * Cormack/Clarke/Buettcher formula with the customary K=60.
+    *
+    * Scale shape: each pool is produced distributed (BM25's one corpus
+    * pass + `TakeOrderedAndProject`; cosine against the driver-hashed
+    * query vector likewise) and only then cut to `poolK` rows — the
+    * rank-assigning window and the full-outer fusion join run over
+    * 2·poolK rows, bounded regardless of corpus size. Every arithmetic
+    * step (integer dot products, correctly-rounded sqrt, fixed-order
+    * sums) is bitwise-replayable by an independent engine, so the fused
+    * ranking itself is oracle-checkable.
+    */
+  def searchHybrid(
+      docs: DataFrame,
+      terms: Seq[String],
+      queryText: String,
+      k: Int = 10,
+      poolK: Int = 50,
+      rrfK: Int = 60,
+      dim: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0 && poolK >= k, s"need 0 < k <= poolK, got k=$k poolK=$poolK")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val w = org.apache.spark.sql.expressions.Window
+    val qv = hashQueryVec(queryText, dim)
+    val qNormSq = qv.map(x => x.toDouble * x.toDouble).sum
+    require(qNormSq > 0, "queryText hashed to the zero vector")
+    // lexical pool: ranks over the bounded BM25 cut (single-partition
+    // window over poolK rows, not the corpus)
+    val lex = searchBm25(docs, terms, poolK, idCol = idCol, textCol = textCol)
+      .select(col(idCol),
+        row_number().over(w.orderBy(col("score").desc, col(idCol))).as("r_lex"))
+    // semantic pool: cosine of each doc's hashed vector against the query
+    // vector — fixed-order dot/norm folds over exact integer counts
+    val dims = 0 until dim
+    val vecD = dims.map(i => element_at(col("vec"), i + 1).cast("double"))
+    val dot = dims.map(i => vecD(i) * lit(qv(i).toDouble)).reduce(_ + _)
+    val normSq = vecD.map(e => e * e).reduce(_ + _)
+    val cosine = when(normSq === 0.0, lit(0.0))
+      .otherwise(dot / (sqrt(normSq) * lit(math.sqrt(qNormSq))))
+    val sem = Similarity.hashEmbed(docs, dim, idCol, textCol)
+      .select(col(idCol), cosine.as("c"))
+      .orderBy(col("c").desc, col(idCol))
+      .limit(poolK)
+      .select(col(idCol),
+        row_number().over(w.orderBy(col("c").desc, col(idCol))).as("r_sem"))
+    // fuse: lex term + sem term in that fixed order
+    lex.join(sem, Seq(idCol), "full")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0)),
+          6).as("rrf_score"),
+        col("r_lex"), col("r_sem"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
 }

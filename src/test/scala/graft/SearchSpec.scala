@@ -99,6 +99,41 @@ class SearchSpec extends SparkTestBase {
       Search.searchBm25(docs, Seq("data"), k = 1, b = 1.5)
   }
 
+  test("searchHybrid fuses BM25 and cosine ranks with the RRF formula") {
+    val fused = Search.searchHybrid(docs, Seq("data", "query"),
+      queryText = "data query", k = 4, poolK = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    // doc 3 matches no term AND shares no hashed buckets' dominance, but
+    // it IS in the semantic pool (poolK covers all 4 docs); doc 3 is
+    // absent only from the lexical pool → exactly one contribution
+    val d3 = fused(3L)
+    d3._2 shouldBe None // no lexical rank
+    d3._3.isDefined shouldBe true
+    // the RRF arithmetic reconstructs from the reported ranks exactly
+    fused.foreach { case (_, (score, rLex, rSem)) =>
+      val expected =
+        rLex.map(r => 1.0 / (60 + r.asInstanceOf[Int])).getOrElse(0.0) +
+          rSem.map(r => 1.0 / (60 + r.asInstanceOf[Int])).getOrElse(0.0)
+      score shouldBe BigDecimal(expected)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // a doc ranked top in BOTH pools outranks one present in a single pool
+    val top = Search.searchHybrid(docs, Seq("data", "query"),
+      queryText = "data query", k = 1, poolK = 4).collect().head
+    Option(top.get(2)).isDefined shouldBe true
+    Option(top.get(3)).isDefined shouldBe true
+    // the driver-side query-vector hash matches the distributed convention
+    val sparkBuckets = Seq("data", "query").toDF("term")
+      .select((graft.pipeline.Sampling.md5Uniform(col("term")) % 16).as("b"))
+      .collect().map(_.getInt(0))
+    val qv = Search.hashQueryVec("data query", 16)
+    sparkBuckets.foreach(b => qv(b) should be >= 1L)
+    qv.sum shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      Search.searchHybrid(docs, Seq("data"), "q", k = 5, poolK = 4) // k > poolK
+  }
+
   test("bucketed inverted index: lookups bucket-prune and agree with the ad hoc path") {
     val s = spark
     val real = Tables.df(s, "/root/testdata/sf0.001", "documents")
