@@ -826,6 +826,20 @@ object PipelineQueries {
     // scoring formula replayed term-for-term by the DuckDB oracle
     "q_text_search_bm25" -> ((s, dir) =>
       Search.searchBm25(docs(s, dir), Seq("data", "query", "spark"), k = 20)),
+    // robots.txt politeness gate over a per-doc frontier: paths cycle
+    // public / private / the Allow-anchored exception, so the oracle's
+    // doc_id%3 expectation passes ONLY if longest-match precedence is
+    // right (a naive prefix-deny would flag /private/pub too)
+    "q_crawl_robots" -> ((s, dir) => {
+      val robotsTxt = "User-agent: graft\nDisallow: /private/*\n" +
+        "Allow: /private/pub$\nUser-agent: *\nDisallow: /"
+      val frontier = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit("/public/"), col("doc_id")))
+          .when(col("doc_id") % 3 === 1, concat(lit("/private/"), col("doc_id")))
+          .otherwise(lit("/private/pub")).as("path"),
+        lit(robotsTxt).as("robots_txt"))
+      Robots.withAllowed(frontier, userAgent = "graft").toDF()
+    }),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 pool and the
     // hashed-doc-vector cosine pool (Cormack et al. K=60) — both pools,
     // both rank sequences, and the fused scores replayed end-to-end by
@@ -1917,6 +1931,13 @@ object PipelineQueries {
         .mkString(", ") +
       ") AS vec_csv FROM b GROUP BY doc_id"),
     "q_text_search_hybrid" -> hybridSearchOracle,
+    // the graft group disallows /private/* but Allow /private/pub$ wins on
+    // length: only the %3=1 paths deny
+    "q_crawl_robots" -> ("SELECT doc_id, CASE " +
+      "WHEN doc_id % 3 = 0 THEN '/public/' || CAST(doc_id AS VARCHAR) " +
+      "WHEN doc_id % 3 = 1 THEN '/private/' || CAST(doc_id AS VARCHAR) " +
+      "ELSE '/private/pub' END AS path, " +
+      "(doc_id % 3 <> 1) AS allowed FROM documents"),
     // BM25: dl carried through the per-doc grouping exactly as the Spark
     // side does; ln(1 + (N-df+.5)/(df+.5)) idf; round-6 sum
     "q_text_search_bm25" -> ("WITH t AS (SELECT doc_id, " +

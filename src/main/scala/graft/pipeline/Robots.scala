@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** robots.txt (RFC 9309) evaluation — the crawl-politeness gate between a
+  * link frontier ([[graft.functions.HtmlLinks]] output) and the fetcher.
+  * Pure-JDK parser + matcher implementing the spec's decision rules:
+  *
+  *   - groups = consecutive `User-agent` lines sharing the rule block that
+  *     follows; rules before any User-agent line are ignored.
+  *   - group selection: the LONGEST user-agent value that prefix-matches
+  *     the crawler's product token wins; all groups at that specificity
+  *     merge; the `*` groups apply only when nothing named matches.
+  *   - rule matching: `*` wildcards and a final `$` end-anchor; an
+  *     un-anchored pattern matches any path it prefixes. Among matching
+  *     rules the LONGEST pattern wins; at equal length Allow beats
+  *     Disallow. No matching rule (or no applicable group, or empty
+  *     `Disallow:`) → allowed.
+  *
+  * The matcher is the classic single-backtrack glob walk — O(path ×
+  * pattern) worst case, no recursion — so a hostile robots.txt cannot
+  * blow the stack or go exponential on executor threads.
+  */
+object Robots {
+
+  /** One Allow/Disallow rule; `pattern` keeps the raw value (the `$`
+    * anchor is interpreted at match time, and RULE LENGTH — the
+    * precedence key — is the raw octet length per the RFC).
+    */
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** One user-agent group: lowercased agent tokens + its rules in file
+    * order.
+    */
+  final case class Group(agents: Seq[String], rules: Seq[Rule])
+
+  /** Parse a robots.txt body into user-agent groups. Unknown fields and
+    * comments are skipped; `Crawl-delay` etc. do not affect the
+    * allow/deny decision.
+    */
+  def parse(robotsTxt: String): Seq[Group] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = List.empty[String]
+    var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var inRules = false // false while collecting consecutive UA lines
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.reverse, rules.toSeq)
+      agents = Nil
+      rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    }
+    robotsTxt.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (inRules) { flush(); inRules = false }
+            agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+          case "allow" | "disallow" if agents.nonEmpty =>
+            inRules = true
+            // an empty Disallow/Allow value is a no-op per the RFC
+            if (value.nonEmpty) rules += Rule(field == "allow", value)
+          case _ => if (agents.nonEmpty) inRules = true // crawl-delay etc.
+        }
+      }
+    }
+    flush()
+    groups.toSeq
+  }
+
+  /** Does `pattern` (with `*` wildcards, optional trailing `$` anchor)
+    * match `path`? Un-anchored patterns are prefix matches (an implicit
+    * trailing `*`). Single-backtrack glob walk, no recursion.
+    */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat0 = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val pat = if (anchored) pat0 else pat0 + "*"
+    var s = 0
+    var p = 0
+    var starIdx = -1
+    var sBack = -1
+    while (s < path.length) {
+      if (p < pat.length && (pat.charAt(p) == path.charAt(s))) { p += 1; s += 1 }
+      else if (p < pat.length && pat.charAt(p) == '*') { starIdx = p; sBack = s; p += 1 }
+      else if (starIdx >= 0) { p = starIdx + 1; sBack += 1; s = sBack }
+      else return false
+    }
+    while (p < pat.length && pat.charAt(p) == '*') p += 1
+    p == pat.length
+  }
+
+  /** The RFC 9309 allow/deny decision for one (robots body, crawler
+    * product token, URL path).
+    */
+  def isAllowed(robotsTxt: String, userAgent: String, path: String): Boolean =
+    isAllowedParsed(parse(robotsTxt), userAgent, path)
+
+  private[graft] def isAllowedParsed(
+      groups: Seq[Group], userAgent: String, path: String): Boolean = {
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    // longest prefix-matching named agent wins; '*' only as fallback
+    var bestLen = -1
+    groups.foreach(g => g.agents.foreach { a =>
+      if (a != "*" && ua.startsWith(a) && a.length > bestLen) bestLen = a.length
+    })
+    val applicable =
+      if (bestLen >= 0)
+        groups.filter(_.agents.exists(a => a != "*" && ua.startsWith(a) && a.length == bestLen))
+      else groups.filter(_.agents.contains("*"))
+    // longest matching pattern wins; Allow beats Disallow on ties
+    var winLen = -1
+    var winAllow = true
+    applicable.foreach(_.rules.foreach { r =>
+      if (patternMatches(r.pattern, path)) {
+        if (r.pattern.length > winLen ||
+          (r.pattern.length == winLen && r.allow && !winAllow)) {
+          winLen = r.pattern.length
+          winAllow = r.allow
+        }
+      }
+    })
+    winLen < 0 || winAllow
+  }
+
+  /** Typed row of [[withAllowed]]. */
+  final case class RobotsDecision(doc_id: Long, path: String, allowed: Boolean)
+
+  /** Frontier gate: evaluate each (id, path) against its host's robots
+    * body (already joined onto the row — hosts are the natural join key
+    * upstream). Partition-wise; the parsed rule set is memoized per
+    * robots BODY within a partition, so a host's thousands of frontier
+    * paths parse its robots once, not per row.
+    */
+  def withAllowed(
+      frontier: DataFrame,
+      userAgent: String,
+      idCol: String = "doc_id",
+      pathCol: String = "path",
+      robotsCol: String = "robots_txt"): Dataset[RobotsDecision] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    frontier.select(col(idCol).cast("long"), col(pathCol), col(robotsCol))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        var lastBody: String = null
+        var lastParsed: Seq[Group] = null
+        rows.map { case (id, path, robotsRaw) =>
+          val robots = if (robotsRaw == null) "" else robotsRaw // no robots.txt → allow all
+          if (lastParsed == null || robots != lastBody) {
+            lastBody = robots
+            lastParsed = parse(robots)
+          }
+          RobotsDecision(id, path, isAllowedParsed(lastParsed, userAgent, path))
+        }
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Robots
+
+/** Specs for the robots.txt (RFC 9309) parser/matcher and the frontier
+  * gate.
+  */
+class RobotsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val body =
+    """# corpus crawler policy
+      |User-agent: graft
+      |User-agent: graftbot-images
+      |Disallow: /private/*
+      |Allow: /private/pub$
+      |Disallow: /tmp
+      |
+      |User-agent: *
+      |Disallow: /
+      |Allow: /index.html
+      |""".stripMargin
+
+  test("group selection: longest named match wins; * only as fallback") {
+    // "graft" matches the named group, not the catch-all deny
+    Robots.isAllowed(body, "graft", "/anything") shouldBe true
+    Robots.isAllowed(body, "graft", "/private/x") shouldBe false
+    // a longer product token still prefix-matches its group
+    Robots.isAllowed(body, "graftbot-images/1.0", "/private/x") shouldBe false
+    // unknown agents land on the * group: everything but the Allow denies
+    Robots.isAllowed(body, "otherbot", "/page") shouldBe false
+    Robots.isAllowed(body, "otherbot", "/index.html") shouldBe true
+    // agent matching is case-insensitive
+    Robots.isAllowed(body, "GRAFT", "/private/x") shouldBe false
+  }
+
+  test("rule precedence: longest pattern wins, Allow beats Disallow on ties") {
+    // Allow /private/pub$ (13) outranks Disallow /private/* (10)
+    Robots.isAllowed(body, "graft", "/private/pub") shouldBe true
+    // but the anchor holds: a longer path falls back to the Disallow
+    Robots.isAllowed(body, "graft", "/private/pubx") shouldBe false
+    // equal-length tie → Allow
+    val tie = "User-agent: *\nDisallow: /a/\nAllow: /a/"
+    Robots.isAllowed(tie, "any", "/a/x") shouldBe true
+  }
+
+  test("pattern matching: wildcards, anchors, prefix semantics") {
+    Robots.patternMatches("/p/*", "/p/a/b") shouldBe true
+    Robots.patternMatches("/p/*.html", "/p/a/x.html") shouldBe true
+    Robots.patternMatches("/p/*.html", "/p/a/x.htm") shouldBe false
+    // un-anchored = prefix: extra path after the pattern still matches
+    Robots.patternMatches("/p/*.html", "/p/x.html?q=1") shouldBe true
+    Robots.patternMatches("/exact$", "/exact") shouldBe true
+    Robots.patternMatches("/exact$", "/exact/more") shouldBe false
+    // many stars stay linear-ish: the single-backtrack walk terminates
+    Robots.patternMatches("/*a*a*a*a*a*a*a*a*b$", "/" + "a" * 200) shouldBe false
+  }
+
+  test("parse edge cases: comments, empty values, rules before any group") {
+    // a rule before any User-agent line is ignored
+    Robots.isAllowed("Disallow: /\nUser-agent: *\nAllow: /", "x", "/a") shouldBe true
+    // empty Disallow is a no-op (allow all)
+    Robots.isAllowed("User-agent: *\nDisallow:", "x", "/a") shouldBe true
+    // no robots at all / no applicable group → allowed
+    Robots.isAllowed("", "x", "/a") shouldBe true
+    Robots.isAllowed("User-agent: other\nDisallow: /", "x", "/a") shouldBe true
+    // comments strip mid-line
+    Robots.isAllowed("User-agent: * # everyone\nDisallow: / # all", "x", "/a") shouldBe false
+  }
+
+  test("frontier gate evaluates per row with a per-body parse memo") {
+    val frontier = Seq(
+      (1L, "/public/1", body),
+      (2L, "/private/2", body),
+      (3L, "/private/pub", body),
+      (4L, "/anywhere", null.asInstanceOf[String])) // no robots → allowed
+      .toDF("doc_id", "path", "robots_txt")
+    val out = Robots.withAllowed(frontier, "graft").collect()
+      .map(d => d.doc_id -> d.allowed).toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> true, 4L -> true)
+  }
+}
