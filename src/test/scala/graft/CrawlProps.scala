@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{HtmlMainText, HtmlText}
+import graft.pipeline.Robots
+import graft.sources.Warc
+
+/** Property pins for the crawl-ingest tier: the invariants that make the
+  * extractor/parser components safe against arbitrary real-web input (not
+  * just the spec fixtures) must hold for GENERATED content — random
+  * whitespace shapes, adversarial glob patterns, binary payloads
+  * containing the very delimiters the parsers frame by.
+  */
+object CrawlProps extends Properties("Crawl") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  private def htmlText(html: String): String =
+    HtmlText(Literal(html)).compute(UTF8String.fromString(html)).toString
+  private def htmlMain(html: String): String =
+    HtmlMainText(Literal(html)).compute(UTF8String.fromString(html)).toString
+
+  private val genText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f'),
+      2 -> Gen.oneOf('&', '<', '>', '"', '\'', ';', '#', '/', '.'))).map(_.mkString)
+
+  property("html round trip: escaped text in page chrome extracts to \\s-collapsed text") =
+    Prop.forAll(genText) { t =>
+      val esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val page = "<html><head><script>if (1 < 2) { x(\"<a href='y'>\"); }</script>" +
+        "</head><body><nav><a href=\"/\">Home</a></nav><p>" + esc + "</p></body></html>"
+      val expected = t.replaceAll("[ \\t\\n\\r\\f]+", " ").trim
+      htmlMain(page) == expected
+    }
+
+  property("html_text never throws and is idempotent-safe on ARBITRARY non-html text") =
+    Prop.forAll(genText) { t =>
+      // raw (unescaped) text through the extractor: must terminate and
+      // produce output with collapsed whitespace (no \r/\t survivors,
+      // no double spaces within a line)
+      val out = htmlText(t)
+      !out.contains('\r') && !out.contains('\t') && !out.contains("  ")
+    }
+
+  private val genPatSeg: Gen[String] = Gen.frequency(
+    5 -> Gen.nonEmptyListOf(Gen.oneOf('a', 'b', '/', '.')).map(_.mkString),
+    2 -> Gen.const("*"))
+  private val genPattern: Gen[String] = for {
+    segs <- Gen.nonEmptyListOf(genPatSeg).map(_.take(6))
+    anchor <- Gen.oneOf("", "$")
+  } yield segs.mkString + anchor
+  private val genPath: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'b', '/', '.')).map("/" + _.mkString)
+
+  property("robots glob matcher ≡ regex reference on arbitrary patterns") =
+    Prop.forAll(genPattern, genPath) { (pattern, path) =>
+      val anchored = pattern.endsWith("$")
+      val body = if (anchored) pattern.dropRight(1) else pattern
+      val regex = body.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*") + (if (anchored) "" else ".*")
+      Robots.patternMatches(pattern, path) == path.matches(regex)
+    }
+
+  private val genPayload: Gen[Array[Byte]] = Gen.frequency(
+    3 -> Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray),
+    // payloads CONTAINING the frame delimiters: Content-Length framing
+    // must not be fooled by \r\n\r\n or WARC/ inside a body
+    1 -> Gen.const("\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz".getBytes("ISO-8859-1")))
+
+  property("warc render→parse round trip preserves records byte-exactly") =
+    Prop.forAll(Gen.nonEmptyListOf(genPayload).map(_.take(5)), Gen.oneOf(true, false)) {
+      (payloads, gz) =>
+        val recs = payloads.zipWithIndex.map { case (p, i) =>
+          ("response", s"http://h/$i", "2026-01-01T00:00:00Z", "application/http", p)
+        }
+        val parsed = Warc.parseRecords("f", Warc.render(recs, gzipMembers = gz), 1 << 20)
+        parsed.length == recs.length &&
+          parsed.zip(recs).forall { case (got, (_, uri, _, _, p)) =>
+            got.target_uri == uri && java.util.Arrays.equals(got.payload, p) &&
+              !got.truncated
+          }
+    }
+}
