@@ -58,6 +58,14 @@ class PlanShapeSpec extends SparkTestBase {
     planOf("q_text_dupspans") should include("TakeOrderedAndProject")
   }
 
+  test("hybrid search pools cut via TakeOrderedAndProject; no cartesian joins") {
+    val p = planOf("q_text_search_hybrid")
+    // both pools bound distributed before the rank windows run
+    p.sliding("TakeOrderedAndProject".length)
+      .count(_ == "TakeOrderedAndProject") should be >= 2
+    p should not include "CartesianProduct"
+  }
+
   test("html extraction runs inside whole-stage codegen off the parquet scan") {
     // the expressions codegen via the references-array call; a fallback to
     // interpreted eval would drop the scan out of the codegen stage
