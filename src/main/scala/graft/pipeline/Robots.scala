@@ -31,23 +31,26 @@ object Robots {
   final case class Rule(allow: Boolean, pattern: String)
 
   /** One user-agent group: lowercased agent tokens + its rules in file
-    * order.
+    * order + the group's `Crawl-delay` seconds (a de facto extension most
+    * crawl schedulers honor; not part of the allow/deny decision).
     */
-  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  final case class Group(
+      agents: Seq[String], rules: Seq[Rule], crawlDelay: Option[Double] = None)
 
   /** Parse a robots.txt body into user-agent groups. Unknown fields and
-    * comments are skipped; `Crawl-delay` etc. do not affect the
-    * allow/deny decision.
+    * comments are skipped.
     */
   def parse(robotsTxt: String): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = List.empty[String]
     var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var delay: Option[Double] = None
     var inRules = false // false while collecting consecutive UA lines
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.reverse, rules.toSeq)
+      if (agents.nonEmpty) groups += Group(agents.reverse, rules.toSeq, delay)
       agents = Nil
       rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+      delay = None
     }
     robotsTxt.split("\n", -1).foreach { raw =>
       val noComment = {
@@ -67,12 +70,40 @@ object Robots {
             inRules = true
             // an empty Disallow/Allow value is a no-op per the RFC
             if (value.nonEmpty) rules += Rule(field == "allow", value)
-          case _ => if (agents.nonEmpty) inRules = true // crawl-delay etc.
+          case "crawl-delay" if agents.nonEmpty =>
+            inRules = true
+            if (delay.isEmpty) delay = value.toDoubleOption.filter(_ >= 0)
+          case _ => if (agents.nonEmpty) inRules = true // sitemap etc.
         }
       }
     }
     flush()
     groups.toSeq
+  }
+
+  /** The `Crawl-delay` seconds the applicable group (same selection rule
+    * as [[isAllowed]]) declares for this crawler, or None — the per-host
+    * politeness interval a frontier scheduler feeds its rate limiter.
+    * Merged groups at equal specificity take the MINIMUM declared delay.
+    */
+  def crawlDelay(robotsTxt: String, userAgent: String): Option[Double] = {
+    val ds = applicableGroups(parse(robotsTxt), userAgent).flatMap(_.crawlDelay)
+    if (ds.isEmpty) None else Some(ds.min)
+  }
+
+  /** The groups the RFC selection rule picks for this crawler: the longest
+    * prefix-matching named agent token wins (all groups at that
+    * specificity merge); `*` groups apply only when nothing named matches.
+    */
+  private def applicableGroups(groups: Seq[Group], userAgent: String): Seq[Group] = {
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    var bestLen = -1
+    groups.foreach(g => g.agents.foreach { a =>
+      if (a != "*" && ua.startsWith(a) && a.length > bestLen) bestLen = a.length
+    })
+    if (bestLen >= 0)
+      groups.filter(_.agents.exists(a => a != "*" && ua.startsWith(a) && a.length == bestLen))
+    else groups.filter(_.agents.contains("*"))
   }
 
   /** Does `pattern` (with `*` wildcards, optional trailing `$` anchor)
@@ -105,16 +136,7 @@ object Robots {
 
   private[graft] def isAllowedParsed(
       groups: Seq[Group], userAgent: String, path: String): Boolean = {
-    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
-    // longest prefix-matching named agent wins; '*' only as fallback
-    var bestLen = -1
-    groups.foreach(g => g.agents.foreach { a =>
-      if (a != "*" && ua.startsWith(a) && a.length > bestLen) bestLen = a.length
-    })
-    val applicable =
-      if (bestLen >= 0)
-        groups.filter(_.agents.exists(a => a != "*" && ua.startsWith(a) && a.length == bestLen))
-      else groups.filter(_.agents.contains("*"))
+    val applicable = applicableGroups(groups, userAgent)
     // longest matching pattern wins; Allow beats Disallow on ties
     var winLen = -1
     var winAllow = true

@@ -71,6 +71,21 @@ class RobotsSpec extends SparkTestBase {
     Robots.isAllowed("User-agent: * # everyone\nDisallow: / # all", "x", "/a") shouldBe false
   }
 
+  test("crawl-delay surfaces per applicable group, minimum across merges") {
+    val b = "User-agent: graft\nCrawl-delay: 2.5\nDisallow: /x\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    Robots.crawlDelay(b, "graft") shouldBe Some(2.5)
+    Robots.crawlDelay(b, "otherbot") shouldBe Some(10.0)
+    Robots.crawlDelay("User-agent: *\nDisallow: /x", "graft") shouldBe None
+    // merged equal-specificity groups take the minimum declared delay
+    val merged = "User-agent: graft\nCrawl-delay: 7\nDisallow: /a\n" +
+      "User-agent: graft\nCrawl-delay: 3\nDisallow: /b\n"
+    Robots.crawlDelay(merged, "graft") shouldBe Some(3.0)
+    // malformed or negative values are ignored
+    Robots.crawlDelay("User-agent: *\nCrawl-delay: soon", "x") shouldBe None
+    Robots.crawlDelay("User-agent: *\nCrawl-delay: -1", "x") shouldBe None
+  }
+
   test("frontier gate evaluates per row with a per-body parse memo") {
     val frontier = Seq(
       (1L, "/public/1", body),
