@@ -155,6 +155,34 @@ object Robots {
   /** Typed row of [[withAllowed]]. */
   final case class RobotsDecision(doc_id: Long, path: String, allowed: Boolean)
 
+  /** [[withAllowed]]'s filtering form: keep only the frontier rows the
+    * robots decision allows, PRESERVING every input column — the shape a
+    * streaming ingest composes (stateless per-row filter, no join needed
+    * to recover payload columns). Same per-body parse memo per partition.
+    */
+  def filterAllowed(
+      frontier: DataFrame,
+      userAgent: String,
+      pathCol: String = "path",
+      robotsCol: String = "robots_txt"): DataFrame = {
+    val pIdx = frontier.schema.fieldIndex(pathCol)
+    val rIdx = frontier.schema.fieldIndex(robotsCol)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(frontier.schema)
+    frontier.mapPartitions { rows =>
+      var lastBody: String = null
+      var lastParsed: Seq[Group] = null
+      rows.filter { row =>
+        val robots = if (row.isNullAt(rIdx)) "" else row.getString(rIdx)
+        if (lastParsed == null || robots != lastBody) {
+          lastBody = robots
+          lastParsed = parse(robots)
+        }
+        isAllowedParsed(lastParsed, userAgent, row.getString(pIdx))
+      }
+    }
+  }
+
   /** Frontier gate: evaluate each (id, path) against its host's robots
     * body (already joined onto the row — hosts are the natural join key
     * upstream). Partition-wise; the parsed rule set is memoized per

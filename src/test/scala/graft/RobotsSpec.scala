@@ -96,5 +96,10 @@ class RobotsSpec extends SparkTestBase {
     val out = Robots.withAllowed(frontier, "graft").collect()
       .map(d => d.doc_id -> d.allowed).toMap
     out shouldBe Map(1L -> true, 2L -> false, 3L -> true, 4L -> true)
+    // the filtering form keeps every input column on the survivors
+    val kept = Robots.filterAllowed(
+        frontier.withColumn("payload", concat(lit("b:"), col("doc_id"))), "graft")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("payload")).toMap
+    kept shouldBe Map(1L -> "b:1", 3L -> "b:3", 4L -> "b:4")
   }
 }

@@ -204,6 +204,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ingestion-time crawl gate: robots filter + main-text extraction, stateless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions.col
+    val robots = "User-agent: *\nDisallow: /private/"
+    val input = MemoryStream[(Long, String, String)] // (id, path, raw html)
+    // the whole crawl tier is per-row (robots decision via mapPartitions,
+    // extraction via codegen expression), so it rides a stream unchanged
+    // and holds no state
+    val frontier = input.toDF().toDF("doc_id", "path", "html")
+      .withColumn("robots_txt", org.apache.spark.sql.functions.lit(robots))
+    val extracted = graft.pipeline.Robots.filterAllowed(frontier, "graft")
+      .select(col("doc_id"),
+        graft.functions.HtmlFunctions.htmlMainText(col("html")).as("text"))
+    val query = extracted.writeStream.format("memory").queryName("crawlgate")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(
+        (1L, "/page/a", "<nav><a href='/'>Home</a></nav><p>Allowed article body</p>"),
+        (2L, "/private/x", "<p>never fetched</p>"))
+      query.processAllAvailable()
+      input.addData((3L, "/page/b", "<script>x()</script><p>Second batch body</p>"))
+      query.processAllAvailable()
+      val rows = s.table("crawlgate").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      rows shouldBe Map(1L -> "Allowed article body", 3L -> "Second batch body")
+      query.lastProgress.stateOperators shouldBe empty
+    }
+  }
+
   test("ingestion-time curation (redact + quality gate) is stateless") {
     val s = spark
     import s.implicits._
