@@ -522,17 +522,21 @@ object Multimodal {
   }
 
   /** Magic-byte sniff for the formats a standard JDK's `javax.imageio`
-    * decodes: PNG (\x89PNG), JPEG (FF D8), BMP ("BM"), GIF ("GIF8").
-    * A sniff hit only routes the payload to the codec — a payload that
-    * merely STARTS like an image (e.g. text beginning "BM") fails the
-    * actual decode and falls back deterministically.
+    * decodes: PNG (\x89PNG), JPEG (FF D8), BMP ("BM"), GIF ("GIF8"), and
+    * TIFF ("II*\0" little- / "MM\0*" big-endian — the TIFF plugin ships
+    * in every JDK since 9; scan/scientific corpora arrive in it). A sniff
+    * hit only routes the payload to the codec — a payload that merely
+    * STARTS like an image (e.g. text beginning "BM") fails the actual
+    * decode and falls back deterministically.
     */
   private[graft] def sniffImage(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && (
       (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') ||
       (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) ||
       (bytes(0) == 'B' && bytes(1) == 'M') ||
-      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'))
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
+      (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))
 
   /** Real image decode of one payload, or None when the bytes are not a
     * decodable image. Mean intensity is the average over every raster

@@ -437,13 +437,16 @@ class PipelineSpec extends SparkTestBase {
     }
     val png = bytesOf(pixels(new BufferedImage(4, 3, BufferedImage.TYPE_INT_RGB)), "png")
     val bmp = bytesOf(pixels(new BufferedImage(5, 2, BufferedImage.TYPE_3BYTE_BGR)), "bmp")
+    // the TIFF plugin ships in every JDK since 9 — scan corpora decode too
+    val tif = bytesOf(pixels(new BufferedImage(6, 4, BufferedImage.TYPE_3BYTE_BGR)), "tiff")
     val text = "BM but this is not a bitmap at all".getBytes("UTF-8")
     import spark.implicits._
-    val media = Seq((1L, png), (2L, bmp), (3L, text)).toDF("doc_id", "payload")
+    val media = Seq((1L, png), (2L, bmp), (3L, text), (4L, tif)).toDF("doc_id", "payload")
     val out = Multimodal.decodePayload(media).collect().sortBy(_.doc_id)
     // real decoded dimensions + channels + intensity, not byte-sum fakes
     out(0) shouldBe Multimodal.DecodedMedia(1L, png.length, 4, 3, 3, 100.0)
     out(1) shouldBe Multimodal.DecodedMedia(2L, bmp.length, 5, 2, 3, 100.0)
+    out(3) shouldBe Multimodal.DecodedMedia(4L, tif.length, 6, 4, 3, 100.0)
     // the sniffed-but-undecodable payload takes the deterministic fallback
     val sum = text.map(_ & 0xff).map(_.toLong).sum
     out(2).width shouldBe 64 + (sum % 1024L).toInt
