@@ -49,6 +49,9 @@ object Graft {
     one("html_text")(graft.functions.HtmlText(_))
     one("html_main_text")(e => graft.functions.HtmlMainText(e))
     one("html_links")(graft.functions.HtmlLinks(_))
+    // DuckDB's name for the same NFC form — SQL text ports both ways
+    one("nfc_normalize")(graft.functions.UnicodeNormalize(_, "NFC"))
+    one("nfkc_normalize")(graft.functions.UnicodeNormalize(_, "NFKC"))
     // second arg must be a literal int (the gram size is a plan-time shape)
     reg.createOrReplaceTempFunction("repetition_profile",
       repetitionProfileBuilder, "internal")

@@ -601,6 +601,37 @@ case class BigramLogProb(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode normalization (`java.text.Normalizer`, in every JDK) — the
+  * canonicalization step corpus pipelines run before dedup/fingerprinting
+  * so composed vs decomposed accents (NFC) and compatibility variants
+  * (NFKC: fullwidth digits, ligatures) stop defeating exact-match
+  * operators. Fast path: `isNormalized` is a scan (always true for ASCII),
+  * and an already-normal string returns UNCHANGED with zero allocation —
+  * at 100 TB the overwhelmingly-ASCII common case pays one pass, no copy.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  private val normForm = java.text.Normalizer.Form.valueOf(form) // validates form
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"${form.toLowerCase}_normalize"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uninorm", this, classOf[UnicodeNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, normForm)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, normForm))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def minhashSignature(tokens: Column, numHashes: Int = 64, shingleSize: Int = 3, seed: Long = 42L): Column =
     colOf(MinHashSignature(exprOf(tokens), numHashes, shingleSize, seed))
@@ -621,4 +652,6 @@ object TextFunctions {
   def bigramLogProb(text: Column, bigramCounts: Map[String, Long],
       contextCounts: Map[String, Long], alpha: Double, denomAdd: Double): Column =
     colOf(BigramLogProb(exprOf(text), bigramCounts, contextCounts, alpha, denomAdd))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    colOf(UnicodeNormalize(exprOf(text), form))
 }

@@ -426,6 +426,13 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         explode(graft.functions.HtmlFunctions.htmlLinks(page)).as("link"))
     }),
+    // Unicode NFC canonicalization: a decomposed e+combining-acute is
+    // appended in-plan so the normalizer has real composition work on
+    // every row, and DuckDB replays with its own nfc_normalize
+    "q_text_nfc" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.unicodeNormalize(
+          concat(col("text"), lit(" café"))).as("text_nfc"))),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -1239,6 +1246,8 @@ object PipelineQueries {
     "q_html_links" -> ("SELECT doc_id, '/' AS link FROM documents " +
       "UNION ALL SELECT doc_id, '/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' FROM documents " +
       "UNION ALL SELECT doc_id, '/about' FROM documents"),
+    "q_text_nfc" -> ("SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) " +
+      "AS text_nfc FROM documents"),
     "q_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
       "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct, " +
       "CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) " +

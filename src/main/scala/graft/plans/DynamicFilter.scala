@@ -207,6 +207,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     one("html_main_text", classOf[graft.functions.HtmlMainText])(
       e => graft.functions.HtmlMainText(e))
     one("html_links", classOf[graft.functions.HtmlLinks])(graft.functions.HtmlLinks(_))
+    one("nfc_normalize", classOf[graft.functions.UnicodeNormalize])(
+      graft.functions.UnicodeNormalize(_, "NFC"))
+    one("nfkc_normalize", classOf[graft.functions.UnicodeNormalize])(
+      graft.functions.UnicodeNormalize(_, "NFKC"))
     e.injectFunction((FunctionIdentifier("repetition_profile"),
       info("repetition_profile", classOf[graft.functions.RepetitionProfile]),
       graft.Graft.repetitionProfileBuilder))

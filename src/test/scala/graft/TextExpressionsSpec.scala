@@ -187,4 +187,29 @@ class TextExpressionsSpec extends SparkTestBase {
     Dedup.clearCheckpoints()
     (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
   }
+
+  test("unicodeNormalize composes NFC, folds NFKC compat forms, skips ASCII untouched") {
+    import graft.functions.{TextFunctions, UnicodeNormalize}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def viaDf(s: String, form: String): String =
+      spark.range(1).select(TextFunctions.unicodeNormalize(lit(s), form).as("t"))
+        .head().getString(0)
+    // decomposed e + combining acute composes to one code point under NFC
+    viaDf("café", "NFC") shouldBe "café"
+    viaDf("café", "NFD") shouldBe "café"
+    // NFKC folds compatibility variants: ligature fi, fullwidth 1
+    viaDf("ﬁle １", "NFKC") shouldBe "file 1"
+    // NFC leaves compatibility forms alone
+    viaDf("ﬁ", "NFC") shouldBe "ﬁ"
+    // already-normal input returns the SAME UTF8String — the zero-copy
+    // fast path the ASCII-dominated corpus rides
+    val in = UTF8String.fromString("plain ascii")
+    UnicodeNormalize(Literal("x"), "NFC").compute(in) should be theSameInstanceAs in
+    // bad form name fails at construction, not per row
+    an[IllegalArgumentException] should be thrownBy UnicodeNormalize(Literal("x"), "NFX")
+    // SQL registration, DuckDB-parity name
+    spark.sql("SELECT nfkc_normalize('ﬁle １') AS t").head().getString(0) shouldBe "file 1"
+    spark.sql("SELECT nfc_normalize(NULL) AS t").head().isNullAt(0) shouldBe true
+  }
 }
