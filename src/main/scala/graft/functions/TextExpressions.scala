@@ -624,6 +624,16 @@ case class UnicodeNormalize(child: Expression, form: String)
   }
 
   def compute(s: UTF8String): UTF8String = {
+    // pure-ASCII bytes are normal under every form: check the raw bytes
+    // and return the input itself — no String decode, no allocation
+    var i = 0
+    val n = s.numBytes
+    var ascii = true
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, normForm)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, normForm))

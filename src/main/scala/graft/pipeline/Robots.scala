@@ -68,12 +68,16 @@ object Robots {
             agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
           case "allow" | "disallow" if agents.nonEmpty =>
             inRules = true
-            // an empty Disallow/Allow value is a no-op per the RFC
-            if (value.nonEmpty) rules += Rule(field == "allow", value)
+            // an empty Disallow/Allow value is a no-op per the RFC;
+            // patterns store percent-NORMALIZED (the octets precedence
+            // and matching run on)
+            if (value.nonEmpty) rules += Rule(field == "allow", percentNormalize(value))
           case "crawl-delay" if agents.nonEmpty =>
             inRules = true
             if (delay.isEmpty) delay = value.toDoubleOption.filter(_ >= 0)
-          case _ => if (agents.nonEmpty) inRules = true // sitemap etc.
+          case _ => // Sitemap etc.: ignored entirely per the RFC — an
+                    // unknown line between User-agent lines must NOT
+                    // split their group
         }
       }
     }
@@ -106,11 +110,57 @@ object Robots {
     else groups.filter(_.agents.contains("*"))
   }
 
+  /** RFC 9309 octet normalization before comparison: non-ASCII characters
+    * percent-encode (UTF-8, uppercase hex) and existing `%XX` escapes
+    * uppercase their hex — so a `Disallow: /café` rule and a
+    * `/caf%C3%A9` frontier path compare equal. ASCII (including the `*`
+    * and `$` metacharacters) passes through unchanged; a reserved escape
+    * like `%2F` stays an escape (it does NOT decode to `/`, per the
+    * spec's reserved-character rule).
+    */
+  private[graft] def percentNormalize(s: String): String = {
+    def isHex(c: Char) = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    def isLowerHex(c: Char) = c >= 'a' && c <= 'f'
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c > 127) clean = false
+      else if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2)) &&
+        (isLowerHex(s.charAt(i + 1)) || isLowerHex(s.charAt(i + 2)))) clean = false
+      else i += 1
+    }
+    if (clean) return s // common case: nothing to rewrite
+    val out = new java.lang.StringBuilder(s.length + 8)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        out.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else if (c > 127) {
+        val cp = s.codePointAt(i)
+        new String(Character.toChars(cp)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => out.append(f"%%${b & 0xff}%02X"))
+        i += Character.charCount(cp)
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Does `pattern` (with `*` wildcards, optional trailing `$` anchor)
     * match `path`? Un-anchored patterns are prefix matches (an implicit
-    * trailing `*`). Single-backtrack glob walk, no recursion.
+    * trailing `*`). Single-backtrack glob walk, no recursion; the `*`
+    * branch runs FIRST so a literal `*` in the path cannot consume the
+    * wildcard. Both sides are [[percentNormalize]]d (rules coming from
+    * [[parse]] arrive pre-normalized via [[isAllowedParsed]]).
     */
-  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+  private[graft] def patternMatches(pattern: String, path: String): Boolean =
+    patternMatchesNormalized(percentNormalize(pattern), percentNormalize(path))
+
+  private def patternMatchesNormalized(pattern: String, path: String): Boolean = {
     val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
     val pat0 = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
     val pat = if (anchored) pat0 else pat0 + "*"
@@ -119,8 +169,8 @@ object Robots {
     var starIdx = -1
     var sBack = -1
     while (s < path.length) {
-      if (p < pat.length && (pat.charAt(p) == path.charAt(s))) { p += 1; s += 1 }
-      else if (p < pat.length && pat.charAt(p) == '*') { starIdx = p; sBack = s; p += 1 }
+      if (p < pat.length && pat.charAt(p) == '*') { starIdx = p; sBack = s; p += 1 }
+      else if (p < pat.length && pat.charAt(p) == path.charAt(s)) { p += 1; s += 1 }
       else if (starIdx >= 0) { p = starIdx + 1; sBack += 1; s = sBack }
       else return false
     }
@@ -135,13 +185,19 @@ object Robots {
     isAllowedParsed(parse(robotsTxt), userAgent, path)
 
   private[graft] def isAllowedParsed(
-      groups: Seq[Group], userAgent: String, path: String): Boolean = {
-    val applicable = applicableGroups(groups, userAgent)
-    // longest matching pattern wins; Allow beats Disallow on ties
+      groups: Seq[Group], userAgent: String, path: String): Boolean =
+    decideAllowed(applicableGroups(groups, userAgent),
+      percentNormalize(if (path == null) "" else path))
+
+  /** The rule decision over the already-selected groups and an
+    * already-normalized path: longest matching pattern wins; Allow beats
+    * Disallow on ties (rule patterns arrive normalized from [[parse]]).
+    */
+  private def decideAllowed(applicable: Seq[Group], normPath: String): Boolean = {
     var winLen = -1
     var winAllow = true
     applicable.foreach(_.rules.foreach { r =>
-      if (patternMatches(r.pattern, path)) {
+      if (patternMatchesNormalized(r.pattern, normPath)) {
         if (r.pattern.length > winLen ||
           (r.pattern.length == winLen && r.allow && !winAllow)) {
           winLen = r.pattern.length
@@ -150,6 +206,25 @@ object Robots {
       }
     })
     winLen < 0 || winAllow
+  }
+
+  /** A per-partition decision closure: group selection and parsing run
+    * once per distinct robots BODY (frontier rows arrive host-clustered),
+    * the path decision once per row — the one implementation both
+    * DataFrame gates share. Null robots = no robots.txt (allow all);
+    * null path decides as "" (nothing for a rule to match).
+    */
+  private def newDecider(userAgent: String): (String, String) => Boolean = {
+    var lastBody: String = null
+    var applicable: Seq[Group] = null
+    (robotsRaw, path) => {
+      val robots = if (robotsRaw == null) "" else robotsRaw
+      if (applicable == null || robots != lastBody) {
+        lastBody = robots
+        applicable = applicableGroups(parse(robots), userAgent)
+      }
+      decideAllowed(applicable, percentNormalize(if (path == null) "" else path))
+    }
   }
 
   /** Typed row of [[withAllowed]]. */
@@ -170,16 +245,8 @@ object Robots {
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(frontier.schema)
     frontier.mapPartitions { rows =>
-      var lastBody: String = null
-      var lastParsed: Seq[Group] = null
-      rows.filter { row =>
-        val robots = if (row.isNullAt(rIdx)) "" else row.getString(rIdx)
-        if (lastParsed == null || robots != lastBody) {
-          lastBody = robots
-          lastParsed = parse(robots)
-        }
-        isAllowedParsed(lastParsed, userAgent, row.getString(pIdx))
-      }
+      val decide = newDecider(userAgent)
+      rows.filter(row => decide(row.getString(rIdx), row.getString(pIdx)))
     }
   }
 
@@ -200,15 +267,9 @@ object Robots {
     frontier.select(col(idCol).cast("long"), col(pathCol), col(robotsCol))
       .as[(Long, String, String)]
       .mapPartitions { rows =>
-        var lastBody: String = null
-        var lastParsed: Seq[Group] = null
-        rows.map { case (id, path, robotsRaw) =>
-          val robots = if (robotsRaw == null) "" else robotsRaw // no robots.txt → allow all
-          if (lastParsed == null || robots != lastBody) {
-            lastBody = robots
-            lastParsed = parse(robots)
-          }
-          RobotsDecision(id, path, isAllowedParsed(lastParsed, userAgent, path))
+        val decide = newDecider(userAgent)
+        rows.map { case (id, path, robots) =>
+          RobotsDecision(id, path, decide(robots, path))
         }
       }
   }

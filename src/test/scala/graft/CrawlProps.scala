@@ -56,7 +56,9 @@ object CrawlProps extends Properties("Crawl") {
     anchor <- Gen.oneOf("", "$")
   } yield segs.mkString + anchor
   private val genPath: Gen[String] =
-    Gen.listOf(Gen.oneOf('a', 'b', '/', '.')).map("/" + _.mkString)
+    // '*' included: a LITERAL star in the path must not consume the
+    // pattern's wildcard (the branch-order bug class)
+    Gen.listOf(Gen.oneOf('a', 'b', '/', '.', '*')).map("/" + _.mkString)
 
   property("robots glob matcher ≡ regex reference on arbitrary patterns") =
     Prop.forAll(genPattern, genPath) { (pattern, path) =>

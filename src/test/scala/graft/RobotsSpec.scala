@@ -57,6 +57,32 @@ class RobotsSpec extends SparkTestBase {
     Robots.patternMatches("/exact$", "/exact/more") shouldBe false
     // many stars stay linear-ish: the single-backtrack walk terminates
     Robots.patternMatches("/*a*a*a*a*a*a*a*a*b$", "/" + "a" * 200) shouldBe false
+    // a LITERAL '*' in the path must not consume the wildcard
+    Robots.patternMatches("/p/*end", "/p/*xend") shouldBe true
+    Robots.patternMatches("*b", "*ab") shouldBe true
+  }
+
+  test("percent-encoding normalizes per RFC 9309 before comparison") {
+    // a raw-UTF-8 rule matches the percent-encoded frontier form and
+    // vice versa; hex case differences normalize away
+    Robots.patternMatches("/café", "/caf%C3%A9") shouldBe true
+    Robots.patternMatches("/caf%C3%A9", "/café") shouldBe true
+    Robots.patternMatches("/caf%c3%a9", "/caf%C3%A9") shouldBe true
+    // an escaped %2F is NOT a path slash: reserved escapes stay escapes
+    Robots.patternMatches("/a%2Fb", "/a/b") shouldBe false
+    val b = "User-agent: *\nDisallow: /café"
+    Robots.isAllowed(b, "x", "/caf%C3%A9") shouldBe false
+    Robots.isAllowed(b, "x", "/cafe") shouldBe true
+  }
+
+  test("unknown fields between groups do not split user-agent merging") {
+    // per the RFC, Sitemap between User-agent lines is IGNORED: agents a
+    // and b share the rule block that follows
+    val b = "User-agent: a\nSitemap: http://x/s.xml\nUser-agent: b\nDisallow: /"
+    Robots.isAllowed(b, "a", "/anything") shouldBe false
+    Robots.isAllowed(b, "b", "/anything") shouldBe false
+    // a null path decides as "": nothing for a rule to match
+    Robots.isAllowed("User-agent: *\nDisallow: /x", "a", null) shouldBe true
   }
 
   test("parse edge cases: comments, empty values, rules before any group") {
