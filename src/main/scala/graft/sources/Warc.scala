@@ -178,23 +178,77 @@ object Warc {
     }
   }
 
-  /** `response` records decoded to (target_uri, body) — HTTP headers
-    * stripped, body text decoded in the charset the response itself
-    * declares (`Content-Type: ...; charset=...`), defaulting to UTF-8:
-    * real crawls are far from all-UTF-8 and mis-decoding latin-1 pages
-    * corrupts every downstream text tier. The crawl → text entry point.
+  /** The HTTP status code on the payload's first line (`HTTP/1.x NNN ...`),
+    * or -1 when the payload does not start like an HTTP response.
     */
-  def responseTexts(records: Dataset[WarcRecord]): DataFrame = {
+  private[graft] def httpStatus(payload: Array[Byte]): Int = {
+    if (payload.length < 12 || payload(0) != 'H' || payload(1) != 'T' ||
+      payload(2) != 'T' || payload(3) != 'P' || payload(4) != '/') return -1
+    // skip to the first space, read three digits
+    var i = 5
+    while (i < payload.length && payload(i) != ' ' && payload(i) != '\n') i += 1
+    if (i + 3 >= payload.length || payload(i) != ' ') return -1
+    var code = 0
+    var k = i + 1
+    while (k <= i + 3) {
+      val d = payload(k) - '0'
+      if (d < 0 || d > 9) return -1
+      code = code * 10 + d
+      k += 1
+    }
+    code
+  }
+
+  /** The media type of the payload's `Content-Type` header (lowercased,
+    * parameters like `; charset=` stripped), or "" when absent.
+    */
+  private[graft] def httpMediaType(payload: Array[Byte]): String = {
+    val headerLen = headerEnd(payload)
+    if (headerLen <= 0) return ""
+    val head = new String(payload, 0, headerLen,
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+    val key = "content-type:"
+    // match at a line start only — a header VALUE containing the key text
+    // must not shadow the real header
+    var at = head.indexOf(key)
+    while (at > 0 && head.charAt(at - 1) != '\n') at = head.indexOf(key, at + 1)
+    if (at < 0) return ""
+    var e = at + key.length
+    val start = {
+      var s = e
+      while (s < head.length && (head.charAt(s) == ' ' || head.charAt(s) == '\t')) s += 1
+      s
+    }
+    e = start
+    while (e < head.length && head.charAt(e) != ';' && head.charAt(e) != '\r' &&
+      head.charAt(e) != '\n') e += 1
+    head.substring(start, e).trim
+  }
+
+  /** `response` records with their HTTP envelope surfaced — (target_uri,
+    * status, media_type, body): the columns the standard crawl gate
+    * filters on (`status = 200 AND media_type = 'text/html'`) before any
+    * extraction runs. Body text decodes in the charset the response
+    * itself declares, defaulting to UTF-8.
+    */
+  def responses(records: Dataset[WarcRecord]): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
     records.filter(_.warc_type == "response")
       .map { r =>
         val cs = httpCharset(r.payload)
           .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
-        (r.target_uri, new String(httpBody(r.payload), cs))
+        (r.target_uri, httpStatus(r.payload), httpMediaType(r.payload),
+          new String(httpBody(r.payload), cs))
       }
-      .toDF("target_uri", "body")
+      .toDF("target_uri", "status", "media_type", "body")
   }
+
+  /** [[responses]] reduced to the (target_uri, body) shape — HTTP headers
+    * stripped, charset-aware. The crawl → text entry point.
+    */
+  def responseTexts(records: Dataset[WarcRecord]): DataFrame =
+    responses(records).select(col("target_uri"), col("body"))
 
   /** Render records to WARC bytes — each record its own gzip member when
     * `gzipMembers` (the Common Crawl layout). Fixture/writer plumbing for

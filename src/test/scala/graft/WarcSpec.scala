@@ -70,6 +70,34 @@ class WarcSpec extends SparkTestBase {
       "UTF-8") shouldBe "no header break"
   }
 
+  test("responses surface the HTTP envelope: status and media type gate the crawl") {
+    def resp(uri: String, status: String, ct: String, body: String) =
+      ("response", uri, "2026-01-01T00:00:00Z", "application/http; msgtype=response", {
+        val head = s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n"
+        (head + body).getBytes("UTF-8")
+      })
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_meta")
+    java.nio.file.Files.write(dir.resolve("m.warc.gz"),
+      Warc.render(Seq(
+        resp("http://ok/", "200 OK", "text/html; charset=utf-8", "<p>keep</p>"),
+        resp("http://gone/", "404 Not Found", "text/html", "<p>miss</p>"),
+        resp("http://img/", "200 OK", "image/png", "not text"),
+        resp("http://moved/", "301 Moved Permanently", "text/html", "")), gzipMembers = true))
+    val rs = Warc.responses(Warc.read(spark, dir.toString))
+    val byUri = rs.collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    byUri("http://ok/") shouldBe (200, "text/html")
+    byUri("http://gone/") shouldBe (404, "text/html")
+    byUri("http://img/") shouldBe (200, "image/png")
+    byUri("http://moved/") shouldBe (301, "text/html")
+    // the standard crawl gate: 200 + text/html only
+    val kept = rs.filter(col("status") === 200 && col("media_type") === "text/html")
+      .select("target_uri").as[String].collect().toSet
+    kept shouldBe Set("http://ok/")
+    // a payload with no HTTP envelope reports -1 / ""
+    Warc.httpStatus("just bytes".getBytes("UTF-8")) shouldBe -1
+    Warc.httpMediaType("just bytes".getBytes("UTF-8")) shouldBe ""
+  }
+
   test("responseTexts decodes the charset each response declares") {
     // a latin-1 page: 0xE9 is é in ISO-8859-1 but an invalid UTF-8 byte
     val latin1Body = "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
