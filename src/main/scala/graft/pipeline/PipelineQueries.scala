@@ -433,6 +433,23 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         graft.functions.TextFunctions.unicodeNormalize(
           concat(col("text"), lit(" café"))).as("text_nfc"))),
+    // sitemap discovery: per-doc XML built in-plan (a leaf <url> with
+    // lastmod, a bare <url>, and an index <sitemap> pointer) must explode
+    // to exactly the three entries the oracle enumerates — XML entities
+    // in the loc (&amp;) decode through the real StAX parse
+    "q_crawl_sitemap" -> ((s, dir) => {
+      val xml = concat(
+        lit("<urlset><url><loc>https://ex.com/doc/"), col("doc_id"),
+        lit("?a=1&amp;b=2</loc><lastmod>2026-01-01</lastmod></url>" +
+          "<url><loc>https://ex.com/about</loc></url></urlset>"))
+      val idx = lit("<sitemapindex><sitemap><loc>https://ex.com/more.xml</loc>" +
+        "</sitemap></sitemapindex>")
+      graft.sources.Sitemaps.entries(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit("<?xml version=\"1.0\"?>"), xml).as("xml")))
+        .union(graft.sources.Sitemaps.entries(
+          docs(s, dir).select(col("doc_id"), idx.as("xml"))))
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -1248,6 +1265,10 @@ object PipelineQueries {
       "UNION ALL SELECT doc_id, '/about' FROM documents"),
     "q_text_nfc" -> ("SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) " +
       "AS text_nfc FROM documents"),
+    "q_crawl_sitemap" -> ("SELECT doc_id, 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) " +
+      "|| '?a=1&b=2' AS loc, '2026-01-01' AS lastmod, FALSE AS is_index FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://ex.com/about', '', FALSE FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://ex.com/more.xml', '', TRUE FROM documents"),
     "q_text_tokens" -> ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
       "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct, " +
       "CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) " +

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** sitemaps.org XML parsing — the crawl-DISCOVERY side of the frontier
+  * (robots.txt points at sitemaps; sitemaps enumerate the URLs worth
+  * fetching and when they last changed). Parses both document kinds:
+  * `<urlset><url>` leaf sitemaps and `<sitemapindex><sitemap>` index
+  * files that point at more sitemaps (`is_index` distinguishes — an
+  * index entry goes back on the fetch queue, a leaf entry on the
+  * frontier).
+  *
+  * Real XML parsing via the JDK's StAX reader, HARDENED for hostile
+  * input: DTD support and external-entity resolution are OFF (no XXE, no
+  * billion-laughs expansion), and a malformed document yields the
+  * entries parsed so far instead of failing the task — the same
+  * stop-at-last-whole-record stance as [[Warc.parseRecords]]. Gzipped
+  * sitemaps (`.xml.gz`) compose upstream with
+  * [[graft.pipeline.Multimodal.inflatePayload]].
+  */
+object Sitemaps {
+
+  /** One sitemap entry: the URL, its `<lastmod>` ("" when absent), and
+    * whether it came from an index file (a pointer to another sitemap)
+    * rather than a leaf urlset.
+    */
+  final case class SitemapEntry(loc: String, lastmod: String, is_index: Boolean)
+
+  private def newFactory(): javax.xml.stream.XMLInputFactory = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    // DTDs off kills XXE and billion-laughs at the root (no entity can be
+    // DEFINED); the five built-in entities still replace normally
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  /** Parse one sitemap document. Namespace-agnostic on local names (the
+    * sitemap namespace is frequently missing or wrong in the wild).
+    */
+  def parse(xml: String): Seq[SitemapEntry] = parseWith(newFactory(), xml)
+
+  private def parseWith(
+      factory: javax.xml.stream.XMLInputFactory, xml: String): Seq[SitemapEntry] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SitemapEntry]
+    try {
+      val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+      try {
+        var inEntry = false
+        var isIndex = false
+        var field: String = null
+        var loc = ""
+        var lastmod = ""
+        val text = new java.lang.StringBuilder
+        while (r.hasNext) {
+          r.next() match {
+            case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName.toLowerCase(java.util.Locale.ROOT) match {
+                case "url" => inEntry = true; isIndex = false; loc = ""; lastmod = ""
+                case "sitemap" => inEntry = true; isIndex = true; loc = ""; lastmod = ""
+                case n @ ("loc" | "lastmod") if inEntry => field = n; text.setLength(0)
+                case _ => field = null
+              }
+            case javax.xml.stream.XMLStreamConstants.CHARACTERS |
+                javax.xml.stream.XMLStreamConstants.CDATA =>
+              if (field != null) text.append(r.getText)
+            case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName.toLowerCase(java.util.Locale.ROOT) match {
+                case "loc" if field == "loc" => loc = text.toString.trim; field = null
+                case "lastmod" if field == "lastmod" => lastmod = text.toString.trim; field = null
+                case "url" | "sitemap" =>
+                  if (inEntry && loc.nonEmpty) out += SitemapEntry(loc, lastmod, isIndex)
+                  inEntry = false
+                case _ => field = null
+              }
+            case _ => ()
+          }
+        }
+      } finally r.close()
+    } catch { case _: Exception => () } // malformed tail → keep whole entries
+    out.toSeq
+  }
+
+  /** Explode each row's sitemap XML into its entries — (id, loc, lastmod,
+    * is_index), one row per URL. Partition-wise flatMap; one hardened
+    * StAX factory per partition.
+    */
+  def entries(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      xmlCol: String = "xml"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(xmlCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val factory = newFactory()
+        rows.flatMap { case (id, xml) =>
+          if (xml == null) Iterator.empty
+          else parseWith(factory, xml).iterator.map(e => (id, e.loc, e.lastmod, e.is_index))
+        }
+      }
+      .toDF(idCol, "loc", "lastmod", "is_index")
+  }
+}

@@ -125,6 +125,34 @@ class WarcSpec extends SparkTestBase {
     texts("http://bare/") shouldBe "plain ascii" // no charset → UTF-8 default
   }
 
+  test("sitemap parsing: urlset and index entries, entities, hostile input") {
+    import graft.sources.Sitemaps
+    val leaf = """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url><loc>https://ex.com/a?x=1&amp;y=2</loc><lastmod>2026-02-03</lastmod></url>
+      |  <url><loc> https://ex.com/b </loc><priority>0.8</priority></url>
+      |</urlset>""".stripMargin
+    Sitemaps.parse(leaf) shouldBe Seq(
+      Sitemaps.SitemapEntry("https://ex.com/a?x=1&y=2", "2026-02-03", false),
+      Sitemaps.SitemapEntry("https://ex.com/b", "", false))
+    val index = "<sitemapindex><sitemap><loc>https://ex.com/s1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://ex.com/s2.xml</loc></sitemap></sitemapindex>"
+    Sitemaps.parse(index).map(e => (e.loc, e.is_index)) shouldBe
+      Seq(("https://ex.com/s1.xml", true), ("https://ex.com/s2.xml", true))
+    // malformed tail keeps whole entries; garbage yields none
+    Sitemaps.parse("<urlset><url><loc>https://ok/</loc></url><url><loc>truncated")
+      .map(_.loc) shouldBe Seq("https://ok/")
+    Sitemaps.parse("not xml at all") shouldBe Seq.empty
+    // a DOCTYPE (the XXE/billion-laughs vector) aborts the parse safely
+    Sitemaps.parse("<!DOCTYPE lolz [<!ENTITY a \"b\">]><urlset><url>" +
+      "<loc>https://x/&a;</loc></url></urlset>") shouldBe Seq.empty
+    // the DataFrame explode keeps ids attached
+    import spark.implicits._
+    val out = Sitemaps.entries(Seq((7L, leaf)).toDF("doc_id", "xml")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    out shouldBe Set((7L, "https://ex.com/a?x=1&y=2"), (7L, "https://ex.com/b"))
+  }
+
   test("end to end: WARC archive → main text → quality signals → exact dedup") {
     // the full crawl-ingest composition on one fixture: two pages with the
     // same article body behind different nav chrome (a crawl's most common
