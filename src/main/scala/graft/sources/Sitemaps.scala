@@ -60,7 +60,8 @@ object Sitemaps {
                 case "url" => inEntry = true; isIndex = false; loc = ""; lastmod = ""
                 case "sitemap" => inEntry = true; isIndex = true; loc = ""; lastmod = ""
                 case n @ ("loc" | "lastmod") if inEntry => field = n; text.setLength(0)
-                case _ => field = null
+                case _ => () // unknown children are transparent: a stray
+                             // <br/> inside <loc> must not drop the URL
               }
             case javax.xml.stream.XMLStreamConstants.CHARACTERS |
                 javax.xml.stream.XMLStreamConstants.CDATA =>
@@ -72,7 +73,8 @@ object Sitemaps {
                 case "url" | "sitemap" =>
                   if (inEntry && loc.nonEmpty) out += SitemapEntry(loc, lastmod, isIndex)
                   inEntry = false
-                case _ => field = null
+                  field = null
+                case _ => ()
               }
             case _ => ()
           }
@@ -92,7 +94,10 @@ object Sitemaps {
       xmlCol: String = "xml"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(xmlCol))
+    // rows whose id does not cast to long are skipped (hardening stance:
+    // one bad row must not kill the partition)
+    df.select(col(idCol).cast("long").as(idCol), col(xmlCol))
+      .where(col(idCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { rows =>
         val factory = newFactory()

@@ -157,11 +157,11 @@ object Warc {
     * header section (before the body break), ASCII-decoded,
     * case-insensitive.
     */
-  private[graft] def httpCharset(payload: Array[Byte]): Option[java.nio.charset.Charset] = {
-    val headerLen = headerEnd(payload)
-    if (headerLen <= 0) return None
-    val head = new String(payload, 0, headerLen,
-      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+  private[graft] def httpCharset(payload: Array[Byte]): Option[java.nio.charset.Charset] =
+    charsetFromHead(lowerHead(payload))
+
+  private def charsetFromHead(head: String): Option[java.nio.charset.Charset] = {
+    if (head.isEmpty) return None
     val at = head.indexOf("charset=")
     if (at < 0) None
     else {
@@ -196,17 +196,31 @@ object Warc {
       code = code * 10 + d
       k += 1
     }
+    // the token must END after three digits — "HTTP/1.1 2000" is junk
+    if (i + 4 < payload.length && payload(i + 4) != ' ' &&
+      payload(i + 4) != '\r' && payload(i + 4) != '\n') return -1
     code
+  }
+
+  /** The lowercased ASCII header block (before the body break), or ""
+    * when the payload has no header break — ONE decode shared by every
+    * envelope field so [[responses]] scans the block once per record.
+    */
+  private def lowerHead(payload: Array[Byte]): String = {
+    val headerLen = headerEnd(payload)
+    if (headerLen <= 0) ""
+    else new String(payload, 0, headerLen,
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
   }
 
   /** The media type of the payload's `Content-Type` header (lowercased,
     * parameters like `; charset=` stripped), or "" when absent.
     */
-  private[graft] def httpMediaType(payload: Array[Byte]): String = {
-    val headerLen = headerEnd(payload)
-    if (headerLen <= 0) return ""
-    val head = new String(payload, 0, headerLen,
-      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+  private[graft] def httpMediaType(payload: Array[Byte]): String =
+    mediaTypeFromHead(lowerHead(payload))
+
+  private def mediaTypeFromHead(head: String): String = {
+    if (head.isEmpty) return ""
     val key = "content-type:"
     // match at a line start only — a header VALUE containing the key text
     // must not shadow the real header
@@ -236,9 +250,12 @@ object Warc {
     import spark.implicits._
     records.filter(_.warc_type == "response")
       .map { r =>
-        val cs = httpCharset(r.payload)
+        // one header-block decode serves charset + media type; one
+        // headerEnd walk serves the body split
+        val head = lowerHead(r.payload)
+        val cs = charsetFromHead(head)
           .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
-        (r.target_uri, httpStatus(r.payload), httpMediaType(r.payload),
+        (r.target_uri, httpStatus(r.payload), mediaTypeFromHead(head),
           new String(httpBody(r.payload), cs))
       }
       .toDF("target_uri", "status", "media_type", "body")

@@ -96,6 +96,10 @@ class WarcSpec extends SparkTestBase {
     // a payload with no HTTP envelope reports -1 / ""
     Warc.httpStatus("just bytes".getBytes("UTF-8")) shouldBe -1
     Warc.httpMediaType("just bytes".getBytes("UTF-8")) shouldBe ""
+    // the status token must be exactly three digits — junk stays junk
+    Warc.httpStatus("HTTP/1.1 2000 Bogus\r\n\r\n".getBytes("UTF-8")) shouldBe -1
+    Warc.httpStatus("HTTP/1.1 200x\r\n\r\n".getBytes("UTF-8")) shouldBe -1
+    Warc.httpStatus("HTTP/1.1 204\r\n\r\n".getBytes("UTF-8")) shouldBe 204
   }
 
   test("responseTexts decodes the charset each response declares") {
@@ -142,6 +146,9 @@ class WarcSpec extends SparkTestBase {
     // malformed tail keeps whole entries; garbage yields none
     Sitemaps.parse("<urlset><url><loc>https://ok/</loc></url><url><loc>truncated")
       .map(_.loc) shouldBe Seq("https://ok/")
+    // a stray child element inside <loc> is transparent, not URL-dropping
+    Sitemaps.parse("<urlset><url><loc>https://a/<br/>b</loc></url></urlset>")
+      .map(_.loc) shouldBe Seq("https://a/b")
     Sitemaps.parse("not xml at all") shouldBe Seq.empty
     // a DOCTYPE (the XXE/billion-laughs vector) aborts the parse safely
     Sitemaps.parse("<!DOCTYPE lolz [<!ENTITY a \"b\">]><urlset><url>" +
@@ -151,6 +158,11 @@ class WarcSpec extends SparkTestBase {
     val out = Sitemaps.entries(Seq((7L, leaf)).toDF("doc_id", "xml")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     out shouldBe Set((7L, "https://ex.com/a?x=1&y=2"), (7L, "https://ex.com/b"))
+    // a null or non-numeric id skips the row instead of killing the task
+    val mixed = Seq((java.lang.Long.valueOf(1L), leaf),
+      (null.asInstanceOf[java.lang.Long], leaf)).toDF("doc_id", "xml")
+    Sitemaps.entries(mixed).select("doc_id").distinct().collect()
+      .map(_.getLong(0)) shouldBe Array(1L)
   }
 
   test("end to end: WARC archive → main text → quality signals → exact dedup") {
