@@ -75,6 +75,17 @@ object CrawlProps extends Properties("Crawl") {
     // must not be fooled by \r\n\r\n or WARC/ inside a body
     1 -> Gen.const("\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz".getBytes("ISO-8859-1")))
 
+  property("hostile-input totality: no crawl parser throws on arbitrary bytes") =
+    Prop.forAll(genPayload, genText) { (bytes, text) =>
+      // every parser's contract on garbage is "empty or partial result",
+      // never an executor-killing exception
+      Warc.parseRecords("f", bytes, 1 << 20)
+      graft.sources.Sitemaps.parse(text)
+      graft.pipeline.Robots.parse(text)
+      htmlText(text)
+      true
+    }
+
   property("warc render→parse round trip preserves records byte-exactly") =
     Prop.forAll(Gen.nonEmptyListOf(genPayload).map(_.take(5)), Gen.oneOf(true, false)) {
       (payloads, gz) =>
