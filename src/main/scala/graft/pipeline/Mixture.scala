@@ -107,4 +107,49 @@ object Mixture {
       .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** TEMPERATURE resampling — the α knob multilingual/multi-source LLM
+    * mixes use (keep probability ∝ n_g^(α−1): α = 1 natural distribution,
+    * α → 0 uniform): the output is the largest downsample-only corpus
+    * whose expected group sizes are proportional to n_g^α. Weights derive
+    * from the corpus itself, so unlike [[resampleToMixture]] no external
+    * weight map is needed.
+    *
+    * Constructed SUM-FREE for determinism: with s_g = n_g^α, the scale is
+    * m = min_h(n_h / s_h) (the smallest group keeps everything) and group
+    * g keeps documents with probability s_g·m / n_g — only per-group
+    * powers, divisions, and an order-independent min, no float summation
+    * whose accumulation order could vary between runs or engines. At
+    * α = 0.5 the power is computed as `sqrt` (correctly-rounded IEEE on
+    * every engine, so an external oracle replays the row set bitwise);
+    * other α use `pow` (deterministic within the JVM; cross-engine replay
+    * is subject to the platform's pow ulp). Same scale shape as the other
+    * mixers: one tiny aggregate broadcast back, map-side md5 threshold
+    * filter, the corpus never shuffles.
+    */
+  def resampleToTemperature(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double,
+      idCol: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val reserved = Set("__cnt", "__s", "__m", "__thr")
+    require(!df.columns.exists(reserved),
+      s"input columns collide with Mixture's reserved names: ${df.columns.filter(reserved).mkString(", ")}")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val sCol =
+      if (alpha == 0.5) sqrt(col("__cnt").cast("double"))
+      else if (alpha == 1.0) col("__cnt").cast("double")
+      else pow(col("__cnt").cast("double"), lit(alpha))
+    val scored = counts.select(col(groupCol), col("__cnt"), sCol.as("__s"))
+    val m = scored.agg(min(col("__cnt").cast("double") / col("__s")).as("__m"))
+    val thresholds = scored.crossJoin(m)
+      .select(col(groupCol),
+        floor(col("__s") * col("__m") / col("__cnt").cast("double") * lit(65536.0))
+          .cast("int").as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -450,6 +450,16 @@ object PipelineQueries {
         .union(graft.sources.Sitemaps.entries(
           docs(s, dir).select(col("doc_id"), idx.as("xml"))))
     }),
+    // temperature resampling (α = 0.5) by language: the sum-free
+    // construction means DuckDB replays the exact row set — sqrt/min/
+    // division/floor are all correctly-rounded IEEE on both engines —
+    // compared via per-group counts + id sums (the q_sample_mixture form)
+    "q_mix_temperature" -> ((s, dir) =>
+      Mixture.resampleToTemperature(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        groupCol = "lang", alpha = 0.5, idCol = "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -1603,6 +1613,16 @@ object PipelineQueries {
         s"FROM documents d JOIN thr ON d.source = thr.source WHERE $md5U16Sql < thr " +
         "GROUP BY d.source"
     },
+    // temperature replay: s = sqrt(n), m = min(n/s), thr = floor(s*m/n*2^16)
+    // — identical operation order, correctly-rounded ops only
+    "q_mix_temperature" ->
+      ("WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang), " +
+        "sc AS (SELECT lang, n, sqrt(n) AS s FROM c), " +
+        "m AS (SELECT min(n / s) AS m FROM sc), " +
+        "thr AS (SELECT lang, CAST(floor(s * m / n * 65536.0) AS INT) AS thr FROM sc, m) " +
+        "SELECT d.lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+        s"FROM documents d JOIN thr ON d.lang = thr.lang WHERE $md5U16Sql < thr " +
+        "GROUP BY d.lang"),
     "q_dedup_semantic_planted" -> plantedEmbOracle,
     "q_dedup_semantic_drop" -> s"SELECT vec_id FROM embeddings WHERE vec_id < $NDistract",
     "q_text_histogram" -> ("SELECT CAST(floor(CAST(len(string_split(text, ' ')) AS DOUBLE) " +

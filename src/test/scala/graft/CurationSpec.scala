@@ -79,6 +79,27 @@ class CurationSpec extends SparkTestBase {
     ids(2) shouldBe ids(13)
   }
 
+  test("resampleToTemperature keeps the small group whole and scales by n^alpha") {
+    // 6400 a, 400 b: at alpha=0.5 expected sizes ∝ sqrt(n) → b (smallest)
+    // keeps ~everything, a keeps ~sqrt(6400)*m = 80*20 = 1600
+    val df = spark.range(0, 6800).select(col("id").as("doc_id"),
+      when(col("id") < 6400, "a").otherwise("b").as("src"))
+    val out = Mixture.resampleToTemperature(df, "src", alpha = 0.5, idCol = "doc_id")
+    val counts = out.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts("b").toDouble shouldBe 400.0 +- 6.0 // the binding group, fraction ~1
+    counts("a").toDouble shouldBe 1600.0 +- 120.0 // sqrt ratio: 80/20 of 6400/400
+    // alpha = 1 is the natural distribution: everything kept
+    Mixture.resampleToTemperature(df, "src", alpha = 1.0, idCol = "doc_id")
+      .count() shouldBe 6800L
+    // membership is a pure function of id: stable under repartition
+    def ids(parts: Int) = Mixture
+      .resampleToTemperature(df.repartition(parts), "src", 0.5, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    ids(3) shouldBe ids(11)
+    an[IllegalArgumentException] should be thrownBy
+      Mixture.resampleToTemperature(df, "src", alpha = 0.0, idCol = "doc_id")
+  }
+
   test("resampleToMixture drops unlisted groups; missing weight group empties the result") {
     val df = spark.range(0, 300).select(col("id").as("doc_id"),
       when(col("id") < 100, "a").when(col("id") < 200, "b").otherwise("zzz").as("src"))
