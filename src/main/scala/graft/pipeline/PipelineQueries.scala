@@ -460,6 +460,19 @@ object PipelineQueries {
         groupCol = "lang", alpha = 0.5, idCol = "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+    // politeness schedule: five synthetic hosts, one declaring its own
+    // Crawl-delay (3.5 s) while the rest take the 1 s default — fetches
+    // sequence per host by path and space by that host's delay
+    "q_crawl_schedule" -> ((s, dir) => {
+      val robots = when((col("doc_id") % 5) === 0,
+        lit("User-agent: graft\nCrawl-delay: 3.5\nDisallow: /private/"))
+        .otherwise(lit("User-agent: *\nDisallow: /private/"))
+      val frontier = docs(s, dir).select(
+        concat(lit("h"), col("doc_id") % 5).as("host"),
+        concat(lit("/doc/"), col("doc_id")).as("path"),
+        robots.as("robots_txt"))
+      Robots.schedule(frontier, userAgent = "graft")
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -1623,6 +1636,15 @@ object PipelineQueries {
         "SELECT d.lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
         s"FROM documents d JOIN thr ON d.lang = thr.lang WHERE $md5U16Sql < thr " +
         "GROUP BY d.lang"),
+    // schedule replay: row_number per host ordered by path (binary string
+    // order on both engines); host h0 spaces at 3.5 s, others at 1 s
+    "q_crawl_schedule" ->
+      ("WITH f AS (SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host, " +
+        "'/doc/' || CAST(doc_id AS VARCHAR) AS path FROM documents), " +
+        "seq AS (SELECT host, path, CAST(row_number() OVER " +
+        "(PARTITION BY host ORDER BY path) AS INTEGER) AS fetch_seq FROM f) " +
+        "SELECT host, path, fetch_seq, CAST(fetch_seq - 1 AS DOUBLE) * " +
+        "(CASE WHEN host = 'h0' THEN 3.5 ELSE 1.0 END) AS not_before_sec FROM seq"),
     "q_dedup_semantic_planted" -> plantedEmbOracle,
     "q_dedup_semantic_drop" -> s"SELECT vec_id FROM embeddings WHERE vec_id < $NDistract",
     "q_text_histogram" -> ("SELECT CAST(floor(CAST(len(string_split(text, ' ')) AS DOUBLE) " +

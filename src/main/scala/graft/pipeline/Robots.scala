@@ -230,6 +230,45 @@ object Robots {
   /** Typed row of [[withAllowed]]. */
   final case class RobotsDecision(doc_id: Long, path: String, allowed: Boolean)
 
+  /** Politeness SCHEDULE over an allowed frontier: per host, fetches
+    * sequence deterministically (ordered by path) and space by the host's
+    * own `Crawl-delay` (falling back to `defaultDelaySec`) — the
+    * (fetch_seq, not_before_sec) pair a fetcher's rate limiter consumes.
+    * Per-host sequential order is INHERENT to politeness, so the window
+    * partitions by host — the natural parallelism of a crawl (hosts are
+    * many, per-host queues are modest); the per-host delay parses each
+    * distinct (host, robots) once, not per row.
+    */
+  def schedule(
+      frontier: DataFrame,
+      userAgent: String,
+      defaultDelaySec: Double = 1.0,
+      hostCol: String = "host",
+      pathCol: String = "path",
+      robotsCol: String = "robots_txt"): DataFrame = {
+    require(defaultDelaySec >= 0, s"defaultDelaySec must be >= 0, got $defaultDelaySec")
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val delays = frontier.select(col(hostCol), col(robotsCol)).distinct()
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (host, robots) =>
+          val d =
+            if (robots == null) None else crawlDelay(robots, userAgent)
+          (host, d.getOrElse(defaultDelaySec))
+        }
+      }
+      .toDF(hostCol, "__delay")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(pathCol))
+    frontier.join(delays, Seq(hostCol))
+      .select(col(hostCol), col(pathCol),
+        row_number().over(w).as("fetch_seq"),
+        col("__delay"))
+      .select(col(hostCol), col(pathCol), col("fetch_seq"),
+        ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"))
+  }
+
   /** [[withAllowed]]'s filtering form: keep only the frontier rows the
     * robots decision allows, PRESERVING every input column — the shape a
     * streaming ingest composes (stateless per-row filter, no join needed

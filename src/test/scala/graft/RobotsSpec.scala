@@ -112,6 +112,28 @@ class RobotsSpec extends SparkTestBase {
     Robots.crawlDelay("User-agent: *\nCrawl-delay: -1", "x") shouldBe None
   }
 
+  test("schedule sequences per host by path and spaces by the host's delay") {
+    val withDelay = "User-agent: graft\nCrawl-delay: 2.5\nDisallow: /x"
+    val noDelay = "User-agent: *\nDisallow: /x"
+    val frontier = Seq(
+      ("a.com", "/p2", withDelay), ("a.com", "/p1", withDelay),
+      ("a.com", "/p3", withDelay),
+      ("b.com", "/q1", noDelay), ("b.com", "/q2", noDelay),
+      ("c.com", "/r1", null.asInstanceOf[String])) // no robots → default
+      .toDF("host", "path", "robots_txt")
+    val out = Robots.schedule(frontier, "graft", defaultDelaySec = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    // a.com orders by path and spaces at its declared 2.5 s
+    out(("a.com", "/p1")) shouldBe (1, 0.0)
+    out(("a.com", "/p2")) shouldBe (2, 2.5)
+    out(("a.com", "/p3")) shouldBe (3, 5.0)
+    // b.com has no delay for this agent → the 1 s default
+    out(("b.com", "/q2")) shouldBe (2, 1.0)
+    // a host with no robots at all also defaults
+    out(("c.com", "/r1")) shouldBe (1, 0.0)
+  }
+
   test("frontier gate evaluates per row with a per-body parse memo") {
     val frontier = Seq(
       (1L, "/public/1", body),
