@@ -134,6 +134,32 @@ class RobotsSpec extends SparkTestBase {
     out(("c.com", "/r1")) shouldBe (1, 0.0)
   }
 
+  test("frontier loop: html_links → canonicalize → host → robots gate → schedule") {
+    import graft.functions.HtmlFunctions.htmlLinks
+    import graft.pipeline.Urls
+    // two crawled pages emit outlinks; the loop turns them into the next
+    // round's polite fetch plan
+    val pages = Seq(
+      (1L, "<a href='https://A.com/p2?utm_source=x'>n</a><a href='https://a.com/private/s'>p</a>"),
+      (2L, "<a href='https://b.com/q1'>q</a>")).toDF("doc_id", "html")
+    val links = pages.select(explode(htmlLinks(col("html"))).as("url"))
+      .select(Urls.canonicalizeUrl(col("url")).as("url"))
+      .select(Urls.hostOf(col("url")).as("host"),
+        regexp_replace(col("url"), "^[a-z]+://[^/]*", "").as("path"))
+    val robotsTable = Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/\nCrawl-delay: 2"),
+      ("b.com", null.asInstanceOf[String])).toDF("host", "robots_txt")
+    val frontier = links.join(robotsTable, Seq("host"), "left")
+    val plan = Robots.schedule(
+        Robots.filterAllowed(frontier, "graft"), "graft", defaultDelaySec = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    // the tracking param and host case normalize away; /private/ is gated
+    // out; survivors schedule per host with a.com's declared 2 s delay
+    plan.toSet shouldBe Set(
+      ("a.com", "/p2", 1, 0.0),
+      ("b.com", "/q1", 1, 0.0))
+  }
+
   test("frontier gate evaluates per row with a per-body parse memo") {
     val frontier = Seq(
       (1L, "/public/1", body),
