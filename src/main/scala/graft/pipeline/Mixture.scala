@@ -58,9 +58,7 @@ object Mixture {
           floor(col("__w") * col("__m") / col("__cnt").cast("double") * lit(65536.0)))
           .otherwise(lit(0L))
           .cast("int").as("__thr"))
-    df.join(broadcast(thresholds), Seq(groupCol))
-      .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))
-      .drop("__thr")
+    applyThresholds(df, thresholds, groupCol, idCol)
   }
 
   /** [[resampleToMixture]] weighted by TOKENS instead of documents — the
@@ -103,9 +101,7 @@ object Mixture {
           floor(col("__w") * col("__m") / col("__tok").cast("double") * lit(65536.0)))
           .otherwise(lit(0L))
           .cast("int").as("__thr"))
-    df.join(broadcast(thresholds), Seq(groupCol))
-      .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))
-      .drop("__thr")
+    applyThresholds(df, thresholds, groupCol, idCol)
   }
 
   /** TEMPERATURE resampling — the α knob multilingual/multi-source LLM
@@ -133,23 +129,35 @@ object Mixture {
       alpha: Double,
       idCol: String): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // alpha = 1 IS the natural distribution: provably keeps every row
+    // (s = n ⇒ every threshold is 65536, above the 16-bit hash range) —
+    // skip the aggregate/join machinery entirely
+    if (alpha == 1.0) return df
     val reserved = Set("__cnt", "__s", "__m", "__thr")
     require(!df.columns.exists(reserved),
       s"input columns collide with Mixture's reserved names: ${df.columns.filter(reserved).mkString(", ")}")
-    val spark = df.sparkSession
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
     val sCol =
       if (alpha == 0.5) sqrt(col("__cnt").cast("double"))
-      else if (alpha == 1.0) col("__cnt").cast("double")
       else pow(col("__cnt").cast("double"), lit(alpha))
     val scored = counts.select(col(groupCol), col("__cnt"), sCol.as("__s"))
+    // no divide guard needed (unlike the weighted mixers): groups come
+    // FROM the corpus, so __cnt >= 1 and __s > 0 always
     val m = scored.agg(min(col("__cnt").cast("double") / col("__s")).as("__m"))
     val thresholds = scored.crossJoin(m)
       .select(col(groupCol),
         floor(col("__s") * col("__m") / col("__cnt").cast("double") * lit(65536.0))
           .cast("int").as("__thr"))
+    applyThresholds(df, thresholds, groupCol, idCol)
+  }
+
+  /** The shared application tail of every mixer: broadcast the per-group
+    * 16-bit thresholds back and keep rows whose id-hash clears them —
+    * membership stays a pure function of id.
+    */
+  private def applyThresholds(
+      df: DataFrame, thresholds: DataFrame, groupCol: String, idCol: String): DataFrame =
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(Sampling.md5Uniform(col(idCol)) < col("__thr"))
       .drop("__thr")
-  }
 }

@@ -237,7 +237,12 @@ object Robots {
     * Per-host sequential order is INHERENT to politeness, so the window
     * partitions by host — the natural parallelism of a crawl (hosts are
     * many, per-host queues are modest); the per-host delay parses each
-    * distinct (host, robots) once, not per row.
+    * distinct (host, robots) once, not per row, and a host seen with
+    * CONFLICTING robots bodies (re-fetched at different times) takes the
+    * MAXIMUM declared delay — the conservative politeness choice, and one
+    * delay row per host so the join cannot fan rows out. Rows with a null
+    * host are EXCLUDED (nothing to fetch; the [[graft.pipeline.Urls]]
+    * convention).
     */
   def schedule(
       frontier: DataFrame,
@@ -247,9 +252,13 @@ object Robots {
       pathCol: String = "path",
       robotsCol: String = "robots_txt"): DataFrame = {
     require(defaultDelaySec >= 0, s"defaultDelaySec must be >= 0, got $defaultDelaySec")
+    val reserved = Set("__delay", "fetch_seq", "not_before_sec")
+    require(!frontier.columns.exists(reserved),
+      s"input columns collide with schedule's reserved names: ${frontier.columns.filter(reserved).mkString(", ")}")
     val spark = frontier.sparkSession
     import spark.implicits._
-    val delays = frontier.select(col(hostCol), col(robotsCol)).distinct()
+    val hosted = frontier.where(col(hostCol).isNotNull)
+    val delays = hosted.select(col(hostCol), col(robotsCol)).distinct()
       .as[(String, String)]
       .mapPartitions { rows =>
         rows.map { case (host, robots) =>
@@ -259,9 +268,10 @@ object Robots {
         }
       }
       .toDF(hostCol, "__delay")
+      .groupBy(col(hostCol)).agg(max(col("__delay")).as("__delay"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(hostCol)).orderBy(col(pathCol))
-    frontier.join(delays, Seq(hostCol))
+    hosted.join(delays, Seq(hostCol))
       .select(col(hostCol), col(pathCol),
         row_number().over(w).as("fetch_seq"),
         col("__delay"))

@@ -132,6 +132,18 @@ class RobotsSpec extends SparkTestBase {
     out(("b.com", "/q2")) shouldBe (2, 1.0)
     // a host with no robots at all also defaults
     out(("c.com", "/r1")) shouldBe (1, 0.0)
+    // a host seen with CONFLICTING robots bodies must not fan rows out:
+    // one delay row per host, the maximum (conservative) delay wins
+    val conflicted = Seq(
+      ("a.com", "/p1", withDelay), ("a.com", "/p2", noDelay),
+      (null.asInstanceOf[String], "/orphan", noDelay)) // null host: excluded
+      .toDF("host", "path", "robots_txt")
+    val got = Robots.schedule(conflicted, "graft", defaultDelaySec = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    got.toSet shouldBe Set(("a.com", "/p1", 1, 0.0), ("a.com", "/p2", 2, 2.5))
+    // reserved output names are guarded like the mixers
+    an[IllegalArgumentException] should be thrownBy
+      Robots.schedule(frontier.withColumn("fetch_seq", lit(1)), "graft")
   }
 
   test("frontier loop: html_links → canonicalize → host → robots gate → schedule") {
