@@ -552,6 +552,14 @@ object Dedup {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // null is not a node: a null-src directed edge would otherwise form
+      // its own groupBy(src) group and emit a (null id → min dst) label
+      // row from the loop that the driver tier (which interns only
+      // non-null endpoints) never produces — the r17 tier-parity fix. The
+      // non-null side of a (x, null) pair still appears: its (x → null)
+      // directed edge survives, `least` ignores the null neighbor, and x
+      // labels itself — exactly the driver tier's isolated-node behavior.
+      .filter(col("src").isNotNull)
       .repartition(col("src"))
       .sortWithinPartitions(col("src"))))
     // Round 1 degenerates: over identity labels (component = id), the

@@ -74,6 +74,37 @@ object Multimodal {
       duration_sec: Double,
       mean_abs_amplitude: Double)
 
+  /** Pixel budget for any single decoded raster (64 M px ≈ a 256 MB ARGB
+    * buffer) — a hostile header declaring 65535×65535 must take the cheap
+    * byte-arithmetic fallback, not allocate multi-GB before failing.
+    */
+  private[graft] val MaxDecodePixels: Long = 1L << 26
+
+  /** Decode one still image with the declared dimensions checked against
+    * [[MaxDecodePixels]] BEFORE any raster is allocated (header metadata
+    * only — `ImageReader.getWidth/getHeight` read the header, not pixels).
+    * None when no installed codec claims the bytes, the image is
+    * over-budget, or the decode fails — every caller's fallback path.
+    * NonFatal only: a genuine VM error must fail (and retry) the task.
+    */
+  private def readImageGuarded(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxDecodePixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Attach the opaque payload + cheap metadata (size, content hash). */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(
@@ -115,11 +146,7 @@ object Multimodal {
       .mapPartitions { batch =>
         javax.imageio.ImageIO.setUseCache(false)
         batch.map { case (id, bytes) =>
-          val img =
-            if (!sniffImage(bytes)) None
-            else
-              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-              catch { case _: Throwable => None }
+          val img = if (!sniffImage(bytes)) None else readImageGuarded(bytes)
           img match {
             case Some(im) => resampleImage(id, im, maxSide)
             case None =>
@@ -299,13 +326,19 @@ object Multimodal {
           else {
             val k = math.min(n, maxFrames)
             val idxs = if (k == 1) Seq(0) else (0 until k).map(i => i * (n - 1) / (k - 1))
-            Some(idxs.map { i =>
+            // header-declared dimensions checked per sampled frame BEFORE
+            // decoding — a hostile GIF declaring a 65535×65535 screen must
+            // fall back cheaply, not allocate a multi-GB raster per frame
+            if (idxs.exists(i =>
+                reader.getWidth(i).toLong * reader.getHeight(i) > MaxDecodePixels)) None
+            else Some(idxs.map { i =>
               SampledFrame(id, i, rasterFnv(reader.read(i), i.toLong))
             })
           }
         } finally { reader.dispose(); iis.close() }
       }
-    } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
+      // NonFatal: truncated/hostile bytes → fallback; VM errors propagate
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** "RIFF….AVI " magic — the AVI video container. A sniff hit only routes
     * to the RIFF walker; payloads that fail to parse fall back.
@@ -338,25 +371,43 @@ object Multimodal {
         (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
           ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
       def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
-      def walk(start: Int, end: Int): Unit = {
-        var p = start
-        while (p + 8 <= end) {
+      // ITERATIVE depth-first in-order chunk walk (r17, was recursive): a
+      // hostile payload nesting LIST chunks thousands deep must not blow
+      // the JVM stack. `pending` holds one heap entry per LIST that still
+      // has trailing siblings (a pure nesting chain pushes nothing at
+      // all), capped so a pathological sibling fan-out cannot grow the
+      // deque unboundedly — at the cap a list body is skipped and the
+      // walk continues with its siblings.
+      val pending = scala.collection.mutable.ArrayDeque.empty[(Int, Int)]
+      pending.append((12, bytes.length))
+      val maxDepth = 4096
+      while (pending.nonEmpty) {
+        var (p, end) = pending.removeLast()
+        var walking = true
+        while (walking && p + 8 <= end) {
           val size = u32(p + 4)
           val body = p + 8
-          if (size < 0 || body + size > end) return // corrupt size → stop
-          val isList =
-            (bytes(p) == 'L' && bytes(p + 1) == 'I' && bytes(p + 2) == 'S' &&
-              bytes(p + 3) == 'T') ||
-            (bytes(p) == 'R' && bytes(p + 1) == 'I' && bytes(p + 2) == 'F' &&
-              bytes(p + 3) == 'F')
-          if (isList && size >= 4) walk(body + 4, body + size.toInt)
-          else if (isDigit(bytes(p)) && isDigit(bytes(p + 1)) &&
-              (bytes(p + 3) == 'c' || bytes(p + 3) == 'b') && bytes(p + 2) == 'd')
-            frames += ((body, size.toInt))
-          p = body + size.toInt + (size.toInt & 1) // chunks pad to even
+          if (size < 0 || body + size > end) walking = false // corrupt size → stop segment
+          else {
+            val next = body + size.toInt + (size.toInt & 1) // chunks pad to even
+            val isList =
+              (bytes(p) == 'L' && bytes(p + 1) == 'I' && bytes(p + 2) == 'S' &&
+                bytes(p + 3) == 'T') ||
+              (bytes(p) == 'R' && bytes(p + 1) == 'I' && bytes(p + 2) == 'F' &&
+                bytes(p + 3) == 'F')
+            if (isList && size >= 4 && pending.length < maxDepth) {
+              if (next < end) pending.append((next, end)) // resume siblings after the list
+              p = body + 4
+              end = body + size.toInt
+            } else {
+              if (!isList && isDigit(bytes(p)) && isDigit(bytes(p + 1)) &&
+                  (bytes(p + 3) == 'c' || bytes(p + 3) == 'b') && bytes(p + 2) == 'd')
+                frames += ((body, size.toInt))
+              p = next
+            }
+          }
         }
       }
-      walk(12, bytes.length)
       val n = frames.length
       if (n == 0) None
       else {
@@ -366,9 +417,7 @@ object Multimodal {
           val (off, len) = frames(i)
           val jpeg =
             if (len >= 2 && bytes(off) == 0xff.toByte && bytes(off + 1) == 0xd8.toByte)
-              try Option(javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes, off, len)))
-              catch { case _: Throwable => None }
+              readImageGuarded(java.util.Arrays.copyOfRange(bytes, off, off + len))
             else None
           val h = jpeg match {
             case Some(img) => rasterFnv(img, i.toLong) // decoded-raster, the gifFrames convention
@@ -377,7 +426,8 @@ object Multimodal {
           SampledFrame(id, i, h)
         })
       }
-    } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
+      // NonFatal: truncated/hostile bytes → fallback; VM errors propagate
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** 60-bit perceptual hash of each payload — STUBBED feature extraction:
     * a real pHash DCTs the decoded pixel grid; with no codec in this
@@ -452,11 +502,7 @@ object Multimodal {
         batch.map { case (id, bytes) =>
           val fromImage: Option[Long] =
             if (!sniffImage(bytes)) None
-            else
-              try {
-                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-                if (img == null) None else Some(aHash60(img))
-              } catch { case _: Throwable => None }
+            else readImageGuarded(bytes).map(aHash60)
           val phash = fromImage.getOrElse {
             md.reset()
             val hex = md.digest(bytes).map(b => f"$b%02x").mkString
@@ -544,10 +590,8 @@ object Multimodal {
     * lossless formats (PNG/BMP/GIF) this is exactly reproducible anywhere.
     */
   private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
+    readImageGuarded(bytes).map { img =>
+      {
         val raster = img.getRaster
         val (w, h, c) = (img.getWidth, img.getHeight, raster.getNumBands)
         var sum = 0L
@@ -561,9 +605,9 @@ object Multimodal {
           }
           y += 1
         }
-        Some((w, h, c, sum.toDouble / (w.toLong * h * c)))
+        (w, h, c, sum.toDouble / (w.toLong * h * c))
       }
-    } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
+    }
 
   /** The non-image fallback: every output derived from the payload byte
     * sum and length so an independent engine can replay it exactly and
@@ -707,7 +751,8 @@ object Multimodal {
           Some((channels, f.getSampleRate.toDouble, nFrames, mean))
         }
       } finally ais.close()
-    } catch { case _: Throwable => None } // truncated/hostile bytes → fallback
+      // NonFatal: truncated/hostile bytes → fallback; VM errors propagate
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Batch audio decode over an (id, payload binary) frame — the audio leg
     * of the multimodal pipeline, same partition-wise shape as
@@ -835,7 +880,7 @@ object Multimodal {
                 val (raw, truncated) = drain(in)
                 InflatedPayload(id, raw, "gzip", bytes.length, raw.length, truncated)
               } finally in.close()
-            } catch { case _: Throwable => passthrough }
+            } catch { case scala.util.control.NonFatal(_) => passthrough }
           } else if (sniffZlib(bytes)) {
             try {
               inflater.reset()
@@ -845,7 +890,7 @@ object Multimodal {
                 val (raw, truncated) = drain(in)
                 InflatedPayload(id, raw, "zlib", bytes.length, raw.length, truncated)
               } finally in.close()
-            } catch { case _: Throwable => passthrough }
+            } catch { case scala.util.control.NonFatal(_) => passthrough }
           } else passthrough
         }
       }

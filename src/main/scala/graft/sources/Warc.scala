@@ -119,7 +119,11 @@ object Warc {
           }
         }
       }
-    } catch { case _: Throwable => () } // malformed tail → keep whole records
+      // NonFatal only: malformed/truncated bytes keep the whole records
+      // parsed so far, but a fatal JVM error (OOM, stack overflow) must
+      // fail the task and retry — swallowing it would silently drop the
+      // file's tail at crawl scale.
+    } catch { case scala.util.control.NonFatal(_) => () }
     out.toSeq
   }
 
@@ -161,21 +165,42 @@ object Warc {
     charsetFromHead(lowerHead(payload))
 
   private def charsetFromHead(head: String): Option[java.nio.charset.Charset] = {
-    if (head.isEmpty) return None
-    val at = head.indexOf("charset=")
+    // anchored to the Content-Type header's own value — a 'charset=' that
+    // merely appears in some OTHER header's text (a Link/Location/Refresh
+    // URL, say) must not pick the decode charset
+    val ct = contentTypeValue(head)
+    if (ct.isEmpty) return None
+    val at = ct.indexOf("charset=")
     if (at < 0) None
     else {
       var e = at + "charset=".length
       // RFC 7231 allows the quoted-string form: charset="iso-8859-1"
-      if (e < head.length && (head.charAt(e) == '"' || head.charAt(e) == '\'')) e += 1
+      if (e < ct.length && (ct.charAt(e) == '"' || ct.charAt(e) == '\'')) e += 1
       val start = e
-      while (e < head.length && (head.charAt(e).isLetterOrDigit ||
-        head.charAt(e) == '-' || head.charAt(e) == '_' ||
-        head.charAt(e) == '.' || head.charAt(e) == ':')) e += 1
-      val name = head.substring(start, e)
+      while (e < ct.length && (ct.charAt(e).isLetterOrDigit ||
+        ct.charAt(e) == '-' || ct.charAt(e) == '_' ||
+        ct.charAt(e) == '.' || ct.charAt(e) == ':')) e += 1
+      val name = ct.substring(start, e)
       try Some(java.nio.charset.Charset.forName(name))
       catch { case _: Exception => None } // unknown label → caller's default
     }
+  }
+
+  /** The full value (media type AND parameters, up to end of line) of the
+    * lowercased head's `Content-Type` header — located at a line start
+    * only, the one anchor [[mediaTypeFromHead]] and [[charsetFromHead]]
+    * share. "" when absent.
+    */
+  private def contentTypeValue(head: String): String = {
+    if (head.isEmpty) return ""
+    val key = "content-type:"
+    var at = head.indexOf(key)
+    while (at > 0 && head.charAt(at - 1) != '\n') at = head.indexOf(key, at + 1)
+    if (at < 0) return ""
+    var e = at + key.length
+    val start = e
+    while (e < head.length && head.charAt(e) != '\r' && head.charAt(e) != '\n') e += 1
+    head.substring(start, e)
   }
 
   /** The HTTP status code on the payload's first line (`HTTP/1.x NNN ...`),
@@ -220,23 +245,12 @@ object Warc {
     mediaTypeFromHead(lowerHead(payload))
 
   private def mediaTypeFromHead(head: String): String = {
-    if (head.isEmpty) return ""
-    val key = "content-type:"
-    // match at a line start only — a header VALUE containing the key text
-    // must not shadow the real header
-    var at = head.indexOf(key)
-    while (at > 0 && head.charAt(at - 1) != '\n') at = head.indexOf(key, at + 1)
-    if (at < 0) return ""
-    var e = at + key.length
-    val start = {
-      var s = e
-      while (s < head.length && (head.charAt(s) == ' ' || head.charAt(s) == '\t')) s += 1
-      s
-    }
-    e = start
-    while (e < head.length && head.charAt(e) != ';' && head.charAt(e) != '\r' &&
-      head.charAt(e) != '\n') e += 1
-    head.substring(start, e).trim
+    // line-start anchored via [[contentTypeValue]] — a header VALUE
+    // containing the key text must not shadow the real header
+    val ct = contentTypeValue(head)
+    if (ct.isEmpty) return ""
+    val semi = ct.indexOf(';')
+    (if (semi < 0) ct else ct.substring(0, semi)).trim
   }
 
   /** `response` records with their HTTP envelope surfaced — (target_uri,

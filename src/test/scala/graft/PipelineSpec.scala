@@ -108,6 +108,22 @@ class PipelineSpec extends SparkTestBase {
     iters shouldBe 1
   }
 
+  test("connectedComponents: null endpoints get identical labels from both tiers") {
+    import spark.implicits._
+    // null is not a node (r17 parity fix): a pair with a null side
+    // contributes its non-null side as an isolated self-labeled node and
+    // emits NO null-id row — from the driver tier AND the distributed loop
+    val edges = Seq(("b", null), (null, "c"), ("x", "a"), (null, null))
+      .toDF("id_a", "id_b")
+    val expect = Map("b" -> "b", "c" -> "c", "a" -> "a", "x" -> "a")
+    for (cap <- Seq(-1L, 0L)) { // default (driver tier at this size) / forced loop
+      val got = Dedup.connectedComponents(edges, driverFinishEdges = cap).collect()
+      got.foreach(r => withClue(s"cap=$cap: ") { r.isNullAt(0) shouldBe false })
+      got.map(r => (r.getString(0), r.getString(1))).toMap shouldBe expect
+      Dedup.clearCheckpoints()
+    }
+  }
+
   test("dropSeenBefore is exact even when the bloom is saturated with false positives") {
     import spark.implicits._
     val history = (0L until 200L).map(i => (i, s"seen text number $i")).toDF("doc_id", "text")
@@ -688,6 +704,52 @@ class PipelineSpec extends SparkTestBase {
       .collect().sortBy(_.frame_idx)
     rawGot.map(_.frame_idx) shouldBe Array(0, 1)
     rawGot.map(_.frame_checksum).distinct.length shouldBe 2
+  }
+
+  test("hostile media payloads: deep RIFF nesting and bomb-sized GIF headers fall back cheaply") {
+    import spark.implicits._
+    def u32le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // 50k-deep pure LIST nesting with one real MJPEG frame at the bottom —
+    // the r16 recursive walk would overflow the JVM stack here; the r17
+    // iterative walk must still recover the frame (a pure nesting chain
+    // costs ZERO continuation-stack entries)
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(
+        6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, 0x335577)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    var body = "00dc".getBytes("US-ASCII") ++ u32le(jpeg.length) ++ jpeg ++
+      (if ((jpeg.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    for (_ <- 1 to 50000)
+      body = "LIST".getBytes("US-ASCII") ++ u32le(body.length + 4) ++
+        "movi".getBytes("US-ASCII") ++ body
+    val deepAvi = "RIFF".getBytes("US-ASCII") ++ u32le(body.length + 4) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+    val deepGot = Multimodal.frameSamplePayload(
+        Seq((1L, deepAvi)).toDF("doc_id", "payload"), maxFrames = 3).collect()
+    deepGot.map(_.frame_idx) shouldBe Array(0) // the buried frame, found
+    // a hand-written GIF declaring a 65535×65535 raster (17 GB ARGB): the
+    // r17 header-dimension guard must take the byte-block fallback without
+    // ever allocating the raster
+    val bombGif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0xff, 0xff, 0xff, 0xff, 0xf0, 0x00, 0x00).map(_.toByte) ++ // LSD 65535×65535 + GCT flag
+      Array.fill(6)(0x00.toByte) ++ // 2-color GCT
+      Array(0x2c, 0x00, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0x00).map(_.toByte) ++ // huge image descriptor
+      Array(0x02, 0x02, 0x44, 0x01, 0x00, 0x3b).map(_.toByte) // stub LZW data + trailer
+    val bombGot = Multimodal.frameSamplePayload(
+        Seq((2L, bombGif)).toDF("doc_id", "payload"), maxFrames = 3).collect()
+    // byte-block fallback shape: one frame per 1000 bytes (the payload is
+    // tiny, so exactly one), checksummed from bytes — not a decoded raster
+    bombGot.map(_.frame_idx) shouldBe Array(0)
+    // the still-image tiers take the same cheap fallback on the bomb header
+    val decoded = Multimodal.decodePayload(
+      Seq((2L, bombGif)).toDF("doc_id", "payload")).collect().head
+    decoded.width should be < 2000 // byte-sum fallback dims, not 65535
   }
 
   test("resize preserves aspect ratio within the bounding box") {

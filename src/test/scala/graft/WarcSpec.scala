@@ -129,6 +129,31 @@ class WarcSpec extends SparkTestBase {
     texts("http://bare/") shouldBe "plain ascii" // no charset → UTF-8 default
   }
 
+  test("charset anchors to the Content-Type header, not any 'charset=' in the head") {
+    // r17: a 'charset=' inside some OTHER header's value (here a Link URL
+    // naming utf-16be) must NOT pick the decode charset — only the
+    // Content-Type header's own parameter does
+    val latin1Body = "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def payload(headers: String): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\n$headers\r\nContent-Length: ${latin1Body.length}\r\n\r\n"
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(head.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      out.write(latin1Body)
+      out.toByteArray
+    }
+    val decoy = payload(
+      "Link: <http://x/?charset=utf-16be>; rel=alternate\r\n" +
+        "Content-Type: text/html; charset=ISO-8859-1")
+    new String(Warc.httpBody(decoy),
+      graft.sources.Warc.httpCharset(decoy).get) shouldBe "café"
+    // a decoy with NO charset on Content-Type falls to the UTF-8 default
+    val decoyOnly = payload(
+      "Link: <http://x/?charset=utf-16be>; rel=alternate\r\nContent-Type: text/html")
+    Warc.httpCharset(decoyOnly) shouldBe None
+    // media type is unaffected by the decoy header
+    Warc.httpMediaType(decoy) shouldBe "text/html"
+  }
+
   test("sitemap parsing: urlset and index entries, entities, hostile input") {
     import graft.sources.Sitemaps
     val leaf = """<?xml version="1.0" encoding="UTF-8"?>
