@@ -19,11 +19,22 @@ import graft.pipeline.Dedup
   * Per round: one join of the symmetrized edge list against last round's
   * labels, one (vertex, label) count aggregation, one `max_by` argmax per
   * vertex — the neighbor-histogram argmax rides the same aggregation, no
-  * per-vertex window sort. Labels cache per round (lineage one round
-  * deep); the per-round edge re-shuffle shares the CC/PageRank
-  * bucketed-edge-table remedy if a real graph ever dominates. Isolated
-  * vertices and self-loop-only neighbors keep their own label (self-loops
-  * are dropped — a vertex does not vote for itself).
+  * per-vertex window sort. The edge table — the BIG side at corpus
+  * scale — is checkpointed PARTITIONED AND SORTED on `src` before the
+  * loop (r17, the [[Dedup.connectedComponents]] / PageRank bucketed-edge
+  * layout applied here too) and never re-shuffles again: each round's
+  * edges⋈labels join sees the hash(src) distribution already satisfied on
+  * the edge side, so the only per-round exchanges are label-sized — the
+  * labels redistribution, the partially-aggregated (dst, label) vote
+  * counts, and the relabel join. AQE is suspended only while the upfront
+  * edge layout is planned (checkpoints created under AQE lose their
+  * carried partitioning); the rounds themselves plan adaptive. Labels
+  * cache per round (lineage one round deep). Isolated vertices and
+  * self-loop-only neighbors keep their own label (self-loops are
+  * dropped — a vertex does not vote for itself).
+  *
+  * Checkpoint blocks register in the shared [[Dedup.clearCheckpoints]]
+  * pool: consume the returned frame, then clear (the CC contract).
   */
 object LabelPropagation {
 
@@ -54,12 +65,25 @@ object LabelPropagation {
       initialLabels: Option[DataFrame] = None,
       driverFinishEdges: Long = -1L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sess = edges.sparkSession
+    val reliable = sess.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+      Dedup.registerCheckpointBlocks(c)
+      c
+    }
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val e = Dedup.cache(directed
+    // one edge shuffle for the whole run: symmetrize + distinct, then lay
+    // out partitioned+sorted on src — the in-session bucketed edge table
+    // (the CC/PageRank layout; AQE off only while this checkpoint plans,
+    // see Dedup.withAqeOff)
+    val e = Dedup.withAqeOff(sess)(ckpt(directed
       .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))))
     val driverCap =
       if (driverFinishEdges >= 0L) driverFinishEdges
       else edges.sparkSession.conf

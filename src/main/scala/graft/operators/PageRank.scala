@@ -84,12 +84,7 @@ object PageRank {
     // their label-sized exchanges coalesce to real parallelism instead of
     // the static shuffle-partition count.
     val sess = edges.sparkSession
-    def withAqeOff[T](body: => T): T = {
-      val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-      sess.conf.set("spark.sql.adaptive.enabled", "false")
-      try body
-      finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    }
+    def withAqeOff[T](body: => T): T = Dedup.withAqeOff(sess)(body)
     // one edge shuffle for the whole run: dedup, then lay out by src — the
     // in-session form of a bucketed+sorted edge table
     val e = withAqeOff(ckpt(edges

@@ -110,6 +110,21 @@ object Dedup {
     checkpointedRdds ++= checkpointRdds(df).map(scala.ref.WeakReference(_))
   }
 
+  /** Plan `body` with AQE suspended — the one-line shared form of the
+    * CC/PageRank/LPA upfront-layout rule: `Dataset.(local)checkpoint`
+    * plans at call time, and under AQE the checkpoint's carried
+    * outputPartitioning comes back UNKNOWN (probe-verified on this
+    * Spark), which would silently re-shuffle the corpus-sized edge table
+    * every round. Only the upfront graph layout plans AQE-off; the
+    * per-round (label-sized) frames stay adaptive.
+    */
+  private[graft] def withAqeOff[T](sess: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   /** Unpersist every frame cached by previous dedup calls (see [[cache]]).
     * Always safe: cached frames recompute transparently if read again.
     * Does NOT touch [[connectedComponents]] checkpoint blocks — those have
@@ -541,12 +556,7 @@ object Dedup {
     // the join requirement with no exchange — verified both ways in
     // PipelineSpec's checkpointed-edge-table plan tests.
     val sess = pairs.sparkSession
-    def withAqeOff[T](body: => T): T = {
-      val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-      sess.conf.set("spark.sql.adaptive.enabled", "false")
-      try body
-      finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    }
+    def withAqeOff[T](body: => T): T = Dedup.withAqeOff(sess)(body)
     val edges = withAqeOff(ckpt(pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),

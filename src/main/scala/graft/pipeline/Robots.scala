@@ -234,15 +234,27 @@ object Robots {
     * sequence deterministically (ordered by path) and space by the host's
     * own `Crawl-delay` (falling back to `defaultDelaySec`) — the
     * (fetch_seq, not_before_sec) pair a fetcher's rate limiter consumes.
-    * Per-host sequential order is INHERENT to politeness, so the window
-    * partitions by host — the natural parallelism of a crawl (hosts are
-    * many, per-host queues are modest); the per-host delay parses each
-    * distinct (host, robots) once, not per row, and a host seen with
-    * CONFLICTING robots bodies (re-fetched at different times) takes the
-    * MAXIMUM declared delay — the conservative politeness choice, and one
-    * delay row per host so the join cannot fan rows out. Rows with a null
-    * host are EXCLUDED (nothing to fetch; the [[graft.pipeline.Urls]]
-    * convention).
+    * Per-host sequential order is INHERENT to politeness, but one task per
+    * host is not: a mega-host (millions of frontier URLs) must not
+    * serialize onto a single window task. `maxPerWave` bounds the rows any
+    * one scheduling task handles — when the frontier exceeds it, rows
+    * range-slice on (host, path) into scheduling WAVES and each host's
+    * fetch_seq is its wave-local row number plus the (tiny, per-(wave,
+    * host)) count of its rows in earlier waves; range slicing keeps a
+    * host's waves contiguous and path-ordered, so the result is BIT-EQUAL
+    * to the single-window form while no task ever sorts more than ~one
+    * wave of rows. Small frontiers (the common per-cycle case; `ceil(n /
+    * maxPerWave) <= 1`) keep the plain one-window-per-host plan with no
+    * extra exchanges. `maxPerWave <= 0` ⇒ session conf
+    * `spark.graft.crawl.maxPerWave` (default 2¹⁸ rows; 0 disables
+    * slicing).
+    *
+    * The per-host delay parses each distinct (host, robots) once, not per
+    * row, and a host seen with CONFLICTING robots bodies (re-fetched at
+    * different times) takes the MAXIMUM declared delay — the conservative
+    * politeness choice, and one delay row per host so the join cannot fan
+    * rows out. Rows with a null host are EXCLUDED (nothing to fetch; the
+    * [[graft.pipeline.Urls]] convention).
     */
   def schedule(
       frontier: DataFrame,
@@ -250,9 +262,10 @@ object Robots {
       defaultDelaySec: Double = 1.0,
       hostCol: String = "host",
       pathCol: String = "path",
-      robotsCol: String = "robots_txt"): DataFrame = {
+      robotsCol: String = "robots_txt",
+      maxPerWave: Long = -1L): DataFrame = {
     require(defaultDelaySec >= 0, s"defaultDelaySec must be >= 0, got $defaultDelaySec")
-    val reserved = Set("__delay", "fetch_seq", "not_before_sec")
+    val reserved = Set("__delay", "__wave", "__wave_rows", "__seq_off", "fetch_seq", "not_before_sec")
     require(!frontier.columns.exists(reserved),
       s"input columns collide with schedule's reserved names: ${frontier.columns.filter(reserved).mkString(", ")}")
     val spark = frontier.sparkSession
@@ -269,14 +282,54 @@ object Robots {
       }
       .toDF(hostCol, "__delay")
       .groupBy(col(hostCol)).agg(max(col("__delay")).as("__delay"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(hostCol)).orderBy(col(pathCol))
-    hosted.join(delays, Seq(hostCol))
-      .select(col(hostCol), col(pathCol),
-        row_number().over(w).as("fetch_seq"),
-        col("__delay"))
-      .select(col(hostCol), col(pathCol), col("fetch_seq"),
-        ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"))
+    val withDelay = hosted.join(delays, Seq(hostCol))
+    val cap =
+      if (maxPerWave > 0) maxPerWave
+      else spark.conf.get("spark.graft.crawl.maxPerWave", (1L << 18).toString).toLong
+    // one cheap aggregate job decides the plan: a frontier that fits one
+    // wave keeps the plain per-host window (no extra exchanges)
+    val nWaves =
+      if (cap <= 0) 1L
+      else {
+        val n = hosted.count()
+        math.min((n + cap - 1) / cap, 1L << 20)
+      }
+    if (nWaves <= 1) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(hostCol)).orderBy(col(pathCol))
+      withDelay
+        .select(col(hostCol), col(pathCol),
+          row_number().over(w).as("fetch_seq"),
+          col("__delay"))
+        .select(col(hostCol), col(pathCol), col("fetch_seq"),
+          ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"))
+    } else {
+      // WAVE slicing: range-partition on (host, path) so every task holds
+      // ~n/nWaves rows, a host's rows span contiguous waves in path order,
+      // and equal keys never split. fetch_seq = wave-local row number +
+      // the host's row count in all earlier waves; the offset table is one
+      // row per (wave, host-in-wave) — at most (hosts + waves) rows, so it
+      // broadcasts. The range exchange is shared by the offset aggregate
+      // and the final join via Spark's exchange reuse.
+      val sliced = withDelay
+        .repartitionByRange(nWaves.toInt, col(hostCol), col(pathCol))
+        .withColumn("__wave", spark_partition_id())
+      val offW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(hostCol)).orderBy(col("__wave"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = sliced.groupBy(col("__wave"), col(hostCol))
+        .agg(count(lit(1)).as("__wave_rows"))
+        .select(col("__wave"), col(hostCol),
+          coalesce(sum(col("__wave_rows")).over(offW), lit(0L)).as("__seq_off"))
+      val localW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__wave"), col(hostCol)).orderBy(col(pathCol))
+      sliced.join(broadcast(offsets), Seq("__wave", hostCol))
+        .select(col(hostCol), col(pathCol),
+          (row_number().over(localW) + col("__seq_off")).cast("int").as("fetch_seq"),
+          col("__delay"))
+        .select(col(hostCol), col(pathCol), col("fetch_seq"),
+          ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"))
+    }
   }
 
   /** [[withAllowed]]'s filtering form: keep only the frontier rows the

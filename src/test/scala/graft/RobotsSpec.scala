@@ -146,6 +146,41 @@ class RobotsSpec extends SparkTestBase {
       Robots.schedule(frontier.withColumn("fetch_seq", lit(1)), "graft")
   }
 
+  test("schedule wave cap: a hot host spanning several waves is bit-equal to one window") {
+    val withDelay = "User-agent: graft\nCrawl-delay: 2.5\nDisallow: /x"
+    // hot.com floods the frontier (13 rows); tiny.org rides along. With
+    // maxPerWave = 3 the frontier range-slices into ≥ 5 waves, so the hot
+    // host spans several scheduling tasks — and the (fetch_seq,
+    // not_before_sec) output must be EXACTLY the single-window result
+    // (same row numbers, same delay arithmetic).
+    val rows =
+      (1 to 13).map(i => ("hot.com", f"/p$i%03d", withDelay)) ++
+        Seq(("tiny.org", "/a", null.asInstanceOf[String]),
+          ("tiny.org", "/b", null.asInstanceOf[String]))
+    val frontier = rows.toDF("host", "path", "robots_txt")
+    def run(cap: Long) =
+      Robots.schedule(frontier, "graft", defaultDelaySec = 1.0, maxPerWave = cap)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val sliced = run(3L)
+    val single = run(0L) // slicing disabled: the plain per-host window
+    sliced shouldBe single
+    // sanity on the arithmetic itself: fetch_seq is dense per host in path
+    // order and spacing multiplies the host's own delay
+    sliced.filter(_._1 == "hot.com").map(_._3) shouldBe (1 to 13).toArray
+    sliced.find(t => t._1 == "hot.com" && t._2 == "/p013").get._4 shouldBe 12 * 2.5
+    sliced.filter(_._1 == "tiny.org").map(_._3) shouldBe Array(1, 2)
+    // the sliced plan really does split the hot host: with the cap at 3,
+    // no single task holds all 13 of its rows
+    val plan = Robots.schedule(frontier, "graft", maxPerWave = 3L)
+      .queryExecution.executedPlan.toString
+    plan should include("rangepartitioning")
+    // the session-conf default engages when maxPerWave is not passed
+    spark.conf.set("spark.graft.crawl.maxPerWave", "3")
+    try run(-1L) shouldBe single
+    finally spark.conf.unset("spark.graft.crawl.maxPerWave")
+  }
+
   test("frontier loop: html_links → canonicalize → host → robots gate → schedule") {
     import graft.functions.HtmlFunctions.htmlLinks
     import graft.pipeline.Urls
