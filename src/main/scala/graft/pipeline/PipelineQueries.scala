@@ -66,8 +66,53 @@ object PipelineQueries {
     */
   def warmup(s: SparkSession, dir: String): Unit = {
     annIndexPath(s, dir); ivfIndexPath(s, dir); pqCodebooks(s, dir)
-    semanticCentroids(s, dir); ()
+    semanticCentroids(s, dir); crawlWarcPath(s, dir); ()
   }
+
+  /** The q_crawl_frontier fixture: one crawl CYCLE's archive. Each
+    * documents row (doc_id < 400) is one fetched page — an HTTP response
+    * record on a 5-host web (`https://h{id%5}.example/doc/{id}`), rendered
+    * as a member-gzipped WARC file once per sf dir (warmup pays the
+    * write). Every field is doc_id arithmetic so the DuckDB oracle can
+    * reconstruct the archive without parsing anything:
+    *
+    *   - id % 7 == 0  → 404 (the status gate must drop it)
+    *   - id % 11 == 3 → text/plain (the media-type gate must drop it)
+    *   - every kept page links: a FRESH url needing canonicalization
+    *     (uppercase scheme+host, a tracking param to strip, an `&amp;`
+    *     entity to decode), a MAYBE-SEEN url that hits the crawl's own
+    *     already-fetched URI set exactly when (id+2)%5 == (2·id)%5, and a
+    *     same-host /private/ url the robots gate must deny.
+    */
+  private val crawlWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def crawlWarcPath(s: SparkSession, dir: String): String =
+    crawlWarcDirs.getOrElseUpdate(dir, {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_crawl_warc_${math.abs(dir.hashCode)}"
+      val ids = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 400)
+        .collect().map(_.getLong(0)).sorted
+      val records = ids.toIndexedSeq.map { id =>
+        val h = id % 5
+        val status = if (id % 7 == 0) "404 Not Found" else "200 OK"
+        val ctype =
+          if (id % 11 == 3) "text/plain; charset=utf-8" else "text/html; charset=utf-8"
+        val body =
+          s"""<html><body><p><a href="HTTPS://H${(3 * id + 1) % 5}.EXAMPLE/new/$id?utm_source=x&amp;q=${id % 13}">fresh</a> """ +
+            s"""<a href="https://h${(id + 2) % 5}.example/doc/${(id * 17 + 5) % 400}">maybe seen</a> """ +
+            s"""<a href="https://h$h.example/private/$id">secret</a></p></body></html>"""
+        val bodyBytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val head = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n" +
+          s"Content-Length: ${bodyBytes.length}\r\n\r\n"
+        ("response", s"https://h$h.example/doc/$id", "2026-01-01T00:00:00Z",
+          "application/http; msgtype=response",
+          head.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ bodyBytes)
+      }
+      val bytes = graft.sources.Warc.render(records, gzipMembers = true)
+      val p = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("part-00000.warc.gz"), bytes)
+      path
+    })
 
   /** ANN index builds memoized per sf dir (one write per JVM; probes reuse
     * the partitioned layouts). The PQ codebooks are the same ETL class —
@@ -472,6 +517,36 @@ object PipelineQueries {
         concat(lit("/doc/"), col("doc_id")).as("path"),
         robots.as("robots_txt"))
       Robots.schedule(frontier, userAgent = "graft")
+    }),
+    // the full crawl CYCLE, end to end — what a crawl operator actually
+    // runs, every stage an operator already oracle-gated in isolation:
+    // WARC archive → HTTP envelope → 200 + text/html gate → html_links →
+    // canonicalizeUrl → hostOf → seen-set drop against the cycle's own
+    // fetched URIs (bloom + exact confirm) → robots gate (h1 declares a
+    // graft group with Crawl-delay 2.5; every host denies /private/) →
+    // politeness schedule. The DuckDB oracle replays the whole chain as
+    // one CTE pipeline over the same doc_id arithmetic.
+    "q_crawl_frontier" -> ((s, dir) => {
+      val resp = graft.sources.Warc.responses(
+        graft.sources.Warc.read(s, crawlWarcPath(s, dir)))
+      val pages = resp.filter(col("status") === 200 && col("media_type") === "text/html")
+      val links = pages.select(explode(
+          graft.functions.HtmlFunctions.htmlLinks(col("body"))).as("url"))
+        .select(Urls.canonicalizeUrl(col("url")).as("url"))
+      val history = resp.select(Urls.canonicalizeUrl(col("target_uri")).as("url"))
+      val unseen = Dedup.dropSeenBefore(links, history, idCol = "url", textCol = "url",
+        expectedItems = 4096)
+      val robots = s.range(0, 5).select(
+        concat(lit("h"), col("id"), lit(".example")).as("host"),
+        when(col("id") === 1,
+          lit("User-agent: graft\nCrawl-delay: 2.5\nDisallow: /private/"))
+          .otherwise(lit("User-agent: *\nDisallow: /private/")).as("robots_txt"))
+      val frontier = unseen.select(col("url"),
+          Urls.hostOf(col("url")).as("host"),
+          regexp_replace(col("url"), "^[a-z]+://[^/]*", "").as("path"))
+        .join(robots, Seq("host"), "left")
+      Robots.schedule(Robots.filterAllowed(frontier, userAgent = "graft"),
+        userAgent = "graft")
     }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
@@ -1645,6 +1720,31 @@ object PipelineQueries {
         "(PARTITION BY host ORDER BY path) AS INTEGER) AS fetch_seq FROM f) " +
         "SELECT host, path, fetch_seq, CAST(fetch_seq - 1 AS DOUBLE) * " +
         "(CASE WHEN host = 'h0' THEN 3.5 ELSE 1.0 END) AS not_before_sec FROM seq"),
+    // the crawl-cycle chain replayed stage for stage from the fixture's
+    // doc_id arithmetic: page gates (status, media type) → the three
+    // emitted links in their post-canonicalization form (host lowered,
+    // utm param stripped, entity decoded) → NOT IN the fetched-URI set →
+    // /private/ denied → per-host row_number × the host's crawl delay
+    "q_crawl_frontier" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400), " +
+        "kept AS (SELECT doc_id FROM d WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3), " +
+        "links AS (" +
+        "SELECT 'https://h' || CAST((3 * doc_id + 1) % 5 AS VARCHAR) || '.example/new/' || " +
+        "CAST(doc_id AS VARCHAR) || '?q=' || CAST(doc_id % 13 AS VARCHAR) AS url FROM kept " +
+        "UNION ALL SELECT 'https://h' || CAST((doc_id + 2) % 5 AS VARCHAR) || '.example/doc/' || " +
+        "CAST((doc_id * 17 + 5) % 400 AS VARCHAR) FROM kept " +
+        "UNION ALL SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/private/' || " +
+        "CAST(doc_id AS VARCHAR) FROM kept), " +
+        "hist AS (SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/doc/' || " +
+        "CAST(doc_id AS VARCHAR) AS url FROM d), " +
+        "unseen AS (SELECT url FROM links WHERE url NOT IN (SELECT url FROM hist)), " +
+        "f AS (SELECT regexp_extract(url, '^https://([^/]*)', 1) AS host, " +
+        "regexp_replace(url, '^[a-z]+://[^/]*', '') AS path FROM unseen " +
+        "WHERE url NOT LIKE '%/private/%'), " +
+        "seq AS (SELECT host, path, CAST(row_number() OVER " +
+        "(PARTITION BY host ORDER BY path) AS INTEGER) AS fetch_seq FROM f) " +
+        "SELECT host, path, fetch_seq, CAST(fetch_seq - 1 AS DOUBLE) * " +
+        "(CASE WHEN host = 'h1.example' THEN 2.5 ELSE 1.0 END) AS not_before_sec FROM seq"),
     "q_dedup_semantic_planted" -> plantedEmbOracle,
     "q_dedup_semantic_drop" -> s"SELECT vec_id FROM embeddings WHERE vec_id < $NDistract",
     "q_text_histogram" -> ("SELECT CAST(floor(CAST(len(string_split(text, ' ')) AS DOUBLE) " +

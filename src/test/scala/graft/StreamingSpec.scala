@@ -235,6 +235,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming crawl frontier: envelope gate → links → canonicalize → seen-drop → robots, stateless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions.{col, explode, lit, regexp_replace}
+    // the q_crawl_frontier chain minus the (inherently batch, windowed)
+    // schedule step, composed onto a STREAM of fetched responses: every
+    // stage is per-row or stream-static, so the query holds no state —
+    // the ingest form a continuous crawler runs between fetch and queue
+    val input = MemoryStream[(String, Int, String, String)] // uri, status, media_type, body
+    val resp = input.toDF().toDF("target_uri", "status", "media_type", "body")
+    val links = resp
+      .filter(col("status") === 200 && col("media_type") === "text/html")
+      .select(explode(graft.functions.HtmlFunctions.htmlLinks(col("body"))).as("url"))
+      .select(graft.pipeline.Urls.canonicalizeUrl(col("url")).as("url"))
+    // seen-set drop: a stream-static LEFT ANTI join against the crawl
+    // history is evaluated per batch with no state store
+    val history = Seq("https://a.com/doc/1").toDF("url")
+    val frontier = links.join(history, Seq("url"), "left_anti")
+      .select(col("url"),
+        graft.pipeline.Urls.hostOf(col("url")).as("host"),
+        regexp_replace(col("url"), "^[a-z]+://[^/]*", "").as("path"))
+      .withColumn("robots_txt", lit("User-agent: *\nDisallow: /private/"))
+    val allowed = graft.pipeline.Robots.filterAllowed(frontier, "graft")
+      .select("host", "path")
+    val query = allowed.writeStream.format("memory").queryName("frontier_stream")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(
+        // canonicalization makes the first link EQUAL the history row
+        // (host lowers, tracking param strips) → seen-dropped; the
+        // /private/ link is robots-denied; /new/1 survives
+        ("https://a.com/doc/0", 200, "text/html",
+          "<a href='HTTPS://A.COM/doc/1?utm_source=x'>seen</a>" +
+            "<a href='https://b.com/new/1'>fresh</a>" +
+            "<a href='https://a.com/private/z'>secret</a>"),
+        ("https://a.com/doc/9", 404, "text/html", "<a href='https://c.com/x'>gone</a>"),
+        ("https://a.com/doc/8", 200, "application/pdf", "<a href='https://c.com/y'>bin</a>"))
+      query.processAllAvailable()
+      input.addData(
+        ("https://b.com/doc/2", 200, "text/html", "<a href='https://b.com/new/2'>f2</a>"))
+      query.processAllAvailable()
+      s.table("frontier_stream").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+        Set(("b.com", "/new/1"), ("b.com", "/new/2"))
+      query.lastProgress.stateOperators shouldBe empty
+    }
+  }
+
   test("ingestion-time curation (redact + quality gate) is stateless") {
     val s = spark
     import s.implicits._
