@@ -527,8 +527,14 @@ object PipelineQueries {
     // politeness schedule. The DuckDB oracle replays the whole chain as
     // one CTE pipeline over the same doc_id arithmetic.
     "q_crawl_frontier" -> ((s, dir) => {
-      val resp = graft.sources.Warc.responses(
-        graft.sources.Warc.read(s, crawlWarcPath(s, dir)))
+      // resp is read by four consumers (page gate, seen-history, and
+      // dropSeenBefore's two-pass split) and schedule scans its input
+      // three times (delays, wave count, window) — both cache so the
+      // gzip WARC parses once and the link chain runs once per rep, not
+      // per downstream job (job count, not data, is the cost at this
+      // fixture size; the frames are crawl-cycle-bounded)
+      val resp = Dedup.cache(graft.sources.Warc.responses(
+        graft.sources.Warc.read(s, crawlWarcPath(s, dir))))
       val pages = resp.filter(col("status") === 200 && col("media_type") === "text/html")
       val links = pages.select(explode(
           graft.functions.HtmlFunctions.htmlLinks(col("body"))).as("url"))
@@ -545,8 +551,8 @@ object PipelineQueries {
           Urls.hostOf(col("url")).as("host"),
           regexp_replace(col("url"), "^[a-z]+://[^/]*", "").as("path"))
         .join(robots, Seq("host"), "left")
-      Robots.schedule(Robots.filterAllowed(frontier, userAgent = "graft"),
-        userAgent = "graft")
+      val allowed = Dedup.cache(Robots.filterAllowed(frontier, userAgent = "graft"))
+      Robots.schedule(allowed, userAgent = "graft")
     }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_text_bpe" -> ((s, dir) => TextAnalysis.bpeTokenStats(docs(s, dir))),
