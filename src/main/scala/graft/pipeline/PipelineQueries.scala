@@ -518,6 +518,31 @@ object PipelineQueries {
         robots.as("robots_txt"))
       Robots.schedule(frontier, userAgent = "graft")
     }),
+    // SURT frontier keys: scheme dropped, host lowered/de-www'd/de-ported
+    // and label-REVERSED — the web-archive ecosystem's sort-friendly URL
+    // key (one domain's URLs sort adjacent). Even ids exercise the full
+    // transform (mixed case, www, default port, query string); odd ids
+    // are non-URLs and must pass through unchanged
+    "q_crawl_surt" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Urls.surtKey(
+          when(col("doc_id") % 2 === 0,
+            concat(lit("HTTP://WWW.h"), col("doc_id") % 7,
+              lit(".News.Example.COM:80/p/"), col("doc_id"),
+              lit("?q="), col("doc_id") % 3))
+            .otherwise(concat(lit("not a url "), col("doc_id")))).as("surt"))),
+    // sitemap DISCOVERY from robots.txt: the RFC 9309 "other records"
+    // rule — Sitemap lines are global, field name case-insensitive,
+    // comments strip, URL values split at the FIRST colon only
+    "q_crawl_sitemap_disc" -> ((s, dir) => {
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /x\nSitemap: https://h"), col("doc_id") % 5,
+        lit(".example/sm/"), col("doc_id"),
+        lit(".xml\nSITEMAP: https://h"), col("doc_id") % 5,
+        lit(".example/sitemap-index.xml # primary index"))
+      Robots.discoverSitemaps(
+        docs(s, dir).select(col("doc_id"), robots.as("robots_txt")))
+    }),
     // the full crawl CYCLE, end to end — what a crawl operator actually
     // runs, every stage an operator already oracle-gated in isolation:
     // WARC archive → HTTP envelope → 200 + text/html gate → html_links →
@@ -1726,6 +1751,20 @@ object PipelineQueries {
         "(PARTITION BY host ORDER BY path) AS INTEGER) AS fetch_seq FROM f) " +
         "SELECT host, path, fetch_seq, CAST(fetch_seq - 1 AS DOUBLE) * " +
         "(CASE WHEN host = 'h0' THEN 3.5 ELSE 1.0 END) AS not_before_sec FROM seq"),
+    // SURT replay: the construction is doc_id arithmetic, so the oracle
+    // states the reversed-host result directly
+    "q_crawl_surt" -> ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN " +
+      "'com,example,news,h' || CAST(doc_id % 7 AS VARCHAR) || ')/p/' || " +
+      "CAST(doc_id AS VARCHAR) || '?q=' || CAST(doc_id % 3 AS VARCHAR) " +
+      "ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS surt FROM documents"),
+    // sitemap discovery replay: two directives per body in file order —
+    // the lowercase one with a per-doc path, the uppercase one with a
+    // trailing comment to strip
+    "q_crawl_sitemap_disc" ->
+      ("SELECT doc_id, 0 AS sitemap_idx, 'https://h' || CAST(doc_id % 5 AS VARCHAR) || " +
+        "'.example/sm/' || CAST(doc_id AS VARCHAR) || '.xml' AS sitemap_url FROM documents " +
+        "UNION ALL SELECT doc_id, 1, 'https://h' || CAST(doc_id % 5 AS VARCHAR) || " +
+        "'.example/sitemap-index.xml' FROM documents"),
     // the crawl-cycle chain replayed stage for stage from the fixture's
     // doc_id arithmetic: page gates (status, media type) → the three
     // emitted links in their post-canonicalization form (host lowered,

@@ -85,6 +85,48 @@ object Robots {
     groups.toSeq
   }
 
+  /** The `Sitemap:` directives of a robots.txt body, in file order — the
+    * sitemap DISCOVERY step of a crawl (fetch these, then
+    * [[graft.sources.Sitemaps.entries]] parses what comes back). Per RFC
+    * 9309 §2.3 sitemap lines are "other records": GLOBAL to the file, not
+    * scoped to any user-agent group, so no group selection applies. Field
+    * name case-insensitive; comments strip at `#` ([[parse]]'s rule); the
+    * value keeps its own `:` (URLs split at the FIRST colon only).
+    */
+  def sitemapUrls(robotsTxt: String): Seq[String] =
+    robotsTxt.split("\n", -1).toSeq.flatMap { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+
+  /** [[sitemapUrls]] over a (id, robots body) frame: one output row per
+    * discovered sitemap URL, `sitemap_idx` its file-order position.
+    * Partition-wise flatMap (null bodies discover nothing).
+    */
+  def discoverSitemaps(
+      frontier: DataFrame,
+      idCol: String = "doc_id",
+      robotsCol: String = "robots_txt"): DataFrame = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    frontier.select(col(idCol).cast("long"), col(robotsCol))
+      .as[(Long, String)]
+      .flatMap { case (id, robots) =>
+        if (robots == null) Seq.empty
+        else sitemapUrls(robots).zipWithIndex.map { case (u, i) => (id, i, u) }
+      }
+      .toDF(idCol, "sitemap_idx", "sitemap_url")
+  }
+
   /** The `Crawl-delay` seconds the applicable group (same selection rule
     * as [[isAllowed]]) declares for this crawler, or None — the per-host
     * politeness interval a frontier scheduler feeds its rate limiter.

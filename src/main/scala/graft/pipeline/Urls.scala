@@ -67,6 +67,26 @@ object Urls {
         ":[0-9]+$", ""),
       "^www\\.", "")
 
+  /** The SURT (Sort-friendly URI Reordering Transform) key of a URL column —
+    * the canonical frontier/index key the web-archive ecosystem uses
+    * (Common Crawl's URL indexes are SURT-ordered): scheme dropped, host
+    * lowercased with port and leading `www.` stripped (the [[hostOf]]
+    * rules), host labels REVERSED and comma-joined, then `)` and the
+    * original path+query. `http://WWW.News.Example.com:80/a?q` →
+    * `com,example,news)/a?q`. Reversed-host order sorts one registrable
+    * domain's URLs adjacent, which is what makes range-partitioned
+    * frontier dedup and per-domain scans contiguous at archive scale.
+    * Non-URL strings (no `scheme://`) pass through unchanged, the
+    * [[canonicalizeUrl]] convention. Pure column algebra — map-side,
+    * codegen, replayable by any engine with split/reverse/join.
+    */
+  def surtKey(url: Column): Column = {
+    val host = hostOf(url)
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    when(host === "", url)
+      .otherwise(concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), rest))
+  }
+
   /** Host-level dedup: one row per host with the representative (minimum)
     * id and the document count — [[Dedup.exact]]'s shape keyed on
     * [[hostOf]] instead of content. One hash groupBy on the (short) host

@@ -181,6 +181,56 @@ class RobotsSpec extends SparkTestBase {
     finally spark.conf.unset("spark.graft.crawl.maxPerWave")
   }
 
+  test("schedule wave slicing is bit-equal to the single window on random frontiers") {
+    // randomized form of the hot-host test: any frontier shape × any cap
+    // must reproduce the single-window schedule exactly (duplicated
+    // (host, path) rows are indistinguishable, so the output MULTISET is
+    // deterministic even where row_number's tie order is not)
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 3) {
+      val nHosts = 1 + rnd.nextInt(4)
+      val rows = (1 to 20 + rnd.nextInt(60)).map { _ =>
+        val h = rnd.nextInt(nHosts)
+        (s"host$h.com", "/" + rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString,
+          if (h == 0) "User-agent: *\nCrawl-delay: 2" else null.asInstanceOf[String])
+      }
+      val frontier = rows.toDF("host", "path", "robots_txt")
+      def run(cap: Long) =
+        Robots.schedule(frontier, "graft", maxPerWave = cap)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+          .sorted
+      val single = run(0L)
+      for (cap <- Seq(1L, 3L, 7L)) run(cap) shouldBe single
+    }
+  }
+
+  test("sitemap discovery: RFC 9309 'other records' — global, case-insensitive, comment-stripped") {
+    val body = "Sitemap: https://a.com/sm1.xml\n" +    // before any group: still global
+      "User-agent: graft\nDisallow: /x\n" +
+      "SITEMAP: https://a.com/sm2.xml # the index\n" + // inside a group, uppercase, comment
+      "User-agent: *\nDisallow: /\n" +
+      "sitemap:https://a.com/sm3.xml\n" +              // no space after the colon
+      "Sitemap:\n" +                                   // empty value: skipped
+      "# Sitemap: https://a.com/commented-out.xml"
+    Robots.sitemapUrls(body) shouldBe
+      Seq("https://a.com/sm1.xml", "https://a.com/sm2.xml", "https://a.com/sm3.xml")
+    // the URL's own colon does not split the field (first colon only)
+    Robots.sitemapUrls("Sitemap: http://h:8080/s.xml") shouldBe Seq("http://h:8080/s.xml")
+    Robots.sitemapUrls("") shouldBe Seq.empty
+    // a Sitemap line between User-agent lines still must not split group
+    // merging (parse ignores it entirely)
+    val merged = Robots.parse(
+      "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nDisallow: /q")
+    merged.length shouldBe 1
+    merged.head.agents shouldBe Seq("a", "b")
+    // frame form: one row per discovery in file order, null bodies yield none
+    val frames = Seq((1L, body), (2L, null.asInstanceOf[String])).toDF("doc_id", "robots_txt")
+    Robots.discoverSitemaps(frames)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq shouldBe
+      Seq((1L, 0, "https://a.com/sm1.xml"), (1L, 1, "https://a.com/sm2.xml"),
+        (1L, 2, "https://a.com/sm3.xml"))
+  }
+
   test("frontier loop: html_links → canonicalize → host → robots gate → schedule") {
     import graft.functions.HtmlFunctions.htmlLinks
     import graft.pipeline.Urls

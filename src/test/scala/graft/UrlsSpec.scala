@@ -98,4 +98,27 @@ class UrlsSpec extends SparkTestBase {
     Urls.dedupByHost(docs, "doc_id", "url")
       .as[(String, Long, Long)].collect().toSet shouldBe Set(("a.com", 1L, 1L))
   }
+
+  test("surtKey reverses host labels behind the hostOf normalization") {
+    def surt(u: String): String =
+      Seq(u).toDF("url").select(Urls.surtKey($"url")).as[String].collect().head
+    // full transform: scheme dropped, case lowered, www and default port
+    // stripped, labels reversed, path+query kept verbatim
+    surt("HTTP://WWW.News.Example.COM:80/a/B?q=1") shouldBe "com,example,news)/a/B?q=1"
+    surt("https://example.com/") shouldBe "com,example)/"
+    // no path: rest is empty (the key still sorts with its domain)
+    surt("https://sub.example.org") shouldBe "org,example,sub)"
+    // single-label hosts reverse to themselves
+    surt("http://localhost:8080/x") shouldBe "localhost)/x"
+    // a fragment is part of neither host nor the kept rest? it IS kept —
+    // surtKey is a key transform, not a canonicalizer; compose with
+    // canonicalizeUrl for fragment/tracking hygiene
+    surt("http://a.com/x#top") shouldBe "com,a)/x#top"
+    val canon = Seq("http://a.com/x?utm_source=f#top").toDF("url")
+      .select(Urls.surtKey(Urls.canonicalizeUrl($"url"))).as[String].collect().head
+    canon shouldBe "com,a)/x"
+    // non-URLs pass through unchanged (the canonicalizeUrl convention)
+    surt("not a url") shouldBe "not a url"
+    surt("") shouldBe ""
+  }
 }
