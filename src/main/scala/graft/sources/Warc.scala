@@ -70,12 +70,21 @@ object Warc {
         64 * 1024)
 
       // one header/separator line, CRLF or LF, ISO-8859-1 (headers are
-      // ASCII); null at EOF
+      // ASCII); null at EOF — or past the line cap: a gzip bomb whose
+      // expansion never reaches a newline must stop the parse at a
+      // bounded buffer, not grow the builder until the executor OOMs
+      // (with NonFatal-only catching, that OOM would fail-and-retry the
+      // task forever on the same deterministic input)
+      val maxLineChars = 1 << 20
       def readLine(): String = {
         val sb = new java.lang.StringBuilder
         var c = in.read()
         if (c < 0) return null
-        while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+        while (c >= 0 && c != '\n') {
+          if (sb.length() >= maxLineChars) return null // malformed: stop at whole records
+          sb.append(c.toChar)
+          c = in.read()
+        }
         val s = sb.toString
         if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1)
         else s

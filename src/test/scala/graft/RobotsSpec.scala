@@ -175,6 +175,10 @@ class RobotsSpec extends SparkTestBase {
     val plan = Robots.schedule(frontier, "graft", maxPerWave = 3L)
       .queryExecution.executedPlan.toString
     plan should include("rangepartitioning")
+    // the per-(wave, host) offset table joins as a BROADCAST (it is
+    // hosts+waves-sized by construction) — the frontier side must not
+    // shuffle again for it
+    plan should include("BroadcastHashJoin")
     // the session-conf default engages when maxPerWave is not passed
     spark.conf.set("spark.graft.crawl.maxPerWave", "3")
     try run(-1L) shouldBe single

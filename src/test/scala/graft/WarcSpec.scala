@@ -51,6 +51,19 @@ class WarcSpec extends SparkTestBase {
     new String(Warc.httpBody(parsed(1).payload), "UTF-8") shouldBe "small"
   }
 
+  test("a newline-free line bomb stops the parse at the cap, keeping prior records") {
+    // r17: a header "line" that never ends (the no-newline gzip-bomb
+    // shape) must terminate at the bounded line buffer instead of
+    // growing until OOM — records before it stay parsed
+    val good = Warc.render(Seq(
+      ("response", "http://ok/", "2026-01-01T00:00:00Z", "text/plain",
+        "fine".getBytes("UTF-8"))), gzipMembers = false)
+    val bomb = good ++ ("W" * (3 << 20)).getBytes("ISO-8859-1") // 3 MB, no newline
+    val recs = Warc.parseRecords("f", bomb, 1 << 20)
+    recs.length shouldBe 1
+    recs.head.target_uri shouldBe "http://ok/"
+  }
+
   test("malformed tail keeps the whole records before it") {
     val good = Warc.render(Seq(rec("http://ok/", "fine")), gzipMembers = false)
     val broken = good ++ "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes("UTF-8")
