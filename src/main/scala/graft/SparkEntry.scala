@@ -296,6 +296,31 @@ object SparkEntry {
       path
     })
 
+  /** The same bounded documents slice written through the DISTRIBUTED
+    * WARC sink ([[sources.WarcSink]] — DSv2 batch write, one archive file
+    * per partition, job-commit rename): the write is the ETL step
+    * (memoized, warmup pays it); the query reads the archive back. HTTP
+    * envelopes are built IN-PLAN (binary concat with a computed
+    * Content-Length), so the whole write path is executor-side — no
+    * driver render anywhere.
+    */
+  private val sinkWarcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sinkWarc(s: SparkSession, dir: String): String =
+    sinkWarcDirs.getOrElseUpdate(dir, {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sink_warc_${math.abs(dir.hashCode)}"
+      val head = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\nContent-Length: "),
+        length(col("text").cast("binary")).cast("string"), lit("\r\n\r\n"))
+      val slice = t(s, dir, "documents").filter(col("doc_id") < 500).select(
+        concat(lit("urn:graft:doc:"), col("doc_id")).as("target_uri"),
+        concat(head.cast("binary"), col("text").cast("binary")).as("payload"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"))
+      sources.WarcSink.write(slice.repartition(4), path)
+      path
+    })
+
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1: in-memory (local) table scan — rows collected to the driver and
     // re-registered as a local DataFrame, ≡ the reference's MemTable.
@@ -332,6 +357,18 @@ object SparkEntry {
     // payload framing, and body extraction are all lossless.
     "q_source_warc" -> ((s, dir) => {
       val recs = sources.Warc.read(s, convertedWarc(s, dir))
+      sources.Warc.responseTexts(recs).select(
+        regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("body").as("text"))
+    }),
+    // the WRITE side of the same contract: the slice goes out through the
+    // distributed DSv2 WARC sink (one member-gzipped archive per
+    // partition, executor-side envelope construction) and comes back
+    // through the reader — a hash match against the original parquet
+    // proves the sink's framing/commit path is lossless too
+    "q_sink_warc" -> ((s, dir) => {
+      val recs = sources.Warc.read(s, sinkWarc(s, dir))
       sources.Warc.responseTexts(recs).select(
         regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
@@ -828,6 +865,7 @@ object SparkEntry {
     "q_source_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
     "q_source_orc" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
     "q_source_warc" -> "SELECT doc_id, text FROM documents WHERE doc_id < 500",
+    "q_sink_warc" -> "SELECT doc_id, text FROM documents WHERE doc_id < 500",
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away

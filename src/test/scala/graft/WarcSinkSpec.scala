@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Warc, WarcSink}
+
+/** The distributed WARC archive sink: DSv2 batch write, one file per
+  * partition, job-commit rename semantics, byte-parity with the reader.
+  */
+class WarcSinkSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def mkPayloads(n: Int) =
+    (0 until n).map { i =>
+      (s"https://h${i % 3}.example/doc/$i",
+        Warc.httpResponse(s"body number $i with é".getBytes("UTF-8"),
+          "text/html; charset=utf-8"))
+    }
+
+  test("write → read round trip across several partitions, gzip and plain") {
+    for (gz <- Seq(true, false)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_warcsink_$gz").toString
+      val in = mkPayloads(20).toDF("target_uri", "payload")
+        .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
+        .repartition(4)
+      WarcSink.write(in, dir, gzipMembers = gz)
+      // one archive file per non-empty partition, nothing temporary left
+      // (dot-prefixed .crc sidecars are the local ChecksumFileSystem's —
+      // hidden files, invisible to Spark's listing)
+      val files = new java.io.File(dir).listFiles.map(_.getName)
+        .filterNot(_.startsWith(".")).sorted
+      files.length should be <= 4
+      files.foreach(f => f should startWith("part-"))
+      files.foreach(_ should endWith(if (gz) ".warc.gz" else ".warc"))
+      // the reader recovers every record byte-exactly (charset-aware body)
+      val back = Warc.responses(Warc.read(spark, dir))
+        .select(col("target_uri"), col("body"))
+        .as[(String, String)].collect().toMap
+      back.size shouldBe 20
+      (0 until 20).foreach { i =>
+        back(s"https://h${i % 3}.example/doc/$i") shouldBe s"body number $i with é"
+      }
+      // record envelope fields survive too
+      val rec = Warc.read(spark, dir).filter(_.record_idx >= 0).head()
+      rec.warc_type shouldBe "response"
+      rec.warc_date shouldBe "2026-01-01T00:00:00Z"
+    }
+  }
+
+  test("overwrite replaces previous archives; append adds to them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcsink_mode").toString
+    val first = mkPayloads(6).toDF("target_uri", "payload").repartition(2)
+    WarcSink.write(first, dir)
+    Warc.read(spark, dir).count() shouldBe 6
+    // overwrite: old part files go away in the installing commit
+    val second = mkPayloads(4).toDF("target_uri", "payload").repartition(1)
+    WarcSink.write(second, dir)
+    Warc.read(spark, dir).count() shouldBe 4
+    // append: fresh query id → new files alongside, no name collisions
+    WarcSink.write(second, dir, overwrite = false)
+    Warc.read(spark, dir).count() shouldBe 8
+  }
+
+  test("hostile header values cannot inject records; empty partitions write no file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcsink_evil").toString
+    val evilUri = "https://evil/\r\nWARC-Type: injected\r\nContent-Length: 0"
+    val in = Seq((evilUri, "payload".getBytes("UTF-8")))
+      .toDF("target_uri", "payload")
+      .repartition(8) // 7 empty partitions
+    WarcSink.write(in, dir)
+    val recs = Warc.read(spark, dir).collect()
+    recs.length shouldBe 1 // the injection did NOT become a second record
+    recs.head.warc_type shouldBe "response"
+    recs.head.target_uri should not include "\r"
+    new String(recs.head.payload, "UTF-8") shouldBe "payload"
+    new java.io.File(dir).listFiles.count(_.getName.startsWith("part-")) shouldBe 1
+  }
+
+  test("schema validation rejects frames without the required columns") {
+    val bad = Seq((1L, "x")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      WarcSink.write(bad, java.nio.file.Files.createTempDirectory("graft_ws_bad").toString)
+  }
+}
