@@ -77,6 +77,34 @@ class WarcSinkSpec extends SparkTestBase {
     new java.io.File(dir).listFiles.count(_.getName.startsWith("part-")) shouldBe 1
   }
 
+  test("streaming archive: foreachBatch appends one archive increment per micro-batch") {
+    // the continuous-crawler shape: fetched responses stream in, each
+    // micro-batch lands as its own appended WARC file set — append mode
+    // uses a fresh query id per batch, so increments never collide and
+    // the reader sees the union
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcsink_stream").toString
+    val input = MemoryStream[(String, Array[Byte])]
+    val query = input.toDF().toDF("target_uri", "payload")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        WarcSink.write(batch, dir, overwrite = false)
+      }
+      .start()
+    try {
+      input.addData(("https://a/1", "one".getBytes("UTF-8")))
+      query.processAllAvailable()
+      input.addData(("https://a/2", "two".getBytes("UTF-8")),
+        ("https://a/3", "three".getBytes("UTF-8")))
+      query.processAllAvailable()
+    } finally query.stop()
+    Warc.responses(Warc.read(spark, dir)).select("target_uri", "body")
+      .as[(String, String)].collect().toMap shouldBe
+      Map("https://a/1" -> "one", "https://a/2" -> "two", "https://a/3" -> "three")
+  }
+
   test("schema validation rejects frames without the required columns") {
     val bad = Seq((1L, "x")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
