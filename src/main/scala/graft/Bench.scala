@@ -163,6 +163,7 @@ object Bench {
     // offline data preparation (ANN index layouts, bucketed join tables) —
     // ETL cost, not a per-query cost
     pipeline.PipelineQueries.warmup(spark, sfDir)
+    SparkEntry.warmupSources(spark, sfDir)
     Tables.bucketed(spark, sfDir)
 
     // Provider-story bench first (clean session; reference README.md:37-51 —

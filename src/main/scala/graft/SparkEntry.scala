@@ -321,6 +321,16 @@ object SparkEntry {
       path
     })
 
+  /** Fixture ETL for the source/sink round-trip queries (format
+    * conversions + the distributed WARC sink write) — memoized per sf
+    * dir; Bench's warmup calls this so the probes time reads, not the
+    * one-off writes (the rule every other memoized build follows).
+    */
+  def warmupSources(s: SparkSession, dir: String): Unit = {
+    convertedNation(s, dir, "csv"); convertedNation(s, dir, "json")
+    convertedNation(s, dir, "orc"); convertedWarc(s, dir); sinkWarc(s, dir); ()
+  }
+
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1: in-memory (local) table scan — rows collected to the driver and
     // re-registered as a local DataFrame, ≡ the reference's MemTable.

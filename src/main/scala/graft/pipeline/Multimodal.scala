@@ -88,9 +88,13 @@ object Multimodal {
     * NonFatal only: a genuine VM error must fail (and retry) the task.
     */
   private def readImageGuarded(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    readImageGuarded(bytes, 0, bytes.length)
+
+  private def readImageGuarded(
+      bytes: Array[Byte], off: Int, len: Int): Option[java.awt.image.BufferedImage] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+        new java.io.ByteArrayInputStream(bytes, off, len))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -417,7 +421,7 @@ object Multimodal {
           val (off, len) = frames(i)
           val jpeg =
             if (len >= 2 && bytes(off) == 0xff.toByte && bytes(off + 1) == 0xd8.toByte)
-              readImageGuarded(java.util.Arrays.copyOfRange(bytes, off, off + len))
+              readImageGuarded(bytes, off, len) // zero-copy frame window
             else None
           val h = jpeg match {
             case Some(img) => rasterFnv(img, i.toLong) // decoded-raster, the gifFrames convention

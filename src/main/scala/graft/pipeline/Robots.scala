@@ -110,7 +110,9 @@ object Robots {
 
   /** [[sitemapUrls]] over a (id, robots body) frame: one output row per
     * discovered sitemap URL, `sitemap_idx` its file-order position.
-    * Partition-wise flatMap (null bodies discover nothing).
+    * Partition-wise flatMap; null bodies discover nothing, and null-id
+    * rows are EXCLUDED (unattributable — the [[schedule]] null-host
+    * convention, and the primitive encoder would reject them anyway).
     */
   def discoverSitemaps(
       frontier: DataFrame,
@@ -119,6 +121,7 @@ object Robots {
     val spark = frontier.sparkSession
     import spark.implicits._
     frontier.select(col(idCol).cast("long"), col(robotsCol))
+      .where(col(idCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, robots) =>
         if (robots == null) Seq.empty
@@ -291,6 +294,14 @@ object Robots {
     * `spark.graft.crawl.maxPerWave` (default 2¹⁸ rows; 0 disables
     * slicing).
     *
+    * Cost notes: one row-count job picks the plan (with a positive cap),
+    * and the schedule itself reads the frontier more than once (delay
+    * derivation + sequencing) — CACHE an expensively-derived frontier
+    * before calling. When slicing engages, the returned frame is backed
+    * by a lazy checkpoint of the wave assignment (so the offsets and the
+    * sequencing read one materialization, not two independently-sampled
+    * range shuffles): consume it before [[Dedup.clearCheckpoints]].
+    *
     * The per-host delay parses each distinct (host, robots) once, not per
     * row, and a host seen with CONFLICTING robots bodies (re-fetched at
     * different times) takes the MAXIMUM declared delay — the conservative
@@ -307,7 +318,7 @@ object Robots {
       robotsCol: String = "robots_txt",
       maxPerWave: Long = -1L): DataFrame = {
     require(defaultDelaySec >= 0, s"defaultDelaySec must be >= 0, got $defaultDelaySec")
-    val reserved = Set("__delay", "__wave", "__wave_rows", "__seq_off", "fetch_seq", "not_before_sec")
+    val reserved = Set("__delay", "__wave", "__wave_rows", "__nw", "__seq_off", "fetch_seq", "not_before_sec")
     require(!frontier.columns.exists(reserved),
       s"input columns collide with schedule's reserved names: ${frontier.columns.filter(reserved).mkString(", ")}")
     val spark = frontier.sparkSession
@@ -349,25 +360,49 @@ object Robots {
       // WAVE slicing: range-partition on (host, path) so every task holds
       // ~n/nWaves rows, a host's rows span contiguous waves in path order,
       // and equal keys never split. fetch_seq = wave-local row number +
-      // the host's row count in all earlier waves; the offset table is one
-      // row per (wave, host-in-wave) — at most (hosts + waves) rows, so it
-      // broadcasts. The range exchange is shared by the offset aggregate
-      // and the final join via Spark's exchange reuse.
-      val sliced = withDelay
+      // the host's row count in all earlier waves.
+      //
+      // Two hardening rules (r17 review):
+      //   - the sliced frame (with its wave ids) CHECKPOINTS once, so the
+      //     offset aggregate and the final join read the SAME materialized
+      //     wave assignment — correctness must not hang on exchange reuse
+      //     between two separately-planned range shuffles (each samples
+      //     its own range bounds, and `spark_partition_id` is only
+      //     deterministic relative to one materialization). The returned
+      //     frame is checkpoint-backed: consume it before
+      //     [[Dedup.clearCheckpoints]], the CC contract.
+      //   - only hosts that SPAN waves need an offset (a host contained in
+      //     one wave starts at 0), and at most ~2·nWaves wave-boundary
+      //     hosts span — so the broadcast offset table is WAVE-bounded,
+      //     never host-bounded (a 50M-host frontier broadcasts kilobytes,
+      //     not a host list; the per-(wave, host) count table itself stays
+      //     distributed and is never collected).
+      val reliable = spark.sparkContext.getCheckpointDir.isDefined
+      val slicedRaw = withDelay
         .repartitionByRange(nWaves.toInt, col(hostCol), col(pathCol))
         .withColumn("__wave", spark_partition_id())
+      val sliced = {
+        val c = if (reliable) slicedRaw.checkpoint(eager = false)
+          else slicedRaw.localCheckpoint(eager = false)
+        Dedup.registerCheckpointBlocks(c)
+        c
+      }
+      val byHost = org.apache.spark.sql.expressions.Window.partitionBy(col(hostCol))
       val offW = org.apache.spark.sql.expressions.Window
         .partitionBy(col(hostCol)).orderBy(col("__wave"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       val offsets = sliced.groupBy(col("__wave"), col(hostCol))
         .agg(count(lit(1)).as("__wave_rows"))
-        .select(col("__wave"), col(hostCol),
-          coalesce(sum(col("__wave_rows")).over(offW), lit(0L)).as("__seq_off"))
+        .withColumn("__nw", count(lit(1)).over(byHost))
+        .withColumn("__seq_off", coalesce(sum(col("__wave_rows")).over(offW), lit(0L)))
+        .filter(col("__nw") > 1) // spanning hosts only — wave-bounded
+        .select(col("__wave"), col(hostCol), col("__seq_off"))
       val localW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__wave"), col(hostCol)).orderBy(col(pathCol))
-      sliced.join(broadcast(offsets), Seq("__wave", hostCol))
+      sliced.join(broadcast(offsets), Seq("__wave", hostCol), "left")
         .select(col(hostCol), col(pathCol),
-          (row_number().over(localW) + col("__seq_off")).cast("int").as("fetch_seq"),
+          (row_number().over(localW) + coalesce(col("__seq_off"), lit(0L)))
+            .cast("int").as("fetch_seq"),
           col("__delay"))
         .select(col(hostCol), col(pathCol), col("fetch_seq"),
           ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"))

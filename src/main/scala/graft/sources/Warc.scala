@@ -74,14 +74,18 @@ object Warc {
       // expansion never reaches a newline must stop the parse at a
       // bounded buffer, not grow the builder until the executor OOMs
       // (with NonFatal-only catching, that OOM would fail-and-retry the
-      // task forever on the same deterministic input)
+      // task forever on the same deterministic input). A capped line sets
+      // `poisoned` so the caller can tell it from a clean EOF/blank —
+      // inside a header block a bare null would read as end-of-headers
+      // and FABRICATE a record from misaligned bytes.
       val maxLineChars = 1 << 20
+      var poisoned = false
       def readLine(): String = {
         val sb = new java.lang.StringBuilder
         var c = in.read()
         if (c < 0) return null
         while (c >= 0 && c != '\n') {
-          if (sb.length() >= maxLineChars) return null // malformed: stop at whole records
+          if (sb.length() >= maxLineChars) { poisoned = true; return null }
           sb.append(c.toChar)
           c = in.read()
         }
@@ -96,7 +100,7 @@ object Warc {
         // skip the blank separator lines between records
         var line = readLine()
         while (line != null && line.isEmpty) line = readLine()
-        if (line == null || !line.startsWith("WARC/")) done = true
+        if (line == null || poisoned || !line.startsWith("WARC/")) done = true
         else {
           val headers = scala.collection.mutable.Map.empty[String, String]
           var h = readLine()
@@ -107,6 +111,7 @@ object Warc {
                 h.substring(colon + 1).trim
             h = readLine()
           }
+          if (poisoned) headers.remove("content-length") // capped mid-headers: no record
           headers.get("content-length").flatMap(_.toLongOption) match {
             case None => done = true // a record without a length is unwalkable
             case Some(len) if len < 0 => done = true

@@ -146,7 +146,13 @@ class WarcBatchWrite(
     val ext = if (gzip) ".warc.gz" else ".warc"
     // empty partitions commit no file (lazy creation) — nothing to move
     messages.collect { case m: WarcCommit if m.tempPath.nonEmpty => m }.foreach { m =>
-      fs.rename(new Path(m.tempPath), new Path(dir, f"part-$queryId-${m.partitionId}%05d$ext"))
+      val dest = new Path(dir, f"part-$queryId-${m.partitionId}%05d$ext")
+      // Hadoop rename reports many failures by RETURNING false — a
+      // dropped partition must fail the job, not silently truncate the
+      // archive
+      if (!fs.rename(new Path(m.tempPath), dest))
+        throw new java.io.IOException(
+          s"WarcSink commit: rename ${m.tempPath} -> $dest failed")
     }
     fs.delete(WarcWriterFactory.tempDir(path, queryId), true)
   }
@@ -167,6 +173,19 @@ case class WarcWriterFactory(
     hadoopProps: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(schema, path, gzip, queryId, partitionId, taskId, hadoopProps)
+}
+
+object WarcDataWriter {
+  /** Close-shield: lets a per-record GZIPOutputStream be close()d — which
+    * ends its native Deflater — without closing the underlying archive
+    * stream. Bulk writes delegate (FilterOutputStream's default is
+    * byte-at-a-time).
+    */
+  private[sources] final class NoClose(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+    override def close(): Unit = flush()
+  }
 }
 
 /** One task's writer: streams records into one temp WARC file (created
@@ -205,11 +224,14 @@ class WarcDataWriter(
     rec.write(payload)
     rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     if (gzip) {
-      // one gzip member per record, finished but NOT closing the file —
-      // the Common Crawl layout Warc.read sniffs and streams through
-      val gz = new java.util.zip.GZIPOutputStream(out)
+      // one gzip member per record (the Common Crawl layout Warc.read
+      // sniffs and streams through), written through a close-shield so
+      // gz.close() can END the member's native Deflater without closing
+      // the archive file — finish() alone would leak one off-heap zlib
+      // context per record until GC notices
+      val gz = new java.util.zip.GZIPOutputStream(new WarcDataWriter.NoClose(out))
       gz.write(rec.toByteArray)
-      gz.finish()
+      gz.close()
     } else out.write(rec.toByteArray)
   }
 

@@ -174,11 +174,14 @@ class RobotsSpec extends SparkTestBase {
     // no single task holds all 13 of its rows
     val plan = Robots.schedule(frontier, "graft", maxPerWave = 3L)
       .queryExecution.executedPlan.toString
-    plan should include("rangepartitioning")
-    // the per-(wave, host) offset table joins as a BROADCAST (it is
-    // hosts+waves-sized by construction) — the frontier side must not
-    // shuffle again for it
+    // the wave assignment reads back from ONE materialization (the range
+    // shuffle + spark_partition_id live behind the checkpoint leaf, so
+    // offsets and sequencing cannot see different wave ids)
+    plan should include regex ("""Scan ExistingRDD\[.*__wave""")
+    // the spanning-host offset table joins as a BROADCAST (wave-bounded
+    // by construction) — the frontier side must not shuffle again for it
     plan should include("BroadcastHashJoin")
+    graft.pipeline.Dedup.clearCheckpoints()
     // the session-conf default engages when maxPerWave is not passed
     spark.conf.set("spark.graft.crawl.maxPerWave", "3")
     try run(-1L) shouldBe single
@@ -205,6 +208,7 @@ class RobotsSpec extends SparkTestBase {
           .sorted
       val single = run(0L)
       for (cap <- Seq(1L, 3L, 7L)) run(cap) shouldBe single
+      graft.pipeline.Dedup.clearCheckpoints()
     }
   }
 
