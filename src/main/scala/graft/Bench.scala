@@ -74,9 +74,14 @@ object Bench {
         runMs.addAndGet(m.executorRunTime)
         gcMs.addAndGet(m.jvmGCTime)
         // the UI's scheduler-delay formula: task wall-time not spent
-        // running, deserializing, or serializing the result
+        // running, deserializing, serializing the result, or FETCHING the
+        // result to the driver (result-heavy plans must not read as
+        // scheduler delay — that would be exactly the plan-vs-host
+        // misattribution these fields exist to end)
+        val gettingResult =
+          if (info.gettingResultTime > 0) info.finishTime - info.gettingResultTime else 0L
         val delay = info.duration - m.executorRunTime -
-          m.executorDeserializeTime - m.resultSerializationTime
+          m.executorDeserializeTime - m.resultSerializationTime - gettingResult
         if (delay > 0) delayMs.addAndGet(delay)
       }
     }

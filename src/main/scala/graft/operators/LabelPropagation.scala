@@ -66,12 +66,7 @@ object LabelPropagation {
       driverFinishEdges: Long = -1L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val sess = edges.sparkSession
-    val reliable = sess.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame = {
-      val c = if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
-      Dedup.registerCheckpointBlocks(c)
-      c
-    }
+    def ckpt(df: DataFrame): DataFrame = Dedup.lazyCheckpoint(df)
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     // one edge shuffle for the whole run: symmetrize + distinct, then lay

@@ -70,12 +70,7 @@ object PageRank {
       iterations: Int,
       damping: Double,
       initialRanks: Option[DataFrame]): DataFrame = {
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame = {
-      val c = if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
-      Dedup.registerCheckpointBlocks(c)
-      c
-    }
+    def ckpt(df: DataFrame): DataFrame = Dedup.lazyCheckpoint(df)
     // AQE suspended ONLY while the upfront graph layout is planned (r16,
     // was loop-wide — the connectedComponentsLoop rationale verbatim):
     // checkpoints created under AQE lose their outputPartitioning, and the

@@ -110,6 +110,20 @@ object Dedup {
     checkpointedRdds ++= checkpointRdds(df).map(scala.ref.WeakReference(_))
   }
 
+  /** The one lazy-checkpoint idiom the iterative/sliced operators share:
+    * reliable checkpoint when the session has a checkpoint dir, local
+    * otherwise, blocks registered in the [[clearCheckpoints]] pool. (The
+    * CC loop manages its per-round blocks by hand for eager hygiene and
+    * does not use this.)
+    */
+  private[graft] def lazyCheckpoint(df: DataFrame): DataFrame = {
+    val c =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    registerCheckpointBlocks(c)
+    c
+  }
+
   /** Plan `body` with AQE suspended — the one-line shared form of the
     * CC/PageRank/LPA upfront-layout rule: `Dataset.(local)checkpoint`
     * plans at call time, and under AQE the checkpoint's carried

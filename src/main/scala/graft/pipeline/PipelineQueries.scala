@@ -512,10 +512,12 @@ object PipelineQueries {
       val robots = when((col("doc_id") % 5) === 0,
         lit("User-agent: graft\nCrawl-delay: 3.5\nDisallow: /private/"))
         .otherwise(lit("User-agent: *\nDisallow: /private/"))
-      val frontier = docs(s, dir).select(
+      // cached: schedule reads its frontier more than once (plan-deciding
+      // count + delay derivation + sequencing) — the scaladoc's own advice
+      val frontier = Dedup.cache(docs(s, dir).select(
         concat(lit("h"), col("doc_id") % 5).as("host"),
         concat(lit("/doc/"), col("doc_id")).as("path"),
-        robots.as("robots_txt"))
+        robots.as("robots_txt")))
       Robots.schedule(frontier, userAgent = "graft")
     }),
     // SURT frontier keys: scheme dropped, host lowered/de-www'd/de-ported

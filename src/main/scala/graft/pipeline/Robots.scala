@@ -109,25 +109,30 @@ object Robots {
     }
 
   /** [[sitemapUrls]] over a (id, robots body) frame: one output row per
-    * discovered sitemap URL, `sitemap_idx` its file-order position.
-    * Partition-wise flatMap; null bodies discover nothing, and null-id
-    * rows are EXCLUDED (unattributable — the [[schedule]] null-host
-    * convention, and the primitive encoder would reject them anyway).
+    * discovered sitemap URL, `sitemap_idx` its file-order position. The
+    * id column keeps its input type (hosts and URLs are ids too, not just
+    * numerics — the [[filterAllowed]] Row-encoder approach). Partition-wise
+    * flatMap; null bodies discover nothing, and null-id rows are EXCLUDED
+    * (unattributable — the [[schedule]] null-host convention).
     */
   def discoverSitemaps(
       frontier: DataFrame,
       idCol: String = "doc_id",
       robotsCol: String = "robots_txt"): DataFrame = {
-    val spark = frontier.sparkSession
-    import spark.implicits._
-    frontier.select(col(idCol).cast("long"), col(robotsCol))
-      .where(col(idCol).isNotNull)
-      .as[(Long, String)]
-      .flatMap { case (id, robots) =>
-        if (robots == null) Seq.empty
-        else sitemapUrls(robots).zipWithIndex.map { case (u, i) => (id, i, u) }
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val proj = frontier.select(col(idCol), col(robotsCol)).where(col(idCol).isNotNull)
+    val outSchema = StructType(Seq(
+      proj.schema.fields(0),
+      StructField("sitemap_idx", IntegerType, nullable = false),
+      StructField("sitemap_url", StringType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    proj.flatMap { row =>
+      if (row.isNullAt(1)) Seq.empty
+      else sitemapUrls(row.getString(1)).zipWithIndex.map { case (u, i) =>
+        org.apache.spark.sql.Row(row.get(0), i, u)
       }
-      .toDF(idCol, "sitemap_idx", "sitemap_url")
+    }.toDF(idCol, "sitemap_idx", "sitemap_url")
   }
 
   /** The `Crawl-delay` seconds the applicable group (same selection rule
@@ -377,16 +382,9 @@ object Robots {
       //     never host-bounded (a 50M-host frontier broadcasts kilobytes,
       //     not a host list; the per-(wave, host) count table itself stays
       //     distributed and is never collected).
-      val reliable = spark.sparkContext.getCheckpointDir.isDefined
-      val slicedRaw = withDelay
+      val sliced = Dedup.lazyCheckpoint(withDelay
         .repartitionByRange(nWaves.toInt, col(hostCol), col(pathCol))
-        .withColumn("__wave", spark_partition_id())
-      val sliced = {
-        val c = if (reliable) slicedRaw.checkpoint(eager = false)
-          else slicedRaw.localCheckpoint(eager = false)
-        Dedup.registerCheckpointBlocks(c)
-        c
-      }
+        .withColumn("__wave", spark_partition_id()))
       val byHost = org.apache.spark.sql.expressions.Window.partitionBy(col(hostCol))
       val offW = org.apache.spark.sql.expressions.Window
         .partitionBy(col(hostCol)).orderBy(col("__wave"))

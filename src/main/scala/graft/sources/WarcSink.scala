@@ -139,21 +139,30 @@ class WarcBatchWrite(
     val dir = new Path(path)
     val fs = FileSystem.get(dir.toUri, conf)
     fs.mkdirs(dir)
+    def renameOrThrow(src: Path, dest: Path): Unit =
+      // Hadoop rename reports many failures by RETURNING false — a
+      // dropped file must fail the job, not silently truncate the archive
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(s"WarcSink commit: rename $src -> $dest failed")
+    // Overwrite moves the previous archive ASIDE first (underscore dir —
+    // hidden from readers), never delete-then-install: a failure at any
+    // point leaves either the old archive recoverable in the aside dir or
+    // the new one fully installed, and a concurrent reader never sees an
+    // old/new mix
+    val aside = new Path(dir, s"_graft_warc_old_$queryId")
     if (truncateFirst) {
       val old = fs.globStatus(new Path(dir, "part-*"))
-      if (old != null) old.foreach(st => fs.delete(st.getPath, false))
+      if (old != null && old.nonEmpty) {
+        fs.mkdirs(aside)
+        old.foreach(st => renameOrThrow(st.getPath, new Path(aside, st.getPath.getName)))
+      }
     }
     val ext = if (gzip) ".warc.gz" else ".warc"
     // empty partitions commit no file (lazy creation) — nothing to move
     messages.collect { case m: WarcCommit if m.tempPath.nonEmpty => m }.foreach { m =>
-      val dest = new Path(dir, f"part-$queryId-${m.partitionId}%05d$ext")
-      // Hadoop rename reports many failures by RETURNING false — a
-      // dropped partition must fail the job, not silently truncate the
-      // archive
-      if (!fs.rename(new Path(m.tempPath), dest))
-        throw new java.io.IOException(
-          s"WarcSink commit: rename ${m.tempPath} -> $dest failed")
+      renameOrThrow(new Path(m.tempPath), new Path(dir, f"part-$queryId-${m.partitionId}%05d$ext"))
     }
+    fs.delete(aside, true)
     fs.delete(WarcWriterFactory.tempDir(path, queryId), true)
   }
 

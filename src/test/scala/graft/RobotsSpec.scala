@@ -237,6 +237,14 @@ class RobotsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq shouldBe
       Seq((1L, 0, "https://a.com/sm1.xml"), (1L, 1, "https://a.com/sm2.xml"),
         (1L, 2, "https://a.com/sm3.xml"))
+    // the id column keeps its type — a host-keyed frontier works as-is
+    // (and null ids are excluded, not crashed on)
+    val hostKeyed = Seq(("a.com", "Sitemap: https://a.com/s.xml"),
+      (null.asInstanceOf[String], "Sitemap: https://orphan/s.xml"))
+      .toDF("host", "robots_txt")
+    Robots.discoverSitemaps(hostKeyed, idCol = "host")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq shouldBe
+      Seq(("a.com", "https://a.com/s.xml"))
   }
 
   test("frontier loop: html_links → canonicalize → host → robots gate → schedule") {
