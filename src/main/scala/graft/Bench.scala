@@ -250,14 +250,21 @@ object Bench {
     // showed exactly that contamination: after-bracket prepared 1.99 s vs
     // before-bracket 1.05 s on identical code.
     def settle(): Unit = { System.gc(); Thread.sleep(200) }
-    def bracket(): Seq[(Double, Double, Double)] = {
+    def bracket(): (Seq[(Double, Double, Double)], Double) = {
       settle()
-      (0 until math.max(3, reps)).map(_ => amortCycle())
+      val load = loadAvg()
+      ((0 until math.max(3, reps)).map(_ => amortCycle()), load)
     }
-    def bracketJson(cycles: Seq[(Double, Double, Double)]): String = {
+    // bracket drift is attributable from the artifact (the r17 rule): a
+    // run where the prepared column stays flat while unprepared drops
+    // across brackets is the JIT warming the parse/analyze baseline, not
+    // the prepared path degrading — the per-bracket numbers + load make
+    // that readable without a re-run
+    def bracketJson(b: (Seq[(Double, Double, Double)], Double)): String = {
+      val (cycles, load) = b
       val (p, u, a) = (median(cycles.map(_._1)), median(cycles.map(_._2)), median(cycles.map(_._3)))
       s"""{"prepared_sec":${fmt(p)},"unprepared_sec":${fmt(u)},"parameterized_sec":${fmt(a)},""" +
-        f""""speedup_prepared_vs_unprepared":${u / p}%.2f}"""
+        f""""speedup_prepared_vs_unprepared":${u / p}%.2f,"load_avg":$load%.2f}"""
     }
     val amortFirst = bracket() // bracket 1: fresh session, before the query loop
 
@@ -348,7 +355,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2.map { case (ts, _, _) => median(ts) }).sum
-    val all = amortFirst ++ amortMid ++ amortLast
+    val all = amortFirst._1 ++ amortMid._1 ++ amortLast._1
     val medPrep = median(all.map(_._1)); val medUnprep = median(all.map(_._2))
     val amortization =
       s"""{"keys":${keys.length},"cycles":${all.length},""" +
