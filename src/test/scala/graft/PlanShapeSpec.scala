@@ -13,6 +13,18 @@ class PlanShapeSpec extends SparkTestBase {
   private def planOf(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.explainString(SimpleMode)
 
+  test("crawl frontier plans the bloom seen-gate and no cartesian joins") {
+    // the composition query's plan must show the map-side bloom probe
+    // (dropSeenBefore's split predicate) and the broadcast exact-confirm;
+    // a lost bloom would silently turn the seen-drop into join-only work
+    val p = planOf("q_crawl_frontier")
+    p should include("might_contain")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    spark.catalog.clearCache()
+    pipeline.Dedup.clearCaches()
+  }
+
   test("multi-way join broadcasts the dimension sides") {
     val p = planOf("q_join_multi")
     p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") should be >= 3
