@@ -105,6 +105,41 @@ class WarcSinkSpec extends SparkTestBase {
       Map("https://a/1" -> "one", "https://a/2" -> "two", "https://a/3" -> "three")
   }
 
+  test("randomized round trip: arbitrary binary payloads, including frame delimiters") {
+    // payloads carrying the very bytes the parser frames by — \r\n\r\n
+    // breaks, WARC/ magic, gzip magic — must survive the distributed
+    // write → read cycle byte-exactly (Content-Length framing, not
+    // delimiter scanning)
+    val rnd = new scala.util.Random(23)
+    val hostile = Seq(
+      "\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz".getBytes("ISO-8859-1"),
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0),
+      Array.empty[Byte])
+    val payloads = (0 until 30).map { i =>
+      val p =
+        if (i < hostile.length) hostile(i)
+        else {
+          val b = new Array[Byte](rnd.nextInt(2000))
+          rnd.nextBytes(b)
+          b
+        }
+      (s"urn:rec:$i", p)
+    }
+    for (gz <- Seq(true, false)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_warcsink_rnd_$gz").toString
+      WarcSink.write(payloads.toDF("target_uri", "payload").repartition(3), dir,
+        gzipMembers = gz)
+      val back = graft.sources.Warc.read(spark, dir).collect()
+        .map(r => r.target_uri -> r.payload).toMap
+      back.size shouldBe 30
+      payloads.foreach { case (uri, p) =>
+        withClue(s"$uri gz=$gz: ") {
+          java.util.Arrays.equals(back(uri), p) shouldBe true
+        }
+      }
+    }
+  }
+
   test("schema validation rejects frames without the required columns") {
     val bad = Seq((1L, "x")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
