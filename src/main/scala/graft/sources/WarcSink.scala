@@ -167,7 +167,22 @@ class WarcBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new Path(path).toUri, conf)
+    // Spark calls this when commit() throws mid-way: roll back precisely —
+    // new files carry this query's id in their names, so any partial
+    // install deletes cleanly, and an overwrite's moved-aside old archive
+    // restores to where readers expect it (no stranded hidden copy, no
+    // committed-looking partial archive)
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    val mine = fs.globStatus(new Path(dir, s"part-$queryId-*"))
+    if (mine != null) mine.foreach(st => fs.delete(st.getPath, false))
+    val aside = new Path(dir, s"_graft_warc_old_$queryId")
+    if (fs.exists(aside)) {
+      val old = fs.globStatus(new Path(aside, "*"))
+      if (old != null)
+        old.foreach(st => fs.rename(st.getPath, new Path(dir, st.getPath.getName)))
+      fs.delete(aside, true)
+    }
     fs.delete(WarcWriterFactory.tempDir(path, queryId), true)
   }
 }

@@ -17,12 +17,15 @@ class PlanShapeSpec extends SparkTestBase {
     // the composition query's plan must show the map-side bloom probe
     // (dropSeenBefore's split predicate) and the broadcast exact-confirm;
     // a lost bloom would silently turn the seen-drop into join-only work
-    val p = planOf("q_crawl_frontier")
-    p should include("might_contain")
-    p should include("BroadcastHashJoin")
-    p should not include "CartesianProduct"
-    spark.catalog.clearCache()
-    pipeline.Dedup.clearCaches()
+    try {
+      val p = planOf("q_crawl_frontier")
+      p should include("might_contain")
+      p should include("BroadcastHashJoin")
+      p should not include "CartesianProduct"
+    } finally {
+      spark.catalog.clearCache()
+      pipeline.Dedup.clearCaches()
+    }
   }
 
   test("multi-way join broadcasts the dimension sides") {

@@ -140,6 +140,33 @@ class WarcSinkSpec extends SparkTestBase {
     }
   }
 
+  test("a failed overwrite commit rolls back: old archive restored, no stranded aside dir") {
+    import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcsink_abort").toString
+    WarcSink.write(mkPayloads(3).toDF("target_uri", "payload").repartition(1), dir)
+    Warc.read(spark, dir).count() shouldBe 3
+    // hand-drive a truncating commit whose message points at a temp file
+    // that does not exist: the rename fails AFTER the old archive moved
+    // aside — exactly the mid-commit failure the rollback must undo
+    val props = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val schema = new StructType().add("target_uri", StringType).add("payload", BinaryType)
+    val bw = new graft.sources.WarcBatchWrite(schema, dir, true, "abortq",
+      truncateFirst = true, props)
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(graft.sources.WarcCommit(0, s"$dir/_graft_warc_tmp_abortq/t-0-0"))
+    an[java.io.IOException] should be thrownBy bw.commit(msgs)
+    bw.abort(msgs)
+    // the old archive is back where readers expect it; nothing hidden left
+    Warc.read(spark, dir).count() shouldBe 3
+    new java.io.File(dir).listFiles
+      .count(_.getName.startsWith("_graft_warc")) shouldBe 0
+  }
+
   test("schema validation rejects frames without the required columns") {
     val bad = Seq((1L, "x")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
