@@ -547,12 +547,13 @@ object PipelineQueries {
     }),
     // the full crawl CYCLE, end to end — what a crawl operator actually
     // runs, every stage an operator already oracle-gated in isolation:
-    // WARC archive → HTTP envelope → 200 + text/html gate → html_links →
-    // canonicalizeUrl → hostOf → seen-set drop against the cycle's own
-    // fetched URIs (bloom + exact confirm) → robots gate (h1 declares a
-    // graft group with Crawl-delay 2.5; every host denies /private/) →
-    // politeness schedule. The DuckDB oracle replays the whole chain as
-    // one CTE pipeline over the same doc_id arithmetic.
+    // WARC archive → HTTP envelope → 200 + text/html gate → html_links,
+    // UNIONED with robots.txt sitemap discovery → canonicalizeUrl →
+    // hostOf → seen-set drop against the cycle's own fetched URIs (bloom
+    // + exact confirm) → robots gate (h1 declares a graft group with
+    // Crawl-delay 2.5; every host denies /private/ and advertises one
+    // sitemap) → politeness schedule. The DuckDB oracle replays the
+    // whole chain as one CTE pipeline over the same doc_id arithmetic.
     "q_crawl_frontier" -> ((s, dir) => {
       // resp is read by four consumers (page gate, seen-history, and
       // dropSeenBefore's two-pass split) and schedule scans its input
@@ -563,17 +564,25 @@ object PipelineQueries {
       val resp = Dedup.cache(graft.sources.Warc.responses(
         graft.sources.Warc.read(s, crawlWarcPath(s, dir))))
       val pages = resp.filter(col("status") === 200 && col("media_type") === "text/html")
+      val robots = s.range(0, 5).select(
+        concat(lit("h"), col("id"), lit(".example")).as("host"),
+        concat(
+          when(col("id") === 1,
+            lit("User-agent: graft\nCrawl-delay: 2.5\nDisallow: /private/"))
+            .otherwise(lit("User-agent: *\nDisallow: /private/")),
+          lit("\nSitemap: https://h"), col("id"), lit(".example/sitemap.xml"))
+          .as("robots_txt"))
+      // discovery feeds the frontier alongside page outlinks; EVERYTHING
+      // canonicalizes before the seen-set so one canonical form compares
+      val discovered = Robots.discoverSitemaps(robots, idCol = "host")
+        .select(col("sitemap_url").as("url"))
       val links = pages.select(explode(
           graft.functions.HtmlFunctions.htmlLinks(col("body"))).as("url"))
+        .unionByName(discovered)
         .select(Urls.canonicalizeUrl(col("url")).as("url"))
       val history = resp.select(Urls.canonicalizeUrl(col("target_uri")).as("url"))
       val unseen = Dedup.dropSeenBefore(links, history, idCol = "url", textCol = "url",
         expectedItems = 4096)
-      val robots = s.range(0, 5).select(
-        concat(lit("h"), col("id"), lit(".example")).as("host"),
-        when(col("id") === 1,
-          lit("User-agent: graft\nCrawl-delay: 2.5\nDisallow: /private/"))
-          .otherwise(lit("User-agent: *\nDisallow: /private/")).as("robots_txt"))
       val frontier = unseen.select(col("url"),
           Urls.hostOf(col("url")).as("host"),
           regexp_replace(col("url"), "^[a-z]+://[^/]*", "").as("path"))
@@ -1781,7 +1790,10 @@ object PipelineQueries {
         "UNION ALL SELECT 'https://h' || CAST((doc_id + 2) % 5 AS VARCHAR) || '.example/doc/' || " +
         "CAST((doc_id * 17 + 5) % 400 AS VARCHAR) FROM kept " +
         "UNION ALL SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/private/' || " +
-        "CAST(doc_id AS VARCHAR) FROM kept), " +
+        "CAST(doc_id AS VARCHAR) FROM kept " +
+        // the five per-host robots.txt Sitemap discoveries join the stream
+        "UNION ALL SELECT 'https://h' || CAST(i AS VARCHAR) || '.example/sitemap.xml' " +
+        "FROM generate_series(0, 4) AS g(i)), " +
         "hist AS (SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/doc/' || " +
         "CAST(doc_id AS VARCHAR) AS url FROM d), " +
         "unseen AS (SELECT url FROM links WHERE url NOT IN (SELECT url FROM hist)), " +
