@@ -121,4 +121,30 @@ class UrlsSpec extends SparkTestBase {
     surt("not a url") shouldBe "not a url"
     surt("") shouldBe ""
   }
+
+  test("surtKey's defining property: same-host URLs sort contiguously") {
+    // the reason the key exists — in surt order every host's URLs form ONE
+    // contiguous run (')' 0x29 sorts below ',' 0x2C and below every legal
+    // hostname character, so no other host's key can interleave). Random
+    // URL sets over hosts that prefix-extend each other (a.com, aa.com,
+    // x.a.com — the adversarial cases) must hold it.
+    val rnd = new scala.util.Random(29)
+    val hosts = Seq("a.com", "aa.com", "x.a.com", "a.co", "b.a.com", "a.com.br")
+    val urls = (0 until 300).map { i =>
+      val h = hosts(rnd.nextInt(hosts.length))
+      s"https://$h/${rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString}?i=$i"
+    }
+    val keyed = urls.toDF("url")
+      .select($"url", Urls.surtKey($"url").as("surt"), Urls.hostOf($"url").as("host"))
+      .orderBy($"surt")
+      .select("host").as[String].collect()
+    // contiguity: scanning the sorted keys, each host appears in exactly
+    // one run
+    val runs = keyed.foldLeft(List.empty[String]) {
+      case (acc, h) if acc.headOption.contains(h) => acc
+      case (acc, h)                               => h :: acc
+    }
+    runs.distinct.length shouldBe runs.length
+    runs.toSet shouldBe hosts.toSet
+  }
 }
