@@ -576,10 +576,16 @@ object PipelineQueries {
       // canonicalizes before the seen-set so one canonical form compares
       val discovered = Robots.discoverSitemaps(robots, idCol = "host")
         .select(col("sitemap_url").as("url"))
-      val links = pages.select(explode(
+      // the canonicalized link stream is consumed FOUR times inside
+      // dropSeenBefore (bloom fresh/candidate split, candidate hashes,
+      // exact confirm) — cached, the html_links explode + canonicalize
+      // chain runs once per rep instead of once per consumer (the r17
+      // isolation profile's structural cost: 18 jobs re-running the
+      // parse chain)
+      val links = Dedup.cache(pages.select(explode(
           graft.functions.HtmlFunctions.htmlLinks(col("body"))).as("url"))
         .unionByName(discovered)
-        .select(Urls.canonicalizeUrl(col("url")).as("url"))
+        .select(Urls.canonicalizeUrl(col("url")).as("url")))
       val history = resp.select(Urls.canonicalizeUrl(col("target_uri")).as("url"))
       val unseen = Dedup.dropSeenBefore(links, history, idCol = "url", textCol = "url",
         expectedItems = 4096)
@@ -1754,14 +1760,16 @@ object PipelineQueries {
         s"FROM documents d JOIN thr ON d.lang = thr.lang WHERE $md5U16Sql < thr " +
         "GROUP BY d.lang"),
     // schedule replay: row_number per host ordered by path (binary string
-    // order on both engines); host h0 spaces at 3.5 s, others at 1 s
+    // order on both engines); host h0 spaces at 3.5 s, others at 1 s; the
+    // surt key of a single-label host is the host itself + ')' + path
     "q_crawl_schedule" ->
       ("WITH f AS (SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host, " +
         "'/doc/' || CAST(doc_id AS VARCHAR) AS path FROM documents), " +
         "seq AS (SELECT host, path, CAST(row_number() OVER " +
         "(PARTITION BY host ORDER BY path) AS INTEGER) AS fetch_seq FROM f) " +
         "SELECT host, path, fetch_seq, CAST(fetch_seq - 1 AS DOUBLE) * " +
-        "(CASE WHEN host = 'h0' THEN 3.5 ELSE 1.0 END) AS not_before_sec FROM seq"),
+        "(CASE WHEN host = 'h0' THEN 3.5 ELSE 1.0 END) AS not_before_sec, " +
+        "host || ')' || path AS surt FROM seq"),
     // SURT replay: the construction is doc_id arithmetic, so the oracle
     // states the reversed-host result directly
     "q_crawl_surt" -> ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN " +
@@ -1803,7 +1811,10 @@ object PipelineQueries {
         "seq AS (SELECT host, path, CAST(row_number() OVER " +
         "(PARTITION BY host ORDER BY path) AS INTEGER) AS fetch_seq FROM f) " +
         "SELECT host, path, fetch_seq, CAST(fetch_seq - 1 AS DOUBLE) * " +
-        "(CASE WHEN host = 'h1.example' THEN 2.5 ELSE 1.0 END) AS not_before_sec FROM seq"),
+        "(CASE WHEN host = 'h1.example' THEN 2.5 ELSE 1.0 END) AS not_before_sec, " +
+        // surt of the two-label fixture hosts: labels reversed, comma-joined
+        "split_part(host, '.', 2) || ',' || split_part(host, '.', 1) || ')' || path AS surt " +
+        "FROM seq"),
     "q_dedup_semantic_planted" -> plantedEmbOracle,
     "q_dedup_semantic_drop" -> s"SELECT vec_id FROM embeddings WHERE vec_id < $NDistract",
     "q_text_histogram" -> ("SELECT CAST(floor(CAST(len(string_split(text, ' ')) AS DOUBLE) " +

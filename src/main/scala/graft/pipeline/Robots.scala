@@ -283,26 +283,37 @@ object Robots {
   /** Politeness SCHEDULE over an allowed frontier: per host, fetches
     * sequence deterministically (ordered by path) and space by the host's
     * own `Crawl-delay` (falling back to `defaultDelaySec`) — the
-    * (fetch_seq, not_before_sec) pair a fetcher's rate limiter consumes.
-    * Per-host sequential order is INHERENT to politeness, but one task per
+    * (fetch_seq, not_before_sec) pair a fetcher's rate limiter consumes,
+    * plus the row's SURT key ([[Urls.surtOf]] over (host, path)), the
+    * web-archive ecosystem's sort-friendly frontier key. Per-host
+    * sequential order is INHERENT to politeness, but one task per
     * host is not: a mega-host (millions of frontier URLs) must not
     * serialize onto a single window task. `maxPerWave` bounds the rows any
     * one scheduling task handles — when the frontier exceeds it, rows
-    * range-slice on (host, path) into scheduling WAVES and each host's
+    * range-slice ON THE SURT KEY into scheduling WAVES and each host's
     * fetch_seq is its wave-local row number plus the (tiny, per-(wave,
-    * host)) count of its rows in earlier waves; range slicing keeps a
-    * host's waves contiguous and path-ordered, so the result is BIT-EQUAL
-    * to the single-window form while no task ever sorts more than ~one
-    * wave of rows. Small frontiers (the common per-cycle case; `ceil(n /
-    * maxPerWave) <= 1`) keep the plain one-window-per-host plan with no
-    * extra exchanges. `maxPerWave <= 0` ⇒ session conf
-    * `spark.graft.crawl.maxPerWave` (default 2¹⁸ rows; 0 disables
-    * slicing).
+    * host)) count of its rows in earlier waves. SURT slicing keeps a
+    * host's waves contiguous and path-ordered (a host's rows share one
+    * reversed-host prefix, under which SURT order IS path order), so the
+    * result is BIT-EQUAL to the single-window form while no task ever
+    * sorts more than ~one wave of rows — and, the reason SURT instead of
+    * raw (host, path): one REGISTRABLE DOMAIN's hosts (`a.example.com`,
+    * `news.example.com`, …) also land adjacent, so a domain's frontier
+    * occupies contiguous wave ranges instead of scattering between
+    * unrelated `a.*`/`n.*` hosts — the layout per-domain budget scans and
+    * Common-Crawl-style SURT-ordered indexes want. Small frontiers (the
+    * common per-cycle case; `ceil(n / maxPerWave) <= 1`) keep the plain
+    * one-window-per-host plan with no extra exchanges. `maxPerWave <= 0`
+    * ⇒ session conf `spark.graft.crawl.maxPerWave` (default 2¹⁸ rows;
+    * 0 disables slicing).
     *
-    * Cost notes: one row-count job picks the plan (with a positive cap),
-    * and the schedule itself reads the frontier more than once (delay
-    * derivation + sequencing) — CACHE an expensively-derived frontier
-    * before calling. When slicing engages, the returned frame is backed
+    * '''Cost note — CONSTRUCTION ITSELF TRIGGERS A JOB:''' with a positive
+    * cap (the default), calling this method runs one eager row-count job
+    * at DataFrame-construction time to pick the plan; it is not a lazily
+    * composable transformation. The schedule also reads the frontier more
+    * than once (delay derivation + sequencing) — CACHE an
+    * expensively-derived frontier before calling, or pass a known
+    * `rowCount` to skip the count job. When slicing engages, the returned frame is backed
     * by a lazy checkpoint of the wave assignment (so the offsets and the
     * sequencing read one materialization, not two independently-sampled
     * range shuffles): consume it before [[Dedup.clearCheckpoints]].
@@ -321,9 +332,11 @@ object Robots {
       hostCol: String = "host",
       pathCol: String = "path",
       robotsCol: String = "robots_txt",
-      maxPerWave: Long = -1L): DataFrame = {
+      maxPerWave: Long = -1L,
+      rowCount: Long = -1L): DataFrame = {
     require(defaultDelaySec >= 0, s"defaultDelaySec must be >= 0, got $defaultDelaySec")
-    val reserved = Set("__delay", "__wave", "__wave_rows", "__nw", "__seq_off", "fetch_seq", "not_before_sec")
+    val reserved = Set("__delay", "__surt", "__wave", "__wave_rows", "__nw", "__seq_off",
+      "fetch_seq", "not_before_sec", "surt")
     require(!frontier.columns.exists(reserved),
       s"input columns collide with schedule's reserved names: ${frontier.columns.filter(reserved).mkString(", ")}")
     val spark = frontier.sparkSession
@@ -341,31 +354,37 @@ object Robots {
       .toDF(hostCol, "__delay")
       .groupBy(col(hostCol)).agg(max(col("__delay")).as("__delay"))
     val withDelay = hosted.join(delays, Seq(hostCol))
+      .withColumn("__surt", Urls.surtOf(col(hostCol), col(pathCol)))
     val cap =
       if (maxPerWave > 0) maxPerWave
       else spark.conf.get("spark.graft.crawl.maxPerWave", (1L << 18).toString).toLong
     // one cheap aggregate job decides the plan: a frontier that fits one
-    // wave keeps the plain per-host window (no extra exchanges)
+    // wave keeps the plain per-host window (no extra exchanges). A caller
+    // that already knows the frontier's row count passes it via rowCount
+    // and skips the job entirely.
     val nWaves =
       if (cap <= 0) 1L
       else {
-        val n = hosted.count()
+        val n = if (rowCount >= 0) rowCount else hosted.count()
         math.min((n + cap - 1) / cap, 1L << 20)
       }
     if (nWaves <= 1) {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(hostCol)).orderBy(col(pathCol))
+        .partitionBy(col(hostCol)).orderBy(col("__surt"))
       withDelay
         .select(col(hostCol), col(pathCol),
           row_number().over(w).as("fetch_seq"),
-          col("__delay"))
+          col("__delay"), col("__surt"))
         .select(col(hostCol), col(pathCol), col("fetch_seq"),
-          ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"))
+          ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"),
+          col("__surt").as("surt"))
     } else {
-      // WAVE slicing: range-partition on (host, path) so every task holds
-      // ~n/nWaves rows, a host's rows span contiguous waves in path order,
-      // and equal keys never split. fetch_seq = wave-local row number +
-      // the host's row count in all earlier waves.
+      // WAVE slicing: range-partition on the SURT key so every task holds
+      // ~n/nWaves rows, a host's rows span contiguous waves in path order
+      // (SURT order within one host IS path order), one registrable
+      // domain's hosts stay adjacent across the wave ranges, and equal
+      // keys never split. fetch_seq = wave-local row number + the host's
+      // row count in all earlier waves.
       //
       // Two hardening rules (r17 review):
       //   - the sliced frame (with its wave ids) CHECKPOINTS once, so the
@@ -383,7 +402,7 @@ object Robots {
       //     not a host list; the per-(wave, host) count table itself stays
       //     distributed and is never collected).
       val sliced = Dedup.lazyCheckpoint(withDelay
-        .repartitionByRange(nWaves.toInt, col(hostCol), col(pathCol))
+        .repartitionByRange(nWaves.toInt, col("__surt"))
         .withColumn("__wave", spark_partition_id()))
       val byHost = org.apache.spark.sql.expressions.Window.partitionBy(col(hostCol))
       val offW = org.apache.spark.sql.expressions.Window
@@ -396,14 +415,15 @@ object Robots {
         .filter(col("__nw") > 1) // spanning hosts only — wave-bounded
         .select(col("__wave"), col(hostCol), col("__seq_off"))
       val localW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__wave"), col(hostCol)).orderBy(col(pathCol))
+        .partitionBy(col("__wave"), col(hostCol)).orderBy(col("__surt"))
       sliced.join(broadcast(offsets), Seq("__wave", hostCol), "left")
         .select(col(hostCol), col(pathCol),
           (row_number().over(localW) + coalesce(col("__seq_off"), lit(0L)))
             .cast("int").as("fetch_seq"),
-          col("__delay"))
+          col("__delay"), col("__surt"))
         .select(col(hostCol), col(pathCol), col("fetch_seq"),
-          ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"))
+          ((col("fetch_seq") - 1).cast("double") * col("__delay")).as("not_before_sec"),
+          col("__surt").as("surt"))
     }
   }
 

@@ -57,13 +57,21 @@ object Urls {
       .otherwise(concat(lower(scheme), lit("://"), canonHost, rest))
   }
 
-  /** The registrable host of a URL column: lowercased, port stripped,
-    * leading `www.` stripped. Empty string for non-URLs.
+  /** The registrable host of a URL column: userinfo stripped, lowercased,
+    * port stripped, leading `www.` stripped. Empty string for non-URLs.
+    *
+    * The userinfo strip removes everything through the LAST `@` of the
+    * authority (the browser rule): `https://evil.com@victim.com/x` keys as
+    * `victim.com`, and a crawler-controlled `a@b@host` confusable cannot
+    * smuggle a fake host either — without this, hostile userinfo would
+    * break [[surtKey]]'s same-domain contiguity and misgroup frontier URLs.
     */
   def hostOf(url: Column): Column =
     regexp_replace(
       regexp_replace(
-        lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        lower(regexp_replace(
+          regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+          "^.*@", "")),
         ":[0-9]+$", ""),
       "^www\\.", "")
 
@@ -85,6 +93,34 @@ object Urls {
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     when(host === "", url)
       .otherwise(concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), rest))
+  }
+
+  /** [[surtKey]] from an already-split (host, path) pair — the form the
+    * frontier/schedule composition uses once [[hostOf]] has normalized the
+    * host: reversed comma-joined host labels + `)` + path. Null-safe via
+    * the callers' own host-null exclusion.
+    */
+  def surtOf(host: Column, path: Column): Column =
+    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), coalesce(path, lit("")))
+
+  /** JVM-string mirror of [[surtKey]] — same transform, same non-URL
+    * pass-through — for executor-side record processing that never enters
+    * a plan (the [[graft.sources.WarcSink]] CDX index writes one urlkey
+    * per archived record). A property spec pins column/string agreement.
+    */
+  def surtKeyString(url: String): String = {
+    if (url == null) return ""
+    val m = java.util.regex.Pattern
+      .compile("^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)").matcher(url)
+    if (!m.find()) return url
+    val authority = m.group(1)
+    val at = authority.lastIndexOf('@')
+    var host = (if (at >= 0) authority.substring(at + 1) else authority)
+      .toLowerCase(java.util.Locale.ROOT)
+    host = host.replaceFirst(":[0-9]+$", "").replaceFirst("^www\\.", "")
+    if (host.isEmpty) return url
+    val rest = url.substring(m.end(1))
+    host.split("\\.", -1).reverse.mkString(",") + ")" + rest
   }
 
   /** Host-level dedup: one row per host with the representative (minimum)

@@ -133,6 +133,19 @@ object Warc {
           }
         }
       }
+      // A line-cap (poisoned) stop must be OBSERVABLE, not a silent tail
+      // drop indistinguishable from clean EOF (r17 advice): a legitimate
+      // record with one over-long header line — a huge WARC-Target-URI,
+      // say — otherwise loses the whole file tail with no trace. The
+      // marker record (warc_type `graft:truncated`, content_length -1)
+      // carries the file and the index where parsing stopped; every
+      // envelope consumer ([[responses]]/[[responseTexts]]) filters
+      // `warc_type == "response"` so the marker never reaches page
+      // pipelines, while a corpus health query can count them:
+      //   read(...).filter(_.warc_type == "graft:truncated")
+      if (poisoned)
+        out += WarcRecord(file, idx, "graft:truncated", "", "", "", -1L,
+          Array.empty[Byte], truncated = true)
       // NonFatal only: malformed/truncated bytes keep the whole records
       // parsed so far, but a fatal JVM error (OOM, stack overflow) must
       // fail the task and retry — swallowing it would silently drop the

@@ -188,6 +188,67 @@ class RobotsSpec extends SparkTestBase {
     finally spark.conf.unset("spark.graft.crawl.maxPerWave")
   }
 
+  test("schedule keys on SURT: one registrable domain's URLs land contiguous") {
+    // the r17 gap: surtKey existed but the schedule ordered on raw
+    // (host, path), scattering example.com's subdomains between unrelated
+    // a.*/n.* hosts. Now the output carries the surt key and the wave
+    // slicing range-partitions on it, so sorting by surt (the key the
+    // slicer ranges on) puts every example.com host in ONE contiguous
+    // block — raw host order provably does not.
+    val hosts = Seq(
+      "a.example.com", "news.example.com", "example.com", "z.example.com",
+      "aardvark.org", "nzz.ch", "zebra.net")
+    val rows = for (h <- hosts; i <- 1 to 4)
+      yield (h, f"/p$i", null.asInstanceOf[String])
+    val frontier = rows.toDF("host", "path", "robots_txt")
+    def domainRuns(order: Array[String]): Int =
+      order.foldLeft(List.empty[String]) {
+        case (acc, h) if acc.headOption.contains(h) => acc
+        case (acc, h)                               => h :: acc
+      }.count(_ == "example.com")
+    for (cap <- Seq(0L, 5L)) { // single-window AND wave-sliced plans
+      val out = Robots.schedule(frontier, "graft", maxPerWave = cap)
+      out.columns.last shouldBe "surt"
+      val bySurt = out.orderBy(col("surt")).select("host").as[String].collect()
+        .map(h => if (h.endsWith("example.com")) "example.com" else "other")
+      domainRuns(bySurt) shouldBe 1
+      graft.pipeline.Dedup.clearCheckpoints()
+    }
+    // the counter-demonstration: raw host order interleaves the domain
+    val byHost = rows.map(_._1).sorted
+      .map(h => if (h.endsWith("example.com")) "example.com" else "other")
+    domainRuns(byHost.toArray) should be > 1
+    // and the surt column itself is Urls.surtOf(host, path)
+    val one = Robots.schedule(frontier, "graft", maxPerWave = 0L)
+      .filter(col("host") === "news.example.com" && col("path") === "/p2")
+      .select("surt").as[String].head()
+    one shouldBe "com,example,news)/p2"
+  }
+
+  test("schedule skips the plan-decider count job when rowCount is supplied") {
+    val frontier = Seq(("a.com", "/p1", null.asInstanceOf[String]),
+      ("a.com", "/p2", null.asInstanceOf[String])).toDF("host", "path", "robots_txt")
+    // a frontier that EXPLODES if any job evaluates it: construction with
+    // a supplied rowCount must not touch data, so it survives — while the
+    // default path's eager plan-decider count detonates at construction
+    // time (the documented construction-triggers-a-job behavior)
+    val boom = udf { (s: String) =>
+      throw new RuntimeException("schedule ran a job at construction"); s
+    }
+    val explosive = frontier.withColumn("path", boom(col("path")))
+    Robots.schedule(explosive, "graft", rowCount = 2L) // no throw: no job
+    an[Exception] should be thrownBy Robots.schedule(explosive, "graft")
+    // the supplied count picks the same plans the measured count would:
+    // under the cap → plain window; above it → wave slicing, same rows
+    Robots.schedule(frontier, "graft", rowCount = 2L)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSet shouldBe
+      Set(("a.com", 1), ("a.com", 2))
+    val sliced = Robots.schedule(frontier, "graft", maxPerWave = 1L, rowCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    sliced shouldBe Set(("a.com", "/p1", 1), ("a.com", "/p2", 2))
+    graft.pipeline.Dedup.clearCheckpoints()
+  }
+
   test("schedule wave slicing is bit-equal to the single window on random frontiers") {
     // randomized form of the hot-host test: any frontier shape × any cap
     // must reproduce the single-window schedule exactly (duplicated

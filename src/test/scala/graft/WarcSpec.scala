@@ -60,8 +60,30 @@ class WarcSpec extends SparkTestBase {
         "fine".getBytes("UTF-8"))), gzipMembers = false)
     val bomb = good ++ ("W" * (3 << 20)).getBytes("ISO-8859-1") // 3 MB, no newline
     val recs = Warc.parseRecords("f", bomb, 1 << 20)
-    recs.length shouldBe 1
+    // r18: the stop is OBSERVABLE — a graft:truncated marker record tails
+    // the parse, so a capped line is distinguishable from a clean EOF
+    // (before this, a legitimate record with one over-long header line
+    // silently cost the whole file tail)
+    recs.length shouldBe 2
     recs.head.target_uri shouldBe "http://ok/"
+    recs(1).warc_type shouldBe "graft:truncated"
+    recs(1).content_length shouldBe -1L
+    recs(1).truncated shouldBe true
+    // an over-long WARC-Target-URI inside an otherwise-legitimate record
+    // leaves the same marker (and keeps the records before it)
+    val hugeUri = ("WARC/1.0\r\nWARC-Target-URI: http://h/" + "a" * (2 << 20) +
+      "\r\nContent-Length: 0\r\n\r\n").getBytes("ISO-8859-1")
+    val tailLoss = Warc.parseRecords("f", good ++ hugeUri, 1 << 20)
+    tailLoss.map(_.warc_type) shouldBe Seq("response", "graft:truncated")
+    // the marker never reaches page pipelines: the envelope consumers
+    // filter warc_type == "response"
+    import spark.implicits._
+    val ds = spark.createDataset(tailLoss)
+    Warc.responses(ds).count() shouldBe 1L
+    // while a health query can count the truncation it represents
+    ds.filter(_.warc_type == "graft:truncated").count() shouldBe 1L
+    // a CLEAN file leaves no marker
+    Warc.parseRecords("f", good, 1 << 20).map(_.warc_type) shouldBe Seq("response")
   }
 
   test("malformed tail keeps the whole records before it") {
