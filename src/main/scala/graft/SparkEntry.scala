@@ -321,6 +321,33 @@ object SparkEntry {
       path
     })
 
+  /** The CDX-oracle fixture: the same documents slice through the sink
+    * UNCOMPRESSED, one partition, doc_id-ordered — the one layout whose
+    * index `(offset, length)` are PURE doc_id ARITHMETIC (every header
+    * byte is a deterministic function of the row: fixed-width record id,
+    * fixed date, fixed content type; offset = the running sum of prior
+    * record lengths), so DuckDB can replay the binary layout of the
+    * archive without parsing it. Production writes stay gzip +
+    * multi-partition; this fixture isolates the index math.
+    */
+  private val cdxWarcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdxWarc(s: SparkSession, dir: String): String =
+    cdxWarcDirs.getOrElseUpdate(dir, {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sink_cdx_${math.abs(dir.hashCode)}"
+      val slice = t(s, dir, "documents").filter(col("doc_id") < 300).select(
+        concat(lit("urn:graft:doc:"), col("doc_id")).as("target_uri"),
+        col("text").cast("binary").as("payload"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("text/plain").as("content_type"),
+        col("doc_id"))
+      sources.WarcSink.write(
+        slice.repartition(1).sortWithinPartitions("doc_id").drop("doc_id"),
+        path, gzipMembers = false)
+      path
+    })
+
   /** Fixture ETL for the source/sink round-trip queries (format
     * conversions + the distributed WARC sink write) — memoized per sf
     * dir; Bench's warmup calls this so the probes time reads, not the
@@ -328,7 +355,8 @@ object SparkEntry {
     */
   def warmupSources(s: SparkSession, dir: String): Unit = {
     convertedNation(s, dir, "csv"); convertedNation(s, dir, "json")
-    convertedNation(s, dir, "orc"); convertedWarc(s, dir); sinkWarc(s, dir); ()
+    convertedNation(s, dir, "orc"); convertedWarc(s, dir); sinkWarc(s, dir)
+    cdxWarc(s, dir); ()
   }
 
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -383,6 +411,22 @@ object SparkEntry {
         regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("body").as("text"))
+    }),
+    // the sink's CDX(J) companion INDEX, oracle-checked down to the BYTE
+    // OFFSETS: the fixture's uncompressed single-partition doc_id-ordered
+    // layout makes every index row pure doc_id arithmetic — the oracle
+    // recomputes each record's on-disk length from its header fields
+    // (fixed-width WARC-Record-ID/Date/Content-Type + the uri and
+    // Content-Length digits + the payload bytes) and every offset as the
+    // running sum of the lengths before it. A hash match here proves the
+    // index points at REAL byte positions, which is what makes
+    // WarcCdx.readRecordAt's one-member point read possible (spec-proved
+    // on the gzip layout in WarcSinkSpec).
+    "q_sink_cdx" -> ((s, dir) => {
+      sources.WarcCdx.read(s, cdxWarc(s, dir)).select(
+        regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("urlkey"), col("timestamp"), col("offset"), col("length"))
     }),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
@@ -876,6 +920,21 @@ object SparkEntry {
     "q_source_orc" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 0",
     "q_source_warc" -> "SELECT doc_id, text FROM documents WHERE doc_id < 500",
     "q_sink_warc" -> "SELECT doc_id, text FROM documents WHERE doc_id < 500",
+    // replays the archive's BINARY layout from doc_id arithmetic: record
+    // length = 198 fixed header bytes (incl. the fixed-width 36-char
+    // record id and the 20-char date) + uri chars + Content-Length
+    // digits + payload bytes; offset = running sum of prior lengths in
+    // doc_id (= write) order
+    "q_sink_cdx" ->
+      ("WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n " +
+        "FROM documents WHERE doc_id < 300), " +
+        "r AS (SELECT doc_id, 'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS urlkey, " +
+        "CAST(198 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
+        "+ len(CAST(n AS VARCHAR)) + n AS BIGINT) AS length FROM d) " +
+        "SELECT doc_id, urlkey, '20260101000000' AS \"timestamp\", " +
+        "CAST(COALESCE(SUM(length) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset, " +
+        "length FROM r"),
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away

@@ -25,14 +25,18 @@ class WarcSinkSpec extends SparkTestBase {
         .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
         .repartition(4)
       WarcSink.write(in, dir, gzipMembers = gz)
-      // one archive file per non-empty partition, nothing temporary left
-      // (dot-prefixed .crc sidecars are the local ChecksumFileSystem's —
-      // hidden files, invisible to Spark's listing)
+      // one archive file per non-empty partition, each with its CDX(J)
+      // index companion, nothing temporary left (dot-prefixed .crc
+      // sidecars are the local ChecksumFileSystem's — hidden files,
+      // invisible to Spark's listing)
       val files = new java.io.File(dir).listFiles.map(_.getName)
         .filterNot(_.startsWith(".")).sorted
-      files.length should be <= 4
+      val archives = files.filter(_.endsWith(if (gz) ".warc.gz" else ".warc"))
+      val indexes = files.filter(_.endsWith(".cdxj"))
+      files.length shouldBe archives.length + indexes.length
+      archives.length should be <= 4
+      indexes.length shouldBe archives.length
       files.foreach(f => f should startWith("part-"))
-      files.foreach(_ should endWith(if (gz) ".warc.gz" else ".warc"))
       // the reader recovers every record byte-exactly (charset-aware body)
       val back = Warc.responses(Warc.read(spark, dir))
         .select(col("target_uri"), col("body"))
@@ -74,7 +78,8 @@ class WarcSinkSpec extends SparkTestBase {
     recs.head.warc_type shouldBe "response"
     recs.head.target_uri should not include "\r"
     new String(recs.head.payload, "UTF-8") shouldBe "payload"
-    new java.io.File(dir).listFiles.count(_.getName.startsWith("part-")) shouldBe 1
+    new java.io.File(dir).listFiles
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".cdxj")) shouldBe 1
   }
 
   test("streaming archive: foreachBatch appends one archive increment per micro-batch") {
@@ -155,7 +160,7 @@ class WarcSinkSpec extends SparkTestBase {
       buf.toArray
     }
     val schema = new StructType().add("target_uri", StringType).add("payload", BinaryType)
-    val bw = new graft.sources.WarcBatchWrite(schema, dir, true, "abortq",
+    val bw = new graft.sources.WarcBatchWrite(schema, dir, true, true, "abortq",
       truncateFirst = true, props)
     val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
       Array(graft.sources.WarcCommit(0, s"$dir/_graft_warc_tmp_abortq/t-0-0"))
@@ -165,6 +170,130 @@ class WarcSinkSpec extends SparkTestBase {
     Warc.read(spark, dir).count() shouldBe 3
     new java.io.File(dir).listFiles
       .count(_.getName.startsWith("_graft_warc")) shouldBe 0
+  }
+
+  test("every record carries the ISO 28500 mandatory headers, deterministically") {
+    // r17 advice: WARC-Record-ID was absent and a missing warc_date wrote
+    // an empty `WARC-Date: ` — both mandatory per spec, so strict
+    // validators rejected the archives. Now: a urn:uuid record id derived
+    // from (uri, partition, row) — no clock, no RNG — and a valid epoch
+    // placeholder date when the column is absent.
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcsink_hdr").toString
+    val in = Seq(("https://a/1", "one".getBytes("UTF-8"))).toDF("target_uri", "payload")
+      .repartition(1) // no warc_date column at all
+    WarcSink.write(in, dir)
+    def rawRecord(): String = {
+      val f = new java.io.File(dir).listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".warc.gz")).head
+      val gz = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+      try new String(gz.readAllBytes(), "ISO-8859-1") finally gz.close()
+    }
+    val rec = rawRecord()
+    rec should include regex
+      "WARC-Record-ID: <urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}>\r\n"
+    rec should include("WARC-Date: 1970-01-01T00:00:00Z\r\n")
+    // deterministic: rewriting the same frame reproduces the same id
+    val id1 = "urn:uuid:[0-9a-f-]+".r.findFirstIn(rec).get
+    WarcSink.write(in, dir) // overwrite, fresh query id
+    "urn:uuid:[0-9a-f-]+".r.findFirstIn(rawRecord()).get shouldBe id1
+    // a provided warc_date passes through untouched (round-trip spec
+    // already pins it); reader parity holds with the new headers
+    Warc.responses(Warc.read(spark, dir)).count() shouldBe 1
+  }
+
+  test("CDX index: urlkey/digest/offsets; a point read touches one member, not the archive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcsink_cdx").toString
+    val in = mkPayloads(12).toDF("target_uri", "payload")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
+      .withColumn("content_type", lit("application/http; msgtype=response"))
+      .repartition(3)
+    WarcSink.write(in, dir) // gzip, multi-partition: the production layout
+    val cdx = graft.sources.WarcCdx.read(spark, dir)
+    val rows = cdx.collect()
+    rows.length shouldBe 12
+    // urlkey is the SURT key of the uri; timestamp the date's 14 digits
+    val byUrl = rows.map(r => r.getAs[String]("url") -> r).toMap
+    byUrl("https://h1.example/doc/1").getAs[String]("urlkey") shouldBe
+      "example,h1)/doc/1"
+    rows.foreach(_.getAs[String]("timestamp") shouldBe "20260101000000")
+    // digest is sha1:base32 of the record payload
+    val expectDigest = "sha1:" + graft.sources.WarcSink.sha1Base32(
+      Warc.httpResponse("body number 1 with é".getBytes("UTF-8"),
+        "text/html; charset=utf-8"))
+    byUrl("https://h1.example/doc/1").getAs[String]("digest") shouldBe expectDigest
+    // within each file the index is SURT-ordered (the CDX convention)
+    rows.groupBy(_.getAs[String]("filename")).values.foreach { fileRows =>
+      val keys = fileRows.map(r =>
+        (r.getAs[Long]("offset"), r.getAs[String]("urlkey")))
+      keys.map(_._2).toSeq shouldBe keys.map(_._2).toSeq.sorted
+    }
+    // POINT READ: every index row slices exactly one decodable member —
+    // readRecordAt sees only `length` bytes and still parses the record
+    rows.foreach { r =>
+      val f = new java.io.File(dir, r.getAs[String]("filename"))
+      val archiveSize = f.length()
+      val len = r.getAs[Long]("length")
+      len should be < archiveSize // strictly less: not the whole file
+      val rec = graft.sources.WarcCdx.readRecordAt(
+        spark, f.toString, r.getAs[Long]("offset"), len)
+      rec.isDefined shouldBe true
+      rec.get.target_uri shouldBe r.getAs[String]("url")
+      new String(Warc.httpBody(rec.get.payload), "UTF-8") should startWith("body number ")
+    }
+    // offsets partition the file exactly: per file, lengths sum to size
+    rows.groupBy(_.getAs[String]("filename")).foreach { case (fn, fileRows) =>
+      fileRows.map(_.getAs[Long]("length")).sum shouldBe new java.io.File(dir, fn).length()
+      fileRows.map(_.getAs[Long]("offset")).min shouldBe 0L
+    }
+    // DISTRIBUTED fetch: the same records come back through the
+    // partition-by-filename, sort-by-offset batch path
+    val fetched = graft.sources.WarcCdx.fetch(cdx, dir).collect()
+    fetched.map(_.target_uri).sorted shouldBe rows.map(_.getAs[String]("url")).sorted
+    // and a filtered fetch reads only the hit, not the archive
+    val one = graft.sources.WarcCdx.fetch(
+      cdx.filter(col("url") === "https://h2.example/doc/2"), dir).collect()
+    one.map(_.target_uri).toSeq shouldBe Seq("https://h2.example/doc/2")
+  }
+
+  test("streaming replay is exactly-once with epoch-keyed overwrite commits") {
+    // the crash/retry contract (r17 verdict): foreachBatch may re-deliver
+    // an epoch under a FRESH query id after a failure — plain append would
+    // duplicate it. The idempotent composition writes each epoch into its
+    // own subdirectory with overwrite=true: a replayed epoch replaces its
+    // own files (rename-on-commit keeps readers consistent mid-replace),
+    // so the union over epochs is exactly-once under any retry pattern.
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcsink_retry").toString
+    def writeEpoch(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      WarcSink.write(batch, s"$dir/batch=$id", overwrite = true)
+    val input = MemoryStream[(String, Array[Byte])]
+    val query = input.toDF().toDF("target_uri", "payload")
+      .writeStream
+      .foreachBatch(writeEpoch _)
+      .start()
+    try {
+      input.addData(("https://a/1", "one".getBytes("UTF-8")))
+      query.processAllAvailable()
+      input.addData(("https://a/2", "two".getBytes("UTF-8")))
+      query.processAllAvailable()
+    } finally query.stop()
+    def readAll(): Map[String, String] =
+      Warc.responses(Warc.read(spark, s"$dir/*"))
+        .select("target_uri", "body").as[(String, String)].collect().toMap
+    val once = readAll()
+    once shouldBe Map("https://a/1" -> "one", "https://a/2" -> "two")
+    // CRASH/RETRY: epoch 1 re-delivers under a fresh query id (exactly
+    // what a restarted stream does) — re-committing it must change
+    // NOTHING: no duplicate, no loss
+    writeEpoch(Seq(("https://a/2", "two".getBytes("UTF-8")))
+      .toDF("target_uri", "payload"), 1L)
+    readAll() shouldBe once
+    // and the files really were replaced under a new query id, not
+    // appended beside the old ones
+    new java.io.File(s"$dir/batch=1").listFiles
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".cdxj")) shouldBe 1
   }
 
   test("schema validation rejects frames without the required columns") {
