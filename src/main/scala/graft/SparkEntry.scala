@@ -348,6 +348,33 @@ object SparkEntry {
       path
     })
 
+  /** The revisit-dedup fixture: 200 docs where ids 100-199 carry the SAME
+    * payload as id-100 — written through the sink with `dedupPayloads`,
+    * so half the archive stores as revisit records. One partition:
+    * co-located copies are the within-task dedup contract.
+    */
+  private val revisitWarcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def revisitWarc(s: SparkSession, dir: String): String =
+    revisitWarcDirs.getOrElseUpdate(dir, {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sink_rv_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), (col("doc_id") % 100).as("__src"))
+      val src = docs.select(col("doc_id").as("__src"), col("text"))
+      val slice = base.join(src, Seq("__src")).select(
+        concat(lit("urn:graft:doc:"), col("doc_id")).as("target_uri"),
+        col("text").cast("binary").as("payload"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("text/plain").as("content_type"),
+        col("doc_id"))
+      sources.WarcSink.write(
+        slice.repartition(1).sortWithinPartitions("doc_id").drop("doc_id"),
+        path, dedupPayloads = true)
+      path
+    })
+
   /** Fixture ETL for the source/sink round-trip queries (format
     * conversions + the distributed WARC sink write) — memoized per sf
     * dir; Bench's warmup calls this so the probes time reads, not the
@@ -356,7 +383,7 @@ object SparkEntry {
   def warmupSources(s: SparkSession, dir: String): Unit = {
     convertedNation(s, dir, "csv"); convertedNation(s, dir, "json")
     convertedNation(s, dir, "orc"); convertedWarc(s, dir); sinkWarc(s, dir)
-    cdxWarc(s, dir); ()
+    cdxWarc(s, dir); revisitWarc(s, dir); ()
   }
 
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -427,6 +454,31 @@ object SparkEntry {
         regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("urlkey"), col("timestamp"), col("offset"), col("length"))
+    }),
+    // INDEX-DRIVEN RANDOM ACCESS end to end: every document comes back
+    // through WarcCdx.fetch — index scan → partition-by-archive,
+    // offset-sorted member point reads — and must equal the original
+    // table. This is the replay path a 100 TB archive serves single
+    // pages from: IO is the sum of member lengths, never archive scans.
+    "q_sink_cdx_fetch" -> ((s, dir) => {
+      val path = cdxWarc(s, dir)
+      sources.WarcCdx.fetch(sources.WarcCdx.read(s, path), path).toDF().select(
+        regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+    }),
+    // ARCHIVE-TIME DEDUP round trip: ids 100-199 duplicate ids 0-99's
+    // payloads, so the sink (dedupPayloads) stores them as ~300 B WARC
+    // revisit records — identical-payload-digest profile, the ecosystem's
+    // storage dedup — and resolveRevisits must reconstruct every (doc_id,
+    // text) pair as if nothing had been elided. The oracle replays the
+    // duplication arithmetic straight from the documents table.
+    "q_sink_revisit" -> ((s, dir) => {
+      val recs = sources.Warc.read(s, revisitWarc(s, dir))
+      sources.Warc.resolveRevisits(recs).toDF().select(
+        regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
     }),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
@@ -921,20 +973,26 @@ object SparkEntry {
     "q_source_warc" -> "SELECT doc_id, text FROM documents WHERE doc_id < 500",
     "q_sink_warc" -> "SELECT doc_id, text FROM documents WHERE doc_id < 500",
     // replays the archive's BINARY layout from doc_id arithmetic: record
-    // length = 198 fixed header bytes (incl. the fixed-width 36-char
-    // record id and the 20-char date) + uri chars + Content-Length
+    // length = 258 fixed header bytes (incl. the fixed-width 36-char
+    // record id, the 20-char date, and the 37-char payload digest) +
+    // uri chars + Content-Length
     // digits + payload bytes; offset = running sum of prior lengths in
     // doc_id (= write) order
     "q_sink_cdx" ->
       ("WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n " +
         "FROM documents WHERE doc_id < 300), " +
         "r AS (SELECT doc_id, 'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS urlkey, " +
-        "CAST(198 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
+        "CAST(258 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
         "+ len(CAST(n AS VARCHAR)) + n AS BIGINT) AS length FROM d) " +
         "SELECT doc_id, urlkey, '20260101000000' AS \"timestamp\", " +
         "CAST(COALESCE(SUM(length) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset, " +
         "length FROM r"),
+    "q_sink_cdx_fetch" -> "SELECT doc_id, text FROM documents WHERE doc_id < 300",
+    // the duplication arithmetic: doc d's payload is doc (d % 100)'s text
+    "q_sink_revisit" ->
+      ("SELECT d.doc_id, d2.text AS text FROM documents d " +
+        "JOIN documents d2 ON d2.doc_id = d.doc_id % 100 WHERE d.doc_id < 200"),
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away

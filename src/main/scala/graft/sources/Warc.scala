@@ -30,7 +30,11 @@ object Warc {
   /** One parsed WARC record. `payload` is the raw record block (for
     * `response` records: HTTP status line + headers + body — split with
     * [[httpBody]]); `content_length` is the declared length even when the
-    * payload was `truncated` at the cap.
+    * payload was `truncated` at the cap. `record_id` is the record's own
+    * `WARC-Record-ID` (urn, angle brackets stripped); `refers_to` is the
+    * `WARC-Refers-To` urn of a `revisit` record's referent — the
+    * archive-time dedup link [[resolveRevisits]] follows — empty
+    * otherwise.
     */
   case class WarcRecord(
       file: String,
@@ -41,7 +45,9 @@ object Warc {
       content_type: String,
       content_length: Long,
       payload: Array[Byte],
-      truncated: Boolean)
+      truncated: Boolean,
+      record_id: String = "",
+      refers_to: String = "")
 
   /** Read every record of every WARC file under `path` (plain or
     * member-gzipped, `*.warc` / `*.warc.gz`).
@@ -121,13 +127,17 @@ object Warc {
               if (payload.length < take) done = true // truncated file
               else {
                 if (len > take) in.skipNBytes(len - take) // stay aligned past the cap
+                def urn(k: String): String =
+                  headers.get(k).map(_.stripPrefix("<").stripSuffix(">")).getOrElse("")
                 out += WarcRecord(
                   file, idx,
                   headers.getOrElse("warc-type", ""),
                   headers.getOrElse("warc-target-uri", ""),
                   headers.getOrElse("warc-date", ""),
                   headers.getOrElse("content-type", ""),
-                  len, payload, truncated = len > take)
+                  len, payload, truncated = len > take,
+                  record_id = urn("warc-record-id"),
+                  refers_to = urn("warc-refers-to"))
                 idx += 1
               }
           }
@@ -307,6 +317,41 @@ object Warc {
     */
   def responseTexts(records: Dataset[WarcRecord]): DataFrame =
     responses(records).select(col("target_uri"), col("body"))
+
+  /** Materialize a payload-deduplicated archive back to its full view:
+    * every `revisit` record (the WARC identical-payload-digest dedup
+    * mechanism [[WarcSink]] writes with `dedup = true`) gets its
+    * referent's payload + content type patched in and re-types as
+    * `response`; all other records pass through unchanged. The result is
+    * record-for-record what an undeduplicated write would have read back.
+    *
+    * Distribution: one equi join on the referent record id — the revisit
+    * side carries NO payload (that is the point of dedup), so the shuffle
+    * moves tiny link rows plus exactly one payload copy per distinct
+    * referent; referents live in the same archive as their revisits
+    * ([[WarcSink]] dedups within a task), so co-location is natural when
+    * the read keeps file-unit partitioning. Revisits whose referent is
+    * missing (foreign/damaged archive) keep their empty payload rather
+    * than fabricating bytes.
+    */
+  def resolveRevisits(records: Dataset[WarcRecord]): Dataset[WarcRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val originals = records.filter(r => r.warc_type == "response" && r.record_id.nonEmpty)
+      .map(r => (r.record_id, r.payload, r.content_type, r.content_length))
+      .toDF("__rid", "__ref_payload", "__ref_ctype", "__ref_len")
+    val resolved = records.filter(_.warc_type == "revisit").toDF()
+      .join(originals, col("refers_to") === col("__rid"), "left")
+      .select(
+        col("file"), col("record_idx"), lit("response").as("warc_type"),
+        col("target_uri"), col("warc_date"),
+        coalesce(col("__ref_ctype"), col("content_type")).as("content_type"),
+        coalesce(col("__ref_len"), col("content_length")).as("content_length"),
+        coalesce(col("__ref_payload"), col("payload")).as("payload"),
+        col("truncated"), col("record_id"), col("refers_to"))
+      .as[WarcRecord]
+    records.filter(_.warc_type != "revisit").unionByName(resolved)
+  }
 
   /** Render records to WARC bytes — each record its own gzip member when
     * `gzipMembers` (the Common Crawl layout). Fixture/writer plumbing for

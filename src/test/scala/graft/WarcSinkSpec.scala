@@ -160,7 +160,7 @@ class WarcSinkSpec extends SparkTestBase {
       buf.toArray
     }
     val schema = new StructType().add("target_uri", StringType).add("payload", BinaryType)
-    val bw = new graft.sources.WarcBatchWrite(schema, dir, true, true, "abortq",
+    val bw = new graft.sources.WarcBatchWrite(schema, dir, true, true, false, "abortq",
       truncateFirst = true, props)
     val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
       Array(graft.sources.WarcCommit(0, s"$dir/_graft_warc_tmp_abortq/t-0-0"))
@@ -294,6 +294,67 @@ class WarcSinkSpec extends SparkTestBase {
     // appended beside the old ones
     new java.io.File(s"$dir/batch=1").listFiles
       .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".cdxj")) shouldBe 1
+  }
+
+  test("payload dedup writes revisit records; resolveRevisits reconstructs the full view") {
+    // archive-time dedup, the WARC identical-payload-digest mechanism:
+    // a repeated payload stores as a ~300 B revisit record linking the
+    // first copy instead of a second full block
+    // incompressible payload: a run of one character gzips BELOW a
+    // revisit record's header size, which would invert the size check
+    val body = new Array[Byte](5000)
+    new scala.util.Random(7).nextBytes(body)
+    val rows = Seq(
+      ("https://a/1", Warc.httpResponse(body, "text/html")),
+      ("https://a/2", Warc.httpResponse(body, "text/html")),      // dup of 1
+      ("https://a/3", Warc.httpResponse("tiny".getBytes("UTF-8"), "text/html")),
+      ("https://a/4", Warc.httpResponse(body, "text/html")),      // dup of 1
+      ("https://a/5", Warc.httpResponse("tiny".getBytes("UTF-8"), "text/html")))
+    val df = rows.toDF("target_uri", "payload").repartition(1)
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_warcsink_rv1").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_warcsink_rv2").toString
+    WarcSink.write(df, dedupDir, dedupPayloads = true)
+    WarcSink.write(df, fullDir)
+    def archiveBytes(dir: String): Long = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
+    archiveBytes(dedupDir) should be < archiveBytes(fullDir)
+    val recs = Warc.read(spark, dedupDir).collect().sortBy(_.target_uri)
+    recs.count(_.warc_type == "response") shouldBe 2 // first copies only
+    val revisits = recs.filter(_.warc_type == "revisit")
+    revisits.map(_.target_uri).sorted shouldBe Array("https://a/2", "https://a/4", "https://a/5")
+    revisits.foreach { r =>
+      r.payload.length shouldBe 0
+      r.content_length shouldBe 0L
+      r.refers_to should startWith("urn:uuid:")
+      // the link lands on a stored response record
+      recs.find(o => o.warc_type == "response" && o.record_id == r.refers_to)
+        .isDefined shouldBe true
+    }
+    // the crawl gate is unaffected: responses() sees stored responses only
+    Warc.responses(Warc.read(spark, dedupDir)).count() shouldBe 2
+    // resolveRevisits: record-for-record the undeduplicated view
+    val resolved = Warc.resolveRevisits(Warc.read(spark, dedupDir))
+      .collect().map(r => r.target_uri -> r.payload).toMap
+    resolved.size shouldBe 5
+    rows.foreach { case (uri, p) =>
+      withClue(uri) { java.util.Arrays.equals(resolved(uri), p) shouldBe true }
+    }
+    Warc.resolveRevisits(Warc.read(spark, dedupDir))
+      .filter(_.warc_type == "response").count() shouldBe 5
+    // the CDX index sees through the dedup: revisit rows carry mime
+    // warc/revisit and the PAYLOAD's digest (same digest as the referent)
+    val cdx = graft.sources.WarcCdx.read(spark, dedupDir).collect()
+    cdx.length shouldBe 5
+    val mimeByUrl = cdx.map(r => r.getAs[String]("url") -> r.getAs[String]("mime")).toMap
+    mimeByUrl("https://a/2") shouldBe "warc/revisit"
+    mimeByUrl("https://a/1") should not be "warc/revisit"
+    val digestByUrl = cdx.map(r => r.getAs[String]("url") -> r.getAs[String]("digest")).toMap
+    digestByUrl("https://a/2") shouldBe digestByUrl("https://a/1")
+    // a revisit whose referent is missing keeps its empty payload (no
+    // fabricated bytes) — simulate by resolving the revisits alone
+    val orphans = Warc.resolveRevisits(
+      spark.createDataset(recs.filter(_.warc_type == "revisit").toSeq))
+    orphans.collect().foreach(_.payload.length shouldBe 0)
   }
 
   test("schema validation rejects frames without the required columns") {
