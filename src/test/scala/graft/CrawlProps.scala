@@ -83,7 +83,30 @@ object CrawlProps extends Properties("Crawl") {
       graft.sources.Sitemaps.parse(text)
       graft.pipeline.Robots.parse(text)
       htmlText(text)
+      graft.pipeline.Urls.surtKeyString(text)
       true
+    }
+
+  property("surtKeyString totality + the non-URL fixed point") =
+    Prop.forAll(genText) { text =>
+      // arbitrary garbage either passes through UNCHANGED (no scheme:// or
+      // no host survives normalization) or produces a reversed-host key
+      // containing the ')' delimiter — never null, never an exception
+      val k = graft.pipeline.Urls.surtKeyString(text)
+      k != null && (k == text || k.contains(")"))
+    }
+
+  property("cdx digest: RFC 4648 base32, 32 chars, alphabet-clean, known vectors") =
+    Prop.forAll(genPayload) { bytes =>
+      val d = graft.sources.WarcSink.sha1Base32(bytes)
+      // pinned against an independent implementation (python hashlib +
+      // base64.b32encode): the canonical empty-payload digest every WARC
+      // tool knows, plus one non-trivial vector
+      graft.sources.WarcSink.sha1Base32(Array.empty[Byte]) ==
+        "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ" &&
+        graft.sources.WarcSink.sha1Base32("hello warc".getBytes("UTF-8")) ==
+          "GAVUVWS4HFI5NI6FF3C6QBP45KCWS2ET" &&
+        d.length == 32 && d.forall(c => (c >= 'A' && c <= 'Z') || (c >= '2' && c <= '7'))
     }
 
   property("warc render→parse round trip preserves records byte-exactly") =

@@ -296,6 +296,33 @@ class WarcSinkSpec extends SparkTestBase {
       .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".cdxj")) shouldBe 1
   }
 
+  test("WarcCdx.read tolerates malformed index lines: null fields, never a crash") {
+    // a damaged/foreign .cdxj must not fail a 100k-file index scan — bad
+    // lines parse to empty/null fields a consumer can filter, good lines
+    // are unaffected
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_evil")
+    java.nio.file.Files.writeString(dir.resolve("part-x-00000.cdxj"),
+      "a)/x 20260101000000 {\"url\":\"https://a/x\",\"mime\":\"t\"," +
+        "\"digest\":\"sha1:X\",\"offset\":\"0\",\"length\":\"10\",\"filename\":\"f\"}\n" +
+        "complete garbage with no shape at all\n" +
+        "b)/y 20260101000000 {\"url\": truncated-json\n" +
+        "c)/z notadigitstamp {\"url\":\"https://c/z\"}\n")
+    val rows = graft.sources.WarcCdx.read(spark, dir.toString).collect()
+    rows.length shouldBe 4
+    val good = rows.find(_.getAs[String]("urlkey") == "a)/x").get
+    good.getAs[String]("url") shouldBe "https://a/x"
+    good.getAs[Long]("offset") shouldBe 0L
+    good.getAs[Long]("length") shouldBe 10L
+    // malformed lines: a line that fails the `urlkey ts {json}` shape
+    // keys as "" (filterable); one whose JSON is damaged keeps its key
+    // but parses null fields — either way offset is null, never garbage
+    rows.filterNot(_.getAs[String]("urlkey") == "a)/x").foreach { r =>
+      r.isNullAt(r.fieldIndex("offset")) shouldBe true
+      r.isNullAt(r.fieldIndex("url")) shouldBe true
+    }
+    rows.count(_.getAs[String]("urlkey") == "") shouldBe 2 // no-shape lines
+  }
+
   test("payload dedup writes revisit records; resolveRevisits reconstructs the full view") {
     // archive-time dedup, the WARC identical-payload-digest mechanism:
     // a repeated payload stores as a ~300 B revisit record linking the
