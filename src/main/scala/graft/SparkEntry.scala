@@ -348,6 +348,20 @@ object SparkEntry {
       path
     })
 
+  /** Zipnum compaction of the [[cdxWarc]] index — globally SURT-sorted
+    * range-partitioned parts + the `cluster.idx` secondary index the
+    * pruned prefix lookup reads.
+    */
+  private val cdxCompactDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdxCompact(s: SparkSession, dir: String): String =
+    cdxCompactDirs.getOrElseUpdate(dir, {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_cdx_zip_${math.abs(dir.hashCode)}"
+      sources.WarcCdx.compact(s, cdxWarc(s, dir), out, nParts = 3)
+      out
+    })
+
   /** The revisit-dedup fixture: 200 docs where ids 100-199 carry the SAME
     * payload as id-100 — written through the sink with `dedupPayloads`,
     * so half the archive stores as revisit records. One partition:
@@ -383,7 +397,7 @@ object SparkEntry {
   def warmupSources(s: SparkSession, dir: String): Unit = {
     convertedNation(s, dir, "csv"); convertedNation(s, dir, "json")
     convertedNation(s, dir, "orc"); convertedWarc(s, dir); sinkWarc(s, dir)
-    cdxWarc(s, dir); revisitWarc(s, dir); ()
+    cdxWarc(s, dir); revisitWarc(s, dir); cdxCompact(s, dir); ()
   }
 
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -479,6 +493,18 @@ object SparkEntry {
         regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("payload").cast("string").as("text"))
+    }),
+    // ZIPNUM PREFIX LOOKUP: the compacted (globally SURT-sorted,
+    // cluster.idx-pruned) index answers "every record under this key
+    // prefix" by reading ~one part file — here the prefix matches every
+    // doc whose id RENDERS with a leading '1' (1, 10-19, 100-199), and
+    // the oracle replays both the byte arithmetic AND the string-prefix
+    // selection
+    "q_sink_cdx_lookup" -> ((s, dir) => {
+      sources.WarcCdx.lookupPrefix(s, cdxCompact(s, dir), "urn:graft:doc:1").select(
+        regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("urlkey"), col("offset"), col("length"))
     }),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
@@ -993,6 +1019,21 @@ object SparkEntry {
     "q_sink_revisit" ->
       ("SELECT d.doc_id, d2.text AS text FROM documents d " +
         "JOIN documents d2 ON d2.doc_id = d.doc_id % 100 WHERE d.doc_id < 200"),
+    // q_sink_cdx's byte replay restricted to ids whose decimal string
+    // starts with '1' (the lookup prefix); offsets still window over ALL
+    // ids < 300 because the archive layout is unchanged
+    "q_sink_cdx_lookup" ->
+      ("WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n " +
+        "FROM documents WHERE doc_id < 300), " +
+        "r AS (SELECT doc_id, 'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS urlkey, " +
+        "CAST(258 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
+        "+ len(CAST(n AS VARCHAR)) + n AS BIGINT) AS length FROM d), " +
+        "o AS (SELECT doc_id, urlkey, " +
+        "CAST(COALESCE(SUM(length) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset, " +
+        "length FROM r) " +
+        "SELECT doc_id, urlkey, \"offset\", length FROM o " +
+        "WHERE CAST(doc_id AS VARCHAR) LIKE '1%'"),
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away

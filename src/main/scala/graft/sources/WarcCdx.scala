@@ -27,10 +27,18 @@ object WarcCdx {
     * [[WarcSink]] naming) as typed columns: urlkey, timestamp, url,
     * mime, digest, offset, length, filename.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    parseLines(spark.read.text(s"$dir/*.cdxj"))
+
+  /** The `urlkey ts {json}` line parse [[read]], [[readCompacted]] and
+    * [[lookupPrefix]] share. A malformed line parses to an empty urlkey
+    * and/or null fields (filterable), never an error — a damaged file
+    * must not fail a 100k-file index scan.
+    */
+  private def parseLines(lines: DataFrame): DataFrame = {
     val jsonSchema = "url STRING, mime STRING, digest STRING, " +
       "offset STRING, length STRING, filename STRING"
-    spark.read.text(s"$dir/*.cdxj")
+    lines
       .select(
         regexp_extract(col("value"), "^(\\S+) (\\d{14}) (\\{.*)$", 1).as("urlkey"),
         regexp_extract(col("value"), "^(\\S+) (\\d{14}) (\\{.*)$", 2).as("timestamp"),
@@ -43,6 +51,105 @@ object WarcCdx {
         col("j.offset").cast("long").as("offset"),
         col("j.length").cast("long").as("length"),
         col("j.filename").as("filename"))
+  }
+
+  /** COMPACT many per-archive `.cdxj` files into one GLOBALLY SURT-ORDERED
+    * index under `outDir` — the zipnum/cluster layout Common Crawl serves
+    * its petabyte URL index from: `nParts` range-partitioned,
+    * internally-sorted line files, plus ONE small `cluster.idx` secondary
+    * index (`firstKey TAB filename` per part, in range order) that
+    * [[lookupPrefix]] prunes reads with.
+    *
+    * Cost shape: one range shuffle over index LINES (~1/1000 of the
+    * archive bytes — compacting the index of a 100 TB crawl shuffles
+    * ~100 GB), lexicographic line order ≡ (urlkey, timestamp) order
+    * because the key is the line's prefix. The secondary index is bounded
+    * by `nParts` (driver reads ONE line per part file), never by record
+    * count.
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String, nParts: Int = 16): Unit = {
+    require(nParts >= 1, s"nParts must be >= 1, got $nParts")
+    spark.read.text(s"$dir/*.cdxj")
+      .repartitionByRange(nParts, col("value"))
+      .sortWithinPartitions(col("value"))
+      .write.mode("overwrite").text(outDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(conf)
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+      .sortBy(_.getPath.getName) // partition order = name order
+    val entries = parts.flatMap { st =>
+      if (st.getLen == 0) None // an empty range slice contributes no entry
+      else {
+        val in = fs.open(st.getPath)
+        try {
+          // first line only — bounded read regardless of file size
+          val buf = in.readNBytes(1 << 16)
+          val nl = buf.indexOf('\n'.toByte)
+          val line = new String(buf, 0, if (nl < 0) buf.length else nl,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val key = line.takeWhile(_ != ' ')
+          Some(s"$key\t${st.getPath.getName}")
+        } finally in.close()
+      }
+    }
+    val w = fs.create(new org.apache.hadoop.fs.Path(out, "cluster.idx"), true)
+    try w.write((entries.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally w.close()
+  }
+
+  /** Every row of a compacted index (all parts, typed like [[read]]). */
+  def readCompacted(spark: SparkSession, outDir: String): DataFrame =
+    parseLines(spark.read.text(s"$outDir/part-*"))
+
+  /** The `cluster.idx` entries of a compacted index, in range order:
+    * (first urlkey of part, part filename). Driver-side — the file is
+    * `nParts` lines.
+    */
+  private[graft] def clusterEntries(
+      spark: SparkSession, outDir: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(outDir, "cluster.idx")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.split("\n").toIndexedSeq.filter(_.nonEmpty).map { l =>
+      val tab = l.indexOf('\t')
+      (l.substring(0, tab), l.substring(tab + 1))
+    }
+  }
+
+  /** Which part files can hold keys with `prefix`: part i covers
+    * [firstKey(i), firstKey(i+1)), so it intersects the prefix range
+    * [prefix, prefix+U+FFFF) iff firstKey(i) sorts below the range's top
+    * and the NEXT part's first key sorts above its bottom. Pure function
+    * for the pruning spec.
+    */
+  private[graft] def selectParts(
+      entries: Seq[(String, String)], prefix: String): Seq[String] = {
+    val high = prefix + '\uffff'
+    entries.zipWithIndex.collect {
+      case ((firstKey, file), i)
+        if firstKey <= high &&
+          (i + 1 >= entries.length || entries(i + 1)._1 > prefix) => file
+    }
+  }
+
+  /** PREFIX LOOKUP against a compacted index, reading ONLY the part
+    * files whose key range intersects the prefix (via `cluster.idx`) —
+    * the query shape the zipnum layout exists for: "every archived copy
+    * under this SURT key / domain prefix" touches ~one part file of a
+    * corpus-wide index, never the whole index. Returns [[read]]-typed
+    * rows filtered to `urlkey` prefix matches.
+    */
+  def lookupPrefix(spark: SparkSession, outDir: String, prefix: String): DataFrame = {
+    val picked = selectParts(clusterEntries(spark, outDir), prefix)
+    if (picked.isEmpty) return parseLines(
+      spark.read.text(s"$outDir/part-*")).limit(0)
+    val paths = picked.map(f => s"$outDir/$f")
+    parseLines(spark.read.text(paths: _*))
+      .filter(col("urlkey").startsWith(prefix))
   }
 
   /** Random-access one record: read exactly `length` bytes at `offset`
@@ -104,6 +211,15 @@ object WarcCdx {
         props.foreach { case (k, v) => conf.set(k, v) }
         var openFile: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
+        // a downstream limit/take can abandon the iterator mid-partition —
+        // the task-completion hook closes whatever is still open so a
+        // bounded fetch never leaks one stream per task
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit] { _ =>
+            if (in != null) { in.close(); in = null }
+          }
+        }
         def ensure(f: String): org.apache.hadoop.fs.FSDataInputStream = {
           if (f != openFile) {
             if (in != null) in.close()

@@ -160,7 +160,7 @@ class WarcSinkSpec extends SparkTestBase {
       buf.toArray
     }
     val schema = new StructType().add("target_uri", StringType).add("payload", BinaryType)
-    val bw = new graft.sources.WarcBatchWrite(schema, dir, true, true, false, "abortq",
+    val bw = new graft.sources.WarcBatchWrite(schema, dir, true, true, -1, "abortq",
       truncateFirst = true, props)
     val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
       Array(graft.sources.WarcCommit(0, s"$dir/_graft_warc_tmp_abortq/t-0-0"))
@@ -323,6 +323,46 @@ class WarcSinkSpec extends SparkTestBase {
     rows.count(_.getAs[String]("urlkey") == "") shouldBe 2 // no-shape lines
   }
 
+  test("compacted zipnum index: global SURT order, bounded cluster.idx, pruned lookups") {
+    import graft.sources.WarcCdx
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_cmp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cdx_cmp_out").toString
+    WarcSink.write(mkPayloads(40).toDF("target_uri", "payload")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z")).repartition(3), dir)
+    WarcCdx.compact(spark, dir, out, nParts = 4)
+    // the secondary index is bounded by nParts and range-ordered
+    val entries = WarcCdx.clusterEntries(spark, out)
+    entries.length should be <= 4
+    entries.map(_._1) shouldBe entries.map(_._1).sorted
+    // nothing lost, and the GLOBAL order holds ACROSS files: every part's
+    // last key sorts at or below the next part's first key
+    WarcCdx.readCompacted(spark, out).count() shouldBe 40
+    val perPart = entries.map { case (_, f) =>
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(out, f)).toArray.map(_.toString)
+      (lines.head.takeWhile(_ != ' '), lines.last.takeWhile(_ != ' '))
+    }
+    perPart.sliding(2).foreach {
+      case Seq((_, lastA), (firstB, _)) => lastA should be <= firstB
+      case _                            => ()
+    }
+    // prefix lookup returns exactly the domain's rows...
+    val h1 = WarcCdx.lookupPrefix(spark, out, "example,h1)")
+      .collect().map(_.getAs[String]("url")).sorted
+    h1 shouldBe (0 until 40).filter(_ % 3 == 1).map(i => s"https://h1.example/doc/$i")
+      .sorted.toArray
+    // ...and the pruning is real: a mid-range domain never needs every
+    // part, and a single-key prefix touches exactly one
+    WarcCdx.selectParts(entries, "example,h1)").length should be < entries.length
+    WarcCdx.selectParts(entries, "example,h2)/doc/5").length shouldBe 1
+    WarcCdx.lookupPrefix(spark, out, "example,h2)/doc/5")
+      .collect().map(_.getAs[String]("url")).toSeq shouldBe Seq("https://h2.example/doc/5")
+    // a prefix past every key selects at most the tail part and returns 0
+    WarcCdx.lookupPrefix(spark, out, "zzz,nothing)").count() shouldBe 0L
+    // the empty prefix is the full scan
+    WarcCdx.lookupPrefix(spark, out, "").count() shouldBe 40L
+  }
+
   test("payload dedup writes revisit records; resolveRevisits reconstructs the full view") {
     // archive-time dedup, the WARC identical-payload-digest mechanism:
     // a repeated payload stores as a ~300 B revisit record linking the
@@ -346,9 +386,11 @@ class WarcSinkSpec extends SparkTestBase {
       .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
     archiveBytes(dedupDir) should be < archiveBytes(fullDir)
     val recs = Warc.read(spark, dedupDir).collect().sortBy(_.target_uri)
-    recs.count(_.warc_type == "response") shouldBe 2 // first copies only
+    // a/3 and a/5 duplicate a TINY payload — below dedupMinBytes a
+    // revisit record would cost more than the block, so both store
+    recs.count(_.warc_type == "response") shouldBe 3
     val revisits = recs.filter(_.warc_type == "revisit")
-    revisits.map(_.target_uri).sorted shouldBe Array("https://a/2", "https://a/4", "https://a/5")
+    revisits.map(_.target_uri).sorted shouldBe Array("https://a/2", "https://a/4")
     revisits.foreach { r =>
       r.payload.length shouldBe 0
       r.content_length shouldBe 0L
@@ -358,7 +400,13 @@ class WarcSinkSpec extends SparkTestBase {
         .isDefined shouldBe true
     }
     // the crawl gate is unaffected: responses() sees stored responses only
-    Warc.responses(Warc.read(spark, dedupDir)).count() shouldBe 2
+    Warc.responses(Warc.read(spark, dedupDir)).count() shouldBe 3
+    // with the threshold at 0 the tiny duplicate dedups too — and the
+    // resolved view is identical either way (storage decisions never
+    // change what readers reconstruct)
+    val zeroDir = java.nio.file.Files.createTempDirectory("graft_warcsink_rv0").toString
+    WarcSink.write(df, zeroDir, dedupPayloads = true, dedupMinBytes = 0)
+    Warc.read(spark, zeroDir).filter(_.warc_type == "revisit").count() shouldBe 3
     // resolveRevisits: record-for-record the undeduplicated view
     val resolved = Warc.resolveRevisits(Warc.read(spark, dedupDir))
       .collect().map(r => r.target_uri -> r.payload).toMap
