@@ -433,6 +433,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming frontier gate against the compacted CDX archive history, stateless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // at archive scale the crawl HISTORY is the CDX index itself — gate
+    // new candidates with a stream-static anti join on the SURT key: no
+    // archive parse, no bloom build, zero state on the stream side (the
+    // index is ~1/1000 the archive's bytes, and a compacted index is
+    // SURT-range-partitioned so the static side prunes)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxgate_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cdxgate_idx").toString
+    graft.sources.WarcSink.write(Seq(
+      ("https://h0.example/doc/1", "a".getBytes("UTF-8")),
+      ("https://h1.example/doc/2", "b".getBytes("UTF-8")))
+      .toDF("target_uri", "payload"), dir)
+    graft.sources.WarcCdx.compact(s, dir, out, nParts = 2)
+    val history = graft.sources.WarcCdx.readCompacted(s, out).select(col("urlkey"))
+    val input = MemoryStream[String]
+    val gated = input.toDF().toDF("url")
+      .withColumn("urlkey", graft.pipeline.Urls.surtKey(col("url")))
+      .join(history, Seq("urlkey"), "left_anti")
+    val query = gated.writeStream.format("memory").queryName("cdxgate")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(
+        "https://h0.example/doc/1",     // archived verbatim → dropped
+        "https://H1.example:443/doc/2", // same page, messy form — SURT normalizes → dropped
+        "https://h0.example/doc/9")     // genuinely new → kept
+      query.processAllAvailable()
+      query.lastProgress.stateOperators shouldBe empty
+      s.table("cdxgate").collect().map(_.getAs[String]("url")).toSeq shouldBe
+        Seq("https://h0.example/doc/9")
+    }
+  }
+
   test("r13 map-side gates (url canon + host, int8 quantize) are stateless on a stream") {
     val s = spark
     import s.implicits._
