@@ -389,6 +389,41 @@ object SparkEntry {
       path
     })
 
+  /** The CROSS-ARCHIVE dedup fixture: two crawl segments under one
+    * parent — segment 1 stores docs 0-99; segment 2 fetches docs 100-199
+    * whose payloads REPEAT segment 1's (doc d carries doc d-100's text)
+    * and is marked against segment 1's CDX index before writing, so its
+    * repeats store as revisits whose referents live in the OTHER
+    * archive. One partition each; the mark join touches only the index.
+    */
+  private val revisitXDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def revisitXWarc(s: SparkSession, dir: String): String =
+    revisitXDirs.getOrElseUpdate(dir, {
+      val parent =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sink_rvx_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      def slice(lo: Int, hi: Int, srcOffset: Int) = {
+        val base = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id"), (col("doc_id") - srcOffset).as("__src"))
+        val src = docs.select(col("doc_id").as("__src"), col("text"))
+        base.join(src, Seq("__src")).select(
+          concat(lit("urn:graft:doc:"), col("doc_id")).as("target_uri"),
+          col("text").cast("binary").as("payload"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          col("doc_id"))
+      }
+      sources.WarcSink.write(
+        slice(0, 100, 0).repartition(1).sortWithinPartitions("doc_id").drop("doc_id"),
+        s"$parent/c1")
+      val marked = sources.WarcSink.markRevisits(
+        slice(100, 200, 100).repartition(1).sortWithinPartitions("doc_id"),
+        sources.WarcCdx.read(s, s"$parent/c1"))
+      sources.WarcSink.write(marked.drop("doc_id"), s"$parent/c2")
+      parent
+    })
+
   /** Fixture ETL for the source/sink round-trip queries (format
     * conversions + the distributed WARC sink write) — memoized per sf
     * dir; Bench's warmup calls this so the probes time reads, not the
@@ -397,7 +432,8 @@ object SparkEntry {
   def warmupSources(s: SparkSession, dir: String): Unit = {
     convertedNation(s, dir, "csv"); convertedNation(s, dir, "json")
     convertedNation(s, dir, "orc"); convertedWarc(s, dir); sinkWarc(s, dir)
-    cdxWarc(s, dir); revisitWarc(s, dir); cdxCompact(s, dir); ()
+    cdxWarc(s, dir); revisitWarc(s, dir); cdxCompact(s, dir)
+    revisitXWarc(s, dir); ()
   }
 
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -489,6 +525,18 @@ object SparkEntry {
     // duplication arithmetic straight from the documents table.
     "q_sink_revisit" -> ((s, dir) => {
       val recs = sources.Warc.read(s, revisitWarc(s, dir))
+      sources.Warc.resolveRevisits(recs).toDF().select(
+        regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+    }),
+    // CROSS-ARCHIVE dedup round trip: segment 2's repeats were marked
+    // against segment 1's CDX and stored as revisits referencing records
+    // in the OTHER archive — resolveRevisits over both segments must
+    // reconstruct every (doc_id, text) pair; the oracle replays the
+    // duplication arithmetic (doc d's payload is doc d-100's text)
+    "q_sink_revisit_x" -> ((s, dir) => {
+      val recs = sources.Warc.read(s, s"${revisitXWarc(s, dir)}/*")
       sources.Warc.resolveRevisits(recs).toDF().select(
         regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
@@ -1017,6 +1065,9 @@ object SparkEntry {
     "q_sink_cdx_fetch" -> "SELECT doc_id, text FROM documents WHERE doc_id < 300",
     // the duplication arithmetic: doc d's payload is doc (d % 100)'s text
     "q_sink_revisit" ->
+      ("SELECT d.doc_id, d2.text AS text FROM documents d " +
+        "JOIN documents d2 ON d2.doc_id = d.doc_id % 100 WHERE d.doc_id < 200"),
+    "q_sink_revisit_x" ->
       ("SELECT d.doc_id, d2.text AS text FROM documents d " +
         "JOIN documents d2 ON d2.doc_id = d.doc_id % 100 WHERE d.doc_id < 200"),
     // q_sink_cdx's byte replay restricted to ids whose decimal string

@@ -36,7 +36,7 @@ object WarcCdx {
     * must not fail a 100k-file index scan.
     */
   private def parseLines(lines: DataFrame): DataFrame = {
-    val jsonSchema = "url STRING, mime STRING, digest STRING, " +
+    val jsonSchema = "url STRING, mime STRING, digest STRING, rid STRING, " +
       "offset STRING, length STRING, filename STRING"
     lines
       .select(
@@ -48,6 +48,9 @@ object WarcCdx {
       .select(col("urlkey"), col("timestamp"),
         col("j.url").as("url"), col("j.mime").as("mime"),
         col("j.digest").as("digest"),
+        // the record's own WARC-Record-ID — what a cross-archive revisit
+        // referent must cite ([[WarcSink.markRevisits]])
+        col("j.rid").as("rid"),
         col("j.offset").cast("long").as("offset"),
         col("j.length").cast("long").as("length"),
         col("j.filename").as("filename"))

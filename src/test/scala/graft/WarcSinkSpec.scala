@@ -432,6 +432,56 @@ class WarcSinkSpec extends SparkTestBase {
     orphans.collect().foreach(_.payload.length shouldBe 0)
   }
 
+  test("cross-archive dedup: markRevisits against a prior crawl's CDX index") {
+    import graft.sources.{WarcCdx, WarcSink}
+    // the persistent-dedup-database pattern: crawl 2 dedups against
+    // crawl 1 by joining payload digests with crawl 1's INDEX (never its
+    // archives) — repeats store as revisits whose referent lives in the
+    // OTHER archive, and resolution over both crawls reconstructs all
+    val parent = java.nio.file.Files.createTempDirectory("graft_xarch").toString
+    val bodyA = new Array[Byte](4000)
+    val bodyB = new Array[Byte](4000)
+    new scala.util.Random(11).nextBytes(bodyA)
+    new scala.util.Random(12).nextBytes(bodyB)
+    val crawl1 = Seq(
+      ("https://a/1", bodyA), ("https://a/2", bodyB))
+    WarcSink.write(crawl1.toDF("target_uri", "payload").repartition(1), s"$parent/c1")
+    val history = WarcCdx.read(spark, s"$parent/c1")
+    val crawl2 = Seq(
+      ("https://a/1", bodyA),   // unchanged page re-fetched → revisit of c1
+      ("https://a/9", bodyB),   // same bytes under a NEW url → still a revisit
+      ("https://a/3", "fresh content".getBytes("UTF-8"))) // genuinely new
+    val marked = WarcSink.markRevisits(
+      crawl2.toDF("target_uri", "payload"), history)
+    marked.filter(col("revisit_of_id").isNotNull).count() shouldBe 2
+    WarcSink.write(marked.repartition(1), s"$parent/c2")
+    // crawl 2's archive stores ONLY the new payload; repeats are revisit
+    // records whose refers_to is a crawl-1 record id
+    val c1recs = Warc.read(spark, s"$parent/c1").collect()
+    val c2recs = Warc.read(spark, s"$parent/c2").collect()
+    c2recs.count(_.warc_type == "response") shouldBe 1
+    val c1ids = c1recs.map(_.record_id).toSet
+    val revisits = c2recs.filter(_.warc_type == "revisit")
+    revisits.length shouldBe 2
+    revisits.foreach { r =>
+      c1ids should contain(r.refers_to)
+      r.payload.length shouldBe 0
+    }
+    // resolution over BOTH crawls' records reconstructs every payload
+    // (https://a/1 appears in both crawls with the same bytes — 5
+    // records, 4 distinct uris)
+    val resolvedRecs = Warc.resolveRevisits(Warc.read(spark, s"$parent/*")).collect()
+    resolvedRecs.length shouldBe 5
+    resolvedRecs.count(_.warc_type == "response") shouldBe 5
+    val resolved = resolvedRecs.map(r => r.target_uri -> r.payload).toMap
+    (crawl1 ++ crawl2).foreach { case (uri, p) =>
+      withClue(uri) { java.util.Arrays.equals(resolved(uri), p) shouldBe true }
+    }
+    // the referent's identity survived the index round trip: crawl 1's
+    // CDX rid column IS its records' WARC-Record-ID
+    history.collect().map(_.getAs[String]("rid")).toSet shouldBe c1ids
+  }
+
   test("schema validation rejects frames without the required columns") {
     val bad = Seq((1L, "x")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
