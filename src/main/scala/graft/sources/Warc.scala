@@ -325,22 +325,31 @@ object Warc {
     * `response`; all other records pass through unchanged. The result is
     * record-for-record what an undeduplicated write would have read back.
     *
-    * Distribution: one equi join on the referent record id — the revisit
-    * side carries NO payload (that is the point of dedup), so the shuffle
-    * moves tiny link rows plus exactly one payload copy per distinct
-    * referent; referents live in the same archive as their revisits
-    * ([[WarcSink]] dedups within a task), so co-location is natural when
-    * the read keeps file-unit partitioning. Revisits whose referent is
-    * missing (foreign/damaged archive) keep their empty payload rather
-    * than fabricating bytes.
+    * Distribution: the corpus-sized response side is first NARROWED
+    * map-side to the referenced records only — a semi join against the
+    * (tiny, link-row) distinct refers_to set, which the planner
+    * broadcasts — so the payload-carrying join shuffles one payload copy
+    * per DISTINCT REFERENT plus the payload-less revisit rows, never the
+    * whole corpus (without the narrowing, resolving a 100 TB read with a
+    * handful of revisits would hash-shuffle every response payload by
+    * record id). Revisits whose referent is missing (foreign/damaged
+    * archive) keep their empty payload rather than fabricating bytes.
     */
   def resolveRevisits(records: Dataset[WarcRecord]): Dataset[WarcRecord] = {
     val spark = records.sparkSession
     import spark.implicits._
+    // the revisit slice is PAYLOAD-LESS (~300 B records) — cached, so its
+    // two consumers (the ref-id set and the resolving join) cost one scan
+    // of `records`, not two; `records` itself is still read twice (here +
+    // the pass-through union) — persist an expensive source before calling
+    val revisits = graft.pipeline.Dedup.cache(
+      records.filter(_.warc_type == "revisit").toDF())
+    val refIds = revisits.select(col("refers_to").as("__rid")).distinct()
     val originals = records.filter(r => r.warc_type == "response" && r.record_id.nonEmpty)
       .map(r => (r.record_id, r.payload, r.content_type, r.content_length))
       .toDF("__rid", "__ref_payload", "__ref_ctype", "__ref_len")
-    val resolved = records.filter(_.warc_type == "revisit").toDF()
+      .join(refIds, Seq("__rid"), "left_semi")
+    val resolved = revisits
       .join(originals, col("refers_to") === col("__rid"), "left")
       .select(
         col("file"), col("record_idx"), lit("response").as("warc_type"),

@@ -152,11 +152,18 @@ object WarcSink {
       substring(ts, 1, 4), lit("-"), substring(ts, 5, 2), lit("-"),
       substring(ts, 7, 2), lit("T"), substring(ts, 9, 2), lit(":"),
       substring(ts, 11, 2), lit(":"), substring(ts, 13, 2), lit("Z"))
+    // one referent per digest, chosen DETERMINISTICALLY (min (rid, url,
+    // date) struct): a task retry or replay must cite the same referent,
+    // the repo-wide retry-stability rule — dropDuplicates would pick
+    // whichever copy a partition ordering happened to surface
     val referents = historyCdx
       .filter(col("mime") =!= "warc/revisit" && col("rid").isNotNull)
-      .select(col("digest").as("__h_digest"), col("rid").as("revisit_of_id"),
-        col("url").as("revisit_of_uri"), isoDate.as("revisit_of_date"))
-      .dropDuplicates("__h_digest")
+      .select(col("digest").as("__h_digest"),
+        struct(col("rid"), col("url"), isoDate.as("d")).as("__ref"))
+      .groupBy(col("__h_digest"))
+      .agg(min(col("__ref")).as("__ref"))
+      .select(col("__h_digest"), col("__ref.rid").as("revisit_of_id"),
+        col("__ref.url").as("revisit_of_uri"), col("__ref.d").as("revisit_of_date"))
     df.withColumn("__digest", digestOf(col("payload")))
       .join(referents, col("__digest") === col("__h_digest"), "left")
       .drop("__digest", "__h_digest")
