@@ -109,6 +109,49 @@ object CrawlProps extends Properties("Crawl") {
         d.length == 32 && d.forall(c => (c >= 'A' && c <= 'Z') || (c >= '2' && c <= '7'))
     }
 
+  property("sink end-to-end: write (gzip × dedup) → read → resolve ≡ input; CDX slices exactly") =
+    Prop.forAll(
+      Gen.choose(1, 6), Gen.oneOf(true, false), Gen.oneOf(true, false),
+      Gen.choose(0L, Long.MaxValue)) { (n, gz, dd, seed) =>
+      // arbitrary batches through every sink configuration: payloads from
+      // a SMALL pool (forcing duplicates, including the empty payload),
+      // two partitions (so duplicate copies can land in different tasks —
+      // each task dedups independently, resolution must still be exact),
+      // dedup threshold 0 (tiny payloads dedup too). Invariants: the
+      // resolved view is the input MULTISET, the index has one row per
+      // record, and every (offset, length) slices a parseable member
+      // whose lengths tile each archive exactly.
+      val spark = SparkTestBase.session
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val pool = Seq(
+        Array.empty[Byte],
+        { val b = new Array[Byte](300); rnd.nextBytes(b); b },
+        { val b = new Array[Byte](1200); rnd.nextBytes(b); b })
+      val rows = (0 until n).map(i => (s"https://h${i % 2}.example/p/$i",
+        pool(rnd.nextInt(pool.length))))
+      val dir = java.nio.file.Files.createTempDirectory("graft_sinkprop").toString
+      graft.sources.WarcSink.write(rows.toDF("target_uri", "payload").repartition(2),
+        dir, gzipMembers = gz, dedupPayloads = dd, dedupMinBytes = 0)
+      val resolved = graft.sources.Warc.resolveRevisits(
+        graft.sources.Warc.read(spark, dir)).collect()
+      graft.pipeline.Dedup.clearCaches()
+      def multiset(xs: Seq[(String, Seq[Byte])]) =
+        xs.groupBy(identity).view.mapValues(_.size).toMap
+      val roundTrip = multiset(resolved.toSeq.map(r => (r.target_uri, r.payload.toSeq))) ==
+        multiset(rows.map { case (u, p) => (u, p.toSeq) })
+      val cdx = graft.sources.WarcCdx.read(spark, dir).collect()
+      val slices = cdx.forall { r =>
+        graft.sources.WarcCdx.readRecordAt(spark,
+          s"$dir/${r.getAs[String]("filename")}",
+          r.getAs[Long]("offset"), r.getAs[Long]("length")).isDefined
+      }
+      val tiles = cdx.groupBy(_.getAs[String]("filename")).forall { case (f, rs) =>
+        rs.map(_.getAs[Long]("length")).sum == new java.io.File(dir, f).length()
+      }
+      roundTrip && cdx.length == rows.length && slices && tiles
+    }
+
   property("warc render→parse round trip preserves records byte-exactly") =
     Prop.forAll(Gen.nonEmptyListOf(genPayload).map(_.take(5)), Gen.oneOf(true, false)) {
       (payloads, gz) =>

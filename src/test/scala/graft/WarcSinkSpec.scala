@@ -480,6 +480,13 @@ class WarcSinkSpec extends SparkTestBase {
     // the referent's identity survived the index round trip: crawl 1's
     // CDX rid column IS its records' WARC-Record-ID
     history.collect().map(_.getAs[String]("rid")).toSet shouldBe c1ids
+    // and the resolving plan narrows the corpus-sized response side with
+    // a SEMI join on the (broadcastable) refers_to set before the
+    // payload-carrying join — resolution must never hash-shuffle every
+    // response payload for a handful of revisits
+    Warc.resolveRevisits(Warc.read(spark, s"$parent/*"))
+      .queryExecution.optimizedPlan.toString should include("LeftSemi")
+    graft.pipeline.Dedup.clearCaches()
   }
 
   test("schema validation rejects frames without the required columns") {
