@@ -642,7 +642,38 @@ case class UnicodeNormalize(child: Expression, form: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The WARC/CDX content digest (`sha1:` + RFC 4648 base32 of the SHA-1)
+  * as a native codegen expression — the marker join
+  * ([[graft.sources.WarcSink.markRevisits]]) digests every payload of a
+  * crawl segment, which is a corpus-wide map pass: a scala UDF there
+  * would pay per-row encoder boxing on the hot path (the r12 interpreted
+  * lambda lesson), where this emits one direct `compute` call inside
+  * whole-stage codegen. Mirrors
+  * [[graft.sources.WarcSink.sha1Base32]] exactly (spec-pinned).
+  */
+case class Sha1Base32Digest(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sha1_base32_digest"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sha1b32", this, classOf[Sha1Base32Digest].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c);")
+  }
+
+  def compute(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString("sha1:" + graft.sources.WarcSink.sha1Base32(bytes))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
+  def sha1Base32Digest(payload: Column): Column =
+    colOf(Sha1Base32Digest(exprOf(payload)))
   def minhashSignature(tokens: Column, numHashes: Int = 64, shingleSize: Int = 3, seed: Long = 42L): Column =
     colOf(MinHashSignature(exprOf(tokens), numHashes, shingleSize, seed))
   def repetitionProfile(tokens: Column, n: Int): Column =

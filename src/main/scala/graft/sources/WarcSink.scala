@@ -143,8 +143,12 @@ object WarcSink {
     */
   def markRevisits(df: DataFrame, historyCdx: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val digestOf = udf((b: Array[Byte]) =>
-      "sha1:" + sha1Base32(if (b == null) Array.empty[Byte] else b))
+    // native codegen digest — the batch side is a corpus-wide map pass,
+    // so no scala-UDF boxing on it (null payloads digest as empty, the
+    // writer's own convention)
+    def digestOf(c: org.apache.spark.sql.Column) =
+      graft.functions.TextFunctions.sha1Base32Digest(
+        coalesce(c, lit(Array.empty[Byte])))
     // CDX timestamp (14 digits) back to the ISO instant the revisit
     // record's WARC-Refers-To-Date header wants
     val ts = col("timestamp")

@@ -17,6 +17,19 @@ class TextExpressionsSpec extends SparkTestBase {
 
   private def tokensOf(s: String) = split(lower(lit(s)), " ")
 
+  test("sha1Base32Digest mirrors WarcSink.sha1Base32 through codegen, null-safe") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(41)
+    val blob = new Array[Byte](777)
+    rnd.nextBytes(blob)
+    val rows = Seq(Some("x".getBytes("UTF-8")), Some(Array.empty[Byte]), Some(blob), None)
+    val got = rows.toDF("b")
+      .select(TextFunctions.sha1Base32Digest(col("b"))).as[Option[String]].collect()
+    got.toSeq shouldBe rows.map(_.map(b => "sha1:" + graft.sources.WarcSink.sha1Base32(b)))
+    // the canonical empty-payload digest, through the expression path too
+    got(1) shouldBe Some("sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+  }
+
   test("shingleHashes output is ascending-sorted and distinct") {
     // repeated trigrams ("a b c" appears 3 times) must collapse
     val text = "a b c a b c a b c d e"
