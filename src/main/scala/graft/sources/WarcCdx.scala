@@ -86,7 +86,10 @@ object WarcCdx {
       else {
         val in = fs.open(st.getPath)
         try {
-          // first line only — bounded read regardless of file size
+          // first line only — bounded read regardless of file size. A
+          // pathological first line longer than the 64 KiB window yields
+          // a TRUNCATED first key, which can only WIDEN selectParts'
+          // selection (a smaller lower bound), never lose a lookup hit.
           val buf = in.readNBytes(1 << 16)
           val nl = buf.indexOf('\n'.toByte)
           val line = new String(buf, 0, if (nl < 0) buf.length else nl,
