@@ -236,6 +236,8 @@ object WarcCdx {
           in
         }
         val it = rows.flatMap { case (f, off, len) =>
+          require(len >= 0 && len <= Int.MaxValue,
+            s"cdx member length out of range for $f@$off: $len")
           val s = ensure(f)
           s.seek(off)
           val buf = new Array[Byte](len.toInt)

@@ -143,6 +143,11 @@ object WarcSink {
     */
   def markRevisits(df: DataFrame, historyCdx: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    val reserved =
+      Set("revisit_of_id", "revisit_of_uri", "revisit_of_date", "__digest", "__h_digest")
+    require(!df.columns.exists(reserved),
+      "input columns collide with markRevisits' output/scratch names: " +
+        df.columns.filter(reserved).mkString(", "))
     // native codegen digest — the batch side is a corpus-wide map pass,
     // so no scala-UDF boxing on it (null payloads digest as empty, the
     // writer's own convention)
