@@ -132,36 +132,14 @@ object Dedup {
     * every round. Only the upfront graph layout plans AQE-off; the
     * per-round (label-sized) frames stay adaptive.
     */
-  private[graft] def withAqeOff[T](sess: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    // REENTRANT per session (r17 advice): overlapping calls — nested, or
-    // two threads laying out graphs on the same session — refcount a
-    // single saved value, so only the OUTERMOST entry flips the conf and
-    // only the LAST exit restores it. Without this, an inner finally could
-    // restore the "false" it read inside the outer window and leave the
-    // session AQE-off for good. (Queries a caller runs concurrently on
-    // the same session still see AQE off during the window — inherent to
-    // a shared conf; holders only PLAN checkpoint layouts under it, which
-    // is why the window is a few plan constructions, not a job.)
-    aqeHolds.synchronized {
-      val h = aqeHolds.getOrElseUpdate(sess,
-        new AqeHold(sess.conf.get("spark.sql.adaptive.enabled", "true")))
-      if (h.depth == 0) sess.conf.set("spark.sql.adaptive.enabled", "false")
-      h.depth += 1
-    }
-    try body
-    finally aqeHolds.synchronized {
-      val h = aqeHolds(sess)
-      h.depth -= 1
-      if (h.depth == 0) {
-        sess.conf.set("spark.sql.adaptive.enabled", h.saved)
-        aqeHolds.remove(sess)
-      }
-    }
-  }
-
-  private final class AqeHold(val saved: String) { var depth: Int = 0 }
-  private val aqeHolds =
-    scala.collection.mutable.Map.empty[org.apache.spark.sql.SparkSession, AqeHold]
+  private[graft] def withAqeOff[T](sess: org.apache.spark.sql.SparkSession)(body: => T): T =
+    // REENTRANT per session (r17 advice) via the shared refcounted guard:
+    // only the outermost entry flips the conf, only the last exit
+    // restores — an inner finally can never pin the session AQE-off.
+    // (Queries a caller runs concurrently on the same session still see
+    // AQE off during the window — inherent to a shared conf; holders only
+    // PLAN checkpoint layouts under it, never a job.)
+    graft.ConfGuard.withSessionConf(sess, "spark.sql.adaptive.enabled", "false")(body)
 
   /** Unpersist every frame cached by previous dedup calls (see [[cache]]).
     * Always safe: cached frames recompute transparently if read again.

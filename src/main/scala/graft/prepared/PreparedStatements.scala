@@ -310,12 +310,14 @@ object PreparedStatements {
     // adaptive mode — one-time cost — so parameterIds and plan introspection
     // behave identically in both modes.)
     val qe = Internals.queryExecution(spark, withPlaceholders)
-    val adaptiveKey = "spark.sql.adaptive.enabled"
-    val previous = cs.conf.get(adaptiveKey)
-    cs.conf.set(adaptiveKey, "false")
+    // AQE suspension through the shared refcounted guard: concurrent
+    // prepare() calls on one session overlap safely (only the outermost
+    // flips the conf; a naive save/restore pair here had the same
+    // pin-the-override race r17's advice flagged in the dedup tier)
     val physical =
-      try qe.executedPlan
-      finally cs.conf.set(adaptiveKey, previous)
+      graft.ConfGuard.withSessionConf(spark, "spark.sql.adaptive.enabled", "false") {
+        qe.executedPlan
+      }
 
     new PreparedStatement(spark, sql, physical, physical.output,
       adaptiveLogical = if (adaptive) Some(qe.analyzed) else None)
