@@ -424,6 +424,69 @@ object SparkEntry {
       parent
     })
 
+  /** The DERIVATIVES fixture: documents doc_id < 400 as full HTML pages —
+    * the q_html_extract chrome (script with a bare `<` and a decoy `<a`,
+    * style, link-only nav) plus a per-doc footer outlink pair — archived
+    * as HTTP `response` records through the distributed sink.
+    * [[wetWarc]] / [[watWarc]] derive the WET/WAT companion archives
+    * from it, so the three together are the Common Crawl triplet
+    * (WARC + WET + WAT) built end to end by graft's own jobs.
+    */
+  private val htmlWarcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def htmlWarc(s: SparkSession, dir: String): String =
+    htmlWarcDirs.getOrElseUpdate(dir, {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sink_html_${math.abs(dir.hashCode)}"
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val page = concat(
+        lit("<html><head><script>if (1 < 2) { nav(\"<a href='x'>\"); }</script>" +
+          "<style>p > a {color:red}</style></head><body>" +
+          "<nav><a href=\"/\">Home</a></nav><p>"),
+        esc,
+        lit("</p><footer><a href=\"/doc/"), col("doc_id"),
+        lit("?a=1&amp;b=2\">self</a> <a href='/about'>about</a></footer></body></html>"))
+      val head = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nContent-Length: "),
+        length(page.cast("binary")).cast("string"), lit("\r\n\r\n"))
+      val slice = t(s, dir, "documents").filter(col("doc_id") < 400).select(
+        concat(lit("urn:graft:doc:"), col("doc_id")).as("target_uri"),
+        concat(head.cast("binary"), page.cast("binary")).as("payload"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"))
+      sources.WarcSink.write(slice.repartition(4), path)
+      path
+    })
+
+  /** WARC → WET over [[htmlWarc]]: `Warc.toWet` (main-text extraction —
+    * the chrome and link-density boilerplate drop out) through the sink.
+    */
+  private val wetWarcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def wetWarc(s: SparkSession, dir: String): String =
+    wetWarcDirs.getOrElseUpdate(dir, {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sink_wet_${math.abs(dir.hashCode)}"
+      sources.WarcSink.write(
+        sources.Warc.toWet(
+          sources.Warc.read(s, htmlWarc(s, dir)), mainTextOnly = true), path)
+      path
+    })
+
+  /** WARC → WAT over [[htmlWarc]]: `Warc.toWat` (JSON metadata envelopes
+    * with document-order outlinks) through the sink.
+    */
+  private val watWarcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def watWarc(s: SparkSession, dir: String): String =
+    watWarcDirs.getOrElseUpdate(dir, {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sink_wat_${math.abs(dir.hashCode)}"
+      sources.WarcSink.write(
+        sources.Warc.toWat(sources.Warc.read(s, htmlWarc(s, dir))), path)
+      path
+    })
+
   /** Fixture ETL for the source/sink round-trip queries (format
     * conversions + the distributed WARC sink write) — memoized per sf
     * dir; Bench's warmup calls this so the probes time reads, not the
@@ -433,6 +496,7 @@ object SparkEntry {
     convertedNation(s, dir, "csv"); convertedNation(s, dir, "json")
     convertedNation(s, dir, "orc"); convertedWarc(s, dir); sinkWarc(s, dir)
     cdxWarc(s, dir); revisitWarc(s, dir); cdxCompact(s, dir)
+    htmlWarc(s, dir); wetWarc(s, dir); watWarc(s, dir)
     revisitXWarc(s, dir); ()
   }
 

@@ -362,6 +362,84 @@ object Warc {
     records.filter(_.warc_type != "revisit").unionByName(resolved)
   }
 
+  /** `response` records with the columns a DERIVATIVE build needs —
+    * target_uri / warc_date / refers_to (the source record's id, the
+    * `WARC-Refers-To` link every derivative carries) / media_type / the
+    * charset-decoded body. One header-block decode per record, same as
+    * [[responses]].
+    */
+  private def responseEnvelopes(records: Dataset[WarcRecord]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.filter(_.warc_type == "response")
+      .map { r =>
+        val head = lowerHead(r.payload)
+        val cs = charsetFromHead(head)
+          .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+        (r.target_uri, r.warc_date, r.record_id, mediaTypeFromHead(head),
+          new String(httpBody(r.payload), cs))
+      }
+      .toDF("target_uri", "warc_date", "refers_to", "media_type", "body")
+  }
+
+  private def isHtmlMedia = col("media_type") === "text/html" ||
+    col("media_type") === "application/xhtml+xml"
+
+  /** WET derivation — the ecosystem's extracted-text companion format
+    * (Common Crawl publishes a `.warc.wet` sidecar per WARC segment):
+    * every `response` record maps to a `conversion` record whose payload
+    * is the page's plain text — HTML bodies run the native
+    * [[graft.functions.HtmlText]] extractor (or [[graft.functions.HtmlMainText]]
+    * with `mainTextOnly`, which also drops link-density boilerplate
+    * lines); non-HTML text passes through unchanged. Output is
+    * [[WarcSink]] input schema: `Content-Type: text/plain`,
+    * `WARC-Type: conversion`, `WARC-Refers-To` the source response's
+    * record id — so `WarcSink.write(Warc.toWet(Warc.read(...)), out)`
+    * is the WARC→WET job, fully executor-side (the extraction is a
+    * codegen expression; distribution stays one task per archive file).
+    */
+  def toWet(
+      records: Dataset[WarcRecord],
+      mainTextOnly: Boolean = false,
+      maxLinkDensity: Double = 0.5,
+      minChars: Int = 0): DataFrame = {
+    val extract =
+      if (mainTextOnly)
+        graft.functions.HtmlFunctions.htmlMainText(col("body"), maxLinkDensity, minChars)
+      else graft.functions.HtmlFunctions.htmlText(col("body"))
+    responseEnvelopes(records).select(
+      col("target_uri"),
+      when(isHtmlMedia, extract).otherwise(col("body")).cast("binary").as("payload"),
+      col("warc_date"),
+      lit("text/plain").as("content_type"),
+      lit("conversion").as("warc_type"),
+      col("refers_to"))
+  }
+
+  /** WAT derivation — the metadata companion format (Common Crawl's
+    * `.warc.wat`): every `response` record maps to a `metadata` record
+    * whose payload is a JSON envelope carrying the page's url, media
+    * type, and outlinks (the native [[graft.functions.HtmlLinks]]
+    * extraction in document order; non-HTML pages get an empty list).
+    * Same sink contract as [[toWet]]: `WARC-Type: metadata`,
+    * `Content-Type: application/json`, `WARC-Refers-To` the source
+    * record — the link-graph / frontier input can then be built from
+    * WAT archives alone, never re-reading page bytes.
+    */
+  def toWat(records: Dataset[WarcRecord]): DataFrame = {
+    val links = when(isHtmlMedia, graft.functions.HtmlFunctions.htmlLinks(col("body")))
+      .otherwise(array().cast("array<string>"))
+    responseEnvelopes(records).select(
+      col("target_uri"),
+      to_json(struct(
+        col("target_uri").as("url"), col("media_type").as("mime"),
+        links.as("links"))).cast("binary").as("payload"),
+      col("warc_date"),
+      lit("application/json").as("content_type"),
+      lit("metadata").as("warc_type"),
+      col("refers_to"))
+  }
+
   /** Render records to WARC bytes — each record its own gzip member when
     * `gzipMembers` (the Common Crawl layout). Fixture/writer plumbing for
     * specs and the round-trip query; the reader above is the product

@@ -27,7 +27,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Input schema: `target_uri STRING` + `payload BINARY` (the record
   * block — for response records, HTTP status line + headers + body),
-  * optional `warc_date STRING` and `content_type STRING`. Records write
+  * optional `warc_date STRING` and `content_type STRING`, plus the
+  * derivative-record columns `warc_type STRING` (overrides the record
+  * type — `conversion` for WET text extracts, `metadata` for WAT — the
+  * default stays `response`) and `refers_to STRING` (emits a
+  * `WARC-Refers-To` header linking a derivative to its source
+  * response's record id). Records write
   * as `WARC-Type: response` with the same `Content-Length` framing as
   * [[Warc.render]], plus the two headers ISO 28500 makes MANDATORY for
   * every record (r17 advice — their absence made archives rejectable by
@@ -101,10 +106,20 @@ object WarcSink {
     * fills it from a prior crawl's CDX): a row with a non-null
     * `revisit_of_id` writes as a revisit record referencing THAT
     * external record instead of storing its payload.
+    *
+    * `wtype`/`refersTo` are the DERIVATIVE-RECORD inputs ([[Warc.toWet]]
+    * / [[Warc.toWat]] fill them): an optional `warc_type` column
+    * overrides the record's `WARC-Type` (default `response` — WET
+    * `conversion` and WAT `metadata` records are the ecosystem's other
+    * stored types), and an optional `refers_to` column emits a
+    * `WARC-Refers-To` header linking the derivative back to the source
+    * response's record id (ISO 28500's cross-record link — the same
+    * header the revisit branch writes for dedup referents).
     */
   private[sources] final case class Cols(
       uri: Int, payload: Int, date: Int, ctype: Int,
-      revisitOfId: Int, revisitOfUri: Int, revisitOfDate: Int)
+      revisitOfId: Int, revisitOfUri: Int, revisitOfDate: Int,
+      wtype: Int, refersTo: Int)
 
   private[sources] def validate(schema: StructType): Cols = {
     def idxOf(name: String, tpe: org.apache.spark.sql.types.DataType): Int = {
@@ -120,7 +135,8 @@ object WarcSink {
         s"got [${schema.fieldNames.mkString(", ")}]")
     Cols(uri, payload, idxOf("warc_date", StringType), idxOf("content_type", StringType),
       idxOf("revisit_of_id", StringType), idxOf("revisit_of_uri", StringType),
-      idxOf("revisit_of_date", StringType))
+      idxOf("revisit_of_date", StringType),
+      idxOf("warc_type", StringType), idxOf("refers_to", StringType))
   }
 
   /** CROSS-ARCHIVE dedup marker — the persistent-dedup-database pattern
@@ -499,10 +515,23 @@ class WarcDataWriter(
           "Content-Length: 0\r\n\r\n"
       case None =>
         if (dedupThis) seenDigests(digest) = (rid, uri, date)
-        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        // derivative records (WET `conversion` / WAT `metadata`) override
+        // the type and link their source response via WARC-Refers-To;
+        // with neither column present this renders byte-identically to
+        // the pre-derivative layout (the CDX byte-arithmetic oracle
+        // depends on that stability)
+        val wtype = str(cols.wtype, "response")
+        val refers =
+          if (cols.refersTo < 0 || row.isNullAt(cols.refersTo)) ""
+          else {
+            val r = str(cols.refersTo, "").stripPrefix("<").stripSuffix(">")
+            if (r.isEmpty) "" else s"WARC-Refers-To: <$r>\r\n"
+          }
+        s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
           s"WARC-Record-ID: <$rid>\r\n" +
           s"WARC-Date: $date\r\n" +
           s"WARC-Payload-Digest: $digest\r\n" +
+          refers +
           s"Content-Type: $ctype\r\n" +
           s"Content-Length: ${payload.length}\r\n\r\n"
     }
