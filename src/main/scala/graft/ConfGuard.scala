@@ -16,13 +16,20 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object ConfGuard {
 
-  private final class Hold(val saved: Option[String]) { var depth: Int = 0 }
+  private final class Hold(val saved: Option[String], val value: String) { var depth: Int = 0 }
   private val holds =
     scala.collection.mutable.Map.empty[(SparkSession, String), Hold]
 
   def withSessionConf[T](sess: SparkSession, key: String, value: String)(body: => T): T = {
     holds.synchronized {
-      val h = holds.getOrElseUpdate((sess, key), new Hold(sess.conf.getOption(key)))
+      val h = holds.getOrElseUpdate((sess, key), new Hold(sess.conf.getOption(key), value))
+      // nested holds RIDE the outer window (only the outermost entry
+      // flips the conf), so a nested request for a DIFFERENT value cannot
+      // be honored — it would silently run under the outer value. Fail
+      // loudly instead of lying (r18 advice).
+      require(h.value == value,
+        s"ConfGuard: nested withSessionConf($key) requested value '$value' inside an " +
+          s"active hold of '${h.value}' — nested holds only compose with the SAME value")
       if (h.depth == 0) sess.conf.set(key, value)
       h.depth += 1
     }

@@ -116,9 +116,12 @@ object SparkEntry {
         "$1" -> 400000.0)),
     // LIKE with a placeholder pattern (the BinaryExpression-not-
     // BinaryOperator inference path): pattern bound per execute
+    // pattern chosen to MATCH at every sf (the testdata names are
+    // color+noun pairs — '%green%' matched nothing, making the r18 row
+    // vacuously green; '%red%' returns ~250 rows at sf0.01)
     "q_prep_like" -> ((s, dir) =>
       prep(s, dir, "SELECT p_partkey, p_name FROM part WHERE p_name LIKE $1")(
-        "$1" -> "%green%")),
+        "$1" -> "%red%")),
     // window function through prepare(): the Window exec (partition/order
     // specs and frame) clones per execute with the WHERE placeholder
     // re-bound — the r9/r10 analytic surface reachable via the prepared
@@ -227,7 +230,7 @@ object SparkEntry {
     "q_prep_groupsets" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
       "FROM orders WHERE o_totalprice > 400000.0 " +
       "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
-    "q_prep_like" -> "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%green%'",
+    "q_prep_like" -> "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'",
     "q_prep_window" -> ("SELECT c_custkey, c_acctbal, " +
       "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk " +
       "FROM customer WHERE c_nationkey = 7"),
@@ -359,6 +362,67 @@ object SparkEntry {
       val out =
         s"${System.getProperty("java.io.tmpdir")}/graft_cdx_zip_${math.abs(dir.hashCode)}"
       sources.WarcCdx.compact(s, cdxWarc(s, dir), out, nParts = 3)
+      out
+    })
+
+  /** The INCREMENTAL-MERGE fixture: the [[cdxWarc]] corpus index (docs
+    * 0-299) compacted into a 3-part zipnum layout, then a SECOND crawl
+    * segment (docs 300-399, its own archive with its own byte layout,
+    * dated a month later) merged in via [[sources.WarcCdx.mergeCompact]]
+    * — the continuous-crawl maintenance path: only the parts whose key
+    * range the new segment touches rewrite; the rest keep their files.
+    * Both archives stay uncompressed/single-part/doc_id-ordered so every
+    * merged index row remains pure doc_id arithmetic for the oracle.
+    */
+  private val cdxMergedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdxMerged(s: SparkSession, dir: String): String =
+    cdxMergedDirs.getOrElseUpdate(dir, {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val seg2 = s"$tmp/graft_cdx_seg2_${math.abs(dir.hashCode)}"
+      val out = s"$tmp/graft_cdx_merged_${math.abs(dir.hashCode)}"
+      val slice = t(s, dir, "documents")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400).select(
+          concat(lit("urn:graft:doc:"), col("doc_id")).as("target_uri"),
+          col("text").cast("binary").as("payload"),
+          lit("2026-02-01T00:00:00Z").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          col("doc_id"))
+      sources.WarcSink.write(
+        slice.repartition(1).sortWithinPartitions("doc_id").drop("doc_id"),
+        seg2, gzipMembers = false)
+      sources.WarcCdx.compact(s, cdxWarc(s, dir), out, nParts = 3)
+      sources.WarcCdx.mergeCompact(s, seg2, out)
+      out
+    })
+
+  /** The MULTI-CAPTURE fixture for the wayback-style closest lookup:
+    * docs 0-99 archived THREE times each (2026-01-01 / 03-01 / 06-01),
+    * uncompressed single-part ordered by (doc_id, date) — index rows
+    * stay doc_id×capture arithmetic — then zipnum-compacted so
+    * [[sources.WarcCdx.lookupClosest]] prunes through `cluster.idx`.
+    */
+  private val cdxMultiTsDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdxMultiTs(s: SparkSession, dir: String): String =
+    cdxMultiTsDirs.getOrElseUpdate(dir, {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val arch = s"$tmp/graft_cdx_mts_${math.abs(dir.hashCode)}"
+      val out = s"$tmp/graft_cdx_mtsz_${math.abs(dir.hashCode)}"
+      val slice = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"),
+          explode(array(lit("2026-01-01T00:00:00Z"), lit("2026-03-01T00:00:00Z"),
+            lit("2026-06-01T00:00:00Z"))).as("__date"))
+        .select(
+          concat(lit("urn:graft:doc:"), col("doc_id")).as("target_uri"),
+          col("text").cast("binary").as("payload"),
+          col("__date").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          col("doc_id"))
+      sources.WarcSink.write(
+        slice.repartition(1).sortWithinPartitions("doc_id", "warc_date").drop("doc_id"),
+        arch, gzipMembers = false)
+      sources.WarcCdx.compact(s, arch, out, nParts = 3)
       out
     })
 
@@ -496,6 +560,7 @@ object SparkEntry {
     convertedNation(s, dir, "csv"); convertedNation(s, dir, "json")
     convertedNation(s, dir, "orc"); convertedWarc(s, dir); sinkWarc(s, dir)
     cdxWarc(s, dir); revisitWarc(s, dir); cdxCompact(s, dir)
+    cdxMerged(s, dir); cdxMultiTs(s, dir)
     htmlWarc(s, dir); wetWarc(s, dir); watWarc(s, dir)
     revisitXWarc(s, dir); ()
   }
@@ -617,6 +682,39 @@ object SparkEntry {
         regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("urlkey"), col("offset"), col("length"))
+    }),
+    // INCREMENTAL MERGE ≡ FULL RECOMPACTION, row for row: a second crawl
+    // segment's index merged into the compacted layout WITHOUT
+    // re-shuffling the corpus index (only the touched parts rewrite —
+    // spec-pinned) must read back exactly what compacting everything from
+    // scratch would produce. The oracle replays BOTH archives' byte
+    // layouts from doc_id arithmetic — each segment's offsets window over
+    // its own archive only.
+    "q_sink_cdx_merge" -> ((s, dir) => {
+      sources.WarcCdx.readCompacted(s, cdxMerged(s, dir)).select(
+        regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("urlkey"), col("timestamp"), col("offset"), col("length"))
+    }),
+    // WAYBACK CLOSEST LOOKUP: "the capture of key K nearest time T" over
+    // a 3-captures-per-doc compacted index — exact hit, midpoint rounding
+    // both directions, a numeric TIE (resolved to the earlier capture),
+    // and an out-of-range target clamping to the newest capture; each
+    // lookup reads only the cluster.idx-selected part. The oracle replays
+    // the capture arithmetic AND the |ts−T| integer-nearness rule.
+    "q_sink_cdx_closest" -> ((s, dir) => {
+      val out = cdxMultiTs(s, dir)
+      val reqs = Seq(
+        ("urn:graft:doc:42", "20260101000000"), // exact capture hit
+        ("urn:graft:doc:5", "20260215000000"), // rounds up to 03-01
+        ("urn:graft:doc:7", "20260401000000"), // rounds back to 03-01
+        ("urn:graft:doc:13", "20260201000000"), // tie 01-01/03-01 → earlier
+        ("urn:graft:doc:99", "20991231235959")) // beyond newest → 06-01
+      reqs.map { case (k, ts) => sources.WarcCdx.lookupClosest(s, out, k, ts) }
+        .reduce(_.unionByName(_)).select(
+          regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("urlkey"), col("timestamp"), col("offset"), col("length"))
     }),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
@@ -973,9 +1071,16 @@ object SparkEntry {
     "q_set_intersect" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nk"))
         .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))),
+    // operands chosen so the difference is NON-EMPTY at every sf (the r18
+    // customer-minus-supplier nationkey form was always ∅ by data shape —
+    // a vacuous green): high-value order keys minus finished-order keys
+    // leaves the open/pending high-value orders, thousands of rows at
+    // sf0.01
     "q_set_except" -> ((s, dir) =>
-      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
-        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))),
+      t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_orderkey").as("okey"))
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("okey")))),
     // Scalar functions: string / date / math
     "q_scalar_string" -> ((s, dir) =>
       t(s, dir, "orders").filter(col("o_orderkey") < 100).select(
@@ -1149,6 +1254,53 @@ object SparkEntry {
         "length FROM r) " +
         "SELECT doc_id, urlkey, \"offset\", length FROM o " +
         "WHERE CAST(doc_id AS VARCHAR) LIKE '1%'"),
+    // the merged index ≡ both segments' byte replay: segment A (docs
+    // < 300, dated 2026-01) windows its offsets over its own archive;
+    // segment B (docs 300-399, dated 2026-02) over ITS own — merging
+    // moved index LINES, never byte coordinates
+    "q_sink_cdx_merge" ->
+      ("WITH da AS (SELECT doc_id, octet_length(encode(text)) AS n " +
+        "FROM documents WHERE doc_id < 300), " +
+        "ra AS (SELECT doc_id, 'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS urlkey, " +
+        "CAST(258 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
+        "+ len(CAST(n AS VARCHAR)) + n AS BIGINT) AS length FROM da), " +
+        "oa AS (SELECT doc_id, urlkey, '20260101000000' AS ts, " +
+        "CAST(COALESCE(SUM(length) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS \"offset\", " +
+        "length FROM ra), " +
+        "db AS (SELECT doc_id, octet_length(encode(text)) AS n " +
+        "FROM documents WHERE doc_id >= 300 AND doc_id < 400), " +
+        "rb AS (SELECT doc_id, 'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS urlkey, " +
+        "CAST(258 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
+        "+ len(CAST(n AS VARCHAR)) + n AS BIGINT) AS length FROM db), " +
+        "ob AS (SELECT doc_id, urlkey, '20260201000000' AS ts, " +
+        "CAST(COALESCE(SUM(length) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS \"offset\", " +
+        "length FROM rb) " +
+        "SELECT doc_id, urlkey, ts AS \"timestamp\", \"offset\", length FROM oa " +
+        "UNION ALL " +
+        "SELECT doc_id, urlkey, ts AS \"timestamp\", \"offset\", length FROM ob"),
+    // the closest-capture rule replayed: 3 captures per doc (offsets
+    // window over (doc_id, ts) — the archive's write order), nearest =
+    // min |14-digit ts − target| as integers, ties to the earlier capture
+    "q_sink_cdx_closest" ->
+      ("WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n " +
+        "FROM documents WHERE doc_id < 100), " +
+        "c AS (SELECT doc_id, ts, 'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS urlkey, " +
+        "CAST(258 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
+        "+ len(CAST(n AS VARCHAR)) + n AS BIGINT) AS length " +
+        "FROM d CROSS JOIN (VALUES ('20260101000000'), ('20260301000000'), " +
+        "('20260601000000')) t(ts)), " +
+        "o AS (SELECT doc_id, urlkey, ts, " +
+        "CAST(COALESCE(SUM(length) OVER (ORDER BY doc_id, ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS \"offset\", " +
+        "length FROM c), " +
+        "req(rdoc, target) AS (VALUES (42, 20260101000000), (5, 20260215000000), " +
+        "(7, 20260401000000), (13, 20260201000000), (99, 20991231235959)) " +
+        "SELECT doc_id, urlkey, ts AS \"timestamp\", \"offset\", length " +
+        "FROM req JOIN o ON o.doc_id = req.rdoc " +
+        "QUALIFY row_number() OVER (PARTITION BY rdoc " +
+        "ORDER BY abs(CAST(ts AS BIGINT) - target), ts) = 1"),
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away
@@ -1268,8 +1420,8 @@ object SparkEntry {
       "UNION SELECT s_nationkey AS nk FROM supplier"),
     "q_set_intersect" -> ("SELECT c_nationkey AS nk FROM customer " +
       "INTERSECT SELECT s_nationkey AS nk FROM supplier"),
-    "q_set_except" -> ("SELECT c_nationkey AS nk FROM customer " +
-      "EXCEPT SELECT s_nationkey AS nk FROM supplier"),
+    "q_set_except" -> ("SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 100000 " +
+      "EXCEPT SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F'"),
     "q_scalar_string" -> ("SELECT o_orderkey, upper(o_orderpriority) AS pri_u, " +
       "substring(o_orderpriority, 1, 1) AS pri_c, CAST(length(o_orderpriority) AS INTEGER) AS pri_len, " +
       "concat(o_orderstatus, '-', o_orderpriority) AS tag FROM orders WHERE o_orderkey < 100"),

@@ -349,6 +349,17 @@ object Warc {
       .map(r => (r.record_id, r.payload, r.content_type, r.content_length))
       .toDF("__rid", "__ref_payload", "__ref_ctype", "__ref_len")
       .join(refIds, Seq("__rid"), "left_semi")
+      // one referent ROW per id, chosen deterministically (min struct):
+      // [[WarcSink.recordId]] makes cross-cycle collisions need an
+      // identical (uri, date, payload, slot), but a foreign archive's ids
+      // are outside our control — without this reduction a duplicated id
+      // would MULTIPLY every revisit row joined below (and patch an
+      // arbitrary payload in); with it the join key is unique by
+      // construction, so output cardinality = input cardinality always
+      .groupBy(col("__rid"))
+      .agg(min(struct(col("__ref_payload"), col("__ref_ctype"), col("__ref_len"))).as("__r"))
+      .select(col("__rid"), col("__r.__ref_payload").as("__ref_payload"),
+        col("__r.__ref_ctype").as("__ref_ctype"), col("__r.__ref_len").as("__ref_len"))
     val resolved = revisits
       .join(originals, col("refers_to") === col("__rid"), "left")
       .select(

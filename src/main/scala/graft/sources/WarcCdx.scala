@@ -72,42 +72,228 @@ object WarcCdx {
     */
   def compact(spark: SparkSession, dir: String, outDir: String, nParts: Int = 16): Unit = {
     require(nParts >= 1, s"nParts must be >= 1, got $nParts")
+    val conf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(conf)
+    // overwrite-mode output DELETES outDir before the (lazy) read job
+    // runs — compacting a directory into itself would destroy its own
+    // input mid-read. Compare fully-qualified paths, not raw strings.
+    require(fs.makeQualified(out) != fs.makeQualified(new org.apache.hadoop.fs.Path(dir)),
+      s"WarcCdx.compact: outDir must differ from the input dir ($dir) — " +
+        "overwrite-mode output would delete its own input before reading it")
     spark.read.text(s"$dir/*.cdxj")
       .repartitionByRange(nParts, col("value"))
       .sortWithinPartitions(col("value"))
       .write.mode("overwrite").text(outDir)
-    val conf = spark.sessionState.newHadoopConf()
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    val fs = out.getFileSystem(conf)
+    writeClusterIdx(fs, out)
+  }
+
+  /** (Re)derive `cluster.idx` from the part files under `out` and publish
+    * it CRASH-ATOMICALLY: the entries render to a temp name first and
+    * RENAME into place (the [[WarcSink]] commit protocol) — a crash
+    * mid-write leaves either the old index or the new one, never a
+    * truncated file whose missing entries would make [[selectParts]]
+    * silently skip parts. Driver-side cost is one first-line read per
+    * part — bounded by nParts, never by record count.
+    */
+  private[graft] def writeClusterIdx(
+      fs: org.apache.hadoop.fs.FileSystem, out: org.apache.hadoop.fs.Path): Unit = {
     val parts = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
       .sortBy(_.getPath.getName) // partition order = name order
     val entries = parts.flatMap { st =>
       if (st.getLen == 0) None // an empty range slice contributes no entry
-      else {
-        val in = fs.open(st.getPath)
-        try {
-          // first line only — bounded read regardless of file size. A
-          // pathological first line longer than the 64 KiB window yields
-          // a TRUNCATED first key, which can only WIDEN selectParts'
-          // selection (a smaller lower bound), never lose a lookup hit.
-          val buf = in.readNBytes(1 << 16)
-          val nl = buf.indexOf('\n'.toByte)
-          val line = new String(buf, 0, if (nl < 0) buf.length else nl,
-            java.nio.charset.StandardCharsets.UTF_8)
-          val key = line.takeWhile(_ != ' ')
-          Some(s"$key\t${st.getPath.getName}")
-        } finally in.close()
-      }
+      else Some(s"${firstKey(fs, st.getPath)}\t${st.getPath.getName}")
     }
-    val w = fs.create(new org.apache.hadoop.fs.Path(out, "cluster.idx"), true)
+    val tmp = new org.apache.hadoop.fs.Path(out, "_cluster.idx.tmp")
+    val w = fs.create(tmp, true)
     try w.write((entries.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally w.close()
+    val dest = new org.apache.hadoop.fs.Path(out, "cluster.idx")
+    fs.delete(dest, false) // local-FS rename does not clobber
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"WarcCdx: rename $tmp -> $dest failed")
+  }
+
+  /** The urlkey opening a part file: the first line's first
+    * space-delimited token, read in bounded chunks UNTIL the newline —
+    * never truncated (a truncated key below the next part's true first
+    * key would flip [[selectParts]]' upper-bound test and wrongly prune
+    * the PREVIOUS part, r18 advice). IO is one chunk in the normal case;
+    * a pathological multi-chunk first line still stops at its newline,
+    * and a no-space line (foreign file) keys as the whole line.
+    */
+  private[graft] def firstKey(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val acc = new java.io.ByteArrayOutputStream(1 << 10)
+      var done = false
+      while (!done) {
+        val buf = in.readNBytes(1 << 16)
+        if (buf.isEmpty) done = true // EOF before a newline: whole file is the line
+        else {
+          val nl = buf.indexOf('\n'.toByte)
+          // the key precedes the first SPACE, so we can also stop early
+          // once a space lands in the accumulator
+          val sp = buf.indexOf(' '.toByte)
+          val stop = Seq(nl, sp).filter(_ >= 0).sorted.headOption
+          stop match {
+            case Some(i) => acc.write(buf, 0, i); done = true
+            case None => acc.write(buf, 0, buf.length)
+          }
+        }
+      }
+      val line = acc.toString(java.nio.charset.StandardCharsets.UTF_8)
+      line.takeWhile(c => c != ' ' && c != '\n')
+    } finally in.close()
   }
 
   /** Every row of a compacted index (all parts, typed like [[read]]). */
   def readCompacted(spark: SparkSession, outDir: String): DataFrame =
     parseLines(spark.read.text(s"$outDir/part-*"))
+
+  /** INCREMENTALLY MERGE a new crawl segment's `.cdxj` files into an
+    * existing compacted layout at `outDir` — the continuous-crawl answer
+    * to [[compact]] being a full rebuild: a crawl that adds a segment per
+    * cycle (the [[WarcSink.markRevisits]] workflow) must not re-shuffle
+    * the WHOLE corpus index per cycle. Common Crawl maintains its
+    * petabyte URL index exactly this way: new captures merge into the
+    * affected zipnum blocks, untouched blocks are not rewritten.
+    *
+    * Mechanics: each new line's urlkey routes to its covering part via
+    * the `cluster.idx` ranges (a when-chain over the nParts boundaries —
+    * driver state is the boundary list, bounded by nParts); ONLY the
+    * affected parts are re-read, k-way-merged with their new lines
+    * (one sort of |affected parts| + |segment| lines — NOT the corpus),
+    * and rewritten through write-temp + move-aside + rename; every
+    * untouched part keeps its file byte-for-byte (names and mtimes
+    * stable — the incremental contract the spec pins). `cluster.idx`
+    * re-derives afterwards (one bounded first-line read per part) and
+    * publishes atomically. Keys below the first part's first key fold
+    * into part 0 (its cluster.idx entry updates to the new minimum).
+    *
+    * Cost shape at 100 TB: a daily segment of S index lines against an
+    * N-part corpus index shuffles O(S + touched-part bytes), vs
+    * [[compact]]'s O(corpus). A segment touching every range (rare —
+    * SURT locality concentrates a crawl wave's keys) degrades to a full
+    * rewrite of part CONTENT but still skips nothing-new parts.
+    *
+    * Crash safety: originals move aside before their replacements rename
+    * in, and the aside dir is only deleted after `cluster.idx` publishes
+    * — a crash at any point leaves every original line recoverable (in
+    * place or in `_graft_cdx_merge_old`), and the index file itself is
+    * never truncated (temp + rename). The op is a maintenance pass like
+    * any LSM compaction: run it without concurrent readers of the same
+    * layout, or point readers at a snapshot.
+    */
+  def mergeCompact(spark: SparkSession, segDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(conf)
+    require(fs.makeQualified(out) !=
+      fs.makeQualified(new org.apache.hadoop.fs.Path(segDir)),
+      s"WarcCdx.mergeCompact: outDir must differ from the segment dir ($segDir) — " +
+        "the merge rewrites parts under outDir while reading segment files")
+    val entries = clusterEntries(spark, outDir)
+    require(entries.nonEmpty,
+      s"WarcCdx.mergeCompact: no cluster.idx entries under $outDir — run compact first")
+    // route each new line to its covering part: part i owns
+    // [firstKey(i), firstKey(i+1)); keys below firstKey(0) fold into
+    // part 0. A when-chain over the boundary list — nParts-deep, codegen
+    // over the SEGMENT lines only.
+    val key = substring_index(col("value"), " ", 1) // urlkeys never contain spaces
+    val target: org.apache.spark.sql.Column =
+      if (entries.length == 1) lit(entries.head._2)
+      else {
+        var c: org.apache.spark.sql.Column = null
+        var i = 0
+        while (i < entries.length - 1) {
+          val cond = key < lit(entries(i + 1)._1)
+          val file = lit(entries(i)._2)
+          c = if (c == null) when(cond, file) else c.when(cond, file)
+          i += 1
+        }
+        c.otherwise(lit(entries.last._2))
+      }
+    val newLines = spark.read.text(s"$segDir/*.cdxj")
+      .select(col("value"), target.as("__part"))
+    val affected = newLines.select("__part").distinct()
+      .collect().map(_.getString(0)).sorted // bounded by nParts
+    if (affected.isEmpty) return // an empty segment merges to a no-op
+    // existing lines of ONLY the affected parts, each tagged with its
+    // own part name (input_file_name basename — part names are plain)
+    val existing = spark.read.text(affected.map(f => s"$outDir/$f").toIndexedSeq: _*)
+      .select(col("value"),
+        element_at(split(input_file_name(), "/"), -1).as("__part"))
+    val props = hadoopProps(spark)
+    val tmpDir = new org.apache.hadoop.fs.Path(out, "_graft_cdx_merge_tmp").toString
+    // one hash partition per affected part (collisions just co-locate two
+    // parts in one task — runs stay contiguous under the sort); each task
+    // streams its sorted lines into one temp file per part-name run and
+    // reports (partName, tempPath) — the collect is bounded by |affected|
+    val written = existing.unionByName(newLines)
+      .repartition(affected.length, col("__part"))
+      .sortWithinPartitions(col("__part"), col("value"))
+      .select(col("__part"), col("value")).as[(String, String)]
+      .mapPartitions { rows =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        props.foreach { case (k, v) => c.set(k, v) }
+        val tfs = new org.apache.hadoop.fs.Path(tmpDir)
+          .getFileSystem(c)
+        // task-attempt-unique temp names: a speculative twin writes its
+        // own files; Spark's result arbitration keeps one attempt's rows
+        val attempt = org.apache.spark.TaskContext.get() match {
+          case null => "d0"
+          case tc => s"${tc.partitionId()}-${tc.taskAttemptId()}"
+        }
+        var cur: String = null
+        var w: java.io.BufferedOutputStream = null
+        val outPairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        def close(): Unit = if (w != null) { w.close(); w = null }
+        val nlByte = '\n'.toByte
+        rows.foreach { case (part, line) =>
+          if (part != cur) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(tmpDir, s"m-$attempt-${outPairs.size}")
+            w = new java.io.BufferedOutputStream(tfs.create(p, true), 1 << 16)
+            outPairs += ((part, p.toString))
+            cur = part
+          }
+          w.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          w.write(nlByte)
+        }
+        close()
+        outPairs.iterator
+      }.collect()
+    def renameOrThrow(src: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(s"WarcCdx.mergeCompact: rename $src -> $dest failed")
+    val aside = new org.apache.hadoop.fs.Path(out, "_graft_cdx_merge_old")
+    fs.mkdirs(aside)
+    written.foreach { case (part, tmp) =>
+      renameOrThrow(new org.apache.hadoop.fs.Path(out, part),
+        new org.apache.hadoop.fs.Path(aside, part))
+      renameOrThrow(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(out, part))
+    }
+    writeClusterIdx(fs, out) // atomic temp+rename publish
+    fs.delete(aside, true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+  }
+
+  /** The driver-captured hadoop conf props executors rebuild a
+    * Configuration from (it is not serializable) — the [[WarcSink]] /
+    * [[fetch]] idiom, shared.
+    */
+  private def hadoopProps(spark: SparkSession): Array[(String, String)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
 
   /** The `cluster.idx` entries of a compacted index, in range order:
     * (first urlkey of part, part filename). Driver-side — the file is
@@ -156,6 +342,33 @@ object WarcCdx {
     val paths = picked.map(f => s"$outDir/$f")
     parseLines(spark.read.text(paths: _*))
       .filter(col("urlkey").startsWith(prefix))
+  }
+
+  /** TIMESTAMP-CLOSEST LOOKUP — the wayback replay point query the
+    * zipnum layout's OTHER read path serves: "the capture of `urlkey`
+    * nearest `timestamp`". Part pruning is [[selectParts]] with the full
+    * key (captures of one key are CONTIGUOUS in the SURT order, so this
+    * reads ~one part of a corpus-wide index); nearness is the absolute
+    * difference of the 14-digit timestamps AS INTEGERS (the pywb/
+    * OpenWayback convention — replayable arithmetic, no calendar math),
+    * ties resolved to the EARLIER capture. The plan is a
+    * TakeOrderedAndProject over the pruned part scan — top-1, no full
+    * sort. Returns one [[read]]-typed row (empty when the key was never
+    * archived).
+    */
+  def lookupClosest(
+      spark: SparkSession, outDir: String, urlkey: String, timestamp: String): DataFrame = {
+    require(timestamp.length == 14 && timestamp.forall(_.isDigit),
+      s"lookupClosest needs a 14-digit CDX timestamp, got '$timestamp'")
+    val picked = selectParts(clusterEntries(spark, outDir), urlkey)
+    val base =
+      if (picked.isEmpty) parseLines(spark.read.text(s"$outDir/part-*")).limit(0)
+      else parseLines(spark.read.text(picked.map(f => s"$outDir/$f"): _*))
+    base
+      .filter(col("urlkey") === urlkey)
+      .orderBy(abs(col("timestamp").cast("long") - lit(timestamp.toLong)).asc,
+        col("timestamp").asc)
+      .limit(1)
   }
 
   /** Random-access one record: read exactly `length` bytes at `offset`
@@ -209,6 +422,13 @@ object WarcCdx {
       buf.toArray
     }
     cdx.select(col("filename"), col("offset"), col("length"))
+      // [[parseLines]] deliberately maps a damaged index line to null
+      // fields instead of failing the scan — honor the same contract
+      // here: a null coordinate cannot be fetched, and feeding it to the
+      // non-nullable tuple encoder below would fail the whole job over
+      // one bad line
+      .filter(col("filename").isNotNull && col("offset").isNotNull &&
+        col("length").isNotNull)
       .repartition(col("filename"))
       .sortWithinPartitions(col("filename"), col("offset"))
       .as[(String, Long, Long)]

@@ -37,8 +37,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[Warc.render]], plus the two headers ISO 28500 makes MANDATORY for
   * every record (r17 advice — their absence made archives rejectable by
   * strict ecosystem validators): a deterministic `WARC-Record-ID`
-  * (`urn:uuid` derived by hashing uri + partition + row — retry-stable,
-  * no wall-clock or RNG) and a `WARC-Date` (the row's `warc_date`, or
+  * (`urn:uuid` derived by hashing uri + date + payload digest +
+  * partition + row — retry-stable, no wall-clock or RNG, and distinct
+  * across crawl cycles whenever the capture differs) and a `WARC-Date`
+  * (the row's `warc_date`, or
   * the epoch placeholder `1970-01-01T00:00:00Z` when absent/null — a
   * VALID ISO 8601 instant rather than an empty value, and obviously a
   * placeholder). Header values are CR/LF-sanitized — a hostile URI
@@ -202,17 +204,26 @@ object WarcSink {
     else v.replace('\r', ' ').replace('\n', ' ')
 
   /** Deterministic `urn:uuid` record id: the md5 of
-    * `uri partition row` (space-joined; unambiguous because the trailing
-    * two tokens never contain spaces) formatted as a (fixed-width
+    * `uri NUL date NUL digest NUL partition NUL row` (joined with the
+    * escaped separator "\u0000" — a code point no sanitized header value
+    * contains, so the join is unambiguous) formatted as a (fixed-width
     * 36-char) UUID.
     * Pure function of content + position — identical across task retries
     * and replays, never wall-clock or RNG (the repo-wide retry-stability
-    * rule), and unique per record by the (partition, row) suffix even
-    * when one URI archives twice.
+    * rule). Uniqueness has TWO layers: (partition, row) separates records
+    * within one write, and (date, payload digest) separates CAPTURES
+    * across writes — two crawl cycles that fetch the same URI into the
+    * same (partition, row) slot (likely under the deterministic SURT
+    * schedule) still mint distinct ids whenever the capture time or the
+    * content differs, which is what ISO 28500's global-uniqueness rule
+    * (and [[Warc.resolveRevisits]]'s referent join by id) needs. Only a
+    * byte-identical payload fetched at the identical date into the
+    * identical slot repeats an id — i.e. an indistinguishable capture.
     */
-  private[sources] def recordId(uri: String, partitionId: Int, row: Long): String = {
+  private[graft] def recordId(
+      uri: String, date: String, digest: String, partitionId: Int, row: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest((uri + " " + partitionId + " " + row)
+      .digest((uri + "\u0000" + date + "\u0000" + digest + "\u0000" + partitionId + "\u0000" + row)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val bb = java.nio.ByteBuffer.wrap(md)
     new java.util.UUID(bb.getLong, bb.getLong).toString
@@ -485,7 +496,7 @@ class WarcDataWriter(
     val date = str(dateIdx, "1970-01-01T00:00:00Z")
     val ctype = str(ctypeIdx, "application/http; msgtype=response")
     val digest = "sha1:" + WarcSink.sha1Base32(payload)
-    val rid = s"urn:uuid:${WarcSink.recordId(uri, partitionId, rowIdx)}"
+    val rid = s"urn:uuid:${WarcSink.recordId(uri, date, digest, partitionId, rowIdx)}"
     // below the threshold, a ~300 B revisit record would cost MORE than
     // storing the block — store, and do not register tiny digests either
     val dedupThis = dedup && payload.length >= dedupMin

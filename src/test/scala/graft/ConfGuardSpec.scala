@@ -60,4 +60,23 @@ class ConfGuardSpec extends SparkTestBase {
     }
     spark.conf.getOption(scratch) shouldBe None
   }
+
+  test("a nested hold requesting a DIFFERENT value fails loudly, not silently") {
+    // nested holds ride the outer window (only the outermost entry flips
+    // the conf) — honoring a different inner value is impossible, and
+    // r18's contract was to run under the OUTER value without any signal.
+    // Now: same value composes, different value throws, and the outer
+    // window survives the rejection intact.
+    val scratch = "spark.graft.test.confguard.nested"
+    ConfGuard.withSessionConf(spark, scratch, "outer") {
+      ConfGuard.withSessionConf(spark, scratch, "outer") {
+        spark.conf.get(scratch) shouldBe "outer" // same value: composes
+      }
+      val e = the[IllegalArgumentException] thrownBy
+        ConfGuard.withSessionConf(spark, scratch, "inner") { fail("must not run") }
+      e.getMessage should include("nested")
+      spark.conf.get(scratch) shouldBe "outer" // outer hold undisturbed
+    }
+    spark.conf.getOption(scratch) shouldBe None
+  }
 }

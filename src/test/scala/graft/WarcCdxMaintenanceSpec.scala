@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Warc, WarcCdx, WarcSink}
+
+/** The r19 archive-index maintenance tier: incremental merge compaction
+  * (new segments fold into the zipnum layout without re-shuffling the
+  * corpus index), crash-atomic `cluster.idx` publication, the
+  * wayback-style timestamp-closest lookup, and the record-id uniqueness
+  * layer that keeps cross-archive revisit resolution collision-proof.
+  */
+class WarcCdxMaintenanceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def mkPayloads(n: Int, host: Int => String = i => s"h${i % 3}") =
+    (0 until n).map { i =>
+      (s"https://${host(i)}.example/doc/$i",
+        Warc.httpResponse(s"body number $i with é".getBytes("UTF-8"),
+          "text/html; charset=utf-8"))
+    }
+
+  private def writeArchive(dir: String, rows: Seq[(String, Array[Byte])],
+      date: String = "2026-01-01T00:00:00Z", parts: Int = 2): Unit =
+    WarcSink.write(rows.toDF("target_uri", "payload")
+      .withColumn("warc_date", lit(date)).repartition(parts), dir)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("mergeCompact ≡ full recompaction, and untouched parts are NOT rewritten") {
+    // segment 1: hosts h0/h1/h2; segment 2 adds NEW captures only under
+    // h2 — with 4 range parts the h0/h1 ranges must keep their files
+    // byte-for-byte (the incremental contract: a daily segment must not
+    // pay a corpus-index rewrite)
+    val seg1 = tmp("graft_mrg_s1")
+    val seg2 = tmp("graft_mrg_s2")
+    val out = tmp("graft_mrg_out")
+    val full = tmp("graft_mrg_full")
+    writeArchive(seg1, mkPayloads(40))
+    writeArchive(seg2, (100 until 112).map { i =>
+      (s"https://h2.example/doc/$i",
+        Warc.httpResponse(s"later capture $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-02-01T00:00:00Z")
+    WarcCdx.compact(spark, seg1, out, nParts = 4)
+    val before = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> (f.lastModified, f.length)).toMap
+    Thread.sleep(1100) // local-FS mtime granularity can be one second
+    WarcCdx.mergeCompact(spark, seg2, out)
+    // row-for-row what compacting everything from scratch yields
+    val both = tmp("graft_mrg_both")
+    for (d <- Seq(seg1, seg2); f <- new java.io.File(d).listFiles
+         if f.getName.endsWith(".cdxj"))
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(both, d.hashCode.abs + "-" + f.getName))
+    WarcCdx.compact(spark, both, full, nParts = 4)
+    val mergedRows = WarcCdx.readCompacted(spark, out)
+      .collect().map(_.toString).sorted
+    val fullRows = WarcCdx.readCompacted(spark, full)
+      .collect().map(_.toString).sorted
+    mergedRows shouldBe fullRows
+    mergedRows.length shouldBe 52
+    // file-level incrementality: same names; the parts whose range the
+    // segment never touched are bit-stable (mtime AND length unchanged)
+    val after = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> (f.lastModified, f.length)).toMap
+    after.keySet shouldBe before.keySet
+    val touched = after.count { case (n, v) => before(n) != v }
+    touched should be >= 1
+    touched should be < before.size // at least one part survived untouched
+    // global order still holds across files and lookups still prune
+    val entries = WarcCdx.clusterEntries(spark, out)
+    entries.map(_._1) shouldBe entries.map(_._1).sorted
+    WarcCdx.lookupPrefix(spark, out, "example,h2)/doc/100")
+      .collect().map(_.getAs[String]("url")).toSeq shouldBe
+      Seq("https://h2.example/doc/100")
+  }
+
+  test("mergeCompact folds below-minimum keys into part 0 and updates its entry") {
+    val seg1 = tmp("graft_mrg_lo1")
+    val seg2 = tmp("graft_mrg_lo2")
+    val out = tmp("graft_mrg_lo_out")
+    writeArchive(seg1, mkPayloads(20, _ => "mhost"))
+    writeArchive(seg2, Seq(
+      ("https://aaa.example/doc/0", // SURT key sorts below every existing key
+        Warc.httpResponse("below-min".getBytes("UTF-8"), "text/html"))))
+    WarcCdx.compact(spark, seg1, out, nParts = 3)
+    val firstBefore = WarcCdx.clusterEntries(spark, out).head
+    WarcCdx.mergeCompact(spark, seg2, out)
+    val firstAfter = WarcCdx.clusterEntries(spark, out).head
+    firstAfter._2 shouldBe firstBefore._2 // same part 0 file
+    firstAfter._1 shouldBe "example,aaa)/doc/0" // new global minimum
+    firstAfter._1 should be < firstBefore._1
+    // and the new record is findable through the pruned path
+    WarcCdx.lookupPrefix(spark, out, "example,aaa)").count() shouldBe 1L
+  }
+
+  test("mergeCompact and compact refuse in-place operation; empty segment is a no-op") {
+    val seg = tmp("graft_mrg_guard_seg")
+    val out = tmp("graft_mrg_guard_out")
+    writeArchive(seg, mkPayloads(6))
+    // compact must not overwrite its own input mid-read
+    (the[IllegalArgumentException] thrownBy
+      WarcCdx.compact(spark, seg, seg, nParts = 2)).getMessage should
+      include("outDir must differ")
+    WarcCdx.compact(spark, seg, out, nParts = 2)
+    (the[IllegalArgumentException] thrownBy
+      WarcCdx.mergeCompact(spark, out, out)).getMessage should
+      include("outDir must differ")
+    // merging an empty segment changes nothing
+    val empty = tmp("graft_mrg_empty")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(empty, "none.cdxj"), "")
+    val rows = WarcCdx.readCompacted(spark, out).count()
+    WarcCdx.mergeCompact(spark, empty, out)
+    WarcCdx.readCompacted(spark, out).count() shouldBe rows
+  }
+
+  test("cluster.idx publishes atomically: a torn temp is never visible") {
+    val seg = tmp("graft_cdx_atomic_seg")
+    val out = tmp("graft_cdx_atomic_out")
+    writeArchive(seg, mkPayloads(12))
+    WarcCdx.compact(spark, seg, out, nParts = 2)
+    val entries = WarcCdx.clusterEntries(spark, out)
+    // simulate a crash mid-publication: a half-written temp file on disk.
+    // The reader must see the LAST COMMITTED index untouched — the commit
+    // is a rename, so no reader ever observes a truncated cluster.idx
+    // (r18 verdict: a direct create() could tear and silently lose parts)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_cluster.idx.tmp"), "torn,key\tpart-g")
+    WarcCdx.clusterEntries(spark, out) shouldBe entries
+    // recompaction recovers: the stale temp is simply replaced
+    WarcCdx.compact(spark, seg, out, nParts = 2)
+    WarcCdx.clusterEntries(spark, out).length shouldBe entries.length
+  }
+
+  test("lookupClosest: nearest capture by |ts diff|, ties earlier, pruned read") {
+    val arch = tmp("graft_closest_arch")
+    val out = tmp("graft_closest_out")
+    val dates = Seq("2026-01-01T00:00:00Z", "2026-03-01T00:00:00Z", "2026-06-01T00:00:00Z")
+    val rows = for (i <- 0 until 12; d <- dates) yield
+      (s"https://h${i % 3}.example/doc/$i",
+        Warc.httpResponse(s"capture $i $d".getBytes("UTF-8"), "text/html"), d)
+    WarcSink.write(rows.toDF("target_uri", "payload", "warc_date").repartition(2), arch)
+    WarcCdx.compact(spark, arch, out, nParts = 3)
+    val key = "example,h1)/doc/4"
+    def closest(ts: String): String =
+      WarcCdx.lookupClosest(spark, out, key, ts)
+        .collect().map(_.getAs[String]("timestamp")).head
+    closest("20260301000000") shouldBe "20260301000000" // exact hit
+    closest("20260215000000") shouldBe "20260301000000" // rounds forward
+    closest("20260401000000") shouldBe "20260301000000" // rounds back
+    closest("20260201000000") shouldBe "20260101000000" // tie → earlier
+    closest("19990101000000") shouldBe "20260101000000" // clamps to oldest
+    closest("20991231235959") shouldBe "20260601000000" // clamps to newest
+    // pruning is structural: the plan reads ONLY cluster.idx-selected
+    // part files, fewer than the layout holds
+    val scanned = WarcCdx.lookupClosest(spark, out, key, "20260301000000").inputFiles
+    val allParts = new java.io.File(out).listFiles
+      .count(_.getName.startsWith("part-"))
+    scanned.length should be < allParts
+    scanned.length shouldBe WarcCdx.selectParts(
+      WarcCdx.clusterEntries(spark, out), key).length
+    // a never-archived key answers empty, not an error
+    WarcCdx.lookupClosest(spark, out, "zzz,never)", "20260101000000")
+      .count() shouldBe 0L
+    // malformed timestamps are rejected at the API edge
+    an[IllegalArgumentException] should be thrownBy
+      WarcCdx.lookupClosest(spark, out, key, "2026")
+  }
+
+  test("fetch skips damaged index lines instead of failing the job") {
+    // parseLines maps a malformed line to null coordinates by contract;
+    // r18's fetch crashed the whole job on the first null (non-nullable
+    // tuple encoder). Now damaged lines drop and every healthy hit fetches.
+    val dir = tmp("graft_fetch_tolerant")
+    writeArchive(dir, mkPayloads(5), parts = 1)
+    val evil = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".cdxj")).head.toPath
+    java.nio.file.Files.writeString(evil,
+      java.nio.file.Files.readString(evil) +
+        "broken,line 20260101000000 {\"url\":\"x\"}\n" + // json missing coords
+        "no json shape at all\n")
+    // drop the Hadoop local-FS checksum sidecar — the damage IS the test
+    java.nio.file.Files.deleteIfExists(
+      evil.getParent.resolve("." + evil.getFileName + ".crc"))
+    val cdx = WarcCdx.read(spark, dir)
+    cdx.count() shouldBe 7
+    WarcCdx.fetch(cdx, dir).collect().length shouldBe 5
+  }
+
+  test("record ids separate captures: same slot, different content or date") {
+    // r18 advice (high): md5(uri, partition, row) alone collides across
+    // crawl cycles that land the same URI in the same slot — the SURT
+    // schedule makes that likely. The digest+date components now separate
+    // captures; identical captures still replay to the identical id.
+    val id = graft.sources.WarcSink.recordId(
+      "https://a/1", "2026-01-01T00:00:00Z", "sha1:AAA", 0, 0L)
+    graft.sources.WarcSink.recordId(
+      "https://a/1", "2026-01-01T00:00:00Z", "sha1:AAA", 0, 0L) shouldBe id
+    graft.sources.WarcSink.recordId(
+      "https://a/1", "2026-01-01T00:00:00Z", "sha1:BBB", 0, 0L) should not be id
+    graft.sources.WarcSink.recordId(
+      "https://a/1", "2026-02-01T00:00:00Z", "sha1:AAA", 0, 0L) should not be id
+    graft.sources.WarcSink.recordId(
+      "https://a/1", "2026-01-01T00:00:00Z", "sha1:AAA", 0, 1L) should not be id
+  }
+
+  test("resolveRevisits stays collision-proof: duplicate referent ids never multiply rows") {
+    // a FOREIGN archive's ids are outside our control — two responses
+    // sharing one record id plus a revisit citing it must resolve to
+    // exactly one row per revisit (r18: the join multiplied output and
+    // patched an arbitrary payload in)
+    val recs = Seq(
+      Warc.WarcRecord("f", 0, "response", "https://a/1", "2026-01-01T00:00:00Z",
+        "text/html", 3L, "one".getBytes("UTF-8"), false, "urn:uuid:dup", ""),
+      Warc.WarcRecord("f", 1, "response", "https://a/1", "2026-02-01T00:00:00Z",
+        "text/html", 3L, "two".getBytes("UTF-8"), false, "urn:uuid:dup", ""),
+      Warc.WarcRecord("f", 2, "revisit", "https://a/1", "2026-03-01T00:00:00Z",
+        "", 0L, Array.empty[Byte], false, "urn:uuid:rv", "urn:uuid:dup"))
+      .toDS()
+    val resolved = Warc.resolveRevisits(recs).collect()
+    resolved.length shouldBe 3 // 2 responses + exactly 1 resolved revisit
+    val rv = resolved.filter(_.record_id == "urn:uuid:rv")
+    rv.length shouldBe 1
+    // deterministic referent: min (payload, ctype, len) struct → "one"
+    new String(rv.head.payload, "UTF-8") shouldBe "one"
+    rv.head.warc_type shouldBe "response"
+  }
+
+  test("cluster.idx first keys are exact even when the first line exceeds one read chunk") {
+    // r18 advice: a 64 KiB-truncated first key is NOT harmless — it is
+    // part i's lower bound AND part i-1's UPPER bound in selectParts, so
+    // truncating it below a lookup prefix would wrongly prune the
+    // PREVIOUS part. firstKey now reads to the delimiter, whatever the
+    // length; writeClusterIdx records the exact key.
+    val out = tmp("graft_cdx_longkey")
+    val longKey = "zz," + ("k" * 70000) + ")" // key alone exceeds the 64 KiB chunk
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-00000-x.txt"),
+      "aaa,key) 20260101000000 {\"url\":\"a\"}\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-00001-x.txt"),
+      s"$longKey 20260101000000 {\"url\":\"z\"}\n")
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    WarcCdx.firstKey(fs,
+      new org.apache.hadoop.fs.Path(out, "part-00001-x.txt")) shouldBe longKey
+    WarcCdx.writeClusterIdx(fs, outPath)
+    val entries = WarcCdx.clusterEntries(spark, out)
+    // the long key survives untruncated in the index...
+    entries.map(_._1) shouldBe Seq("aaa,key)", longKey)
+    // ...so a prefix between the two keys still selects the FIRST part
+    // (a key truncated to "zz,kk…k" with the trailing ')' lost would
+    // still exceed "bbb", but one truncated below the prefix would have
+    // flipped the upper-bound test — exactness closes the class of bug)
+    WarcCdx.selectParts(entries, "bbb,key)") shouldBe Seq("part-00000-x.txt")
+  }
+}
