@@ -716,6 +716,26 @@ object SparkEntry {
             .cast("long").as("doc_id"),
           col("urlkey"), col("timestamp"), col("offset"), col("length"))
     }),
+    // BATCH closest lookup — the access-log-replay shape: one hundred
+    // per-document "as of" requests (five target-time classes cycling by
+    // doc_id) resolve in ONE distributed pass (route each request to its
+    // covering part, prune the scan to targeted parts, one urlkey
+    // shuffle, per-request nearest window) instead of a driver loop of
+    // point queries. The oracle replays the capture arithmetic and the
+    // nearest rule per request.
+    "q_sink_cdx_closest_batch" -> ((s, dir) => {
+      val out = cdxMultiTs(s, dir)
+      val targets = array(
+        lit("20260101000000"), lit("20260215000000"), lit("20260401000000"),
+        lit("20260201000000"), lit("20991231235959"))
+      val reqs = t(s, dir, "documents").filter(col("doc_id") < 100).select(
+        concat(lit("urn:graft:doc:"), col("doc_id")).as("urlkey"),
+        element_at(targets, (col("doc_id") % 5 + 1).cast("int")).as("timestamp"))
+      sources.WarcCdx.lookupClosestBatch(s, out, reqs).select(
+        regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("urlkey"), col("req_ts"), col("timestamp"), col("offset"), col("length"))
+    }),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1301,6 +1321,28 @@ object SparkEntry {
         "FROM req JOIN o ON o.doc_id = req.rdoc " +
         "QUALIFY row_number() OVER (PARTITION BY rdoc " +
         "ORDER BY abs(CAST(ts AS BIGINT) - target), ts) = 1"),
+    // the batch form: one request per doc, target class cycling by
+    // doc_id % 5, nearest capture per request replayed the same way
+    "q_sink_cdx_closest_batch" ->
+      ("WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n " +
+        "FROM documents WHERE doc_id < 100), " +
+        "c AS (SELECT doc_id, ts, 'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS urlkey, " +
+        "CAST(258 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
+        "+ len(CAST(n AS VARCHAR)) + n AS BIGINT) AS length " +
+        "FROM d CROSS JOIN (VALUES ('20260101000000'), ('20260301000000'), " +
+        "('20260601000000')) t(ts)), " +
+        "o AS (SELECT doc_id, urlkey, ts, " +
+        "CAST(COALESCE(SUM(length) OVER (ORDER BY doc_id, ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS \"offset\", " +
+        "length FROM c), " +
+        "req AS (SELECT doc_id AS rdoc, CASE CAST(doc_id % 5 AS INTEGER) " +
+        "WHEN 0 THEN '20260101000000' WHEN 1 THEN '20260215000000' " +
+        "WHEN 2 THEN '20260401000000' WHEN 3 THEN '20260201000000' " +
+        "ELSE '20991231235959' END AS req_ts FROM d) " +
+        "SELECT doc_id, urlkey, req_ts, ts AS \"timestamp\", \"offset\", length " +
+        "FROM req JOIN o ON o.doc_id = req.rdoc " +
+        "QUALIFY row_number() OVER (PARTITION BY rdoc " +
+        "ORDER BY abs(CAST(ts AS BIGINT) - CAST(req_ts AS BIGINT)), ts) = 1"),
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away

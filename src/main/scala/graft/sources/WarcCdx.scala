@@ -85,7 +85,63 @@ object WarcCdx {
       .repartitionByRange(nParts, col("value"))
       .sortWithinPartitions(col("value"))
       .write.mode("overwrite").text(outDir)
+    // canonicalize to GAP-NUMBERED part names (part-%012d, numbers
+    // NameGap apart): [[mergeCompact]]'s split policy inserts new parts
+    // BETWEEN existing ones by picking an unused number in the gap — a
+    // B-tree-style naming that keeps (name order ≡ range order) while
+    // untouched files keep their names across any number of merge
+    // cycles. Renames only — no data moves.
+    val sparkParts = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+      .sortBy(_.getPath.getName)
+    var n = 0L
+    sparkParts.foreach { st =>
+      if (st.getLen == 0) fs.delete(st.getPath, false) // empty range slice
+      else {
+        val dest = new org.apache.hadoop.fs.Path(out, partName(n))
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"WarcCdx.compact: rename to $dest failed")
+        n += NameGap
+      }
+    }
     writeClusterIdx(fs, out)
+  }
+
+  /** Gap between canonical part numbers — the headroom [[mergeCompact]]
+    * subdivides when a split inserts parts. 2^20 gap ÷ a-few-chunks-per-
+    * split sustains ~20 split generations inside one gap before a (cheap,
+    * rename-only) renumber is forced.
+    */
+  private[graft] val NameGap: Long = 1L << 20
+
+  private[graft] def partName(n: Long): String = f"part-$n%012d"
+
+  /** The canonical part number, or None for a foreign/legacy name. */
+  private[graft] def partNum(name: String): Option[Long] =
+    if (name.length == 17 && name.startsWith("part-") &&
+      name.substring(5).forall(_.isDigit)) Some(name.substring(5).toLong)
+    else None
+
+  /** Rename every live part to the canonical gap numbering (two-phase —
+    * via temp names — so an old name colliding with a new one is safe).
+    * Content never moves; only names change. Returns old→new name map.
+    */
+  private def renumber(
+      fs: org.apache.hadoop.fs.FileSystem,
+      out: org.apache.hadoop.fs.Path): Map[String, String] = {
+    def rn(src: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(s"WarcCdx.renumber: rename $src -> $dest failed")
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+      .map(_.getPath.getName).sorted
+    val mapping = parts.zipWithIndex
+      .map { case (old, i) => old -> partName(i * NameGap) }.toMap
+    parts.foreach(p =>
+      rn(new org.apache.hadoop.fs.Path(out, p),
+        new org.apache.hadoop.fs.Path(out, s"_rn_$p")))
+    parts.foreach(p =>
+      rn(new org.apache.hadoop.fs.Path(out, s"_rn_$p"),
+        new org.apache.hadoop.fs.Path(out, mapping(p))))
+    mapping
   }
 
   /** (Re)derive `cluster.idx` from the part files under `out` and publish
@@ -186,8 +242,20 @@ object WarcCdx {
     * never truncated (temp + rename). The op is a maintenance pass like
     * any LSM compaction: run it without concurrent readers of the same
     * layout, or point readers at a snapshot.
+    *
+    * `maxPartLines` is the SPLIT policy: without one, a hot key range
+    * (one domain crawled every cycle) grows its part without bound until
+    * "read ~one part" lookups read a giant file. A rewritten part whose
+    * merged line count exceeds the bound splits into `ceil(n/max)`
+    * consecutive parts. New parts take unused numbers in the gap between
+    * their predecessor and successor (the B-tree trick behind the
+    * [[NameGap]] canonical naming), so a split renames files — it never
+    * rewrites a neighbor; if a gap is exhausted (~20 split generations),
+    * one rename-only renumber pass restores headroom.
     */
-  def mergeCompact(spark: SparkSession, segDir: String, outDir: String): Unit = {
+  def mergeCompact(
+      spark: SparkSession, segDir: String, outDir: String,
+      maxPartLines: Long = Long.MaxValue): Unit = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val out = new org.apache.hadoop.fs.Path(outDir)
@@ -196,27 +264,24 @@ object WarcCdx {
       fs.makeQualified(new org.apache.hadoop.fs.Path(segDir)),
       s"WarcCdx.mergeCompact: outDir must differ from the segment dir ($segDir) — " +
         "the merge rewrites parts under outDir while reading segment files")
-    val entries = clusterEntries(spark, outDir)
-    require(entries.nonEmpty,
-      s"WarcCdx.mergeCompact: no cluster.idx entries under $outDir — run compact first")
-    // route each new line to its covering part: part i owns
-    // [firstKey(i), firstKey(i+1)); keys below firstKey(0) fold into
-    // part 0. A when-chain over the boundary list — nParts-deep, codegen
-    // over the SEGMENT lines only.
-    val key = substring_index(col("value"), " ", 1) // urlkeys never contain spaces
-    val target: org.apache.spark.sql.Column =
-      if (entries.length == 1) lit(entries.head._2)
+    require(maxPartLines >= 1, s"maxPartLines must be >= 1, got $maxPartLines")
+    // a foreign/legacy layout (non-canonical part names) renumbers up
+    // front so the split arithmetic below can always parse its numbers
+    val entries = {
+      val e0 = clusterEntries(spark, outDir)
+      require(e0.nonEmpty,
+        s"WarcCdx.mergeCompact: no cluster.idx entries under $outDir — run compact first")
+      if (e0.forall(e => partNum(e._2).isDefined)) e0
       else {
-        var c: org.apache.spark.sql.Column = null
-        var i = 0
-        while (i < entries.length - 1) {
-          val cond = key < lit(entries(i + 1)._1)
-          val file = lit(entries(i)._2)
-          c = if (c == null) when(cond, file) else c.when(cond, file)
-          i += 1
-        }
-        c.otherwise(lit(entries.last._2))
+        renumber(fs, out)
+        writeClusterIdx(fs, out)
+        clusterEntries(spark, outDir)
       }
+    }
+    // route each new line to its covering part ([[coveringPart]]) —
+    // codegen over the SEGMENT lines only
+    val key = substring_index(col("value"), " ", 1) // urlkeys never contain spaces
+    val target = coveringPart(entries, key)
     val newLines = spark.read.text(s"$segDir/*.cdxj")
       .select(col("value"), target.as("__part"))
     val affected = newLines.select("__part").distinct()
@@ -231,8 +296,10 @@ object WarcCdx {
     val tmpDir = new org.apache.hadoop.fs.Path(out, "_graft_cdx_merge_tmp").toString
     // one hash partition per affected part (collisions just co-locate two
     // parts in one task — runs stay contiguous under the sort); each task
-    // streams its sorted lines into one temp file per part-name run and
-    // reports (partName, tempPath) — the collect is bounded by |affected|
+    // streams its sorted lines into one temp file per part-name run —
+    // ROLLING to a fresh chunk at maxPartLines — and reports (partName,
+    // chunkIdx, tempPath); the collect is bounded by |affected| + chunks
+    val maxLines = maxPartLines
     val written = existing.unionByName(newLines)
       .repartition(affected.length, col("__part"))
       .sortWithinPartitions(col("__part"), col("value"))
@@ -249,39 +316,100 @@ object WarcCdx {
           case tc => s"${tc.partitionId()}-${tc.taskAttemptId()}"
         }
         var cur: String = null
+        var chunk = 0
+        var lines = 0L
+        var nFiles = 0
         var w: java.io.BufferedOutputStream = null
-        val outPairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val outTriples =
+          scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
         def close(): Unit = if (w != null) { w.close(); w = null }
+        def open(part: String): Unit = {
+          close()
+          val p = new org.apache.hadoop.fs.Path(tmpDir, s"m-$attempt-$nFiles")
+          nFiles += 1
+          w = new java.io.BufferedOutputStream(tfs.create(p, true), 1 << 16)
+          outTriples += ((part, chunk, p.toString))
+          lines = 0L
+        }
         val nlByte = '\n'.toByte
         rows.foreach { case (part, line) =>
-          if (part != cur) {
-            close()
-            val p = new org.apache.hadoop.fs.Path(tmpDir, s"m-$attempt-${outPairs.size}")
-            w = new java.io.BufferedOutputStream(tfs.create(p, true), 1 << 16)
-            outPairs += ((part, p.toString))
-            cur = part
-          }
+          if (part != cur) { cur = part; chunk = 0; open(part) }
+          else if (lines >= maxLines) { chunk += 1; open(part) }
           w.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           w.write(nlByte)
+          lines += 1
         }
         close()
-        outPairs.iterator
+        outTriples.iterator
       }.collect()
     def renameOrThrow(src: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(src, dest))
         throw new java.io.IOException(s"WarcCdx.mergeCompact: rename $src -> $dest failed")
+    // SPLIT NUMBERING: chunk 0 keeps the part's own number; later chunks
+    // take evenly-spaced numbers in the gap to the SUCCESSOR live part
+    // (name order must stay range order). An exhausted gap forces one
+    // rename-only renumber of the whole layout first — O(nParts) renames,
+    // zero data movement.
+    var live = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+      .map(_.getPath.getName).sorted
+    val chunksByPart = written.groupBy(_._1)
+    var renamed = Map.empty[String, String]
+    def gapOk(parts: Array[String]): Boolean = chunksByPart.forall { case (p0, cs) =>
+      val p = renamed.getOrElse(p0, p0)
+      val i = parts.indexOf(p)
+      val cur = partNum(p).get
+      val next = if (i + 1 < parts.length) partNum(parts(i + 1)).get else cur + NameGap
+      cs.length <= 1 || (next - cur) / cs.length >= 1
+    }
+    if (!gapOk(live)) {
+      renamed = renumber(fs, out)
+      live = live.map(renamed)
+      require(gapOk(live), // NameGap/chunks >= 1 unless one merge splits a part 2^20 ways
+        "WarcCdx.mergeCompact: a single merge produced more chunks than NameGap — " +
+          "raise maxPartLines")
+    }
     val aside = new org.apache.hadoop.fs.Path(out, "_graft_cdx_merge_old")
     fs.mkdirs(aside)
-    written.foreach { case (part, tmp) =>
-      renameOrThrow(new org.apache.hadoop.fs.Path(out, part),
-        new org.apache.hadoop.fs.Path(aside, part))
-      renameOrThrow(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(out, part))
+    chunksByPart.foreach { case (p0, cs0) =>
+      val p = renamed.getOrElse(p0, p0)
+      val cs = cs0.sortBy(_._2)
+      val i = live.indexOf(p)
+      val cur = partNum(p).get
+      val next = if (i + 1 < live.length) partNum(live(i + 1)).get else cur + NameGap
+      val step = if (cs.length <= 1) NameGap else (next - cur) / cs.length
+      renameOrThrow(new org.apache.hadoop.fs.Path(out, p),
+        new org.apache.hadoop.fs.Path(aside, p))
+      cs.zipWithIndex.foreach { case ((_, _, tmp), ci) =>
+        renameOrThrow(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(out, partName(cur + ci * step)))
+      }
     }
     writeClusterIdx(fs, out) // atomic temp+rename publish
     fs.delete(aside, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
   }
+
+  /** The part file COVERING a key column: part i owns
+    * [firstKey(i), firstKey(i+1)); keys below firstKey(0) fold into
+    * part 0. A when-chain over the boundary list — depth bounded by
+    * nParts, pure codegen, no shuffle: the routing [[mergeCompact]] and
+    * [[lookupClosestBatch]] share.
+    */
+  private def coveringPart(
+      entries: Seq[(String, String)],
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (entries.length == 1) lit(entries.head._2)
+    else {
+      var c: org.apache.spark.sql.Column = null
+      var i = 0
+      while (i < entries.length - 1) {
+        val cond = key < lit(entries(i + 1)._1)
+        val file = lit(entries(i)._2)
+        c = if (c == null) when(cond, file) else c.when(cond, file)
+        i += 1
+      }
+      c.otherwise(lit(entries.last._2))
+    }
 
   /** The driver-captured hadoop conf props executors rebuild a
     * Configuration from (it is not serializable) — the [[WarcSink]] /
@@ -369,6 +497,52 @@ object WarcCdx {
       .orderBy(abs(col("timestamp").cast("long") - lit(timestamp.toLong)).asc,
         col("timestamp").asc)
       .limit(1)
+  }
+
+  /** BATCH closest lookup — [[lookupClosest]] for MILLIONS of requests
+    * at once: replaying a whole access log / rebuilding a derived corpus
+    * "as of" per-document times is one distributed pass, not a driver
+    * loop of point queries. `requests` needs `urlkey STRING` +
+    * `timestamp STRING` (14-digit) columns; rows with further columns
+    * pass through (they key the caller's downstream join).
+    *
+    * Plan shape: each request routes to its covering part via the
+    * `cluster.idx` boundaries ([[coveringPart]] — pure codegen), the
+    * scan reads ONLY parts some request targets (driver-side part list,
+    * bounded by nParts — a skewed request set touches few files of a
+    * corpus-wide index), then one shuffle co-partitions requests and
+    * pruned index rows by urlkey and a per-(request) window keeps the
+    * nearest capture (ties → earlier, the [[lookupClosest]] rule).
+    * Requests whose key was never archived produce no row (the pywb
+    * convention: nothing to replay).
+    */
+  def lookupClosestBatch(spark: SparkSession, outDir: String, requests: DataFrame): DataFrame = {
+    require(requests.columns.contains("urlkey") && requests.columns.contains("timestamp"),
+      s"lookupClosestBatch needs urlkey + timestamp request columns, " +
+        s"got [${requests.columns.mkString(", ")}]")
+    val entries = clusterEntries(spark, outDir)
+    require(entries.nonEmpty,
+      s"WarcCdx.lookupClosestBatch: no cluster.idx entries under $outDir — run compact first")
+    // malformed request timestamps drop (the damaged-line tolerance
+    // convention); exact duplicate request rows collapse to one answer
+    val reqs = requests.withColumnRenamed("timestamp", "__req_ts")
+      .filter(col("__req_ts").rlike("^\\d{14}$") && col("urlkey").isNotNull)
+    val affected = reqs
+      .select(coveringPart(entries, col("urlkey")).as("__part")).distinct()
+      .collect().map(_.getString(0)).sorted // bounded by nParts
+    if (affected.isEmpty)
+      return reqs.limit(0).withColumnRenamed("__req_ts", "req_ts").crossJoin(
+        parseLines(spark.read.text(s"$outDir/part-*")).limit(0).drop("urlkey"))
+    val idx = parseLines(
+      spark.read.text(affected.map(f => s"$outDir/$f").toIndexedSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(reqs.columns.map(col).toIndexedSeq: _*)
+      .orderBy(abs(col("timestamp").cast("long") - col("__req_ts").cast("long")).asc,
+        col("timestamp").asc)
+    reqs.join(idx, Seq("urlkey"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      .withColumnRenamed("__req_ts", "req_ts")
   }
 
   /** Random-access one record: read exactly `length` bytes at `offset`

@@ -172,6 +172,42 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
       WarcCdx.lookupClosest(spark, out, key, "2026")
   }
 
+  test("lookupClosestBatch resolves many requests in one pass, pruned and lookup-equivalent") {
+    val arch = tmp("graft_closestb_arch")
+    val out = tmp("graft_closestb_out")
+    val dates = Seq("2026-01-01T00:00:00Z", "2026-03-01T00:00:00Z", "2026-06-01T00:00:00Z")
+    val rows = for (i <- 0 until 12; d <- dates) yield
+      (s"https://h${i % 3}.example/doc/$i",
+        Warc.httpResponse(s"cap $i $d".getBytes("UTF-8"), "text/html"), d)
+    WarcSink.write(rows.toDF("target_uri", "payload", "warc_date").repartition(2), arch)
+    WarcCdx.compact(spark, arch, out, nParts = 3)
+    val reqs = Seq(
+      ("example,h1)/doc/4", "20260215000000", "a"),
+      ("example,h1)/doc/4", "20260215000000", "a"), // exact duplicate: collapses
+      ("example,h2)/doc/5", "20260101000000", "b"),
+      ("example,h0)/doc/9", "20991231235959", "c"),
+      ("zzz,never)", "20260101000000", "d"), // never archived: no row
+      ("example,h0)/doc/3", "2026", "e")) // malformed ts: dropped
+      .toDF("urlkey", "timestamp", "tag")
+    val got = WarcCdx.lookupClosestBatch(spark, out, reqs)
+      .select("urlkey", "req_ts", "timestamp", "tag").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    // per-request answers equal the point-lookup primitive's
+    got shouldBe Array(
+      ("example,h0)/doc/9", "20991231235959", "20260601000000", "c"),
+      ("example,h1)/doc/4", "20260215000000", "20260301000000", "a"),
+      ("example,h2)/doc/5", "20260101000000", "20260101000000", "b"))
+    // pruning is structural: three requests under two hosts touch fewer
+    // parts than the layout holds (the driver-side part list is what the
+    // scan reads)
+    val entries = WarcCdx.clusterEntries(spark, out)
+    val targeted = Seq("example,h1)/doc/4", "example,h2)/doc/5",
+      "example,h0)/doc/9", "zzz,never)", "example,h0)/doc/3")
+      .flatMap(k => WarcCdx.selectParts(entries, k)).distinct
+    targeted.length should be <= entries.length
+  }
+
   test("fetch skips damaged index lines instead of failing the job") {
     // parseLines maps a malformed line to null coordinates by contract;
     // r18's fetch crashed the whole job on the first null (non-nullable
@@ -229,6 +265,99 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     // deterministic referent: min (payload, ctype, len) struct → "one"
     new String(rv.head.payload, "UTF-8") shouldBe "one"
     rv.head.warc_type shouldBe "response"
+  }
+
+  test("mergeCompact split policy: oversized parts split by renaming, never rewriting neighbors") {
+    // a hot key range merged every cycle must not grow one part without
+    // bound — maxPartLines splits the rewritten part into consecutive
+    // parts whose numbers subdivide the gap to the successor (name order
+    // stays range order), while untouched parts keep their files
+    val seg1 = tmp("graft_split_s1")
+    val seg2 = tmp("graft_split_s2")
+    val out = tmp("graft_split_out")
+    writeArchive(seg1, mkPayloads(30))
+    writeArchive(seg2, (100 until 120).map { i =>
+      (s"https://h2.example/doc/$i",
+        Warc.httpResponse(s"wave $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-02-01T00:00:00Z")
+    WarcCdx.compact(spark, seg1, out, nParts = 3)
+    val before = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> (f.lastModified, f.length)).toMap
+    Thread.sleep(1100)
+    WarcCdx.mergeCompact(spark, seg2, out, maxPartLines = 8)
+    val after = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("part-")).map(_.getName).sorted
+    after.length should be > before.size // at least one split happened
+    // the global order holds across files, and every REWRITTEN part
+    // respects the bound (untouched parts keep their size until a merge
+    // next touches them — the policy applies on rewrite, by design)
+    val entries = WarcCdx.clusterEntries(spark, out)
+    entries.map(_._1) shouldBe entries.map(_._1).sorted
+    entries.map(_._2) shouldBe after // name order == range order
+    for (f <- after if !before.contains(f) ||
+         before(f) != (new java.io.File(out, f).lastModified, new java.io.File(out, f).length))
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(out, f)).size should be <= 8
+    // untouched parts kept their exact files
+    val untouched = after.filter(n =>
+      before.contains(n) && before(n) ==
+        (new java.io.File(out, n).lastModified, new java.io.File(out, n).length))
+    untouched.nonEmpty shouldBe true
+    // content is lossless: 50 lines total, all findable by pruned lookup
+    WarcCdx.readCompacted(spark, out).count() shouldBe 50
+    WarcCdx.lookupPrefix(spark, out, "example,h2)/doc/11")
+      .collect().map(_.getAs[String]("url")).sorted shouldBe
+      ((110 to 119).map(i => s"https://h2.example/doc/$i") :+
+        "https://h2.example/doc/11").sorted.toArray // doc/11 matches the prefix too
+    // a SECOND merge cycle splits again inside the now-smaller gaps —
+    // the numbering keeps subdividing without disturbing order
+    val seg3 = tmp("graft_split_s3")
+    writeArchive(seg3, (200 until 216).map { i =>
+      (s"https://h2.example/doc/$i",
+        Warc.httpResponse(s"wave3 $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-03-01T00:00:00Z")
+    WarcCdx.mergeCompact(spark, seg3, out, maxPartLines = 8)
+    val entries3 = WarcCdx.clusterEntries(spark, out)
+    entries3.map(_._1) shouldBe entries3.map(_._1).sorted
+    entries3.map(_._2) shouldBe entries3.map(_._2).sorted
+    WarcCdx.readCompacted(spark, out).count() shouldBe 66
+  }
+
+  test("mergeCompact renumbers (renames only) when a split's gap is exhausted") {
+    // hand-build a layout whose part numbers are ADJACENT — no room to
+    // insert a split — and merge with a tiny maxPartLines: the layout
+    // must renumber (cheap renames, no data rewrite) and then split fine
+    val out = tmp("graft_renum_out")
+    def line(k: String) = s"$k 20260101000000 " +
+      "{\"url\":\"u\",\"offset\":\"0\",\"length\":\"1\",\"filename\":\"f\"}\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-000000000000"),
+      line("aaa,a)") + line("bbb,b)"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-000000000001"), // adjacent: gap 1
+      line("mmm,m)") + line("nnn,n)"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    WarcCdx.writeClusterIdx(fs, new org.apache.hadoop.fs.Path(out))
+    val seg = tmp("graft_renum_seg")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(seg, "s.cdxj"),
+      line("aab,x)") + line("aac,y)") + line("aad,z)"))
+    WarcCdx.mergeCompact(spark, seg, out, maxPartLines = 2)
+    val entries = WarcCdx.clusterEntries(spark, out)
+    entries.map(_._1) shouldBe entries.map(_._1).sorted
+    entries.map(_._2) shouldBe entries.map(_._2).sorted
+    WarcCdx.readCompacted(spark, out).count() shouldBe 7
+    for (f <- entries.map(_._2))
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(out, f)).size should be <= 2
+    // the untouched part's CONTENT survived the renumber byte-for-byte
+    WarcCdx.lookupPrefix(spark, out, "mmm,m)").count() shouldBe 1L
+    // and no temp/aside debris remains
+    new java.io.File(out).listFiles
+      .count(f => f.getName.startsWith("_rn_") ||
+        f.getName.startsWith("_graft_cdx_merge")) shouldBe 0
   }
 
   test("cluster.idx first keys are exact even when the first line exceeds one read chunk") {
