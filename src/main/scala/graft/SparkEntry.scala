@@ -403,8 +403,9 @@ object SparkEntry {
     * [[sources.WarcCdx.lookupClosest]] prunes through `cluster.idx`.
     */
   private val cdxMultiTsDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def cdxMultiTs(s: SparkSession, dir: String): String =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  /** Returns (archive dir, compacted index dir). */
+  private def cdxMultiTs(s: SparkSession, dir: String): (String, String) =
     cdxMultiTsDirs.getOrElseUpdate(dir, {
       val tmp = System.getProperty("java.io.tmpdir")
       val arch = s"$tmp/graft_cdx_mts_${math.abs(dir.hashCode)}"
@@ -423,7 +424,7 @@ object SparkEntry {
         slice.repartition(1).sortWithinPartitions("doc_id", "warc_date").drop("doc_id"),
         arch, gzipMembers = false)
       sources.WarcCdx.compact(s, arch, out, nParts = 3)
-      out
+      (arch, out)
     })
 
   /** The revisit-dedup fixture: 200 docs where ids 100-199 carry the SAME
@@ -703,7 +704,7 @@ object SparkEntry {
     // lookup reads only the cluster.idx-selected part. The oracle replays
     // the capture arithmetic AND the |ts−T| integer-nearness rule.
     "q_sink_cdx_closest" -> ((s, dir) => {
-      val out = cdxMultiTs(s, dir)
+      val out = cdxMultiTs(s, dir)._2
       val reqs = Seq(
         ("urn:graft:doc:42", "20260101000000"), // exact capture hit
         ("urn:graft:doc:5", "20260215000000"), // rounds up to 03-01
@@ -724,7 +725,7 @@ object SparkEntry {
     // point queries. The oracle replays the capture arithmetic and the
     // nearest rule per request.
     "q_sink_cdx_closest_batch" -> ((s, dir) => {
-      val out = cdxMultiTs(s, dir)
+      val out = cdxMultiTs(s, dir)._2
       val targets = array(
         lit("20260101000000"), lit("20260215000000"), lit("20260401000000"),
         lit("20260201000000"), lit("20991231235959"))
@@ -735,6 +736,23 @@ object SparkEntry {
         regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("urlkey"), col("req_ts"), col("timestamp"), col("offset"), col("length"))
+    }),
+    // FULL WAYBACK REPLAY, end to end: batch closest lookup → distributed
+    // random-access fetch — "give me every page as of its own time T"
+    // resolves to the actual archived BYTES in two composed passes, IO
+    // bounded by the fetched member lengths, never the archive. The
+    // oracle checks the payloads round-trip to the source documents.
+    "q_sink_cdx_replay" -> ((s, dir) => {
+      val (arch, out) = cdxMultiTs(s, dir)
+      val reqs = t(s, dir, "documents").filter(col("doc_id") < 100).select(
+        concat(lit("urn:graft:doc:"), col("doc_id")).as("urlkey"),
+        lit("20260301000000").as("timestamp"))
+      val hits = sources.WarcCdx.lookupClosestBatch(s, out, reqs)
+      sources.WarcCdx.fetch(hits, arch).toDF().select(
+        regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("warc_date"),
+        col("payload").cast("string").as("text"))
     }),
     // TPC-H Q1-style grouped aggregate (map-side partial agg + final)
     "q_agg_group" -> ((s, dir) =>
@@ -1343,6 +1361,11 @@ object SparkEntry {
         "FROM req JOIN o ON o.doc_id = req.rdoc " +
         "QUALIFY row_number() OVER (PARTITION BY rdoc " +
         "ORDER BY abs(CAST(ts AS BIGINT) - CAST(req_ts AS BIGINT)), ts) = 1"),
+    // replay lands the actual archived bytes of the 2026-03-01 capture:
+    // payload round-trips to the source text, date proves WHICH capture
+    "q_sink_cdx_replay" ->
+      ("SELECT doc_id, '2026-03-01T00:00:00Z' AS warc_date, text " +
+        "FROM documents WHERE doc_id < 100"),
     "q_agg_group" -> ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
       "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, " +
       // DuckDB's decimal downscale CAST truncates, so round() first (half-away
