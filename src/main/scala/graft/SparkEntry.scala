@@ -642,7 +642,8 @@ object SparkEntry {
     // pages from: IO is the sum of member lengths, never archive scans.
     "q_sink_cdx_fetch" -> ((s, dir) => {
       val path = cdxWarc(s, dir)
-      sources.WarcCdx.fetch(sources.WarcCdx.read(s, path), path).toDF().select(
+      sources.WarcCdx.fetch(sources.WarcCdx.read(s, path), path, verifyDigest = true)
+        .toDF().select(
         regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("payload").cast("string").as("text"))
@@ -748,7 +749,7 @@ object SparkEntry {
         concat(lit("urn:graft:doc:"), col("doc_id")).as("urlkey"),
         lit("20260301000000").as("timestamp"))
       val hits = sources.WarcCdx.lookupClosestBatch(s, out, reqs)
-      sources.WarcCdx.fetch(hits, arch).toDF().select(
+      sources.WarcCdx.fetch(hits, arch, verifyDigest = true).toDF().select(
         regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("warc_date"),

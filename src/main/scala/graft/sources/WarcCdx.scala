@@ -582,8 +582,19 @@ object WarcCdx {
     * task and its reads advance front-to-back; total IO is the sum of
     * member lengths, not of archive sizes. `dir` prefixes the index's
     * relative filenames.
+    *
+    * `verifyDigest = true` turns the index's sha1 into an integrity
+    * check: each fetched record's payload digest is recomputed and a
+    * mismatched record DROPS (the damaged-line tolerance convention —
+    * at 100 TB, silent bit-rot in cold archive storage is an
+    * expected-case event, and a flipped payload byte must not flow into
+    * a derived corpus as if archived). Revisit rows are exempt (their
+    * index digest describes the REFERENT's payload, the stored block is
+    * empty by design — mime `warc/revisit` marks them); rows without a
+    * digest (or the column absent) pass unverified.
     */
-  def fetch(cdx: DataFrame, dir: String): Dataset[Warc.WarcRecord] = {
+  def fetch(
+      cdx: DataFrame, dir: String, verifyDigest: Boolean = false): Dataset[Warc.WarcRecord] = {
     val spark = cdx.sparkSession
     import spark.implicits._
     // hadoop conf props captured on the driver (Configuration is not
@@ -595,7 +606,15 @@ object WarcCdx {
       while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
       buf.toArray
     }
-    cdx.select(col("filename"), col("offset"), col("length"))
+    val cols = cdx.columns.toSet
+    val nullStr = lit(null).cast("string")
+    val expected =
+      if (verifyDigest && cols.contains("digest")) {
+        val isRevisit =
+          if (cols.contains("mime")) col("mime") === "warc/revisit" else lit(false)
+        when(isRevisit, nullStr).otherwise(col("digest"))
+      } else nullStr
+    cdx.select(col("filename"), col("offset"), col("length"), expected.as("__digest"))
       // [[parseLines]] deliberately maps a damaged index line to null
       // fields instead of failing the scan — honor the same contract
       // here: a null coordinate cannot be fetched, and feeding it to the
@@ -605,7 +624,7 @@ object WarcCdx {
         col("length").isNotNull)
       .repartition(col("filename"))
       .sortWithinPartitions(col("filename"), col("offset"))
-      .as[(String, Long, Long)]
+      .as[(String, Long, Long, Option[String])]
       .mapPartitions { rows =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         props.foreach { case (k, v) => conf.set(k, v) }
@@ -629,7 +648,7 @@ object WarcCdx {
           }
           in
         }
-        val it = rows.flatMap { case (f, off, len) =>
+        val it = rows.flatMap { case (f, off, len, want) =>
           require(len >= 0 && len <= Int.MaxValue,
             s"cdx member length out of range for $f@$off: $len")
           val s = ensure(f)
@@ -638,6 +657,11 @@ object WarcCdx {
           s.readFully(buf)
           Warc.parseRecords(s"$dir/$f", buf, 64 << 20)
             .headOption.filter(_.warc_type != "graft:truncated")
+            // integrity gate: recompute the payload sha1 against the
+            // index's digest (None = unverifiable row, passes through)
+            .filter(r => want.forall(d =>
+              d == "sha1:" + WarcSink.sha1Base32(
+                if (r.payload == null) Array.empty[Byte] else r.payload)))
         }
         // close the last open stream when the iterator drains
         new Iterator[Warc.WarcRecord] {

@@ -228,6 +228,84 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     WarcCdx.fetch(cdx, dir).collect().length shouldBe 5
   }
 
+  test("fetch(verifyDigest) drops bit-rotten records; clean ones and revisits pass") {
+    // at archive scale, cold-storage bit-rot is expected-case: the index
+    // digest doubles as an end-to-end integrity check on the replay path
+    val dir = tmp("graft_fetch_verify")
+    WarcSink.write(mkPayloads(6).toDF("target_uri", "payload")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z")).repartition(1),
+      dir, gzipMembers = false)
+    val cdx = WarcCdx.read(spark, dir)
+    WarcCdx.fetch(cdx, dir, verifyDigest = true).count() shouldBe 6 // clean: all pass
+    // flip one payload byte of doc/2's record in place (uncompressed
+    // layout: the byte at offset+length-5 sits inside the body)
+    val row = cdx.filter(col("url") === "https://h2.example/doc/2")
+      .select("filename", "offset", "length").head()
+    val f = java.nio.file.Paths.get(dir, row.getString(0))
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val at = (row.getLong(1) + row.getLong(2) - 5).toInt
+    bytes(at) = (bytes(at) ^ 0x41).toByte
+    java.nio.file.Files.write(f, bytes)
+    java.nio.file.Files.deleteIfExists(
+      f.getParent.resolve("." + f.getFileName + ".crc"))
+    // unverified fetch happily returns the damaged record...
+    WarcCdx.fetch(cdx, dir).count() shouldBe 6
+    // ...verified fetch drops exactly it
+    val ok = WarcCdx.fetch(cdx, dir, verifyDigest = true).collect()
+    ok.length shouldBe 5
+    ok.map(_.target_uri) should not contain "https://h2.example/doc/2"
+  }
+
+  test("continuous-crawl workflow: per-cycle incremental index maintenance ≡ full rebuild") {
+    // the full loop the archive tier exists for: cycle 1 crawls and
+    // compacts; every later cycle marks revisits against the LIVE
+    // compacted index, writes its (deduped) archive, and merges its new
+    // index lines in — at no point does the corpus index rebuild.
+    val parent = tmp("graft_cont")
+    val idx = tmp("graft_cont_idx")
+    def crawl(cycle: Int, lo: Int, hi: Int, history: Option[String]): String = {
+      val dir = s"$parent/c$cycle"
+      val df = (lo until hi).map { i =>
+        // every third doc repeats an earlier payload — cross-cycle dedup
+        val src = if (i % 3 == 0 && i >= 10) i - 10 else i
+        (s"https://h${i % 2}.example/doc/$i",
+          Warc.httpResponse(s"content of $src".getBytes("UTF-8"), "text/html"))
+      }.toDF("target_uri", "payload")
+        .withColumn("warc_date", lit(f"2026-0$cycle%d-01T00:00:00Z"))
+      val marked = history match {
+        case Some(h) => WarcSink.markRevisits(df, WarcCdx.readCompacted(spark, h))
+        case None => df
+      }
+      WarcSink.write(marked.repartition(1), dir)
+      dir
+    }
+    val c1 = crawl(1, 0, 12, None)
+    WarcCdx.compact(spark, c1, idx, nParts = 2)
+    val c2 = crawl(2, 12, 24, Some(idx))
+    WarcCdx.mergeCompact(spark, c2, idx, maxPartLines = 20)
+    val c3 = crawl(3, 24, 36, Some(idx))
+    WarcCdx.mergeCompact(spark, c3, idx, maxPartLines = 20)
+    // the incrementally-maintained index equals a from-scratch compaction
+    val full = tmp("graft_cont_full")
+    val allIdx = tmp("graft_cont_allidx")
+    for (d <- Seq(c1, c2, c3); f <- new java.io.File(d).listFiles
+         if f.getName.endsWith(".cdxj"))
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(allIdx, d.hashCode.abs + "-" + f.getName))
+    WarcCdx.compact(spark, allIdx, full, nParts = 2)
+    WarcCdx.readCompacted(spark, idx).collect().map(_.toString).sorted shouldBe
+      WarcCdx.readCompacted(spark, full).collect().map(_.toString).sorted
+    // cross-cycle dedup really happened: later cycles hold revisits whose
+    // referents live in EARLIER archives, and resolution reconstructs all
+    val revisits = WarcCdx.readCompacted(spark, idx)
+      .filter(col("mime") === "warc/revisit").count()
+    revisits should be >= 8L // cycles 2-3: ids 12,15,…,33 (every 3rd)
+    val recs = Warc.read(spark, s"$parent/*")
+    val resolved = Warc.resolveRevisits(recs)
+    resolved.count() shouldBe 36
+    resolved.filter(_.payload.isEmpty).count() shouldBe 0 // every payload restored
+  }
+
   test("record ids separate captures: same slot, different content or date") {
     // r18 advice (high): md5(uri, partition, row) alone collides across
     // crawl cycles that land the same URI in the same slot — the SURT
