@@ -265,6 +265,17 @@ object WarcCdx {
       s"WarcCdx.mergeCompact: outDir must differ from the segment dir ($segDir) — " +
         "the merge rewrites parts under outDir while reading segment files")
     require(maxPartLines >= 1, s"maxPartLines must be >= 1, got $maxPartLines")
+    // a NON-EMPTY aside dir means a previous merge crashed mid-commit and
+    // its originals were never restored — refuse (BEFORE any work) with a
+    // recovery hint rather than failing on an opaque rename collision
+    val aside = new org.apache.hadoop.fs.Path(out, "_graft_cdx_merge_old")
+    val stale =
+      if (fs.exists(aside)) fs.listStatus(aside)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    require(stale.isEmpty,
+      s"WarcCdx.mergeCompact: $aside holds ${stale.length} file(s) from a crashed " +
+        "merge — restore them into the layout (or remove them if the merge " +
+        "completed) before merging again")
     // a foreign/legacy layout (non-canonical part names) renumbers up
     // front so the split arithmetic below can always parse its numbers
     val entries = {
@@ -368,7 +379,6 @@ object WarcCdx {
         "WarcCdx.mergeCompact: a single merge produced more chunks than NameGap — " +
           "raise maxPartLines")
     }
-    val aside = new org.apache.hadoop.fs.Path(out, "_graft_cdx_merge_old")
     fs.mkdirs(aside)
     chunksByPart.foreach { case (p0, cs0) =>
       val p = renamed.getOrElse(p0, p0)

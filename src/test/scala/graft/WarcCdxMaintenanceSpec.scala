@@ -117,6 +117,15 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     val rows = WarcCdx.readCompacted(spark, out).count()
     WarcCdx.mergeCompact(spark, empty, out)
     WarcCdx.readCompacted(spark, out).count() shouldBe rows
+    // a crashed prior merge (non-empty aside dir) refuses with a recovery
+    // hint instead of an opaque rename collision
+    val asideDir = java.nio.file.Paths.get(out, "_graft_cdx_merge_old")
+    java.nio.file.Files.createDirectories(asideDir)
+    java.nio.file.Files.writeString(asideDir.resolve("part-000000000000"), "x")
+    (the[IllegalArgumentException] thrownBy
+      WarcCdx.mergeCompact(spark, seg, out)).getMessage should include("crashed")
+    java.nio.file.Files.delete(asideDir.resolve("part-000000000000"))
+    java.nio.file.Files.delete(asideDir)
   }
 
   test("cluster.idx publishes atomically: a torn temp is never visible") {
