@@ -75,12 +75,16 @@ object WarcCdx {
     val conf = spark.sessionState.newHadoopConf()
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = out.getFileSystem(conf)
-    // overwrite-mode output DELETES outDir before the (lazy) read job
-    // runs — compacting a directory into itself would destroy its own
-    // input mid-read. Compare fully-qualified paths, not raw strings.
-    require(fs.makeQualified(out) != fs.makeQualified(new org.apache.hadoop.fs.Path(dir)),
-      s"WarcCdx.compact: outDir must differ from the input dir ($dir) — " +
-        "overwrite-mode output would delete its own input before reading it")
+    // overwrite-mode output DELETES outDir recursively before the (lazy)
+    // read job runs — compacting into the input dir OR any ANCESTOR of
+    // it would destroy the input mid-read (the r19 review catch: equality
+    // alone missed the ancestor case). Compare fully-qualified paths.
+    val qOut = fs.makeQualified(out).toString
+    val qIn = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+    require(qOut != qIn && !qIn.startsWith(qOut + "/"),
+      s"WarcCdx.compact: outDir ($outDir) must not be the input dir or an ancestor " +
+        s"of it ($dir) — overwrite-mode output deletes outDir recursively before " +
+        "reading the input")
     spark.read.text(s"$dir/*.cdxj")
       .repartitionByRange(nParts, col("value"))
       .sortWithinPartitions(col("value"))
@@ -177,7 +181,10 @@ object WarcCdx {
     * key would flip [[selectParts]]' upper-bound test and wrongly prune
     * the PREVIOUS part, r18 advice). IO is one chunk in the normal case;
     * a pathological multi-chunk first line still stops at its newline,
-    * and a no-space line (foreign file) keys as the whole line.
+    * and a no-space line (foreign file) keys as the whole line. The
+    * accumulation is CAPPED at 4 MiB: a delimiter-free multi-GB foreign
+    * file must fail loudly, not truncate the key (the pruning hazard) or
+    * slurp itself into driver memory (the r19 review catch).
     */
   private[graft] def firstKey(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String = {
@@ -186,6 +193,10 @@ object WarcCdx {
       val acc = new java.io.ByteArrayOutputStream(1 << 10)
       var done = false
       while (!done) {
+        if (acc.size() > (4 << 20))
+          throw new java.io.IOException(
+            s"WarcCdx.firstKey: no key delimiter in the first 4 MiB of $p — " +
+              "not a CDX part file")
         val buf = in.readNBytes(1 << 16)
         if (buf.isEmpty) done = true // EOF before a newline: whole file is the line
         else {
@@ -252,6 +263,16 @@ object WarcCdx {
     * [[NameGap]] canonical naming), so a split renames files — it never
     * rewrites a neighbor; if a gap is exhausted (~20 split generations),
     * one rename-only renumber pass restores headroom.
+    *
+    * Ordering contract after merges: strict line order holds WITHIN each
+    * part and KEY ranges stay disjoint-ordered across parts at key
+    * granularity — but one urlkey's captures may interleave across a
+    * part boundary (routing is by key, and a split can cut inside a
+    * capture run), so cross-part order is guaranteed per KEY, not per
+    * line. Every reader honors this: [[selectParts]]' inclusive upper
+    * bound and [[lookupClosestBatch]]'s predecessor widening read ALL
+    * parts that can hold a key. A full [[compact]] restores strict line
+    * order.
     */
   def mergeCompact(
       spark: SparkSession, segDir: String, outDir: String,
@@ -276,6 +297,14 @@ object WarcCdx {
       s"WarcCdx.mergeCompact: $aside holds ${stale.length} file(s) from a crashed " +
         "merge — restore them into the layout (or remove them if the merge " +
         "completed) before merging again")
+    // likewise a crashed RENUMBER leaves parts under `_rn_*` temp names
+    // that no `part-*` glob sees — merging over that debris would publish
+    // an index silently missing their rows; refuse with the recovery hint
+    val rnDebris = fs.globStatus(new org.apache.hadoop.fs.Path(out, "_rn_*"))
+    require(rnDebris == null || rnDebris.isEmpty,
+      s"WarcCdx.mergeCompact: $out holds ${if (rnDebris == null) 0 else rnDebris.length} " +
+        "_rn_* file(s) from a crashed renumber — strip the _rn_ prefix to restore " +
+        "them as parts before merging again")
     // a foreign/legacy layout (non-canonical part names) renumbers up
     // front so the split arithmetic below can always parse its numbers
     val entries = {
@@ -293,11 +322,15 @@ object WarcCdx {
     // codegen over the SEGMENT lines only
     val key = substring_index(col("value"), " ", 1) // urlkeys never contain spaces
     val target = coveringPart(entries, key)
+    // persisted: the segment is consumed twice (affected-part collect +
+    // the merge union) — one read of the files, and the routing the
+    // commit relies on cannot drift between the two passes. Unpersisted
+    // before return: the merge job materializes inside this call.
     val newLines = spark.read.text(s"$segDir/*.cdxj")
-      .select(col("value"), target.as("__part"))
+      .select(col("value"), target.as("__part")).persist()
     val affected = newLines.select("__part").distinct()
       .collect().map(_.getString(0)).sorted // bounded by nParts
-    if (affected.isEmpty) return // an empty segment merges to a no-op
+    if (affected.isEmpty) { newLines.unpersist(); return } // empty segment: no-op
     // existing lines of ONLY the affected parts, each tagged with its
     // own part name (input_file_name basename — part names are plain)
     val existing = spark.read.text(affected.map(f => s"$outDir/$f").toIndexedSeq: _*)
@@ -397,6 +430,7 @@ object WarcCdx {
     writeClusterIdx(fs, out) // atomic temp+rename publish
     fs.delete(aside, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    newLines.unpersist()
   }
 
   /** The part file COVERING a key column: part i owns
@@ -450,11 +484,16 @@ object WarcCdx {
     }
   }
 
-  /** Which part files can hold keys with `prefix`: part i covers
-    * [firstKey(i), firstKey(i+1)), so it intersects the prefix range
-    * [prefix, prefix+U+FFFF) iff firstKey(i) sorts below the range's top
-    * and the NEXT part's first key sorts above its bottom. Pure function
-    * for the pruning spec.
+  /** Which part files can hold keys with `prefix`: part i holds LINES
+    * strictly below part i+1's first line, so its KEY range is
+    * [firstKey(i), firstKey(i+1)] INCLUSIVE at the top \u2014 when a part
+    * boundary falls inside one urlkey's multi-capture run (routine after
+    * a [[mergeCompact]] split cuts every N lines), earlier captures of
+    * firstKey(i+1) live in part i. Hence the upper-bound test is `>=`,
+    * not `>` (the r19 review catch: `>` silently lost those captures
+    * from every lookup). Intersection with [prefix, prefix+U+FFFF):
+    * firstKey(i) at or below the range top AND firstKey(i+1) at or above
+    * its bottom. Pure function for the pruning spec.
     */
   private[graft] def selectParts(
       entries: Seq[(String, String)], prefix: String): Seq[String] = {
@@ -462,7 +501,7 @@ object WarcCdx {
     entries.zipWithIndex.collect {
       case ((firstKey, file), i)
         if firstKey <= high &&
-          (i + 1 >= entries.length || entries(i + 1)._1 > prefix) => file
+          (i + 1 >= entries.length || entries(i + 1)._1 >= prefix) => file
     }
   }
 
@@ -530,16 +569,36 @@ object WarcCdx {
     require(requests.columns.contains("urlkey") && requests.columns.contains("timestamp"),
       s"lookupClosestBatch needs urlkey + timestamp request columns, " +
         s"got [${requests.columns.mkString(", ")}]")
+    // pass-through request columns must not shadow the index schema the
+    // join contributes (the markRevisits reserved-name rule)
+    val reserved = Set("url", "mime", "digest", "rid", "offset", "length",
+      "filename", "req_ts", "__req_ts", "__rk", "__part")
+    require(!requests.columns.exists(reserved),
+      "lookupClosestBatch request columns collide with the index schema / " +
+        "scratch names: " + requests.columns.filter(reserved).mkString(", "))
     val entries = clusterEntries(spark, outDir)
     require(entries.nonEmpty,
       s"WarcCdx.lookupClosestBatch: no cluster.idx entries under $outDir — run compact first")
     // malformed request timestamps drop (the damaged-line tolerance
-    // convention); exact duplicate request rows collapse to one answer
-    val reqs = requests.withColumnRenamed("timestamp", "__req_ts")
-      .filter(col("__req_ts").rlike("^\\d{14}$") && col("urlkey").isNotNull)
-    val affected = reqs
+    // convention); exact duplicate request rows collapse to one answer.
+    // CACHED: the frame is consumed twice (part routing + the join) and a
+    // nondeterministic source re-evaluating differently between the two
+    // would route requests to parts the scan never read
+    val reqs = graft.pipeline.Dedup.cache(
+      requests.withColumnRenamed("timestamp", "__req_ts")
+        .filter(col("__req_ts").rlike("^\\d{14}$") && col("urlkey").isNotNull))
+    val routed = reqs
       .select(coveringPart(entries, col("urlkey")).as("__part")).distinct()
-      .collect().map(_.getString(0)).sorted // bounded by nParts
+      .collect().map(_.getString(0)).toSet // bounded by nParts
+    // widen to each routed part's PREDECESSOR: a request key EQUAL to its
+    // part's first key may have earlier captures in the part before (a
+    // boundary inside a capture run — see [[selectParts]]); the join's
+    // urlkey equality keeps correctness however lines are distributed
+    val affected = entries.indices.flatMap { i =>
+      if (routed.contains(entries(i)._2))
+        (if (i > 0) Seq(entries(i - 1)._2) else Nil) :+ entries(i)._2
+      else Nil
+    }.distinct.sorted
     if (affected.isEmpty)
       return reqs.limit(0).withColumnRenamed("__req_ts", "req_ts").crossJoin(
         parseLines(spark.read.text(s"$outDir/part-*")).limit(0).drop("urlkey"))
@@ -598,32 +657,26 @@ object WarcCdx {
     * mismatched record DROPS (the damaged-line tolerance convention —
     * at 100 TB, silent bit-rot in cold archive storage is an
     * expected-case event, and a flipped payload byte must not flow into
-    * a derived corpus as if archived). Revisit rows are exempt (their
-    * index digest describes the REFERENT's payload, the stored block is
-    * empty by design — mime `warc/revisit` marks them); rows without a
-    * digest (or the column absent) pass unverified.
+    * a derived corpus as if archived). Scope of the check: only index
+    * digests in THIS sink's convention (`sha1:` + base32 over the stored
+    * block) verify — a foreign index's bare-base32 body digest is a
+    * different function of different bytes and passes UNVERIFIED rather
+    * than mass-dropping every record; revisit RECORDS are exempt at the
+    * record level (their index digest describes the REFERENT's payload,
+    * the stored block is empty by design — no `mime` column needed);
+    * rows without a digest (or the column absent) pass unverified.
     */
   def fetch(
       cdx: DataFrame, dir: String, verifyDigest: Boolean = false): Dataset[Warc.WarcRecord] = {
     val spark = cdx.sparkSession
     import spark.implicits._
-    // hadoop conf props captured on the driver (Configuration is not
-    // serializable) — the WarcSink executor-rebuild idiom
-    val props = {
-      val conf = spark.sessionState.newHadoopConf()
-      val it = conf.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val props = hadoopProps(spark)
     val cols = cdx.columns.toSet
     val nullStr = lit(null).cast("string")
     val expected =
-      if (verifyDigest && cols.contains("digest")) {
-        val isRevisit =
-          if (cols.contains("mime")) col("mime") === "warc/revisit" else lit(false)
-        when(isRevisit, nullStr).otherwise(col("digest"))
-      } else nullStr
+      if (verifyDigest && cols.contains("digest"))
+        when(col("digest").startsWith("sha1:"), col("digest")).otherwise(nullStr)
+      else nullStr
     cdx.select(col("filename"), col("offset"), col("length"), expected.as("__digest"))
       // [[parseLines]] deliberately maps a damaged index line to null
       // fields instead of failing the scan — honor the same contract
@@ -668,8 +721,10 @@ object WarcCdx {
           Warc.parseRecords(s"$dir/$f", buf, 64 << 20)
             .headOption.filter(_.warc_type != "graft:truncated")
             // integrity gate: recompute the payload sha1 against the
-            // index's digest (None = unverifiable row, passes through)
-            .filter(r => want.forall(d =>
+            // index's digest (None = unverifiable row, passes through;
+            // revisit records exempt — their stored block is empty by
+            // design while the index digest describes the referent)
+            .filter(r => r.warc_type == "revisit" || want.forall(d =>
               d == "sha1:" + WarcSink.sha1Base32(
                 if (r.payload == null) Array.empty[Byte] else r.payload)))
         }

@@ -197,11 +197,15 @@ object WarcSink {
   }
 
   /** Header values are single-line by format: CR/LF (header injection /
-    * framing break) are replaced with spaces.
+    * framing break) are replaced with spaces, and so is NUL — it is a
+    * control byte no header value legitimately carries, and keeping it
+    * out makes [[recordId]]'s NUL-joined hash input UNAMBIGUOUS (a
+    * hostile URI embedding NUL could otherwise shift components and
+    * collide two distinct captures onto one id — r19 review catch).
     */
   private[sources] def sanitize(v: String): String =
-    if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0) v
-    else v.replace('\r', ' ').replace('\n', ' ')
+    if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0 && v.indexOf('\u0000') < 0) v
+    else v.replace('\r', ' ').replace('\n', ' ').replace('\u0000', ' ')
 
   /** Deterministic `urn:uuid` record id: the md5 of
     * `uri NUL date NUL digest NUL partition NUL row` (joined with the

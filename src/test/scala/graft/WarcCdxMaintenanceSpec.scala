@@ -102,10 +102,14 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     val seg = tmp("graft_mrg_guard_seg")
     val out = tmp("graft_mrg_guard_out")
     writeArchive(seg, mkPayloads(6))
-    // compact must not overwrite its own input mid-read
+    // compact must not overwrite its own input mid-read — equal dirs AND
+    // the ancestor case (overwrite deletes outDir recursively)
     (the[IllegalArgumentException] thrownBy
       WarcCdx.compact(spark, seg, seg, nParts = 2)).getMessage should
-      include("outDir must differ")
+      include("must not be the input dir")
+    (the[IllegalArgumentException] thrownBy
+      WarcCdx.compact(spark, s"$seg/sub", seg, nParts = 2)).getMessage should
+      include("must not be the input dir")
     WarcCdx.compact(spark, seg, out, nParts = 2)
     (the[IllegalArgumentException] thrownBy
       WarcCdx.mergeCompact(spark, out, out)).getMessage should
@@ -179,6 +183,43 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     // malformed timestamps are rejected at the API edge
     an[IllegalArgumentException] should be thrownBy
       WarcCdx.lookupClosest(spark, out, key, "2026")
+  }
+
+  test("a part boundary inside one key's capture run loses no lookups (inclusive bound)") {
+    // after a split cuts every N lines, a hot key's captures routinely
+    // straddle a boundary: part i ends "K 2026-01", part i+1 opens
+    // "K 2026-03". The r19 review caught selectParts' old strict `>`
+    // upper bound excluding part i for prefix K — earlier captures
+    // silently vanished from every lookup. Pin the inclusive bound end
+    // to end: point, prefix, and batch paths all see both parts.
+    val out = tmp("graft_boundary")
+    def line(k: String, ts: String) = s"$k $ts " +
+      "{\"url\":\"u:" + k + "\",\"digest\":\"sha1:X\",\"offset\":\"0\"," +
+      "\"length\":\"1\",\"filename\":\"f\"}\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-000000000000"),
+      line("aaa,a)", "20260101000000") + line("kkk,k)", "20260101000000"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-000001048576"),
+      line("kkk,k)", "20260301000000") + line("zzz,z)", "20260101000000"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    WarcCdx.writeClusterIdx(fs, new org.apache.hadoop.fs.Path(out))
+    val entries = WarcCdx.clusterEntries(spark, out)
+    entries.map(_._1) shouldBe Seq("aaa,a)", "kkk,k)")
+    // the boundary key selects BOTH parts
+    WarcCdx.selectParts(entries, "kkk,k)") shouldBe
+      Seq("part-000000000000", "part-000001048576")
+    // prefix lookup sees both captures
+    WarcCdx.lookupPrefix(spark, out, "kkk,k)").count() shouldBe 2L
+    // point closest finds the EARLIER capture living in the earlier part
+    WarcCdx.lookupClosest(spark, out, "kkk,k)", "20260101000000")
+      .collect().head.getAs[String]("timestamp") shouldBe "20260101000000"
+    // batch routing widens to the predecessor part and answers the same
+    val got = WarcCdx.lookupClosestBatch(spark, out,
+      Seq(("kkk,k)", "20260101000000")).toDF("urlkey", "timestamp"))
+      .collect().map(_.getAs[String]("timestamp"))
+    got shouldBe Array("20260101000000")
   }
 
   test("lookupClosestBatch resolves many requests in one pass, pruned and lookup-equivalent") {
