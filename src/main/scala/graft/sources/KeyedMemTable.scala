@@ -115,9 +115,14 @@ class KeyedScanBuilder(table: String) extends ScanBuilder with SupportsPushDownF
   override def build(): Scan = {
     val keys =
       if (pushed.isEmpty) None
+      // NULL values in a pushed filter never MATCH under SQL semantics
+      // (`k IN ('a', NULL)` is NULL — i.e. filtered — for a NULL key;
+      // `k = NULL` matches nothing), and because pushed filters are not
+      // re-applied after the scan, shipping byKey(null)'s rows here would
+      // RETURN rows a correct engine excludes (r19 review catch)
       else Some(KeyedMemTables.intersectKeys(pushed.toSeq.map {
-        case SrcEqualTo(_, v) => Set[Any](v)
-        case SrcIn(_, vs)     => vs.toSet[Any]
+        case SrcEqualTo(_, v) => Set[Any](v).filter(_ != null)
+        case SrcIn(_, vs)     => vs.toSet[Any].filter(_ != null)
         case _                => Set.empty[Any]
       }))
     KeyedMemScan(table, keys)

@@ -33,7 +33,22 @@ object Sitemaps {
     // DEFINED); the five built-in entities still replace normally
     f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    // namespace processing OFF: wild sitemaps routinely use extension
+    // prefixes (image:, video:, news:) without declaring them — a
+    // namespace-aware parser ABORTS the whole document on the first
+    // unbound prefix, dropping every entry. With it off, prefixes are
+    // just name text ([[local]] strips them for matching).
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_NAMESPACE_AWARE, false)
     f
+  }
+
+  /** The element's local name whatever the namespace mode returned:
+    * text after the last ':' (with namespace processing off the reader
+    * reports the raw qname, prefix included).
+    */
+  private def local(name: String): String = {
+    val i = name.lastIndexOf(':')
+    (if (i < 0) name else name.substring(i + 1)).toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Parse one sitemap document. Namespace-agnostic on local names (the
@@ -52,14 +67,28 @@ object Sitemaps {
         var field: String = null
         var loc = ""
         var lastmod = ""
+        // element depth + the entry element's depth: loc/lastmod only
+        // count as DIRECT children of <url>/<sitemap> — extension
+        // namespaces nest their own same-local-name elements deeper
+        // (Google image sitemaps put <image:loc> inside <image:image>),
+        // and namespace-agnostic matching without the depth guard let an
+        // image URL overwrite the page URL (r19 review catch)
+        var depth = 0
+        var entryDepth = -1
         val text = new java.lang.StringBuilder
         while (r.hasNext) {
           r.next() match {
             case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
-              r.getLocalName.toLowerCase(java.util.Locale.ROOT) match {
-                case "url" => inEntry = true; isIndex = false; loc = ""; lastmod = ""
-                case "sitemap" => inEntry = true; isIndex = true; loc = ""; lastmod = ""
-                case n @ ("loc" | "lastmod") if inEntry => field = n; text.setLength(0)
+              depth += 1
+              local(r.getLocalName) match {
+                case "url" if entryDepth < 0 =>
+                  inEntry = true; isIndex = false; loc = ""; lastmod = ""
+                  entryDepth = depth
+                case "sitemap" if entryDepth < 0 =>
+                  inEntry = true; isIndex = true; loc = ""; lastmod = ""
+                  entryDepth = depth
+                case n @ ("loc" | "lastmod") if inEntry && depth == entryDepth + 1 =>
+                  field = n; text.setLength(0)
                 case _ => () // unknown children are transparent: a stray
                              // <br/> inside <loc> must not drop the URL
               }
@@ -67,15 +96,19 @@ object Sitemaps {
                 javax.xml.stream.XMLStreamConstants.CDATA =>
               if (field != null) text.append(r.getText)
             case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
-              r.getLocalName.toLowerCase(java.util.Locale.ROOT) match {
-                case "loc" if field == "loc" => loc = text.toString.trim; field = null
-                case "lastmod" if field == "lastmod" => lastmod = text.toString.trim; field = null
-                case "url" | "sitemap" =>
+              local(r.getLocalName) match {
+                case "loc" if field == "loc" && depth == entryDepth + 1 =>
+                  loc = text.toString.trim; field = null
+                case "lastmod" if field == "lastmod" && depth == entryDepth + 1 =>
+                  lastmod = text.toString.trim; field = null
+                case "url" | "sitemap" if depth == entryDepth =>
                   if (inEntry && loc.nonEmpty) out += SitemapEntry(loc, lastmod, isIndex)
                   inEntry = false
                   field = null
+                  entryDepth = -1
                 case _ => ()
               }
+              depth -= 1
             case _ => ()
           }
         }

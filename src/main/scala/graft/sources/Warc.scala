@@ -346,8 +346,8 @@ object Warc {
       records.filter(_.warc_type == "revisit").toDF())
     val refIds = revisits.select(col("refers_to").as("__rid")).distinct()
     val originals = records.filter(r => r.warc_type == "response" && r.record_id.nonEmpty)
-      .map(r => (r.record_id, r.payload, r.content_type, r.content_length))
-      .toDF("__rid", "__ref_payload", "__ref_ctype", "__ref_len")
+      .map(r => (r.record_id, r.payload, r.content_type, r.content_length, r.truncated))
+      .toDF("__rid", "__ref_payload", "__ref_ctype", "__ref_len", "__ref_trunc")
       .join(refIds, Seq("__rid"), "left_semi")
       // one referent ROW per id, chosen deterministically (min struct):
       // [[WarcSink.recordId]] makes cross-cycle collisions need an
@@ -357,9 +357,11 @@ object Warc {
       // arbitrary payload in); with it the join key is unique by
       // construction, so output cardinality = input cardinality always
       .groupBy(col("__rid"))
-      .agg(min(struct(col("__ref_payload"), col("__ref_ctype"), col("__ref_len"))).as("__r"))
+      .agg(min(struct(col("__ref_payload"), col("__ref_ctype"), col("__ref_len"),
+        col("__ref_trunc"))).as("__r"))
       .select(col("__rid"), col("__r.__ref_payload").as("__ref_payload"),
-        col("__r.__ref_ctype").as("__ref_ctype"), col("__r.__ref_len").as("__ref_len"))
+        col("__r.__ref_ctype").as("__ref_ctype"), col("__r.__ref_len").as("__ref_len"),
+        col("__r.__ref_trunc").as("__ref_trunc"))
     val resolved = revisits
       .join(originals, col("refers_to") === col("__rid"), "left")
       .select(
@@ -368,7 +370,11 @@ object Warc {
         coalesce(col("__ref_ctype"), col("content_type")).as("content_type"),
         coalesce(col("__ref_len"), col("content_length")).as("content_length"),
         coalesce(col("__ref_payload"), col("payload")).as("payload"),
-        col("truncated"), col("record_id"), col("refers_to"))
+        // the patched payload carries the REFERENT's truncation state — a
+        // cap-shortened referent must not resurface labeled complete
+        // (r19 review catch); a missing referent keeps the revisit's own
+        coalesce(col("__ref_trunc"), col("truncated")).as("truncated"),
+        col("record_id"), col("refers_to"))
       .as[WarcRecord]
     records.filter(_.warc_type != "revisit").unionByName(resolved)
   }
@@ -470,8 +476,11 @@ object Warc {
       rec.write(payload)
       rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
       if (gzipMembers) {
-        val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(rec.toByteArray); gz.finish()
+        // close() (through the shield so `out` stays open) ENDS the native
+        // Deflater — finish() alone leaks one off-heap zlib context per
+        // member until GC, the same leak the sink's writer guards against
+        val gz = new java.util.zip.GZIPOutputStream(new WarcDataWriter.NoClose(out))
+        gz.write(rec.toByteArray); gz.close()
       } else out.write(rec.toByteArray)
     }
     out.toByteArray

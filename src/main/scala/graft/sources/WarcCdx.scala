@@ -34,16 +34,27 @@ object WarcCdx {
     * [[lookupPrefix]] share. A malformed line parses to an empty urlkey
     * and/or null fields (filterable), never an error — a damaged file
     * must not fail a 100k-file index scan.
+    *
+    * Mechanics: ONE bounded split on the two delimiting spaces + cheap
+    * shape checks, instead of running an anchored regex three times per
+    * line (Catalyst does not CSE regexp_extract calls that differ only
+    * in group index — on a corpus-wide index scan that tripled the
+    * dominant per-line cost).
     */
   private def parseLines(lines: DataFrame): DataFrame = {
     val jsonSchema = "url STRING, mime STRING, digest STRING, rid STRING, " +
       "offset STRING, length STRING, filename STRING"
+    val p = split(col("value"), " ", 3)
+    // the same acceptance shape the old ^(\S+) (\d{14}) (\{.*)$ regex
+    // enforced: non-empty key, exactly-14-digit timestamp, json object
+    val ok = size(p) === 3 && p.getItem(0) =!= "" &&
+      p.getItem(1).rlike("^\\d{14}$") && p.getItem(2).startsWith("{")
     lines
       .select(
-        regexp_extract(col("value"), "^(\\S+) (\\d{14}) (\\{.*)$", 1).as("urlkey"),
-        regexp_extract(col("value"), "^(\\S+) (\\d{14}) (\\{.*)$", 2).as("timestamp"),
+        when(ok, p.getItem(0)).otherwise("").as("urlkey"),
+        when(ok, p.getItem(1)).otherwise("").as("timestamp"),
         from_json(
-          regexp_extract(col("value"), "^(\\S+) (\\d{14}) (\\{.*)$", 3),
+          when(ok, p.getItem(2)),
           jsonSchema, java.util.Collections.emptyMap[String, String]()).as("j"))
       .select(col("urlkey"), col("timestamp"),
         col("j.url").as("url"), col("j.mime").as("mime"),
@@ -328,9 +339,12 @@ object WarcCdx {
     // before return: the merge job materializes inside this call.
     val newLines = spark.read.text(s"$segDir/*.cdxj")
       .select(col("value"), target.as("__part")).persist()
+    // the finally releases the cached segment on EVERY exit — success,
+    // empty-segment return, or a commit-phase IOException mid-merge
+    try {
     val affected = newLines.select("__part").distinct()
       .collect().map(_.getString(0)).sorted // bounded by nParts
-    if (affected.isEmpty) { newLines.unpersist(); return } // empty segment: no-op
+    if (affected.isEmpty) return // empty segment: no-op
     // existing lines of ONLY the affected parts, each tagged with its
     // own part name (input_file_name basename — part names are plain)
     val existing = spark.read.text(affected.map(f => s"$outDir/$f").toIndexedSeq: _*)
@@ -430,7 +444,7 @@ object WarcCdx {
     writeClusterIdx(fs, out) // atomic temp+rename publish
     fs.delete(aside, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
-    newLines.unpersist()
+    } finally newLines.unpersist()
   }
 
   /** The part file COVERING a key column: part i owns
@@ -459,7 +473,7 @@ object WarcCdx {
     * Configuration from (it is not serializable) — the [[WarcSink]] /
     * [[fetch]] idiom, shared.
     */
-  private def hadoopProps(spark: SparkSession): Array[(String, String)] = {
+  private[sources] def hadoopProps(spark: SparkSession): Array[(String, String)] = {
     val conf = spark.sessionState.newHadoopConf()
     val it = conf.iterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -590,14 +604,21 @@ object WarcCdx {
     val routed = reqs
       .select(coveringPart(entries, col("urlkey")).as("__part")).distinct()
       .collect().map(_.getString(0)).toSet // bounded by nParts
-    // widen to each routed part's PREDECESSOR: a request key EQUAL to its
-    // part's first key may have earlier captures in the part before (a
-    // boundary inside a capture run — see [[selectParts]]); the join's
-    // urlkey equality keeps correctness however lines are distributed
+    // widen each routed part LEFT across its equal-firstKey run plus one:
+    // a request key EQUAL to the routed part's first key may have earlier
+    // captures in every preceding part sharing that first key (a capture
+    // run longer than maxPartLines splits across 3+ parts, all but the
+    // first opening with the key) AND in the one part before the run
+    // (where the run began mid-part). Derivable from entries alone —
+    // parts j..i can hold key K only when firstKey(j+1..i) all equal K.
+    // The join's urlkey equality keeps correctness however lines fall.
     val affected = entries.indices.flatMap { i =>
-      if (routed.contains(entries(i)._2))
-        (if (i > 0) Seq(entries(i - 1)._2) else Nil) :+ entries(i)._2
-      else Nil
+      if (!routed.contains(entries(i)._2)) Nil
+      else {
+        var j = i
+        while (j > 0 && entries(j)._1 == entries(i)._1) j -= 1
+        (j to i).map(entries(_)._2)
+      }
     }.distinct.sorted
     if (affected.isEmpty)
       return reqs.limit(0).withColumnRenamed("__req_ts", "req_ts").crossJoin(
@@ -667,7 +688,8 @@ object WarcCdx {
     * rows without a digest (or the column absent) pass unverified.
     */
   def fetch(
-      cdx: DataFrame, dir: String, verifyDigest: Boolean = false): Dataset[Warc.WarcRecord] = {
+      cdx: DataFrame, dir: String, verifyDigest: Boolean = false,
+      maxRecordBytes: Int = 64 << 20): Dataset[Warc.WarcRecord] = {
     val spark = cdx.sparkSession
     import spark.implicits._
     val props = hadoopProps(spark)
@@ -712,21 +734,29 @@ object WarcCdx {
           in
         }
         val it = rows.flatMap { case (f, off, len, want) =>
-          require(len >= 0 && len <= Int.MaxValue,
-            s"cdx member length out of range for $f@$off: $len")
-          val s = ensure(f)
-          s.seek(off)
-          val buf = new Array[Byte](len.toInt)
-          s.readFully(buf)
-          Warc.parseRecords(s"$dir/$f", buf, 64 << 20)
-            .headOption.filter(_.warc_type != "graft:truncated")
-            // integrity gate: recompute the payload sha1 against the
-            // index's digest (None = unverifiable row, passes through;
-            // revisit records exempt — their stored block is empty by
-            // design while the index digest describes the referent)
-            .filter(r => r.warc_type == "revisit" || want.forall(d =>
-              d == "sha1:" + WarcSink.sha1Base32(
-                if (r.payload == null) Array.empty[Byte] else r.payload)))
+          // out-of-range coordinates are DAMAGED-LINE territory like the
+          // null case above — drop the row, never fail the job over one
+          // corrupt index line (r19 review: this was a require)
+          if (len < 0 || len > Int.MaxValue || off < 0) Iterator.empty
+          else {
+            val s = ensure(f)
+            s.seek(off)
+            val buf = new Array[Byte](len.toInt)
+            s.readFully(buf)
+            Warc.parseRecords(s"$dir/$f", buf, maxRecordBytes)
+              .headOption.filter(_.warc_type != "graft:truncated")
+              // integrity gate: recompute the payload sha1 against the
+              // index's digest (None = unverifiable row, passes through;
+              // revisit records exempt — their stored block is empty by
+              // design while the index digest describes the referent —
+              // and so are parse-cap-TRUNCATED records, whose recomputed
+              // digest covers only the kept prefix: dropping them would
+              // turn every oversized archived record into silent loss)
+              .filter(r => r.warc_type == "revisit" || r.truncated ||
+                want.forall(d =>
+                  d == "sha1:" + WarcSink.sha1Base32(
+                    if (r.payload == null) Array.empty[Byte] else r.payload)))
+          }
         }
         // close the last open stream when the iterator drains
         new Iterator[Warc.WarcRecord] {

@@ -321,13 +321,7 @@ class WarcWriteBuilder(
   override def build(): Write = {
     // hadoop conf props captured on the driver (Configuration itself is
     // not serializable); executors rebuild from the list
-    val props = {
-      val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-      val it = conf.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val props = WarcCdx.hadoopProps(org.apache.spark.sql.SparkSession.active)
     val doTruncate = truncateFirst
     new Write {
       override def toBatch: BatchWrite =

@@ -54,6 +54,24 @@ class KeyedMemTableSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted shouldBe Array(3L, 4L)
   }
 
+  test("a NULL in a pushed IN-list never matches NULL keys (SQL semantics)") {
+    // pushed filters are NOT re-applied above the scan, so shipping the
+    // null-key group for `k IN (..., NULL)` would RETURN rows SQL
+    // excludes (`NULL IN (...)` is NULL → filtered) — r19 review catch
+    import spark.implicits._
+    val df = Seq((java.lang.Long.valueOf(7L), "seven"),
+      (null.asInstanceOf[java.lang.Long], "nothing")).toDF("k", "name")
+    KeyedMemTables.register(spark, "kt_null", df, "k")
+    try {
+      spark.sql("SELECT name FROM kt_null WHERE k IN (7, NULL)")
+        .collect().map(_.getString(0)) shouldBe Array("seven")
+      spark.sql("SELECT name FROM kt_null WHERE k = 7")
+        .collect().map(_.getString(0)) shouldBe Array("seven")
+      // the null-key row is still reachable by a full scan
+      spark.table("kt_null").count() shouldBe 2L
+    } finally KeyedMemTables.unregister(spark, "kt_null")
+  }
+
   test("prepared point lookup becomes an index lookup at execute time") {
     setup
     val st = PreparedStatements.prepare(spark, "SELECT k, name FROM kt WHERE k = $1")

@@ -220,6 +220,52 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
       Seq(("kkk,k)", "20260101000000")).toDF("urlkey", "timestamp"))
       .collect().map(_.getAs[String]("timestamp"))
     got shouldBe Array("20260101000000")
+    // a run spanning THREE-plus parts (splits of a hot key): the batch
+    // path must widen across the whole equal-firstKey run plus the part
+    // where the run began — predecessor-only widening missed the first
+    // part's captures (r19 second review catch)
+    val out3 = tmp("graft_boundary3")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out3, "part-000000000000"),
+      line("aaa,a)", "20260101000000") + line("kkk,k)", "20260101000000"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out3, "part-000001048576"),
+      line("kkk,k)", "20260201000000") + line("kkk,k)", "20260301000000"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out3, "part-000002097152"),
+      line("kkk,k)", "20260401000000") + line("zzz,z)", "20260101000000"))
+    WarcCdx.writeClusterIdx(fs, new org.apache.hadoop.fs.Path(out3))
+    val e3 = WarcCdx.clusterEntries(spark, out3)
+    e3.map(_._1) shouldBe Seq("aaa,a)", "kkk,k)", "kkk,k)")
+    WarcCdx.selectParts(e3, "kkk,k)").length shouldBe 3
+    // the request routes to the LAST part of the run; the answer lives
+    // in the FIRST — the run-wide widening must find it
+    WarcCdx.lookupClosestBatch(spark, out3,
+      Seq(("kkk,k)", "20260101000000")).toDF("urlkey", "timestamp"))
+      .collect().map(_.getAs[String]("timestamp")) shouldBe
+      Array("20260101000000")
+    WarcCdx.lookupPrefix(spark, out3, "kkk,k)").count() shouldBe 4L
+  }
+
+  test("fetch(verifyDigest) exempts parse-cap-truncated records instead of dropping them") {
+    // a record longer than maxRecordBytes parses with a shortened payload
+    // and truncated = true; its recomputed digest covers only the kept
+    // prefix, so verification MUST exempt it — otherwise every oversized
+    // archived record silently vanishes as if bit-rotten (r19 catch)
+    val dir = tmp("graft_fetch_trunc")
+    val big = ("A" * 3000).getBytes("UTF-8")
+    WarcSink.write(Seq(("https://big.example/1",
+      Warc.httpResponse(big, "text/plain"))).toDF("target_uri", "payload")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z")).repartition(1),
+      dir, gzipMembers = false)
+    val cdx = WarcCdx.read(spark, dir)
+    // cap far below the record: parse truncates, verify must still return it
+    val got = WarcCdx.fetch(cdx, dir, verifyDigest = true, maxRecordBytes = 512)
+      .collect()
+    got.length shouldBe 1
+    got.head.truncated shouldBe true
+    // with an adequate cap the same record verifies normally
+    WarcCdx.fetch(cdx, dir, verifyDigest = true).collect().head.truncated shouldBe false
   }
 
   test("lookupClosestBatch resolves many requests in one pass, pruned and lookup-equivalent") {

@@ -209,6 +209,19 @@ class WarcSpec extends SparkTestBase {
     // a stray child element inside <loc> is transparent, not URL-dropping
     Sitemaps.parse("<urlset><url><loc>https://a/<br/>b</loc></url></urlset>")
       .map(_.loc) shouldBe Seq("https://a/b")
+    // extension namespaces nest their own same-local-name elements DEEPER
+    // (Google image sitemaps): an <image:loc> inside <image:image> must
+    // not overwrite the page's <loc> — namespace-agnostic matching is
+    // depth-guarded to direct children of <url> (r19 review catch: the
+    // frontier was seeded with image URLs instead of pages)
+    Sitemaps.parse("<urlset><url><loc>https://site/page</loc>" +
+      "<image:image><image:loc>https://site/img.jpg</image:loc>" +
+      "<image:caption>x</image:caption></image:image></url></urlset>")
+      .map(_.loc) shouldBe Seq("https://site/page")
+    // order-independent: extension block before the real loc
+    Sitemaps.parse("<urlset><url><image:image><image:loc>https://site/img.jpg" +
+      "</image:loc></image:image><loc>https://site/page2</loc></url></urlset>")
+      .map(_.loc) shouldBe Seq("https://site/page2")
     Sitemaps.parse("not xml at all") shouldBe Seq.empty
     // a DOCTYPE (the XXE/billion-laughs vector) aborts the parse safely
     Sitemaps.parse("<!DOCTYPE lolz [<!ENTITY a \"b\">]><urlset><url>" +
