@@ -100,8 +100,12 @@ object TextAnalysis {
       .join(broadcast(unigrams.select(col("w").as("b"), col("c1").as("c_b"))), Seq("b"))
       .crossJoin(broadcast(total))
       .select(concat_ws(" ", col("a"), col("b")).as("bigram"), col("c_ab"),
+        // cast BEFORE the product: two hot-token unigram counts multiply
+        // past Long.Max on a large corpus ("the" at ~3e10 squares to
+        // ~9e20) and ANSI mode turns that overflow into a job failure —
+        // double*double is the same value at any realistic magnitude
         ((col("n_total").cast("double") * col("c_ab").cast("double")) /
-          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+          (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift"))
       .orderBy(col("c_ab").desc, col("bigram"))
       .limit(k)
   }

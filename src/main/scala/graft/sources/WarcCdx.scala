@@ -45,9 +45,16 @@ object WarcCdx {
     val jsonSchema = "url STRING, mime STRING, digest STRING, rid STRING, " +
       "offset STRING, length STRING, filename STRING"
     val p = split(col("value"), " ", 3)
-    // the same acceptance shape the old ^(\S+) (\d{14}) (\{.*)$ regex
-    // enforced: non-empty key, exactly-14-digit timestamp, json object
-    val ok = size(p) === 3 && p.getItem(0) =!= "" &&
+    // the EXACT acceptance the old ^(\S+) (\d{14}) (\{.*)$ regex
+    // enforced: non-empty whitespace-free key (split only separates on
+    // the space character, so tab / vertical-tab / form-feed inside the first token must
+    // be rejected explicitly to keep \S+ parity — a tab-keyed line is
+    // malformed per the CDXJ convention and must stay dropped),
+    // exactly-14-digit timestamp, json object (CdxParseSpec pins
+    // row-for-row equivalence against the regex reference)
+    val k = p.getItem(0)
+    val ok = size(p) === 3 && k =!= "" &&
+      !k.contains("\t") && !k.contains("\u000B") && !k.contains("\f") &&
       p.getItem(1).rlike("^\\d{14}$") && p.getItem(2).startsWith("{")
     lines
       .select(
@@ -62,8 +69,12 @@ object WarcCdx {
         // the record's own WARC-Record-ID — what a cross-archive revisit
         // referent must cite ([[WarcSink.markRevisits]])
         col("j.rid").as("rid"),
-        col("j.offset").cast("long").as("offset"),
-        col("j.length").cast("long").as("length"),
+        // try_cast, NOT cast: under ANSI mode a damaged line carrying a
+        // non-numeric offset/length would otherwise THROW and fail the
+        // whole index scan — the tolerance contract says null-and-filter
+        // (CdxParseSpec drives exactly this line shape)
+        expr("try_cast(j.offset AS BIGINT)").as("offset"),
+        expr("try_cast(j.length AS BIGINT)").as("length"),
         col("j.filename").as("filename"))
   }
 
@@ -551,6 +562,10 @@ object WarcCdx {
       spark: SparkSession, outDir: String, urlkey: String, timestamp: String): DataFrame = {
     require(timestamp.length == 14 && timestamp.forall(_.isDigit),
       s"lookupClosest needs a 14-digit CDX timestamp, got '$timestamp'")
+    // "" is the urlkey DAMAGED index lines parse to — matching it would
+    // order by cast('' AS BIGINT), an ANSI-mode job failure (and an empty
+    // key is never a real capture key anyway)
+    require(urlkey.nonEmpty, "lookupClosest needs a non-empty urlkey")
     val picked = selectParts(clusterEntries(spark, outDir), urlkey)
     val base =
       if (picked.isEmpty) parseLines(spark.read.text(s"$outDir/part-*")).limit(0)
@@ -598,9 +613,14 @@ object WarcCdx {
     // CACHED: the frame is consumed twice (part routing + the join) and a
     // nondeterministic source re-evaluating differently between the two
     // would route requests to parts the scan never read
+    // the urlkey =!= "" leg is load-bearing, not cosmetic: "" is what a
+    // DAMAGED index line's urlkey parses to, and its timestamp is "" too —
+    // an empty-key request joining one would order by cast('' AS BIGINT),
+    // an ANSI-mode error that fails the WHOLE batch over one bad row
     val reqs = graft.pipeline.Dedup.cache(
       requests.withColumnRenamed("timestamp", "__req_ts")
-        .filter(col("__req_ts").rlike("^\\d{14}$") && col("urlkey").isNotNull))
+        .filter(col("__req_ts").rlike("^\\d{14}$") &&
+          col("urlkey").isNotNull && col("urlkey") =!= ""))
     val routed = reqs
       .select(coveringPart(entries, col("urlkey")).as("__part")).distinct()
       .collect().map(_.getString(0)).toSet // bounded by nParts

@@ -247,6 +247,40 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     WarcCdx.lookupPrefix(spark, out3, "kkk,k)").count() shouldBe 4L
   }
 
+  test("closest lookups survive damaged index lines and reject/drop empty urlkeys") {
+    // a DAMAGED line parses to urlkey="" + timestamp="" — under ANSI mode
+    // an empty-key request joining it would fail the whole batch on
+    // cast('' AS BIGINT). The batch filter drops empty-key requests, the
+    // point lookup rejects them, and valid requests answer normally with
+    // the damaged line sitting right there in the scanned part.
+    val out = tmp("graft_damaged")
+    def line(k: String, ts: String) = s"$k $ts " +
+      "{\"url\":\"u:" + k + "\",\"digest\":\"sha1:X\",\"offset\":\"0\"," +
+      "\"length\":\"1\",\"filename\":\"f\"}\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-000000000000"),
+      line("aaa,a)", "20260101000000") +
+        "THIS LINE IS NOT CDXJ\n" +
+        line("mmm,m)", "20260301000000"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    WarcCdx.writeClusterIdx(fs, new org.apache.hadoop.fs.Path(out))
+    val got = WarcCdx.lookupClosestBatch(spark, out, Seq(
+      ("aaa,a)", "20260101000000"),
+      ("", "20260101000000"), // empty-key request: dropped, not a crash
+      ("mmm,m)", "20260401000000")).toDF("urlkey", "timestamp"))
+      .collect().map(r => (r.getAs[String]("urlkey"), r.getAs[String]("timestamp")))
+      .sorted
+    got shouldBe Array(("aaa,a)", "20260101000000"), ("mmm,m)", "20260301000000"))
+    val e = intercept[IllegalArgumentException](
+      WarcCdx.lookupClosest(spark, out, "", "20260101000000"))
+    e.getMessage should include("non-empty urlkey")
+    // the point path is damage-safe too for a real key sharing a part
+    // with the damaged line
+    WarcCdx.lookupClosest(spark, out, "mmm,m)", "20260101000000")
+      .collect().map(_.getAs[String]("timestamp")) shouldBe Array("20260301000000")
+  }
+
   test("fetch(verifyDigest) exempts parse-cap-truncated records instead of dropping them") {
     // a record longer than maxRecordBytes parses with a shortened payload
     // and truncated = true; its recomputed digest covers only the kept
