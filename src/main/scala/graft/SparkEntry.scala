@@ -351,6 +351,63 @@ object SparkEntry {
       path
     })
 
+  /** The DAMAGED-INDEX fixture: a byte-for-byte copy of [[cdxWarc]]
+    * (archive + index) plus one extra `.cdxj` file holding every shape of
+    * index damage the tolerance contract names — a non-CDXJ line, a
+    * non-numeric offset, coordinates past the archive's end, a filename
+    * no archive has, a negative offset, and a coordinate-valid line whose
+    * digest is wrong (simulated bit-rot). A fetch over the damaged index
+    * must return EXACTLY the clean corpus: every damaged row drops, no
+    * job failure, no extra rows — at 100 TB of cold index+archive bytes,
+    * line-level damage is expected-case and one bad line must cost one
+    * row, never a scan.
+    */
+  private val cdxDamagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdxDamaged(s: SparkSession, dir: String): String =
+    cdxDamagedDirs.getOrElseUpdate(dir, {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val src = Paths.get(cdxWarc(s, dir))
+      val out = Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/graft_cdx_dmg_${math.abs(dir.hashCode)}")
+      // a stale dir from a prior process rebuilds in place: every copy
+      // below REPLACE_EXISTINGs the same names, the damage file rewrites
+      Files.createDirectories(out)
+      val files = src.toFile.listFiles().toSeq
+      files.foreach { f =>
+        Files.copy(f.toPath, out.resolve(f.getName),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val warcName = files.map(_.getName).find(_.endsWith(".warc"))
+        .getOrElse(sys.error(s"no .warc archive under $src"))
+      val cdxjName = files.map(_.getName).find(_.endsWith(".cdxj"))
+        .getOrElse(sys.error(s"no .cdxj index under $src"))
+      // a coordinate-valid first-record line with a WRONG digest: same
+      // bytes fetch fine, the verify gate must drop the row
+      val firstLine = {
+        val r = Files.newBufferedReader(src.resolve(cdxjName))
+        try r.readLine() finally r.close()
+      }
+      val rotted = firstLine.replaceAll(
+        "\"digest\":\"sha1:[A-Z2-7]+\"",
+        "\"digest\":\"sha1:" + "A" * 32 + "\"")
+      require(rotted != firstLine, s"digest rewrite failed on: $firstLine")
+      val damage = Seq(
+        "THIS IS NOT A CDXJ LINE",
+        "urn:graft:doc:42 20260102000000 " +
+          s"""{"url":"u","offset":"nope","length":"7","filename":"$warcName"}""",
+        "urn:graft:doc:43 20260102000000 " +
+          s"""{"url":"u","offset":"999999999999","length":"64","filename":"$warcName"}""",
+        "urn:graft:doc:44 20260102000000 " +
+          s"""{"url":"u","offset":"0","length":"64","filename":"zz_no_such_archive.warc"}""",
+        "urn:graft:doc:45 20260102000000 " +
+          s"""{"url":"u","offset":"-5","length":"64","filename":"$warcName"}""",
+        rotted)
+      Files.write(out.resolve("zz_damaged.cdxj"),
+        damage.mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.toString
+    })
+
   /** Zipnum compaction of the [[cdxWarc]] index — globally SURT-sorted
     * range-partitioned parts + the `cluster.idx` secondary index the
     * pruned prefix lookup reads.
@@ -642,6 +699,20 @@ object SparkEntry {
     // pages from: IO is the sum of member lengths, never archive scans.
     "q_sink_cdx_fetch" -> ((s, dir) => {
       val path = cdxWarc(s, dir)
+      sources.WarcCdx.fetch(sources.WarcCdx.read(s, path), path, verifyDigest = true)
+        .toDF().select(
+        regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+    }),
+    // DAMAGE TOLERANCE end to end, oracle-gated: the same fetch over an
+    // index carrying every named damage shape (non-CDXJ line, non-numeric
+    // /negative/beyond-EOF coordinates, missing archive file, bit-rotten
+    // digest) must return EXACTLY the clean corpus — each damaged line
+    // costs its own row and nothing else; none of them may fail the job
+    // or leak a wrong payload into the result
+    "q_sink_cdx_damage" -> ((s, dir) => {
+      val path = cdxDamaged(s, dir)
       sources.WarcCdx.fetch(sources.WarcCdx.read(s, path), path, verifyDigest = true)
         .toDF().select(
         regexp_extract(col("target_uri"), "urn:graft:doc:(\\d+)", 1)
@@ -1271,6 +1342,8 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset, " +
         "length FROM r"),
     "q_sink_cdx_fetch" -> "SELECT doc_id, text FROM documents WHERE doc_id < 300",
+    // damage drops row-for-row: the surviving fetch IS the clean corpus
+    "q_sink_cdx_damage" -> "SELECT doc_id, text FROM documents WHERE doc_id < 300",
     // the duplication arithmetic: doc d's payload is doc (d % 100)'s text
     "q_sink_revisit" ->
       ("SELECT d.doc_id, d2.text AS text FROM documents d " +

@@ -746,10 +746,14 @@ object WarcCdx {
         }
         def ensure(f: String): org.apache.hadoop.fs.FSDataInputStream = {
           if (f != openFile) {
-            if (in != null) in.close()
-            val p = new org.apache.hadoop.fs.Path(dir, f)
-            in = p.getFileSystem(conf).open(p)
+            if (in != null) { in.close(); in = null }
             openFile = f
+            val p = new org.apache.hadoop.fs.Path(dir, f)
+            // a filename no archive has is damaged-line territory too —
+            // null marks it so every row citing it drops (and only
+            // per-damaged-row open attempts repeat, never per clean row)
+            in = try p.getFileSystem(conf).open(p)
+            catch { case _: java.io.FileNotFoundException => null }
           }
           in
         }
@@ -758,8 +762,9 @@ object WarcCdx {
           // null case above — drop the row, never fail the job over one
           // corrupt index line (r19 review: this was a require)
           if (len < 0 || len > Int.MaxValue || off < 0) Iterator.empty
-          else {
-            val s = ensure(f)
+          else ensure(f) match {
+            case null => Iterator.empty // archive file does not exist
+            case s => try {
             s.seek(off)
             val buf = new Array[Byte](len.toInt)
             s.readFully(buf)
@@ -776,6 +781,15 @@ object WarcCdx {
                 want.forall(d =>
                   d == "sha1:" + WarcSink.sha1Base32(
                     if (r.payload == null) Array.empty[Byte] else r.payload)))
+            } catch {
+              // numerically-plausible coordinates can still lie past the
+              // archive's end (bit-rot in the digits, an index for a
+              // truncated file): EOF mid-read is the damaged-line drop,
+              // NOT a job failure. Only EOF — genuine IO trouble still
+              // propagates to Spark's task retry. The next row's seek
+              // re-positions the stream, so state stays consistent.
+              case _: java.io.EOFException => Iterator.empty
+            }
           }
         }
         // close the last open stream when the iterator drains

@@ -346,15 +346,28 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     writeArchive(dir, mkPayloads(5), parts = 1)
     val evil = new java.io.File(dir).listFiles
       .filter(_.getName.endsWith(".cdxj")).head.toPath
+    val warcName = new java.io.File(dir).listFiles
+      .map(_.getName).find(n => n.endsWith(".warc") || n.endsWith(".warc.gz")).get
     java.nio.file.Files.writeString(evil,
       java.nio.file.Files.readString(evil) +
         "broken,line 20260101000000 {\"url\":\"x\"}\n" + // json missing coords
-        "no json shape at all\n")
+        "no json shape at all\n" +
+        // numerically-plausible lies: past-EOF coordinates (EOF mid-read
+        // must drop the row, not fail the task), a filename no archive
+        // has, a non-numeric offset (ANSI try_cast), a negative offset
+        "z,eof) 20260101000000 {\"url\":\"x\",\"offset\":\"99999999\"," +
+        "\"length\":\"64\",\"filename\":\"" + warcName + "\"}\n" +
+        "z,gone) 20260101000000 {\"url\":\"x\",\"offset\":\"0\"," +
+        "\"length\":\"64\",\"filename\":\"zz_no_such.warc\"}\n" +
+        "z,nan) 20260101000000 {\"url\":\"x\",\"offset\":\"nope\"," +
+        "\"length\":\"64\",\"filename\":\"" + warcName + "\"}\n" +
+        "z,neg) 20260101000000 {\"url\":\"x\",\"offset\":\"-5\"," +
+        "\"length\":\"64\",\"filename\":\"" + warcName + "\"}\n")
     // drop the Hadoop local-FS checksum sidecar — the damage IS the test
     java.nio.file.Files.deleteIfExists(
       evil.getParent.resolve("." + evil.getFileName + ".crc"))
     val cdx = WarcCdx.read(spark, dir)
-    cdx.count() shouldBe 7
+    cdx.count() shouldBe 11
     WarcCdx.fetch(cdx, dir).collect().length shouldBe 5
   }
 
