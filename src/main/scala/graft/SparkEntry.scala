@@ -370,9 +370,12 @@ object SparkEntry {
       val src = Paths.get(cdxWarc(s, dir))
       val out = Paths.get(
         s"${System.getProperty("java.io.tmpdir")}/graft_cdx_dmg_${math.abs(dir.hashCode)}")
-      // a stale dir from a prior process rebuilds in place: every copy
-      // below REPLACE_EXISTINGs the same names, the damage file rewrites
+      // a stale dir from a prior process is CLEARED first: the sink's
+      // archive file names differ per run, so copying over leftovers
+      // would accumulate a second archive+index generation (and a
+      // doubled fetch)
       Files.createDirectories(out)
+      out.toFile.listFiles().foreach(f => Files.delete(f.toPath))
       val files = src.toFile.listFiles().toSeq
       files.foreach { f =>
         Files.copy(f.toPath, out.resolve(f.getName),

@@ -179,12 +179,25 @@ object WarcCdx {
     * part — bounded by nParts, never by record count.
     */
   private[graft] def writeClusterIdx(
-      fs: org.apache.hadoop.fs.FileSystem, out: org.apache.hadoop.fs.Path): Unit = {
-    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
-      .sortBy(_.getPath.getName) // partition order = name order
-    val entries = parts.flatMap { st =>
-      if (st.getLen == 0) None // an empty range slice contributes no entry
-      else Some(s"${firstKey(fs, st.getPath)}\t${st.getPath.getName}")
+      fs: org.apache.hadoop.fs.FileSystem, out: org.apache.hadoop.fs.Path): Unit =
+    writeClusterIdx(fs, out,
+      fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+        .map(_.getPath.getName).toSeq)
+
+  /** The MANIFEST variant: publish `cluster.idx` listing exactly `names`
+    * (sorted — fixed-width canonical names make string order numeric
+    * order ≡ range order). [[mergeCompact]] publishes through this form
+    * so files a merge RETIRED (left in place, unlisted, for pinned
+    * readers — see [[vacuum]]) can never be resurrected into the live
+    * layout by a directory glob.
+    */
+  private[graft] def writeClusterIdx(
+      fs: org.apache.hadoop.fs.FileSystem, out: org.apache.hadoop.fs.Path,
+      names: Seq[String]): Unit = {
+    val entries = names.sorted.flatMap { n =>
+      val p = new org.apache.hadoop.fs.Path(out, n)
+      if (fs.getFileStatus(p).getLen == 0) None // empty slice: no entry
+      else Some(s"${firstKey(fs, p)}\t$n")
     }
     val tmp = new org.apache.hadoop.fs.Path(out, "_cluster.idx.tmp")
     val w = fs.create(tmp, true)
@@ -195,6 +208,34 @@ object WarcCdx {
     fs.delete(dest, false) // local-FS rename does not clobber
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"WarcCdx: rename $tmp -> $dest failed")
+  }
+
+  /** Delete what no snapshot CAN need once every pinned reader is done:
+    * top-level `part-*` files the current `cluster.idx` does not list
+    * (parts a [[mergeCompact]] replaced, plus orphans of a crashed merge)
+    * and leftover merge temp files. This is the layout's GC barrier — a
+    * merge itself never deletes or renames a published file, so any
+    * reader holding any manifest keeps working until someone explicitly
+    * vacuums; run it when no reader predates the current manifest.
+    * Returns the deleted part names.
+    */
+  def vacuum(spark: SparkSession, outDir: String): Seq[String] = {
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    val listed = clusterEntries(spark, outDir).map(_._2).toSet
+    val gone = deleteUnlisted(fs, out, listed)
+    fs.delete(new org.apache.hadoop.fs.Path(out, "_graft_cdx_merge_tmp"), true)
+    gone
+  }
+
+  private def deleteUnlisted(
+      fs: org.apache.hadoop.fs.FileSystem, out: org.apache.hadoop.fs.Path,
+      listed: Set[String]): Seq[String] = {
+    val all = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+      .map(_.getPath.getName)
+    val gone = all.filterNot(listed).sorted
+    gone.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(out, n), false))
+    gone.toSeq
   }
 
   /** The urlkey opening a part file: the first line's first
@@ -238,9 +279,19 @@ object WarcCdx {
     } finally in.close()
   }
 
-  /** Every row of a compacted index (all parts, typed like [[read]]). */
-  def readCompacted(spark: SparkSession, outDir: String): DataFrame =
-    parseLines(spark.read.text(s"$outDir/part-*"))
+  /** Every row of a compacted index, typed like [[read]] — reading the
+    * parts `cluster.idx` LISTS, not a directory glob: the index file is
+    * the layout's MANIFEST ([[mergeCompact]] publishes a merge by
+    * atomically swapping it), so a reader that resolves its file list
+    * here sees one consistent snapshot even while a merge is writing new
+    * part files next to the listed ones.
+    */
+  def readCompacted(spark: SparkSession, outDir: String): DataFrame = {
+    val entries = clusterEntries(spark, outDir)
+    if (entries.isEmpty) parseLines(spark.read.text(s"$outDir/part-*")).limit(0)
+    else parseLines(
+      spark.read.text(entries.map(e => s"$outDir/${e._2}").distinct: _*))
+  }
 
   /** INCREMENTALLY MERGE a new crawl segment's `.cdxj` files into an
     * existing compacted layout at `outDir` — the continuous-crawl answer
@@ -268,13 +319,22 @@ object WarcCdx {
     * SURT locality concentrates a crawl wave's keys) degrades to a full
     * rewrite of part CONTENT but still skips nothing-new parts.
     *
-    * Crash safety: originals move aside before their replacements rename
-    * in, and the aside dir is only deleted after `cluster.idx` publishes
-    * — a crash at any point leaves every original line recoverable (in
-    * place or in `_graft_cdx_merge_old`), and the index file itself is
-    * never truncated (temp + rename). The op is a maintenance pass like
-    * any LSM compaction: run it without concurrent readers of the same
-    * layout, or point readers at a snapshot.
+    * Crash safety AND reader isolation come from the same move: the
+    * merge is PUBLISH-ONLY. It writes replacement chunks under FRESH
+    * names (a published part's name is never reused while its file
+    * exists), never renames or deletes a published file, and commits by
+    * atomically swapping `cluster.idx` — the layout's MANIFEST, which
+    * every read path (including [[readCompacted]]) resolves its file
+    * list from. So a crash at any point leaves either the old manifest
+    * over the old files or the new manifest over old+new (a half-merged
+    * orphan chunk is unlisted and invisible); and a CONCURRENT READER
+    * holding any manifest keeps a complete immutable snapshot while
+    * merges land next to it. Replaced originals stay at their paths
+    * unlisted until an explicit [[vacuum]] — the one deletion barrier,
+    * to run when no reader predates the current manifest. Single WRITER
+    * at a time, as with any LSM maintenance. The rare gap-exhausted
+    * renumber (~20 split generations) is the one reader-barrier rewrite:
+    * it vacuums and renames in place.
     *
     * `maxPartLines` is the SPLIT policy: without one, a hot key range
     * (one domain crawled every cycle) grows its part without bound until
@@ -335,6 +395,10 @@ object WarcCdx {
         s"WarcCdx.mergeCompact: no cluster.idx entries under $outDir — run compact first")
       if (e0.forall(e => partNum(e._2).isDefined)) e0
       else {
+        // legacy-name migration renumbers from the directory, so retired
+        // (unlisted) files must go first or the glob would resurrect them
+        // into the manifest — this renumber is a reader barrier anyway
+        deleteUnlisted(fs, out, e0.map(_._2).toSet)
         renumber(fs, out)
         writeClusterIdx(fs, out)
         clusterEntries(spark, outDir)
@@ -414,46 +478,82 @@ object WarcCdx {
     def renameOrThrow(src: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(src, dest))
         throw new java.io.IOException(s"WarcCdx.mergeCompact: rename $src -> $dest failed")
-    // SPLIT NUMBERING: chunk 0 keeps the part's own number; later chunks
-    // take evenly-spaced numbers in the gap to the SUCCESSOR live part
-    // (name order must stay range order). An exhausted gap forces one
-    // rename-only renumber of the whole layout first — O(nParts) renames,
-    // zero data movement.
-    var live = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
-      .map(_.getPath.getName).sorted
+    // PUBLISH-ONLY COMMIT: a merge NEVER renames or deletes a published
+    // part — every replacement chunk takes a FRESH number in the gap
+    // between the replaced part and its listed successor, the new
+    // manifest (cluster.idx) swaps in atomically, and the replaced
+    // originals stay at their paths UNLISTED until [[vacuum]]. A reader
+    // that resolved any manifest keeps a complete, immutable snapshot; a
+    // crash at any point leaves either the old manifest over the old
+    // files or the new manifest over old+new (orphan chunks of an
+    // unpublished merge are unlisted and invisible — vacuum fodder).
+    // An exhausted gap forces one rename-only renumber of the layout —
+    // the ONE reader-barrier operation, so it first deletes what only
+    // pinned readers could need (retired parts), exactly vacuum's
+    // contract.
     val chunksByPart = written.groupBy(_._1)
+    var listed = entries.map(_._2)
+    def globNums(): Set[Long] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+        .flatMap(st => partNum(st.getPath.getName)).toSet
+    var usedNums = globNums()
     var renamed = Map.empty[String, String]
-    def gapOk(parts: Array[String]): Boolean = chunksByPart.forall { case (p0, cs) =>
-      val p = renamed.getOrElse(p0, p0)
-      val i = parts.indexOf(p)
+    def window(ls: Seq[String], p: String): (Long, Long) = {
+      val i = ls.indexOf(p)
       val cur = partNum(p).get
-      val next = if (i + 1 < parts.length) partNum(parts(i + 1)).get else cur + NameGap
-      cs.length <= 1 || (next - cur) / cs.length >= 1
+      (cur, if (i + 1 < ls.length) partNum(ls(i + 1)).get else cur + NameGap)
     }
-    if (!gapOk(live)) {
+    def gapOk(ls: Seq[String], used: Set[Long]): Boolean =
+      chunksByPart.forall { case (p0, cs) =>
+        val (cur, next) = window(ls, renamed.getOrElse(p0, p0))
+        (next - cur - 1) - used.count(n => n > cur && n < next) >= cs.length
+      }
+    if (!gapOk(listed, usedNums)) {
+      deleteUnlisted(fs, out, listed.toSet) // the renumber reader barrier
       renamed = renumber(fs, out)
-      live = live.map(renamed)
-      require(gapOk(live), // NameGap/chunks >= 1 unless one merge splits a part 2^20 ways
+      listed = listed.map(n => renamed.getOrElse(n, n))
+      usedNums = globNums()
+      require(gapOk(listed, usedNums), // NameGap/chunks >= 1 unless one
+        // merge splits a part 2^20 ways
         "WarcCdx.mergeCompact: a single merge produced more chunks than NameGap — " +
           "raise maxPartLines")
     }
-    fs.mkdirs(aside)
-    chunksByPart.foreach { case (p0, cs0) =>
-      val p = renamed.getOrElse(p0, p0)
-      val cs = cs0.sortBy(_._2)
-      val i = live.indexOf(p)
-      val cur = partNum(p).get
-      val next = if (i + 1 < live.length) partNum(live(i + 1)).get else cur + NameGap
-      val step = if (cs.length <= 1) NameGap else (next - cur) / cs.length
-      renameOrThrow(new org.apache.hadoop.fs.Path(out, p),
-        new org.apache.hadoop.fs.Path(aside, p))
-      cs.zipWithIndex.foreach { case ((_, _, tmp), ci) =>
-        renameOrThrow(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(out, partName(cur + ci * step)))
+    // fresh numbers per replaced part: evenly spaced through the gap for
+    // future split headroom, first-free fallback when spacing collides
+    // with a retired/orphan number
+    val taken = scala.collection.mutable.Set.empty[Long]
+    def pick(cur: Long, next: Long, k: Int): Seq[Long] = {
+      val step = (next - cur) / (k + 1)
+      val even =
+        if (step >= 1) (1 to k).map(i => cur + i * step) else Seq.empty[Long]
+      if (even.nonEmpty && even.forall(n => !usedNums(n) && !taken(n))) even
+      else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var n = cur + 1
+        while (buf.length < k && n < next) {
+          if (!usedNums(n) && !taken(n)) buf += n
+          n += 1
+        }
+        require(buf.length == k, // unreachable: gapOk counted the free slots
+          s"WarcCdx.mergeCompact: no room for $k chunks in ($cur, $next)")
+        buf.toSeq
       }
     }
-    writeClusterIdx(fs, out) // atomic temp+rename publish
-    fs.delete(aside, true)
+    val newNames = chunksByPart.toSeq.flatMap { case (p0, cs0) =>
+      val (cur, next) = window(listed, renamed.getOrElse(p0, p0))
+      val cs = cs0.sortBy(_._2)
+      val nums = pick(cur, next, cs.length)
+      taken ++= nums
+      cs.zip(nums).map { case ((_, _, tmp), num) =>
+        val name = partName(num)
+        renameOrThrow(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(out, name))
+        name
+      }
+    }
+    val replaced = chunksByPart.keySet.map(p => renamed.getOrElse(p, p))
+    writeClusterIdx(fs, out, // atomic temp+rename manifest swap
+      listed.filterNot(replaced) ++ newNames)
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
     } finally newLines.unpersist()
   }

@@ -87,6 +87,12 @@ class CdxMaintenanceModelSpec extends SparkTestBase {
         assert(got == modelClosest(k, ts), s"closest($k, $ts) round $round")
       }
 
+      // 3.5 vacuum mid-round: deleting superseded (unlisted) files must
+      // change NOTHING a live-manifest reader sees
+      WarcCdx.vacuum(spark, out)
+      val afterVacuum = WarcCdx.readCompacted(spark, out).count()
+      afterVacuum shouldBe model.length.toLong
+
       // 4. batch closest ≡ the same model, all probes in one pass
       val batch = WarcCdx.lookupClosestBatch(spark, out,
         probes.distinct.toDF("urlkey", "timestamp"))

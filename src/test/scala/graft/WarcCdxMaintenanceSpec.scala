@@ -62,21 +62,70 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
       .collect().map(_.toString).sorted
     mergedRows shouldBe fullRows
     mergedRows.length shouldBe 52
-    // file-level incrementality: same names; the parts whose range the
-    // segment never touched are bit-stable (mtime AND length unchanged)
+    // file-level incrementality + publish-only commit: every pre-merge
+    // file is STILL THERE byte-for-byte (a merge never renames or deletes
+    // a published part — pinned readers keep their snapshot), untouched
+    // parts stay LISTED, and replaced parts were superseded by fresh
+    // names in the manifest
     val after = new java.io.File(out).listFiles
       .filter(_.getName.startsWith("part-"))
       .map(f => f.getName -> (f.lastModified, f.length)).toMap
-    after.keySet shouldBe before.keySet
-    val touched = after.count { case (n, v) => before(n) != v }
-    touched should be >= 1
-    touched should be < before.size // at least one part survived untouched
-    // global order still holds across files and lookups still prune
+    before.keySet.subsetOf(after.keySet) shouldBe true
+    before.foreach { case (n, v) => after(n) shouldBe v } // bit-stable, all
     val entries = WarcCdx.clusterEntries(spark, out)
+    val listed = entries.map(_._2).toSet
+    val untouchedListed = before.keySet.intersect(listed)
+    untouchedListed.nonEmpty shouldBe true // at least one part not rewritten
+    (listed -- before.keySet).nonEmpty shouldBe true // fresh replacement names
+    // global order still holds across files and lookups still prune
     entries.map(_._1) shouldBe entries.map(_._1).sorted
     WarcCdx.lookupPrefix(spark, out, "example,h2)/doc/100")
       .collect().map(_.getAs[String]("url")).toSeq shouldBe
       Seq("https://h2.example/doc/100")
+    // vacuum is the explicit GC barrier: it deletes exactly the unlisted
+    // (replaced) files and the live snapshot is unaffected
+    val gone = WarcCdx.vacuum(spark, out)
+    gone.toSet shouldBe (after.keySet -- listed)
+    new java.io.File(out).listFiles.map(_.getName)
+      .filter(_.startsWith("part-")).toSet shouldBe listed
+    WarcCdx.readCompacted(spark, out)
+      .collect().map(_.toString).sorted shouldBe fullRows
+  }
+
+  test("a reader pinned to a pre-merge manifest keeps a complete immutable snapshot") {
+    // the MVCC contract the publish-only commit buys: resolve cluster.idx
+    // once (what every read path does), and the files it lists stay
+    // byte-identical at their paths through any number of merges — only
+    // an explicit vacuum invalidates old snapshots
+    val seg1 = tmp("graft_snap_s1")
+    val seg2 = tmp("graft_snap_s2")
+    val out = tmp("graft_snap_out")
+    writeArchive(seg1, mkPayloads(24))
+    writeArchive(seg2, (100 until 108).map { i =>
+      (s"https://h1.example/doc/$i",
+        Warc.httpResponse(s"cycle2 $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-02-01T00:00:00Z")
+    WarcCdx.compact(spark, seg1, out, nParts = 3)
+    val v1 = WarcCdx.clusterEntries(spark, out) // the pinned manifest
+    val v1Rows = spark.read.text(v1.map(e => s"$out/${e._2}"): _*)
+      .collect().map(_.getString(0)).sorted
+    WarcCdx.mergeCompact(spark, seg2, out)
+    val v2 = WarcCdx.clusterEntries(spark, out)
+    v2 should not be v1
+    // the pinned reader re-reads ITS files mid-merge-cycle: same bytes,
+    // no mixed state, no missing file
+    val v1Again = spark.read.text(v1.map(e => s"$out/${e._2}"): _*)
+      .collect().map(_.getString(0)).sorted
+    v1Again shouldBe v1Rows
+    // the live manifest sees the merge
+    WarcCdx.readCompacted(spark, out).count() shouldBe 32
+    // vacuum invalidates the old snapshot EXPLICITLY: exactly the
+    // superseded files go, and a stale path now fails loudly (file gone)
+    // rather than serving mixed data
+    val gone = WarcCdx.vacuum(spark, out).toSet
+    gone shouldBe (v1.map(_._2).toSet -- v2.map(_._2).toSet)
+    gone.foreach(n => new java.io.File(out, n).exists shouldBe false)
+    WarcCdx.readCompacted(spark, out).count() shouldBe 32
   }
 
   test("mergeCompact folds below-minimum keys into part 0 and updates its entry") {
@@ -91,7 +140,11 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     val firstBefore = WarcCdx.clusterEntries(spark, out).head
     WarcCdx.mergeCompact(spark, seg2, out)
     val firstAfter = WarcCdx.clusterEntries(spark, out).head
-    firstAfter._2 shouldBe firstBefore._2 // same part 0 file
+    // part 0's REPLACEMENT holds the fold (publish-only commit: a fresh
+    // file supersedes it in the manifest; the original stays on disk for
+    // pinned readers until vacuum) and its entry records the new minimum
+    firstAfter._2 should not be firstBefore._2
+    new java.io.File(out, firstBefore._2).exists shouldBe true
     firstAfter._1 shouldBe "example,aaa)/doc/0" // new global minimum
     firstAfter._1 should be < firstBefore._1
     // and the new record is findable through the pruned path
@@ -507,21 +560,21 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
       .map(f => f.getName -> (f.lastModified, f.length)).toMap
     Thread.sleep(1100)
     WarcCdx.mergeCompact(spark, seg2, out, maxPartLines = 8)
-    val after = new java.io.File(out).listFiles
-      .filter(_.getName.startsWith("part-")).map(_.getName).sorted
-    after.length should be > before.size // at least one split happened
-    // the global order holds across files, and every REWRITTEN part
-    // respects the bound (untouched parts keep their size until a merge
-    // next touches them — the policy applies on rewrite, by design)
+    // the manifest gained parts (a split happened), the global order
+    // holds across files, and every REWRITTEN part — all carry FRESH
+    // names under the publish-only commit — respects the bound
+    // (untouched parts keep their size until a merge next touches them:
+    // the policy applies on rewrite, by design)
     val entries = WarcCdx.clusterEntries(spark, out)
+    val listed = entries.map(_._2)
+    listed.length should be > before.size // at least one split happened
     entries.map(_._1) shouldBe entries.map(_._1).sorted
-    entries.map(_._2) shouldBe after // name order == range order
-    for (f <- after if !before.contains(f) ||
-         before(f) != (new java.io.File(out, f).lastModified, new java.io.File(out, f).length))
+    listed shouldBe listed.sorted // name order == range order
+    for (f <- listed if !before.contains(f))
       java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(out, f)).size should be <= 8
-    // untouched parts kept their exact files
-    val untouched = after.filter(n =>
+    // untouched parts kept their exact files, still listed
+    val untouched = listed.filter(n =>
       before.contains(n) && before(n) ==
         (new java.io.File(out, n).lastModified, new java.io.File(out, n).length))
     untouched.nonEmpty shouldBe true
