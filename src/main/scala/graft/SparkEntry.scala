@@ -453,6 +453,9 @@ object SparkEntry {
         seg2, gzipMembers = false)
       sources.WarcCdx.compact(s, cdxWarc(s, dir), out, nParts = 3)
       sources.WarcCdx.mergeCompact(s, seg2, out)
+      // the GC barrier runs too, so the oracle gates the VACUUMED layout:
+      // merged + vacuumed must still equal a from-scratch compaction
+      sources.WarcCdx.vacuum(s, out)
       out
     })
 

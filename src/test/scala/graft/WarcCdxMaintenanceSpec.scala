@@ -479,6 +479,7 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     WarcCdx.compact(spark, c1, idx, nParts = 2)
     val c2 = crawl(2, 12, 24, Some(idx))
     WarcCdx.mergeCompact(spark, c2, idx, maxPartLines = 20)
+    WarcCdx.vacuum(spark, idx) // per-cycle GC: the real loop runs it too
     val c3 = crawl(3, 24, 36, Some(idx))
     WarcCdx.mergeCompact(spark, c3, idx, maxPartLines = 20)
     // the incrementally-maintained index equals a from-scratch compaction
