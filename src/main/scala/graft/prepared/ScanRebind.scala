@@ -69,7 +69,13 @@ object ScanRebind extends PredicateHelper {
                 vs.map(v => external(v.asInstanceOf[Literal])).toSet
             }
             if (keySets.isEmpty) b
-            else b.copy(scan = ks.withKeys(keySets.reduce(_ intersect _).toSeq))
+            // NULL keys never match under SQL semantics (`k = NULL` is
+            // NULL → filtered); the retained row-level predicate above the
+            // scan keeps correctness either way, but shipping byKey(null)'s
+            // rows just to discard them wastes the lookup (the same rule
+            // KeyedScanBuilder applies to planner-pushed filters)
+            else b.copy(scan = ks.withKeys(
+              keySets.reduce(_ intersect _).filter(_ != null).toSeq))
           // DSv2 parquet: the protocol is source-agnostic (the reference
           // pushes its DynamicFilterPhysicalExpr to ANY provider,
           // physical.rs:270-336), so a session reading parquet through v2

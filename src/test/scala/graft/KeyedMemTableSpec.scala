@@ -69,6 +69,14 @@ class KeyedMemTableSpec extends SparkTestBase {
         .collect().map(_.getString(0)) shouldBe Array("seven")
       // the null-key row is still reachable by a full scan
       spark.table("kt_null").count() shouldBe 2L
+      // the PREPARED path's execute-time rebind applies the same rule: a
+      // null-bound key matches nothing (and ships nothing — the rebind
+      // drops null from the pushed key set rather than indexing on it)
+      val st = PreparedStatements.prepare(spark,
+        "SELECT name FROM kt_null WHERE k = $1")
+      st.execute(Map("$1" -> 7L)).collect().map(_.getString(0)) shouldBe
+        Array("seven")
+      st.execute(Map("$1" -> null)).collect() shouldBe empty
     } finally KeyedMemTables.unregister(spark, "kt_null")
   }
 
