@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * column (user_id / event_id), so state partitions across executors; the
   * watermark bounds state size (expired windows/sessions/dedup keys are
   * dropped), which is what keeps a continuous 100 TB/day ingest from
-  * accumulating unbounded state.
+  * accumulating unbounded state. The one exception is [[runningUserTotals]]
+  * — a running total cannot expire without losing it, so its default state
+  * is bounded by distinct-key cardinality instead; its `idleTimeout` opts
+  * into time-bounded eviction (see its doc for the trade).
   */
 object EventStreams {
 
@@ -98,21 +101,49 @@ object EventStreams {
   /** Custom keyed state via flatMapGroupsWithState: a per-user running
     * (count, total) emitted on every update — the arbitrary-state hook for
     * logic session_window can't express.
+    *
+    * State-size honesty (the one operator here the WATERMARK does not
+    * bound): a running total can only expire by losing it, so by default
+    * state is bounded by DISTINCT-USER cardinality, not time. For an
+    * open-world key domain (e.g. totals per client IP on a continuous
+    * ingest) pass `idleTimeout` — the input must carry a watermark on
+    * `ts`, and a user idle past the horizon has their state DROPPED
+    * (their next event starts a fresh total, which is the trade an
+    * eviction policy means).
     */
-  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+  def runningUserTotals(
+      events: Dataset[Event],
+      idleTimeout: Option[String] = None): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) => {
-          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
-          var n = prev.n_events
-          var total = prev.total_value
-          batch.foreach { e => n += 1; total += e.value }
-          val next = UserRunning(user, n, math.round(total * 100).toDouble / 100)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            // idle past the horizon: evict; nothing to emit for a user
+            // with no new events
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+            var n = prev.n_events
+            var total = prev.total_value
+            var maxTs = Long.MinValue
+            batch.foreach { e =>
+              n += 1; total += e.value
+              if (e.ts != null) maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            val next = UserRunning(user, n, math.round(total * 100).toDouble / 100)
+            state.update(next)
+            idleTimeout.foreach { horizon =>
+              if (maxTs != Long.MinValue) state.setTimeoutTimestamp(
+                maxTs, horizon) // event-time + horizon, capped by watermark
+            }
+            Iterator(next)
+          }
         })
   }
 }

@@ -602,6 +602,39 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("idleTimeout evicts a user's running state once the watermark passes the horizon") {
+    // the opt-in state bound for open-world key domains: a user idle past
+    // the horizon is evicted (their next event starts FRESH), while the
+    // default NoTimeout mode (previous test) accumulates forever
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.runningUserTotals(
+      input.toDS().withWatermark("ts", "0 seconds"),
+      idleTimeout = Some("2 hours"))
+      .writeStream.format("memory").queryName("running_ttl")
+      .outputMode("update").start()
+    withQuery(query) {
+      input.addData(ev(1, ts(1), user = 7, v = 2.0), ev(2, ts(1, 30), user = 7, v = 3.0))
+      query.processAllAvailable()
+      // another user's much-later event drives the watermark past user 7's
+      // horizon (1:30 + 2h); one more batch lets the timeout fire
+      input.addData(ev(3, ts(9), user = 8, v = 1.0))
+      query.processAllAvailable()
+      input.addData(ev(4, ts(9, 30), user = 8, v = 1.0))
+      query.processAllAvailable()
+      // user 7 returns AFTER eviction: a fresh total, not 3 events
+      input.addData(ev(5, ts(10), user = 7, v = 5.0))
+      query.processAllAvailable()
+      val u7 = s.table("running_ttl").collect()
+        .filter(_.getLong(0) == 7L).map(r => (r.getLong(1), r.getDouble(2)))
+      u7 should contain((2L, 5.0))  // pre-eviction accumulation
+      u7 should contain((1L, 5.0))  // post-eviction fresh start
+      u7.map(_._1) should not contain 3L // never accumulated across eviction
+    }
+  }
+
   test("custom keyed state accumulates across micro-batches") {
     val s = spark
     import s.implicits._
