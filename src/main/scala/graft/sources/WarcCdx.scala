@@ -217,6 +217,10 @@ object WarcCdx {
     * merge itself never deletes or renames a published file, so any
     * reader holding any manifest keeps working until someone explicitly
     * vacuums; run it when no reader predates the current manifest.
+    * Vacuum is itself a WRITER in the single-writer protocol: an
+    * in-flight merge's freshly-renamed chunks are unlisted until its
+    * manifest publishes, so a concurrent vacuum would delete them —
+    * sequence it between maintenance ops, never during one.
     * Returns the deleted part names.
     */
   def vacuum(spark: SparkSession, outDir: String): Seq[String] = {
