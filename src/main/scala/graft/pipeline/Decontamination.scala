@@ -90,6 +90,64 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** SEMANTIC decontamination — the leak detector n-grams cannot see: a
+    * paraphrased / translated / reformatted benchmark item shares no
+    * shingles with the original but sits next to it in embedding space
+    * (the geometry SemDeDup applies corpus-internally, pointed at an eval
+    * set instead). Per training doc: the maximum cosine similarity to any
+    * eval item and that nearest item's id; docs below `minCosine` are
+    * absent (the [[contaminationReport]] convention).
+    *
+    * Scale shape: eval sets are benchmark-sized, so the eval side
+    * BROADCASTS and scoring is pure map-side codegen (native
+    * CosineSimilarity) over the corpus — no corpus-vector shuffle; the
+    * per-doc max is a partial-aggregating `max(struct)` so only one row
+    * per (doc × partition) reaches the exchange. Ties on the (6-decimal
+    * rounded) cosine resolve to the SMALLEST eval id — deterministic and
+    * replayable by any engine with a window rank. `evalIdCol` must be
+    * numeric (the tie-break negates it).
+    */
+  def semanticReport(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalIdCol: String,
+      minCosine: Double = 0.0): DataFrame = {
+    require(!train.columns.contains("__qvec") && !train.columns.contains("__q"),
+      "__qvec/__q are reserved by semanticReport")
+    val q = evalDocs.select(col(evalIdCol).as("__q"), col(vecCol).as("__qvec"))
+    train.select(col(idCol), col(vecCol))
+      .join(broadcast(q))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.cosineSimilarity(
+          col(vecCol), col("__qvec")), 6).as("__cos"),
+        col("__q"))
+      // max over a (cosine, -evalId) struct == rank by cosine DESC then
+      // eval id ASC — one bounded aggregate, never a corpus-wide window
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos"), (-col("__q")).as("__nq"))).as("__m"))
+      .select(col(idCol), col("__m.__cos").as("max_cosine"),
+        (-col("__m.__nq")).as("nearest_eval"))
+      .filter(col("max_cosine") >= minCosine)
+  }
+
+  /** [[semanticReport]] as a drop: training rows whose nearest eval item
+    * scores at or above `minCosine` are removed (anti join on the flagged
+    * ids — the [[dropContaminated]] shape).
+    */
+  def dropSemanticContaminated(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalIdCol: String,
+      minCosine: Double): DataFrame =
+    train.join(
+      semanticReport(train, evalDocs, idCol, vecCol, evalIdCol, minCosine)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** The reverse direction of [[contaminationReport]] — per EVAL item, how
     * exposed is it in the training corpus: the number of distinct training
     * docs sharing at least one n-gram with it, and the number of its own

@@ -671,6 +671,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_clean"),
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
+    // SEMANTIC decontamination: per corpus vector (id >= 10), the max
+    // cosine to any eval vector (id < 10) and the nearest eval id, kept at
+    // cosine >= 0 — the embedding-space leak detector n-grams cannot see
+    // (paraphrased benchmark items). Broadcast-eval map-side scoring +
+    // partial-aggregating per-doc max; the oracle replays the cross
+    // product with a window rank
+    "q_decontam_semantic" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Decontamination.semanticReport(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", minCosine = 0.0)
+    }),
     // deterministic sequence packing: corpus laid out in a replayable
     // shuffled order across 4 shards, each doc assigned the 2048-token pack
     // its first token lands in; per-pack doc/token totals
@@ -1530,6 +1542,16 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // semantic replay: full corpus×eval cosine cross product, top-1 per
+    // corpus vector by (rounded cosine DESC, eval id ASC), threshold 0
+    "q_decontam_semantic" -> ("WITH s AS (SELECT c.vec_id, q.vec_id AS qid, " +
+      "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])), 6) AS cos " +
+      "FROM embeddings c, embeddings q WHERE c.vec_id >= 10 AND q.vec_id < 10), " +
+      "r AS (SELECT vec_id, cos AS max_cosine, qid AS nearest_eval, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, qid) AS rn FROM s) " +
+      "SELECT vec_id, max_cosine, nearest_eval FROM r " +
+      "WHERE rn = 1 AND max_cosine >= 0.0"),
     // a 2h/1h sliding window membership is exactly two hour slots per
     // event (floor(t/1h) and the hour before); make_timestamp rebuilds
     // Spark's epoch-aligned window start from the slot index

@@ -129,4 +129,33 @@ class DecontaminationSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Decontamination.contaminationReport(train, evalDocs, "doc_id", "text", n = 0)
   }
+
+  test("semanticReport: nearest eval by cosine, smallest-id ties, threshold; drop variant") {
+    import spark.implicits._
+    val r2 = (1.0 / math.sqrt(2)).toFloat
+    val eval = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),   // exact copy of eval 1 → 1.0
+      (11L, Array(0.6f, 0.8f)), // closer to eval 2 → 0.8
+      (12L, Array(-1f, 0f)),  // max cosine 0.0 (vs eval 2) — ON the threshold
+      (13L, Array(r2, r2)))   // equidistant: tie → SMALLEST eval id
+      .toDF("vec_id", "embedding")
+    val got = Decontamination.semanticReport(
+      corpus, eval, "vec_id", "embedding", "vec_id", minCosine = 0.0)
+      .collect().map(r => (r.getLong(0),
+        (r.getDouble(1), r.getLong(2)))).toMap
+    got(10L) shouldBe ((1.0, 1L))
+    got(11L) shouldBe ((0.8, 2L))
+    got(12L) shouldBe ((0.0, 2L)) // >= threshold keeps the boundary row
+    got(13L)._2 shouldBe 1L // tie resolves to the smaller eval id
+    // a higher threshold drops the boundary row from the report...
+    Decontamination.semanticReport(
+      corpus, eval, "vec_id", "embedding", "vec_id", minCosine = 0.5)
+      .collect().map(_.getLong(0)).sorted shouldBe Array(10L, 11L, 13L)
+    // ...and the drop form removes exactly the flagged rows from training
+    Decontamination.dropSemanticContaminated(
+      corpus, eval, "vec_id", "embedding", "vec_id", minCosine = 0.9)
+      .collect().map(_.getLong(0)).sorted shouldBe Array(11L, 12L, 13L)
+  }
 }
