@@ -174,15 +174,14 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     val rows = WarcCdx.readCompacted(spark, out).count()
     WarcCdx.mergeCompact(spark, empty, out)
     WarcCdx.readCompacted(spark, out).count() shouldBe rows
-    // a crashed prior merge (non-empty aside dir) refuses with a recovery
-    // hint instead of an opaque rename collision
-    val asideDir = java.nio.file.Paths.get(out, "_graft_cdx_merge_old")
-    java.nio.file.Files.createDirectories(asideDir)
-    java.nio.file.Files.writeString(asideDir.resolve("part-000000000000"), "x")
+    // a crashed RENUMBER (parts stranded under _rn_ temp names) refuses
+    // with a recovery hint instead of publishing an index missing them
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_rn_part-000000000000"), "x")
     (the[IllegalArgumentException] thrownBy
       WarcCdx.mergeCompact(spark, seg, out)).getMessage should include("crashed")
-    java.nio.file.Files.delete(asideDir.resolve("part-000000000000"))
-    java.nio.file.Files.delete(asideDir)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(out, "_rn_part-000000000000"))
   }
 
   test("cluster.idx publishes atomically: a torn temp is never visible") {
@@ -629,10 +628,177 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
         java.nio.file.Paths.get(out, f)).size should be <= 2
     // the untouched part's CONTENT survived the renumber byte-for-byte
     WarcCdx.lookupPrefix(spark, out, "mmm,m)").count() shouldBe 1L
-    // and no temp/aside debris remains
+    // and no temp/aside debris remains (the writer lock releases too)
     new java.io.File(out).listFiles
       .count(f => f.getName.startsWith("_rn_") ||
+        f.getName.startsWith("_graft_cdx_writer") ||
         f.getName.startsWith("_graft_cdx_merge")) shouldBe 0
+    // the renumber published an INTERIM generation right after the
+    // renames (r19 advice: a crash before the merge's final publish must
+    // not leave the live manifest citing renamed-away names) and retired
+    // the staled pre-renumber generation; the merge's own commit follows
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(2L, 3L)
+  }
+
+  test("manifest generations: versioned publish, pinned time travel, vacuum retention") {
+    // the r19 verdict's top item: publication must never touch the live
+    // manifest (the old delete-then-rename had a no-manifest window), and
+    // retained generations are NAMED snapshots a reader can pin across
+    // later merges — vacuum's `retain` is the time-travel horizon
+    val seg1 = tmp("graft_gen_s1")
+    val seg2 = tmp("graft_gen_s2")
+    val seg3 = tmp("graft_gen_s3")
+    val out = tmp("graft_gen_out")
+    writeArchive(seg1, mkPayloads(18))
+    writeArchive(seg2, (100 until 106).map { i =>
+      (s"https://h1.example/doc/$i",
+        Warc.httpResponse(s"c2 $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-02-01T00:00:00Z")
+    writeArchive(seg3, (200 until 206).map { i =>
+      (s"https://h2.example/doc/$i",
+        Warc.httpResponse(s"c3 $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-03-01T00:00:00Z")
+    WarcCdx.compact(spark, seg1, out, nParts = 3)
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(1L)
+    val rows1 = WarcCdx.readCompacted(spark, out).collect().map(_.toString).sorted
+    WarcCdx.mergeCompact(spark, seg2, out)
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(1L, 2L)
+    val rows2 = WarcCdx.readCompacted(spark, out).collect().map(_.toString).sorted
+    WarcCdx.mergeCompact(spark, seg3, out)
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(1L, 2L, 3L)
+    // every retained generation reads its EXACT historical snapshot
+    WarcCdx.readCompacted(spark, out, 1L).collect().map(_.toString).sorted shouldBe rows1
+    WarcCdx.readCompacted(spark, out, 2L).collect().map(_.toString).sorted shouldBe rows2
+    WarcCdx.readCompacted(spark, out).count() shouldBe 30
+    // vacuum(retain = 2): generation 1 retires — its manifest file goes
+    // and parts ONLY it listed are GC'd; generations 2 and 3 stay whole
+    WarcCdx.vacuum(spark, out, retain = 2)
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(2L, 3L)
+    (the[java.io.FileNotFoundException] thrownBy
+      WarcCdx.readCompacted(spark, out, 1L)).getMessage should include("cluster.idx")
+    WarcCdx.readCompacted(spark, out, 2L).collect().map(_.toString).sorted shouldBe rows2
+    WarcCdx.readCompacted(spark, out).count() shouldBe 30
+    // default vacuum (retain = 1) keeps only the live generation, and the
+    // live snapshot is byte-identical after the GC
+    WarcCdx.vacuum(spark, out)
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(3L)
+    WarcCdx.readCompacted(spark, out).count() shouldBe 30
+    an[IllegalArgumentException] should be thrownBy
+      WarcCdx.vacuum(spark, out, retain = 0)
+  }
+
+  test("readers racing merge commits never error and only see complete manifests") {
+    // the availability fault the old delete-then-rename publish had: a
+    // reader resolving the manifest in the delete→rename window got
+    // FileNotFoundException. With fresh-name generations there IS no
+    // window — hammer the read path from another thread across two real
+    // merge commits and require zero errors and only complete snapshots
+    val seg1 = tmp("graft_race_s1")
+    val seg2 = tmp("graft_race_s2")
+    val seg3 = tmp("graft_race_s3")
+    val out = tmp("graft_race_out")
+    writeArchive(seg1, mkPayloads(18))
+    writeArchive(seg2, (100 until 108).map { i =>
+      (s"https://h0.example/doc/$i",
+        Warc.httpResponse(s"w2 $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-02-01T00:00:00Z")
+    writeArchive(seg3, (200 until 208).map { i =>
+      (s"https://h1.example/doc/$i",
+        Warc.httpResponse(s"w3 $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-03-01T00:00:00Z")
+    WarcCdx.compact(spark, seg1, out, nParts = 3)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val entries = WarcCdx.clusterEntries(spark, out)
+          // a complete snapshot: every listed file exists at read time
+          // (merges never delete; only vacuum does, and none runs here)
+          entries.foreach { e =>
+            if (!new java.io.File(out, e._2).exists())
+              failures.add(new AssertionError(
+                s"manifest listed a missing file: ${e._2}"))
+          }
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    reader.start()
+    try {
+      WarcCdx.mergeCompact(spark, seg2, out)
+      WarcCdx.mergeCompact(spark, seg3, out)
+    } finally { stop = true; reader.join(30000) }
+    failures.forEach(t => fail(s"racing reader failed: $t"))
+    reads.get() should be > 0L
+    WarcCdx.readCompacted(spark, out).count() shouldBe 34
+  }
+
+  test("a crash before the manifest rename leaves the prior generation live") {
+    // two crash shapes the versioned publish must absorb: (a) an orphan
+    // half-written temp (writer died before its rename) is invisible to
+    // readers and vacuumed; (b) the LATEST generation lost entirely (its
+    // rename never happened) — readers resolve the highest COMPLETE
+    // generation, whose files the publish-only commit left in place
+    val seg1 = tmp("graft_crash_s1")
+    val seg2 = tmp("graft_crash_s2")
+    val out = tmp("graft_crash_out")
+    writeArchive(seg1, mkPayloads(12))
+    writeArchive(seg2, (100 until 104).map { i =>
+      (s"https://h1.example/doc/$i",
+        Warc.httpResponse(s"c2 $i".getBytes("UTF-8"), "text/html"))
+    }, date = "2026-02-01T00:00:00Z")
+    WarcCdx.compact(spark, seg1, out, nParts = 2)
+    val rows1 = WarcCdx.readCompacted(spark, out).collect().map(_.toString).sorted
+    // (a) orphan temp: ignored by resolution, removed by vacuum
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_cluster.idx.tmp"), "torn,key\tpart-g")
+    WarcCdx.readCompacted(spark, out).collect().map(_.toString).sorted shouldBe rows1
+    WarcCdx.vacuum(spark, out)
+    new java.io.File(out, "_cluster.idx.tmp").exists() shouldBe false
+    // (b) merge commits v2, then "crash" loses it: v1 still serves its
+    // complete snapshot — the layout is never manifest-less
+    WarcCdx.mergeCompact(spark, seg2, out)
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(1L, 2L)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "cluster.idx.v2"))
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(1L)
+    WarcCdx.readCompacted(spark, out).collect().map(_.toString).sorted shouldBe rows1
+  }
+
+  test("writer lock: a second merge/vacuum fails fast naming the holder, and releases cleanly") {
+    val seg1 = tmp("graft_lock_s1")
+    val seg2 = tmp("graft_lock_s2")
+    val out = tmp("graft_lock_out")
+    writeArchive(seg1, mkPayloads(10))
+    writeArchive(seg2, Seq(("https://h0.example/doc/100",
+      Warc.httpResponse("x".getBytes("UTF-8"), "text/html"))),
+      date = "2026-02-01T00:00:00Z")
+    WarcCdx.compact(spark, seg1, out, nParts = 2)
+    // a foreign writer holds the lock: both maintenance ops refuse fast,
+    // naming the holder and the recovery step, and touch NOTHING
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_graft_cdx_writer.lock"),
+      "mergeCompact pid=424242 host=elsewhere since=2026-01-01T00:00:00Z")
+    val before = WarcCdx.readCompacted(spark, out).count()
+    val em = the[IllegalStateException] thrownBy
+      WarcCdx.mergeCompact(spark, seg2, out)
+    em.getMessage should include("pid=424242")
+    em.getMessage should include("delete the lock")
+    val ev = the[IllegalStateException] thrownBy WarcCdx.vacuum(spark, out)
+    ev.getMessage should include("pid=424242")
+    WarcCdx.readCompacted(spark, out).count() shouldBe before
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(1L)
+    // the documented recovery: delete the dead holder's lock and retry —
+    // and a completed op leaves no lock behind (including the no-op and
+    // error exits, which the guard test above also releases through)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(out, "_graft_cdx_writer.lock"))
+    WarcCdx.mergeCompact(spark, seg2, out)
+    new java.io.File(out, "_graft_cdx_writer.lock").exists() shouldBe false
+    WarcCdx.vacuum(spark, out)
+    new java.io.File(out, "_graft_cdx_writer.lock").exists() shouldBe false
+    WarcCdx.readCompacted(spark, out).count() shouldBe before + 1
   }
 
   test("cluster.idx first keys are exact even when the first line exceeds one read chunk") {
