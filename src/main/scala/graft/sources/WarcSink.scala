@@ -86,6 +86,17 @@ object WarcSink {
     * block — the same economics crawler dedup modules apply — and the
     * read-back view is IDENTICAL either way (resolveRevisits output is
     * invariant to the storage decision).
+    *
+    * `cdxFilenamePrefix` writes the CDX `filename` field as
+    * `prefix/part-….warc[.gz]` instead of the bare archive name — the
+    * MULTI-DIRECTORY layout hook: a continuous crawl that lands each
+    * cycle's archives in its own directory (`root/c1`, `root/c2`, …)
+    * indexes cycle N with prefix `cN`, merges the per-cycle indexes into
+    * ONE corpus index, and [[WarcCdx.fetch]] over that index with
+    * `dir = root` replays across every cycle without moving a file (the
+    * Common Crawl convention: index filename fields are paths under the
+    * collection root). The prefix must be a safe relative subpath —
+    * no leading `/`, no scheme, no `.`/`..` segments.
     */
   def write(
       df: DataFrame,
@@ -94,14 +105,30 @@ object WarcSink {
       overwrite: Boolean = true,
       cdxIndex: Boolean = true,
       dedupPayloads: Boolean = false,
-      dedupMinBytes: Int = 256): Unit =
+      dedupMinBytes: Int = 256,
+      cdxFilenamePrefix: String = ""): Unit = {
+    require(validCdxPrefix(cdxFilenamePrefix),
+      s"WarcSink cdxFilenamePrefix must be a relative subpath (no leading '/', " +
+        s"no scheme, no '.'/'..' segments), got '$cdxFilenamePrefix'")
     df.write.format(classOf[WarcSinkSource].getName)
       .option("gzip", gzipMembers.toString)
       .option("cdx", cdxIndex.toString)
       .option("dedup", dedupPayloads.toString)
       .option("dedupMin", dedupMinBytes.toString)
+      .option("cdxPrefix", cdxFilenamePrefix)
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .save(path)
+  }
+
+  /** The traversal-safety gate [[write]] and the DSv2 option path share:
+    * a prefix lands verbatim inside the index's `filename` field, which
+    * [[WarcCdx.fetch]] resolves against its root — so it must not be
+    * able to climb out of it or smuggle a scheme in.
+    */
+  private[sources] def validCdxPrefix(p: String): Boolean =
+    p.isEmpty ||
+      (!p.startsWith("/") && !p.endsWith("/") && !p.contains(":") &&
+        p.split("/", -1).forall(s => s.nonEmpty && s != "." && s != ".."))
 
   /** Resolved column positions; -1 for an absent optional column. The
     * `revisitOf*` trio is the CROSS-ARCHIVE dedup input ([[markRevisits]]
@@ -295,26 +322,31 @@ class WarcSinkSource extends TableProvider {
       !"false".equalsIgnoreCase(properties.getOrDefault("cdx", "true")),
       if ("true".equalsIgnoreCase(properties.getOrDefault("dedup", "false")))
         math.max(0, properties.getOrDefault("dedupMin", "256").toInt)
-      else -1)
+      else -1,
+      properties.getOrDefault("cdxPrefix", ""))
 }
 
 class WarcSinkTable(
-    writeSchema: StructType, path: String, gzip: Boolean, cdx: Boolean, dedupMin: Int)
+    writeSchema: StructType, path: String, gzip: Boolean, cdx: Boolean, dedupMin: Int,
+    cdxPrefix: String = "")
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "WarcSink needs a path")
+  require(WarcSink.validCdxPrefix(cdxPrefix),
+    s"WarcSink cdxPrefix must be a relative subpath, got '$cdxPrefix'")
   override def name(): String = s"warc-sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     WarcSink.validate(info.schema())
-    new WarcWriteBuilder(info.schema(), path, gzip, cdx, dedupMin, info.queryId())
+    new WarcWriteBuilder(info.schema(), path, gzip, cdx, dedupMin, cdxPrefix,
+      info.queryId())
   }
 }
 
 class WarcWriteBuilder(
     schema: StructType, path: String, gzip: Boolean, cdx: Boolean, dedupMin: Int,
-    queryId: String)
+    cdxPrefix: String, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -325,7 +357,8 @@ class WarcWriteBuilder(
     val doTruncate = truncateFirst
     new Write {
       override def toBatch: BatchWrite =
-        new WarcBatchWrite(schema, path, gzip, cdx, dedupMin, queryId, doTruncate, props)
+        new WarcBatchWrite(schema, path, gzip, cdx, dedupMin, cdxPrefix, queryId,
+          doTruncate, props)
     }
   }
 }
@@ -335,7 +368,7 @@ case class WarcCommit(partitionId: Int, tempPath: String, cdxTempPath: String = 
 
 class WarcBatchWrite(
     schema: StructType, path: String, gzip: Boolean, cdx: Boolean, dedupMin: Int,
-    queryId: String, truncateFirst: Boolean,
+    cdxPrefix: String, queryId: String, truncateFirst: Boolean,
     hadoopProps: Array[(String, String)]) extends BatchWrite {
 
   private def conf: Configuration = {
@@ -345,7 +378,8 @@ class WarcBatchWrite(
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WarcWriterFactory(schema, path, gzip, cdx, dedupMin, queryId, hadoopProps)
+    WarcWriterFactory(schema, path, gzip, cdx, dedupMin, cdxPrefix, queryId,
+      hadoopProps)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -411,10 +445,11 @@ object WarcWriterFactory {
 
 case class WarcWriterFactory(
     schema: StructType, path: String, gzip: Boolean, cdx: Boolean, dedupMin: Int,
-    queryId: String, hadoopProps: Array[(String, String)]) extends DataWriterFactory {
+    cdxPrefix: String, queryId: String,
+    hadoopProps: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(schema, path, gzip, cdx, dedupMin, queryId, partitionId, taskId,
-      hadoopProps)
+    new WarcDataWriter(schema, path, gzip, cdx, dedupMin, cdxPrefix, queryId,
+      partitionId, taskId, hadoopProps)
 }
 
 object WarcDataWriter {
@@ -438,7 +473,7 @@ object WarcDataWriter {
   */
 class WarcDataWriter(
     schema: StructType, path: String, gzip: Boolean, cdx: Boolean, dedupMin: Int,
-    queryId: String, partitionId: Int, taskId: Long,
+    cdxPrefix: String, queryId: String, partitionId: Int, taskId: Long,
     hadoopProps: Array[(String, String)])
     extends DataWriter[InternalRow] {
 
@@ -575,7 +610,9 @@ class WarcDataWriter(
         "\"mime\":\"" + (if (isRevisit) "warc/revisit" else WarcSink.jsonEscape(ctype)) + "\"," +
         "\"digest\":\"" + digest + "\",\"rid\":\"" + rid + "\"," +
         "\"offset\":\"" + offset + "\",\"length\":\"" + (pos - offset) + "\"," +
-        "\"filename\":\"" + f"part-$queryId-$partitionId%05d$ext" + "\"}"
+        "\"filename\":\"" +
+        (if (cdxPrefix.isEmpty) "" else cdxPrefix + "/") +
+        f"part-$queryId-$partitionId%05d$ext" + "\"}"
       cdxLines += ((urlkey, ts, json))
     }
     rowIdx += 1

@@ -423,6 +423,43 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     WarcCdx.fetch(cdx, dir).collect().length shouldBe 5
   }
 
+  test("fetch honors relative-subpath filenames but drops every root-escaping shape") {
+    // the multi-dir feature's security boundary: a filename field is
+    // UNTRUSTED index content — a subpath under the root resolves, but
+    // absolute paths, `..` climbs, and scheme-qualified names must drop
+    // like any damaged row (never fail the job, never read outside dir)
+    val root = tmp("graft_fetch_subdir")
+    val cycle = s"$root/c1"
+    WarcSink.write(mkPayloads(4).toDF("target_uri", "payload")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z")).repartition(1),
+      cycle, cdxFilenamePrefix = "c1")
+    val cdx = WarcCdx.read(spark, cycle)
+    cdx.select("filename").head().getString(0) should startWith("c1/")
+    // the subpath resolves against the PARENT root
+    WarcCdx.fetch(cdx, root, verifyDigest = true).count() shouldBe 4
+    // plant a readable file OUTSIDE the root a hostile line points at
+    // with correct coordinates — the drop must be the guard, not luck
+    val outside = tmp("graft_fetch_outside")
+    val victim = new java.io.File(cycle).listFiles
+      .find(f => f.getName.endsWith(".warc.gz")).get
+    java.nio.file.Files.copy(victim.toPath,
+      java.nio.file.Paths.get(outside, victim.getName))
+    val evil = Seq("/" + outside.stripPrefix("/") + "/" + victim.getName,
+      s"../../${outside.split('/').last}/${victim.getName}",
+      s"c1/../../${outside.split('/').last}/${victim.getName}",
+      s"file:$outside/${victim.getName}")
+    val hostile = evil.map(f => ("k", "20260101000000", "u", null: String,
+      null: String, null: String, 0L, victim.length, f))
+      .toDF("urlkey", "timestamp", "url", "mime", "digest", "rid",
+        "offset", "length", "filename")
+    WarcCdx.fetch(hostile, root).count() shouldBe 0
+    // and the sink refuses to MINT an escaping prefix in the first place
+    for (bad <- Seq("/abs", "a/../b", "..", "a//b", "s3a:x", "a/"))
+      an[IllegalArgumentException] should be thrownBy
+        WarcSink.write(mkPayloads(1).toDF("target_uri", "payload"),
+          tmp("graft_badpfx"), cdxFilenamePrefix = bad)
+  }
+
   test("fetch(verifyDigest) drops bit-rotten records; clean ones and revisits pass") {
     // at archive scale, cold-storage bit-rot is expected-case: the index
     // digest doubles as an end-to-end integrity check on the replay path
@@ -454,8 +491,10 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
   test("continuous-crawl workflow: per-cycle incremental index maintenance ≡ full rebuild") {
     // the full loop the archive tier exists for: cycle 1 crawls and
     // compacts; every later cycle marks revisits against the LIVE
-    // compacted index, writes its (deduped) archive, and merges its new
-    // index lines in — at no point does the corpus index rebuild.
+    // compacted index, writes its (deduped) archive into ITS OWN
+    // directory — indexed under a per-cycle subpath prefix, so the merged
+    // corpus index spans cycle dirs — and merges its new index lines in;
+    // at no point does the corpus index rebuild or an archive file move.
     val parent = tmp("graft_cont")
     val idx = tmp("graft_cont_idx")
     def crawl(cycle: Int, lo: Int, hi: Int, history: Option[String]): String = {
@@ -471,7 +510,7 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
         case Some(h) => WarcSink.markRevisits(df, WarcCdx.readCompacted(spark, h))
         case None => df
       }
-      WarcSink.write(marked.repartition(1), dir)
+      WarcSink.write(marked.repartition(1), dir, cdxFilenamePrefix = s"c$cycle")
       dir
     }
     val c1 = crawl(1, 0, 12, None)
@@ -500,6 +539,15 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     val resolved = Warc.resolveRevisits(recs)
     resolved.count() shouldBe 36
     resolved.filter(_.payload.isEmpty).count() shouldBe 0 // every payload restored
+    // MULTI-DIRECTORY replay: the merged index's filename fields carry
+    // the per-cycle subpaths (c1/part-…, c2/part-…), so ONE fetch rooted
+    // at the parent replays every cycle's records without moving a file
+    val hits = WarcCdx.readCompacted(spark, idx)
+    hits.select("filename").distinct().collect().map(_.getString(0))
+      .foreach(f => f should fullyMatch regex "c[123]/part-.*")
+    val fetched = WarcCdx.fetch(
+      hits.filter(col("mime") =!= "warc/revisit"), parent, verifyDigest = true)
+    fetched.count() shouldBe 36 - revisits
   }
 
   test("record ids separate captures: same slot, different content or date") {
