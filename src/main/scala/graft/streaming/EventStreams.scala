@@ -141,6 +141,14 @@ object EventStreams {
             idleTimeout.foreach { horizon =>
               if (maxTs != Long.MinValue) state.setTimeoutTimestamp(
                 maxTs, horizon) // event-time + horizon, capped by watermark
+              else state.setTimeoutTimestamp(
+                // a batch with events but NO usable event time must still
+                // REFRESH the horizon — leaving a previously-set stale
+                // timestamp in place would evict a key that was JUST
+                // active and silently restart its total (r19 advice);
+                // the watermark is the freshest time the engine vouches
+                // for, so idle-ness counts from there
+                math.max(state.getCurrentWatermarkMs(), 0L), horizon)
             }
             Iterator(next)
           }

@@ -635,6 +635,49 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("idleTimeout re-arms from the watermark when a batch carries only null-ts events") {
+    // r19 advice: a micro-batch updating a user's total from null-ts
+    // events could not refresh their event-time timeout (maxTs stayed
+    // unset), so a stale horizon evicted a key that was JUST active.
+    // The timeout now re-arms from the current watermark in that case.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.runningUserTotals(
+      input.toDS().withWatermark("ts", "0 seconds"),
+      idleTimeout = Some("2 hours"))
+      .writeStream.format("memory").queryName("running_ttl_null")
+      .outputMode("update").start()
+    withQuery(query) {
+      // user 7 accumulates with real timestamps → horizon 1:30 + 2h = 3:30
+      input.addData(ev(1, ts(1), user = 7, v = 2.0), ev(2, ts(1, 30), user = 7, v = 3.0))
+      query.processAllAvailable()
+      // watermark moves to 3:00 (inside the horizon), then user 7 is
+      // ACTIVE again — but with a null event time: the stale 3:30 horizon
+      // must not survive this batch
+      input.addData(ev(3, ts(3), user = 8, v = 1.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(4L, null, 7L, "click", 5.0))
+      query.processAllAvailable()
+      // watermark passes the STALE horizon (4:00 > 3:30) and batches keep
+      // coming; the re-armed horizon (3:00 + 2h = 5:00) keeps user 7 live
+      input.addData(ev(5, ts(4), user = 8, v = 1.0))
+      query.processAllAvailable()
+      input.addData(ev(6, ts(4, 30), user = 8, v = 1.0))
+      query.processAllAvailable()
+      // user 7 returns with a real timestamp: the total CONTINUED (4
+      // events), not a fresh start
+      input.addData(ev(7, ts(4, 45), user = 7, v = 1.0))
+      query.processAllAvailable()
+      val u7 = s.table("running_ttl_null").collect()
+        .filter(_.getLong(0) == 7L).map(r => (r.getLong(1), r.getDouble(2)))
+      u7 should contain((3L, 10.0)) // the null-ts event still accumulated
+      u7 should contain((4L, 11.0)) // and the key survived the stale horizon
+      u7.map(_._1) should not contain 1L // never evicted-and-restarted
+    }
+  }
+
   test("custom keyed state accumulates across micro-batches") {
     val s = spark
     import s.implicits._
