@@ -132,6 +132,93 @@ object Decontamination {
       .filter(col("max_cosine") >= minCosine)
   }
 
+  /** [[semanticReport]] through the IVF index — the CORPUS-SCALE form:
+    * the broadcast variant evaluates |corpus| × |eval| cosines in one
+    * map-side pass, which is exact but stops scaling when the eval set
+    * grows past benchmark size (the compute product, before the 8 GB
+    * broadcast ceiling). Here the TRAIN corpus is pre-indexed by
+    * [[Similarity.buildIvfIndex]] (partitioned by centroid id), each
+    * eval item probes only its `nprobe` nearest centroid partitions, and
+    * — the decontamination-specific lever — the `minCosine` gate applies
+    * PER PAIR map-side, so only flagged (train, eval) pairs reach the
+    * per-doc max aggregate. The corpus side of the plan is scan →
+    * broadcast join → project → filter → partial aggregate: NO corpus
+    * vector ever shuffles (the one exchange carries flagged id/cosine
+    * triples), and the index build is the one corpus shuffle, amortized
+    * across every eval set probed against it.
+    *
+    * Exactness: with `nprobe` ≥ the index's centroid count every train
+    * row scores against every eval item exactly once, and the result is
+    * row-for-row [[semanticReport]] (the gated query pins this); with
+    * `nprobe` below it the report is approximate in the usual IVF sense —
+    * a leak whose eval item did not probe the doc's partition is missed,
+    * the recall/nprobe trade the planted-cluster spec measures.
+    *
+    * `corpusFilter` restricts which indexed rows count as training docs
+    * (e.g. an index built over a table holding both sides). The probe
+    * list (eval × nprobe rows with vectors) broadcasts; an eval set
+    * beyond THAT ceiling splits into broadcast-sized slices whose
+    * reports union and re-aggregate with the same max(struct) — each
+    * slice replays this exact plan.
+    */
+  def semanticReportIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      evalDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalIdCol: String,
+      minCosine: Double,
+      nprobe: Int,
+      corpusFilter: Column = lit(true)): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cos = graft.functions.VectorFunctions.cosineSimilarity _
+    val q = evalDocs.select(col(evalIdCol).as("__q"), col(vecCol).as("__qvec"))
+    // rank the (tiny, broadcast) centroid table per eval item; the window
+    // shuffles eval × nlist rows — eval-sized, never the corpus
+    val centroids = spark.read.parquet(indexPath + "__centroids")
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q")).orderBy(col("__ccos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__ccos", cos(col("centroid"), col("__qvec")))
+      .withColumn("__cr", row_number().over(probeW))
+      .filter(col("__cr") <= nprobe)
+      .select(col("cid"), col("__q"), col("__qvec"))
+    // cid is the index's PARTITION column: the broadcast probe join prunes
+    // the scan to probed directories, scoring stays map-side codegen, and
+    // the pair-level threshold keeps clean pairs out of the exchange
+    val flagged = spark.read.parquet(indexPath).filter(corpusFilter)
+      .join(broadcast(probes), Seq("cid"))
+      .select(col(idCol),
+        round(cos(col(vecCol), col("__qvec")), 6).as("__cos"), col("__q"))
+      .filter(col("__cos") >= minCosine)
+    // same aggregate (and tie rule) as [[semanticReport]]: filtering
+    // pairs first is equivalent — the max pair survives its own gate
+    flagged.groupBy(col(idCol))
+      .agg(max(struct(col("__cos"), (-col("__q")).as("__nq"))).as("__m"))
+      .select(col(idCol), col("__m.__cos").as("max_cosine"),
+        (-col("__m.__nq")).as("nearest_eval"))
+  }
+
+  /** [[semanticReportIvf]] as a drop over the caller's training frame —
+    * the [[dropSemanticContaminated]] shape at index scale.
+    */
+  def dropSemanticContaminatedIvf(
+      train: DataFrame,
+      indexPath: String,
+      evalDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalIdCol: String,
+      minCosine: Double,
+      nprobe: Int,
+      corpusFilter: Column = lit(true)): DataFrame =
+    train.join(
+      semanticReportIvf(train.sparkSession, indexPath, evalDocs, idCol,
+        vecCol, evalIdCol, minCosine, nprobe, corpusFilter)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** [[semanticReport]] as a drop: training rows whose nearest eval item
     * scores at or above `minCosine` are removed (anti join on the flagged
     * ids — the [[dropContaminated]] shape).

@@ -683,6 +683,20 @@ object PipelineQueries {
         e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
         "vec_id", "embedding", "vec_id", minCosine = 0.0)
     }),
+    // the CORPUS-SCALE form of the same detector: the corpus side probes
+    // through the shared IVF index (corpusFilter carves the train half)
+    // instead of broadcasting the eval set against every corpus row.
+    // nprobe = the index's centroid count → exhaustive probing, so the
+    // result is EXACT and the cross-product oracle gates it; the 0.2
+    // threshold exercises the map-side pair gate that keeps clean pairs
+    // out of the exchange
+    "q_decontam_semantic_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Decontamination.semanticReportIvf(
+        s, ivfIndexPath(s, dir), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", minCosine = 0.2, nprobe = 16,
+        corpusFilter = col("vec_id") >= 10)
+    }),
     // deterministic sequence packing: corpus laid out in a replayable
     // shuffled order across 4 shards, each doc assigned the 2048-token pack
     // its first token lands in; per-pack doc/token totals
@@ -1552,6 +1566,17 @@ object PipelineQueries {
       "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, qid) AS rn FROM s) " +
       "SELECT vec_id, max_cosine, nearest_eval FROM r " +
       "WHERE rn = 1 AND max_cosine >= 0.0"),
+    // the IVF path probes EVERY centroid in the gated query (nprobe =
+    // nlist), so the exact cross-product oracle applies — only the
+    // threshold differs
+    "q_decontam_semantic_ivf" -> ("WITH s AS (SELECT c.vec_id, q.vec_id AS qid, " +
+      "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])), 6) AS cos " +
+      "FROM embeddings c, embeddings q WHERE c.vec_id >= 10 AND q.vec_id < 10), " +
+      "r AS (SELECT vec_id, cos AS max_cosine, qid AS nearest_eval, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, qid) AS rn FROM s) " +
+      "SELECT vec_id, max_cosine, nearest_eval FROM r " +
+      "WHERE rn = 1 AND max_cosine >= 0.2"),
     // a 2h/1h sliding window membership is exactly two hour slots per
     // event (floor(t/1h) and the hour before); make_timestamp rebuilds
     // Spark's epoch-aligned window start from the slot index

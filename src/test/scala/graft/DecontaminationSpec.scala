@@ -158,4 +158,68 @@ class DecontaminationSpec extends SparkTestBase {
       corpus, eval, "vec_id", "embedding", "vec_id", minCosine = 0.9)
       .collect().map(_.getLong(0)).sorted shouldBe Array(11L, 12L, 13L)
   }
+
+  test("semanticReportIvf ≡ semanticReport at full probing; plan never shuffles corpus vectors") {
+    import spark.implicits._
+    val r2 = (1.0 / math.sqrt(2)).toFloat
+    val eval = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.6f, 0.8f)),
+      (12L, Array(-1f, 0f)), (13L, Array(r2, r2)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_decontam_ivf").toString + "/idx"
+    graft.pipeline.Similarity.buildIvfIndex(corpus, idx, k = 2, iters = 2)
+    for (threshold <- Seq(0.0, 0.5, 0.9)) {
+      val exact = Decontamination.semanticReport(
+        corpus, eval, "vec_id", "embedding", "vec_id", threshold)
+        .collect().map(_.toString).sorted
+      // nprobe = nlist → exhaustive probing: row-for-row the broadcast form
+      Decontamination.semanticReportIvf(
+        spark, idx, eval, "vec_id", "embedding", "vec_id", threshold, nprobe = 2)
+        .collect().map(_.toString).sorted shouldBe exact
+    }
+    // drop form agrees too
+    Decontamination.dropSemanticContaminatedIvf(
+      corpus, idx, eval, "vec_id", "embedding", "vec_id",
+      minCosine = 0.9, nprobe = 2)
+      .collect().map(_.getLong(0)).sorted shouldBe Array(11L, 12L, 13L)
+    // the scale contract, structurally: the corpus side joins the
+    // broadcast probe list and pre-aggregates — no sort-merge or
+    // shuffled-hash join anywhere, so no corpus vector crosses an
+    // exchange (the one data shuffle carries flagged triples)
+    val plan = Decontamination.semanticReportIvf(
+      spark, idx, eval, "vec_id", "embedding", "vec_id", 0.5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "ShuffledHashJoin"
+  }
+
+  test("semanticReportIvf at nprobe < nlist: planted same-cluster leaks are found") {
+    import spark.implicits._
+    // two well-separated direction clusters; seeds (smallest two ids) land
+    // one per cluster, so 2-means converges to one centroid each
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.99f, 0.14f)), (4L, Array(0.14f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_decontam_ivf1").toString + "/idx"
+    graft.pipeline.Similarity.buildIvfIndex(corpus, idx, k = 2, iters = 2)
+    // eval items are exact copies of one member of each cluster: with
+    // nprobe = 1 each probes only ITS cluster — both leaks still surface
+    val eval = Seq((100L, Array(1f, 0f)), (200L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Decontamination.semanticReportIvf(
+      spark, idx, eval, "vec_id", "embedding", "vec_id",
+      minCosine = 0.99, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    got(1L) shouldBe 100L
+    got(2L) shouldBe 200L
+    an[IllegalArgumentException] should be thrownBy
+      Decontamination.semanticReportIvf(
+        spark, idx, eval, "vec_id", "embedding", "vec_id", 0.5, nprobe = 0)
+  }
 }
