@@ -155,9 +155,10 @@ object Decontamination {
     * the recall/nprobe trade the planted-cluster spec measures.
     *
     * `corpusFilter` restricts which indexed rows count as training docs
-    * (e.g. an index built over a table holding both sides). The probe
-    * list (eval × nprobe rows with vectors) broadcasts; an eval set
-    * beyond THAT ceiling splits into broadcast-sized slices whose
+    * (e.g. an index built over a table holding both sides); `evalIdCol`
+    * must be numeric (the [[semanticReport]] tie rule negates it). The
+    * probe list (eval × nprobe rows with vectors) broadcasts; an eval
+    * set beyond THAT ceiling splits into broadcast-sized slices whose
     * reports union and re-aggregate with the same max(struct) — each
     * slice replays this exact plan.
     */
@@ -173,6 +174,13 @@ object Decontamination {
       corpusFilter: Column = lit(true)): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cos = graft.functions.VectorFunctions.cosineSimilarity _
+    val idxCols = spark.read.parquet(indexPath).columns.toSet
+    require(Seq(idCol, vecCol, "cid").forall(idxCols),
+      s"semanticReportIvf: the index at $indexPath must carry '$idCol', " +
+        s"'$vecCol' and 'cid' — found [${idxCols.mkString(", ")}]; build it " +
+        "with Similarity.buildIvfIndex over the training corpus")
+    require(!idxCols.exists(Set("__q", "__qvec", "__cos", "__m")),
+      "__q/__qvec/__cos/__m are reserved by semanticReportIvf")
     val q = evalDocs.select(col(evalIdCol).as("__q"), col(vecCol).as("__qvec"))
     // rank the (tiny, broadcast) centroid table per eval item; the window
     // shuffles eval × nlist rows — eval-sized, never the corpus

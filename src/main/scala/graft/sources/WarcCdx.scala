@@ -291,8 +291,12 @@ object WarcCdx {
         s"WarcCdx.vacuum: no cluster.idx manifest under $outDir")
       val kept = vs.takeRight(retain)
       val listed = kept.flatMap(v => readManifest(fs, out, v).map(_._2)).toSet
-      val gone = deleteUnlisted(fs, out, listed)
+      // retire dropped GENERATIONS before their exclusive parts: a crash
+      // mid-vacuum must never leave a manifest file listing deleted parts
+      // (a retired manifest over still-present parts is just unreclaimed
+      // space until the retry)
       retireManifestsBelow(fs, out, kept.head)
+      val gone = deleteUnlisted(fs, out, listed)
       fs.delete(new org.apache.hadoop.fs.Path(out, "_graft_cdx_merge_tmp"), true)
       fs.delete(new org.apache.hadoop.fs.Path(out, "_cluster.idx.tmp"), false)
       gone
@@ -787,8 +791,21 @@ object WarcCdx {
     * corpus-wide index, never the whole index. Returns [[read]]-typed
     * rows filtered to `urlkey` prefix matches.
     */
-  def lookupPrefix(spark: SparkSession, outDir: String, prefix: String): DataFrame = {
-    val picked = selectParts(clusterEntries(spark, outDir), prefix)
+  def lookupPrefix(spark: SparkSession, outDir: String, prefix: String): DataFrame =
+    lookupPrefixEntries(spark, outDir, clusterEntries(spark, outDir), prefix)
+
+  /** [[lookupPrefix]] PINNED to a manifest generation (see
+    * [[manifestVersions]]) — the pruned lookup against a retained
+    * historical snapshot, same part-level pruning.
+    */
+  def lookupPrefix(
+      spark: SparkSession, outDir: String, prefix: String, version: Long): DataFrame =
+    lookupPrefixEntries(spark, outDir, clusterEntries(spark, outDir, version), prefix)
+
+  private def lookupPrefixEntries(
+      spark: SparkSession, outDir: String, entries: Seq[(String, String)],
+      prefix: String): DataFrame = {
+    val picked = selectParts(entries, prefix)
     if (picked.isEmpty) return parseLines(
       spark.read.text(s"$outDir/part-*")).limit(0)
     val paths = picked.map(f => s"$outDir/$f")
@@ -809,14 +826,30 @@ object WarcCdx {
     * archived).
     */
   def lookupClosest(
-      spark: SparkSession, outDir: String, urlkey: String, timestamp: String): DataFrame = {
+      spark: SparkSession, outDir: String, urlkey: String, timestamp: String): DataFrame =
+    lookupClosestEntries(spark, outDir, clusterEntries(spark, outDir),
+      urlkey, timestamp)
+
+  /** [[lookupClosest]] PINNED to a manifest generation — "the capture of
+    * `urlkey` nearest `timestamp`, as the index stood at generation N":
+    * the wayback replay point over a retained snapshot.
+    */
+  def lookupClosest(
+      spark: SparkSession, outDir: String, urlkey: String, timestamp: String,
+      version: Long): DataFrame =
+    lookupClosestEntries(spark, outDir, clusterEntries(spark, outDir, version),
+      urlkey, timestamp)
+
+  private def lookupClosestEntries(
+      spark: SparkSession, outDir: String, entries: Seq[(String, String)],
+      urlkey: String, timestamp: String): DataFrame = {
     require(timestamp.length == 14 && timestamp.forall(_.isDigit),
       s"lookupClosest needs a 14-digit CDX timestamp, got '$timestamp'")
     // "" is the urlkey DAMAGED index lines parse to — matching it would
     // order by cast('' AS BIGINT), an ANSI-mode job failure (and an empty
     // key is never a real capture key anyway)
     require(urlkey.nonEmpty, "lookupClosest needs a non-empty urlkey")
-    val picked = selectParts(clusterEntries(spark, outDir), urlkey)
+    val picked = selectParts(entries, urlkey)
     val base =
       if (picked.isEmpty) parseLines(spark.read.text(s"$outDir/part-*")).limit(0)
       else parseLines(spark.read.text(picked.map(f => s"$outDir/$f"): _*))
@@ -850,7 +883,21 @@ object WarcCdx {
     * must be materialized by the caller first, or the two passes can
     * disagree on which parts to read.
     */
-  def lookupClosestBatch(spark: SparkSession, outDir: String, requests: DataFrame): DataFrame = {
+  def lookupClosestBatch(spark: SparkSession, outDir: String, requests: DataFrame): DataFrame =
+    lookupClosestBatchEntries(spark, outDir, clusterEntries(spark, outDir), requests)
+
+  /** [[lookupClosestBatch]] PINNED to a manifest generation — the whole
+    * access-log replay "as of" a retained snapshot, one distributed pass.
+    */
+  def lookupClosestBatch(
+      spark: SparkSession, outDir: String, requests: DataFrame,
+      version: Long): DataFrame =
+    lookupClosestBatchEntries(spark, outDir, clusterEntries(spark, outDir, version),
+      requests)
+
+  private def lookupClosestBatchEntries(
+      spark: SparkSession, outDir: String, entries: Seq[(String, String)],
+      requests: DataFrame): DataFrame = {
     require(requests.columns.contains("urlkey") && requests.columns.contains("timestamp"),
       s"lookupClosestBatch needs urlkey + timestamp request columns, " +
         s"got [${requests.columns.mkString(", ")}]")
@@ -861,7 +908,6 @@ object WarcCdx {
     require(!requests.columns.exists(reserved),
       "lookupClosestBatch request columns collide with the index schema / " +
         "scratch names: " + requests.columns.filter(reserved).mkString(", "))
-    val entries = clusterEntries(spark, outDir)
     require(entries.nonEmpty,
       s"WarcCdx.lookupClosestBatch: no cluster.idx entries under $outDir — run compact first")
     // malformed request timestamps drop (the damaged-line tolerance

@@ -121,14 +121,17 @@ object WarcSink {
   }
 
   /** The traversal-safety gate [[write]] and the DSv2 option path share:
-    * a prefix lands verbatim inside the index's `filename` field, which
-    * [[WarcCdx.fetch]] resolves against its root — so it must not be
-    * able to climb out of it or smuggle a scheme in.
+    * a prefix lands VERBATIM inside the index's `filename` JSON field,
+    * which [[WarcCdx.fetch]] resolves against its root — so it must not
+    * be able to climb out of it, smuggle a scheme in, or carry JSON/CDX
+    * metacharacters (quote, backslash, space) that would corrupt the
+    * line it embeds in. Each `/`-separated segment is limited to the
+    * conservative `[A-Za-z0-9][A-Za-z0-9._-]*` set the sink's own part
+    * names use — which also excludes `.`/`..` segments by construction.
     */
   private[sources] def validCdxPrefix(p: String): Boolean =
     p.isEmpty ||
-      (!p.startsWith("/") && !p.endsWith("/") && !p.contains(":") &&
-        p.split("/", -1).forall(s => s.nonEmpty && s != "." && s != ".."))
+      p.split("/", -1).forall(_.matches("[A-Za-z0-9][A-Za-z0-9._-]*"))
 
   /** Resolved column positions; -1 for an absent optional column. The
     * `revisitOf*` trio is the CROSS-ARCHIVE dedup input ([[markRevisits]]

@@ -453,8 +453,10 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
       .toDF("urlkey", "timestamp", "url", "mime", "digest", "rid",
         "offset", "length", "filename")
     WarcCdx.fetch(hostile, root).count() shouldBe 0
-    // and the sink refuses to MINT an escaping prefix in the first place
-    for (bad <- Seq("/abs", "a/../b", "..", "a//b", "s3a:x", "a/"))
+    // and the sink refuses to MINT an escaping or line-corrupting prefix
+    // in the first place (the field embeds verbatim in a JSON index line)
+    for (bad <- Seq("/abs", "a/../b", "..", "a//b", "s3a:x", "a/",
+        "a\"b", "a\\b", "a b", ".hidden"))
       an[IllegalArgumentException] should be thrownBy
         WarcSink.write(mkPayloads(1).toDF("target_uri", "payload"),
           tmp("graft_badpfx"), cdxFilenamePrefix = bad)
@@ -718,6 +720,21 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     WarcCdx.readCompacted(spark, out, 1L).collect().map(_.toString).sorted shouldBe rows1
     WarcCdx.readCompacted(spark, out, 2L).collect().map(_.toString).sorted shouldBe rows2
     WarcCdx.readCompacted(spark, out).count() shouldBe 30
+    // the PRUNED lookups pin too: a doc merged in cycle 2 is visible to
+    // the live index and to generation 2, but not "as of" generation 1
+    val k100 = "example,h1)/doc/100"
+    WarcCdx.lookupPrefix(spark, out, k100).count() shouldBe 1L
+    WarcCdx.lookupPrefix(spark, out, k100, version = 1L).count() shouldBe 0L
+    WarcCdx.lookupClosest(spark, out, k100, "20260201000000").count() shouldBe 1L
+    WarcCdx.lookupClosest(spark, out, k100, "20260201000000", version = 1L)
+      .count() shouldBe 0L
+    val req = Seq((k100, "20260201000000")).toDF("urlkey", "timestamp")
+    WarcCdx.lookupClosestBatch(spark, out, req).count() shouldBe 1L
+    WarcCdx.lookupClosestBatch(spark, out, req, version = 1L).count() shouldBe 0L
+    // a seg1 doc answers identically through the pinned and live paths
+    val k3 = "example,h0)/doc/3"
+    WarcCdx.lookupClosest(spark, out, k3, "20260101000000", version = 1L)
+      .collect().map(_.getAs[String]("timestamp")) shouldBe Array("20260101000000")
     // vacuum(retain = 2): generation 1 retires — its manifest file goes
     // and parts ONLY it listed are GC'd; generations 2 and 3 stay whole
     WarcCdx.vacuum(spark, out, retain = 2)
