@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  /** The semantic tie rule negates the eval id (max over (cosine, -id) ≡
+    * rank by cosine DESC then id ASC), so a string id would fail at
+    * runtime deep in the job under ANSI mode — reject it loudly at the
+    * API edge instead.
+    */
+  private def requireNumericEvalId(
+      evalDocs: DataFrame, evalIdCol: String, op: String): Unit = {
+    val dt = evalDocs.schema(evalIdCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op: evalIdCol '$evalIdCol' must be numeric (the nearest-eval tie " +
+        s"rule negates it), got ${dt.simpleString}")
+  }
+
   /** Word n-gram shingles of the lowercased text — same definition as
     * [[graft.functions.WordShingles]] (split on single spaces, n
     * consecutive words re-joined by a space); docs shorter than n words
@@ -116,6 +129,7 @@ object Decontamination {
       minCosine: Double = 0.0): DataFrame = {
     require(!train.columns.contains("__qvec") && !train.columns.contains("__q"),
       "__qvec/__q are reserved by semanticReport")
+    requireNumericEvalId(evalDocs, evalIdCol, "semanticReport")
     val q = evalDocs.select(col(evalIdCol).as("__q"), col(vecCol).as("__qvec"))
     train.select(col(idCol), col(vecCol))
       .join(broadcast(q))
@@ -181,6 +195,7 @@ object Decontamination {
         "with Similarity.buildIvfIndex over the training corpus")
     require(!idxCols.exists(Set("__q", "__qvec", "__cos", "__m")),
       "__q/__qvec/__cos/__m are reserved by semanticReportIvf")
+    requireNumericEvalId(evalDocs, evalIdCol, "semanticReportIvf")
     val q = evalDocs.select(col(evalIdCol).as("__q"), col(vecCol).as("__qvec"))
     // rank the (tiny, broadcast) centroid table per eval item; the window
     // shuffles eval × nlist rows — eval-sized, never the corpus
@@ -205,6 +220,48 @@ object Decontamination {
     flagged.groupBy(col(idCol))
       .agg(max(struct(col("__cos"), (-col("__q")).as("__nq"))).as("__m"))
       .select(col(idCol), col("__m.__cos").as("max_cosine"),
+        (-col("__m.__nq")).as("nearest_eval"))
+  }
+
+  /** [[semanticReportIvf]] for eval sets beyond even the PROBE-broadcast
+    * ceiling (eval × nprobe vectors): the eval set splits into `slices`
+    * deterministic hash slices and each slice runs as its OWN job whose
+    * report lands under `scratchDir` — sequential actions, so at most one
+    * slice's probe broadcast is alive at a time (a lazy union of slice
+    * plans would hold every broadcast simultaneously and buy nothing).
+    * The slice reports then re-aggregate with the same max(struct) tie
+    * rule, which is associative across slices — result ≡ the unsliced
+    * form (spec-pinned). Corpus cost: `slices` partition-pruned passes
+    * over the probed fraction; per-doc flagged rows per slice, not the
+    * corpus, reach the final aggregate.
+    */
+  def semanticReportIvfSliced(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      evalDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalIdCol: String,
+      minCosine: Double,
+      nprobe: Int,
+      slices: Int,
+      scratchDir: String,
+      corpusFilter: Column = lit(true)): DataFrame = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    require(scratchDir.nonEmpty, "semanticReportIvfSliced needs a scratchDir " +
+      "for the per-slice reports (each slice is its own job)")
+    (0 until slices).foreach { i =>
+      semanticReportIvf(spark, indexPath,
+        evalDocs.filter(pmod(xxhash64(col(evalIdCol)), lit(slices)) === i),
+        idCol, vecCol, evalIdCol, minCosine, nprobe, corpusFilter)
+        // overwrite on the first slice clears a stale scratch dir; later
+        // slices append — each write is the slice's materializing action
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(scratchDir)
+    }
+    spark.read.parquet(scratchDir)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("max_cosine"), (-col("nearest_eval")).as("__nq"))).as("__m"))
+      .select(col(idCol), col("__m.max_cosine").as("max_cosine"),
         (-col("__m.__nq")).as("nearest_eval"))
   }
 

@@ -197,6 +197,43 @@ class DecontaminationSpec extends SparkTestBase {
     plan should not include "ShuffledHashJoin"
   }
 
+  test("semanticReportIvfSliced ≡ unsliced: sequential slice jobs, same tie rule") {
+    import spark.implicits._
+    val r2 = (1.0 / math.sqrt(2)).toFloat
+    // five eval items so three hash slices are all non-trivial; 13 ties
+    // between eval 1 and 2 ACROSS slices — the re-aggregation must
+    // reproduce the global smallest-id rule, not a per-slice artifact
+    val eval = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.8f, 0.6f)), (4L, Array(0.6f, 0.8f)), (5L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.6f, 0.8f)),
+      (12L, Array(-1f, 0f)), (13L, Array(r2, r2)))
+      .toDF("vec_id", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_decontam_sliced").toString
+    graft.pipeline.Similarity.buildIvfIndex(corpus, s"$base/idx", k = 2, iters = 2)
+    for (threshold <- Seq(0.0, 0.7)) {
+      val unsliced = Decontamination.semanticReportIvf(
+        spark, s"$base/idx", eval, "vec_id", "embedding", "vec_id",
+        threshold, nprobe = 2)
+        .collect().map(_.toString).sorted
+      Decontamination.semanticReportIvfSliced(
+        spark, s"$base/idx", eval, "vec_id", "embedding", "vec_id",
+        threshold, nprobe = 2, slices = 3, scratchDir = s"$base/scratch")
+        .collect().map(_.toString).sorted shouldBe unsliced
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Decontamination.semanticReportIvfSliced(
+        spark, s"$base/idx", eval, "vec_id", "embedding", "vec_id",
+        0.0, nprobe = 2, slices = 0, scratchDir = s"$base/scratch")
+    // string eval ids are rejected at the API edge (the tie rule negates)
+    an[IllegalArgumentException] should be thrownBy
+      Decontamination.semanticReport(
+        corpus, eval.withColumn("vec_id", col("vec_id").cast("string")),
+        "vec_id", "embedding", "vec_id", 0.0)
+  }
+
   test("semanticReportIvf at nprobe < nlist: planted same-cluster leaks are found") {
     import spark.implicits._
     // two well-separated direction clusters; seeds (smallest two ids) land
