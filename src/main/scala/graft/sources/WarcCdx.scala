@@ -178,10 +178,16 @@ object WarcCdx {
   private[graft] def manifestName(v: Long): String =
     if (v == 0L) "cluster.idx" else s"cluster.idx.v$v"
 
-  /** The generation a manifest filename carries; None for a foreign name. */
+  /** The generation a manifest filename carries; None for a foreign name.
+    * The digit run is capped at 18 (below Long.MaxValue's 19 digits) so a
+    * foreign file squatting on the pattern with an overflowing number is
+    * IGNORED like any other foreign name instead of crashing every
+    * reader's resolution with a NumberFormatException.
+    */
   private[graft] def manifestVersionOf(name: String): Option[Long] =
     if (name == "cluster.idx") Some(0L)
     else if (name.startsWith("cluster.idx.v") && name.length > 13 &&
+      name.length <= 13 + 18 &&
       name.substring(13).forall(_.isDigit)) Some(name.substring(13).toLong)
     else None
 

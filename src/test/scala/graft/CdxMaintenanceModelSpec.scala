@@ -55,6 +55,20 @@ class CdxMaintenanceModelSpec extends SparkTestBase {
       // the model: every line of every segment, as (key, ts, url)
       val model = segs.flatten.map { case (k, t, i) => (k, t, s"u:$k", i) }
 
+      // 0. manifest generations: compact published gen 1, each merge the
+      // next — and generation g pins EXACTLY segments 0..g-1's pooled
+      // lines, whatever merged after it (the MVCC model)
+      val gens = WarcCdx.manifestVersions(spark, out)
+      gens shouldBe (1L to nSegs.toLong)
+      def pinnedMultiset(g: Long) = WarcCdx.readCompacted(spark, out, g)
+        .select("urlkey", "timestamp", "offset").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+        .sorted.toSeq
+      def modelMultiset(nSegsIn: Int) = segs.take(nSegsIn).flatten
+        .map { case (k, t, i) => (k, t, i.toLong) }.sorted
+      gens.foreach(g => assert(pinnedMultiset(g) == modelMultiset(g.toInt),
+        s"generation $g round $round"))
+
       // 1. full read returns exactly the pooled multiset
       val readBack = WarcCdx.readCompacted(spark, out)
         .select("urlkey", "timestamp", "url", "offset").collect()
@@ -87,11 +101,20 @@ class CdxMaintenanceModelSpec extends SparkTestBase {
         assert(got == modelClosest(k, ts), s"closest($k, $ts) round $round")
       }
 
-      // 3.5 vacuum mid-round: deleting superseded (unlisted) files must
-      // change NOTHING a live-manifest reader sees
-      WarcCdx.vacuum(spark, out)
-      val afterVacuum = WarcCdx.readCompacted(spark, out).count()
-      afterVacuum shouldBe model.length.toLong
+      // 3.5 vacuum mid-round at a RANDOM retention: deleting superseded
+      // files must change NOTHING a live-manifest reader sees, every
+      // RETAINED generation still pins its exact multiset, and a dropped
+      // generation fails loudly rather than serving a different snapshot
+      val retain = 1 + rnd.nextInt(2)
+      WarcCdx.vacuum(spark, out, retain)
+      val kept = gens.takeRight(retain)
+      WarcCdx.manifestVersions(spark, out) shouldBe kept
+      WarcCdx.readCompacted(spark, out).count() shouldBe model.length.toLong
+      kept.foreach(g => assert(pinnedMultiset(g) == modelMultiset(g.toInt),
+        s"retained generation $g round $round"))
+      gens.filterNot(kept.contains).foreach(g =>
+        an[java.io.FileNotFoundException] should be thrownBy
+          WarcCdx.readCompacted(spark, out, g))
 
       // 4. batch closest ≡ the same model, all probes in one pass
       val batch = WarcCdx.lookupClosestBatch(spark, out,
