@@ -454,8 +454,10 @@ object SparkEntry {
       sources.WarcCdx.compact(s, cdxWarc(s, dir), out, nParts = 3)
       sources.WarcCdx.mergeCompact(s, seg2, out)
       // the GC barrier runs too, so the oracle gates the VACUUMED layout:
-      // merged + vacuumed must still equal a from-scratch compaction
-      sources.WarcCdx.vacuum(s, out)
+      // merged + vacuumed must still equal a from-scratch compaction.
+      // retain = 2 keeps the PRE-MERGE generation pinnable —
+      // q_sink_cdx_pinned gates that snapshot against its own oracle
+      sources.WarcCdx.vacuum(s, out, retain = 2)
       out
     })
 
@@ -771,6 +773,19 @@ object SparkEntry {
     // its own archive only.
     "q_sink_cdx_merge" -> ((s, dir) => {
       sources.WarcCdx.readCompacted(s, cdxMerged(s, dir)).select(
+        regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("urlkey"), col("timestamp"), col("offset"), col("length"))
+    }),
+    // TIME-TRAVEL READ: the same layout's PRE-MERGE manifest generation,
+    // retained through vacuum(retain = 2) — a reader pinned to the oldest
+    // kept generation sees exactly the cycle-1 index (docs 0-299),
+    // whatever merged after it. The oracle is the merge oracle's first
+    // branch alone: the MVCC contract as a hash-checked query.
+    "q_sink_cdx_pinned" -> ((s, dir) => {
+      val out = cdxMerged(s, dir)
+      val v = sources.WarcCdx.manifestVersions(s, out).head
+      sources.WarcCdx.readCompacted(s, out, v).select(
         regexp_extract(col("urlkey"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("urlkey"), col("timestamp"), col("offset"), col("length"))
@@ -1398,6 +1413,18 @@ object SparkEntry {
         "SELECT doc_id, urlkey, ts AS \"timestamp\", \"offset\", length FROM oa " +
         "UNION ALL " +
         "SELECT doc_id, urlkey, ts AS \"timestamp\", \"offset\", length FROM ob"),
+    // the pinned pre-merge generation is the merge oracle's FIRST branch:
+    // only cycle 1's captures, at their original offsets
+    "q_sink_cdx_pinned" ->
+      ("WITH da AS (SELECT doc_id, octet_length(encode(text)) AS n " +
+        "FROM documents WHERE doc_id < 300), " +
+        "ra AS (SELECT doc_id, 'urn:graft:doc:' || CAST(doc_id AS VARCHAR) AS urlkey, " +
+        "CAST(258 + len('urn:graft:doc:' || CAST(doc_id AS VARCHAR)) " +
+        "+ len(CAST(n AS VARCHAR)) + n AS BIGINT) AS length FROM da) " +
+        "SELECT doc_id, urlkey, '20260101000000' AS \"timestamp\", " +
+        "CAST(COALESCE(SUM(length) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS \"offset\", " +
+        "length FROM ra"),
     // the closest-capture rule replayed: 3 captures per doc (offsets
     // window over (doc_id, ts) — the archive's write order), nearest =
     // min |14-digit ts − target| as integers, ties to the earlier capture
