@@ -48,6 +48,12 @@ object Snapshot {
         dataCols.toIndexedSeq.map(c => col(c).as(s"__c_$c"))): _*)
     base.join(latest, col(idCol) === col("__cid"), "full_outer")
       .filter(coalesce(col("__op"), lit("keep")) =!= "delete")
+      // an UNRECOGNIZED op is a no-op on an existing id (the otherwise
+      // branch keeps the base payload) — but for an id absent from the
+      // base it must not INSERT a phantom row of null payload columns:
+      // only an upsert can create a row (the malformed-feed tolerance the
+      // tie rule above already promises)
+      .filter(col(idCol).isNotNull || col("__op") === "upsert")
       .select(coalesce(col(idCol), col("__cid")).as(idCol) +:
         dataCols.toIndexedSeq.map(c =>
           when(col("__op") === "upsert", col(s"__c_$c")).otherwise(col(c)).as(c)): _*)

@@ -69,4 +69,30 @@ class SnapshotSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Snapshot.applyChangeLog(base, Seq((1L, "upsert", 1L)).toDF("doc_id", "op", "seq"))
   }
+
+  test("applyChangeLog: unrecognized ops never corrupt — no-op on existing ids, no phantom inserts") {
+    // the malformed-feed tolerance the tie rule promises, end to end: an
+    // op that is neither upsert nor delete keeps an existing id's base
+    // payload, and for an id ABSENT from the base it must not insert a
+    // row of null payload columns (the pre-fix behavior of the
+    // full-outer's unmatched side)
+    val base = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val changes = Seq(
+      (1L, "UPSERT", 5L, "SHOUTY"), // wrong case: unrecognized, keep "a"
+      (7L, "put", 1L, "x"),         // unknown op on a new id: NO phantom row
+      (2L, "upsert", 1L, "B")       // a clean change still applies
+    ).toDF("doc_id", "op", "seq", "text")
+    val out = Snapshot.applyChangeLog(base, changes)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out shouldBe Map(1L -> "a", 2L -> "B")
+    // and a malformed op that WINS the seq race on a real id still
+    // shadows nothing destructively: base row passes through
+    val shadowed = Seq(
+      (1L, "upsert", 1L, "early"),
+      (1L, "replace", 9L, "late")   // unknown op wins the window
+    ).toDF("doc_id", "op", "seq", "text")
+    Snapshot.applyChangeLog(base, shadowed)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap shouldBe
+      Map(1L -> "a", 2L -> "b")
+  }
 }
