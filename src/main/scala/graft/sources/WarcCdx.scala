@@ -107,6 +107,13 @@ object WarcCdx {
       s"WarcCdx.compact: outDir ($outDir) must not be the input dir or an ancestor " +
         s"of it ($dir) — overwrite-mode output deletes outDir recursively before " +
         "reading the input")
+    // recompacting an EXISTING layout is a (destructive) write like merge
+    // and vacuum — take the same writer lock so a compact racing an
+    // in-flight merge fails fast instead of deleting its files; a fresh
+    // outDir has no layout (and no lock) to protect. The overwrite write
+    // deletes the lock file along with the dir, which is fine: from that
+    // point a racing writer fails loudly on the missing manifest.
+    def doCompact(): Unit = {
     spark.read.text(s"$dir/*.cdxj")
       .repartitionByRange(nParts, col("value"))
       .sortWithinPartitions(col("value"))
@@ -130,6 +137,9 @@ object WarcCdx {
       }
     }
     writeClusterIdx(fs, out)
+    }
+    if (fs.exists(out)) withWriterLock(fs, out, "compact")(doCompact())
+    else doCompact()
   }
 
   /** Gap between canonical part numbers — the headroom [[mergeCompact]]

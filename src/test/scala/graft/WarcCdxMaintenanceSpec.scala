@@ -864,6 +864,20 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     WarcCdx.vacuum(spark, out)
     new java.io.File(out, "_graft_cdx_writer.lock").exists() shouldBe false
     WarcCdx.readCompacted(spark, out).count() shouldBe before + 1
+    // RECOMPACTING an existing layout is a destructive write too — the
+    // same lock gates it (a compact racing a merge would delete its
+    // files); a fresh output dir needs no lock
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_graft_cdx_writer.lock"),
+      "vacuum pid=424242 host=elsewhere since=2026-01-01T00:00:00Z")
+    (the[IllegalStateException] thrownBy
+      WarcCdx.compact(spark, seg1, out, nParts = 2)).getMessage should
+      include("pid=424242")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(out, "_graft_cdx_writer.lock"))
+    WarcCdx.compact(spark, seg1, out, nParts = 2)
+    new java.io.File(out, "_graft_cdx_writer.lock").exists() shouldBe false
+    WarcCdx.readCompacted(spark, out).count() shouldBe before
   }
 
   test("cluster.idx first keys are exact even when the first line exceeds one read chunk") {
