@@ -146,6 +146,50 @@ object Decontamination {
       .filter(col("max_cosine") >= minCosine)
   }
 
+  /** The SEMANTIC [[evalExposureReport]] — the same question from the
+    * BENCHMARK'S side that [[semanticReport]] answers from the corpus
+    * side: per eval item, how many training docs sit within `minCosine`
+    * of it in embedding space, and the closest one (rounded cosine +
+    * id, ties to the smallest train id — the shared tie rule). The
+    * report that decides whether an eval stays usable after a leak:
+    * one paraphrase in the corpus is a drop; ten thousand mean the
+    * benchmark is effectively memorized. Unexposed eval items are
+    * absent (the [[evalExposureReport]] convention).
+    *
+    * Same scale shape as [[semanticReport]]: broadcast-eval map-side
+    * codegen scoring over the corpus, the pair-level `minCosine` gate
+    * BEFORE the exchange — so the aggregate (keyed by the benchmark-
+    * sized eval id) sees flagged pairs only, never the corpus.
+    */
+  def semanticExposureReport(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalIdCol: String,
+      minCosine: Double): DataFrame = {
+    require(!train.columns.contains("__qvec") && !train.columns.contains("__q"),
+      "__qvec/__q are reserved by semanticExposureReport")
+    requireNumericEvalId(evalDocs, evalIdCol, "semanticExposureReport")
+    // the tie rule negates the TRAIN id here (nearest_train)
+    val tdt = train.schema(idCol).dataType
+    require(tdt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"semanticExposureReport: idCol '$idCol' must be numeric (the " +
+        s"nearest-train tie rule negates it), got ${tdt.simpleString}")
+    val q = evalDocs.select(col(evalIdCol).as("__q"), col(vecCol).as("__qvec"))
+    train.select(col(idCol), col(vecCol))
+      .join(broadcast(q))
+      .select(col("__q"), col(idCol),
+        round(graft.functions.VectorFunctions.cosineSimilarity(
+          col(vecCol), col("__qvec")), 6).as("__cos"))
+      .filter(col("__cos") >= minCosine)
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        max(struct(col("__cos"), (-col(idCol)).as("__nid"))).as("__m"))
+      .select(col("__q").as("eval_id"), col("n_train_docs"),
+        col("__m.__cos").as("max_cosine"), (-col("__m.__nid")).as("nearest_train"))
+  }
+
   /** [[semanticReport]] through the IVF index — the CORPUS-SCALE form:
     * the broadcast variant evaluates |corpus| × |eval| cosines in one
     * map-side pass, which is exact but stops scaling when the eval set

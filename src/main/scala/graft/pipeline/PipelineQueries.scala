@@ -697,6 +697,15 @@ object PipelineQueries {
         "vec_id", "embedding", "vec_id", minCosine = 0.2, nprobe = 16,
         corpusFilter = col("vec_id") >= 10)
     }),
+    // the benchmark-integrity view: per eval item, how many corpus vectors
+    // sit within cosine 0.2 and the closest one — the semantic analog of
+    // q_decontaminate_exposure, same broadcast-eval pair-gated shape
+    "q_decontam_semantic_exposure" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Decontamination.semanticExposureReport(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", minCosine = 0.2)
+    }),
     // deterministic sequence packing: corpus laid out in a replayable
     // shuffled order across 4 shards, each doc assigned the 2048-token pack
     // its first token lands in; per-pack doc/token totals
@@ -1577,6 +1586,19 @@ object PipelineQueries {
       "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, qid) AS rn FROM s) " +
       "SELECT vec_id, max_cosine, nearest_eval FROM r " +
       "WHERE rn = 1 AND max_cosine >= 0.2"),
+    // exposure replay: flagged pairs grouped by EVAL id, top-1 by
+    // (cosine DESC, train id ASC) for the nearest-train columns
+    "q_decontam_semantic_exposure" -> ("WITH s AS (SELECT q.vec_id AS qid, " +
+      "c.vec_id AS cid, " +
+      "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])), 6) AS cos " +
+      "FROM embeddings c, embeddings q WHERE c.vec_id >= 10 AND q.vec_id < 10), " +
+      "f AS (SELECT * FROM s WHERE cos >= 0.2), " +
+      "r AS (SELECT qid, cos, cid, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM f), " +
+      "g AS (SELECT qid, count(*) AS n_train_docs FROM f GROUP BY qid) " +
+      "SELECT g.qid AS eval_id, g.n_train_docs, r.cos AS max_cosine, " +
+      "r.cid AS nearest_train FROM g JOIN r ON r.qid = g.qid AND r.rn = 1"),
     // a 2h/1h sliding window membership is exactly two hour slots per
     // event (floor(t/1h) and the hour before); make_timestamp rebuilds
     // Spark's epoch-aligned window start from the slot index

@@ -159,6 +159,37 @@ class DecontaminationSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted shouldBe Array(11L, 12L, 13L)
   }
 
+  test("semanticExposureReport: per-eval exposure counts, nearest train, threshold") {
+    import spark.implicits._
+    val r2 = (1.0 / math.sqrt(2)).toFloat
+    val eval = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),     // eval 1: cos 1.0; eval 2: cos 0
+      (11L, Array(0.6f, 0.8f)), // eval 1: 0.6; eval 2: 0.8
+      (12L, Array(-1f, 0f)),    // eval 1: -1; eval 2: 0
+      (13L, Array(r2, r2)))     // both: ~0.707107
+      .toDF("vec_id", "embedding")
+    val got = Decontamination.semanticExposureReport(
+      corpus, eval, "vec_id", "embedding", "vec_id", minCosine = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // eval 1 is exposed by docs 10 (1.0), 11 (0.6), 13 (0.707…): nearest 10
+    got(1L) shouldBe ((3L, 1.0, 10L))
+    // eval 2 by docs 11 (0.8), 13: nearest 11
+    got(2L) shouldBe ((2L, 0.8, 11L))
+    // a threshold above every cosine → no exposed eval items at all
+    Decontamination.semanticExposureReport(
+      corpus, eval, "vec_id", "embedding", "vec_id", minCosine = 1.5)
+      .count() shouldBe 0L
+    // a nearest-train TIE resolves to the smaller train id
+    val twin = Seq((20L, Array(1f, 0f)), (21L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    Decontamination.semanticExposureReport(
+      twin, eval.filter(col("vec_id") === 1), "vec_id", "embedding", "vec_id", 0.5)
+      .collect().head.getLong(3) shouldBe 20L
+  }
+
   test("semanticReportIvf ≡ semanticReport at full probing; plan never shuffles corpus vectors") {
     import spark.implicits._
     val r2 = (1.0 / math.sqrt(2)).toFloat
