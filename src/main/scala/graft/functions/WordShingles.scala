@@ -58,16 +58,23 @@ object WordShinglesFunction {
   * tokenizes each document once at JVM speed inside the same
   * partition-local `Generate` fan-out as built-in `explode`.
   */
-case class WordShingleHashes(child: Expression, n: Int, withHashes: Boolean = true)
+case class WordShingleHashes(
+    child: Expression, n: Int, withHashes: Boolean = true, withPos: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
   require(n >= 1, "shingle size must be >= 1")
 
-  override def elementSchema: StructType =
-    if (withHashes)
-      StructType(StructField("__h", org.apache.spark.sql.types.LongType, nullable = false) ::
-        StructField("span", StringType, nullable = false) :: Nil)
-    else
-      StructType(StructField("span", StringType, nullable = false) :: Nil)
+  override def elementSchema: StructType = {
+    val base =
+      if (withHashes)
+        StructField("__h", org.apache.spark.sql.types.LongType, nullable = false) ::
+          StructField("span", StringType, nullable = false) :: Nil
+      else
+        StructField("span", StringType, nullable = false) :: Nil
+    StructType(
+      if (withPos)
+        StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false) :: base
+      else base)
+  }
 
   private val space = UTF8String.fromString(" ")
 
@@ -80,11 +87,15 @@ case class WordShingleHashes(child: Expression, n: Int, withHashes: Boolean = tr
       if (tokens.length < n) Nil
       else (0 to tokens.length - n).map { i =>
         val span = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(tokens, i, i + n): _*)
-        if (withHashes) {
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            span.getBaseObject, span.getBaseOffset, span.numBytes, 42L)
-          InternalRow(h, span)
-        } else InternalRow(span)
+        val base: Seq[Any] =
+          if (withHashes) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              span.getBaseObject, span.getBaseOffset, span.numBytes, 42L)
+            Seq(h, span)
+          } else Seq(span)
+        // pos is the shingle's 0-BASED first-word index — what a masking
+        // consumer needs to address the words the span covers
+        InternalRow.fromSeq(if (withPos) i +: base else base)
       }
     }
   }
@@ -98,6 +109,7 @@ object WordShingleHashesFunction {
     * decontamination paths were paying a per-shingle hash whose column was
     * discarded on the corpus-wide fan-out).
     */
-  def wordShingleHashes(text: Column, n: Int, withHashes: Boolean = true): Column =
-    colOf(WordShingleHashes(exprOf(text), n, withHashes))
+  def wordShingleHashes(
+      text: Column, n: Int, withHashes: Boolean = true, withPos: Boolean = false): Column =
+    colOf(WordShingleHashes(exprOf(text), n, withHashes, withPos))
 }

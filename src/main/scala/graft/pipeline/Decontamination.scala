@@ -387,6 +387,67 @@ object Decontamination {
     docsHit.join(shinglesHit, Seq("eval_id"))
   }
 
+  /** SPAN-LEVEL decontamination — the surgical alternative to
+    * [[dropContaminated]]'s whole-document drop: real pipelines often
+    * MASK the leaked n-gram span and keep the rest of the document (a
+    * 10k-word page should not vanish over one quoted benchmark
+    * sentence). One row per CONTAMINATED training doc: `masked_text`
+    * (every word covered by any eval-matching n-gram replaced with
+    * `maskToken`, all other words byte-identical) and `n_masked_words`.
+    * Clean docs are absent (the [[contaminationReport]] convention) —
+    * callers union the masked rows back over an anti-join, or join on
+    * the id to patch in place.
+    *
+    * Scale shape: the corpus-wide fan-out runs through the JVM-speed
+    * [[graft.functions.WordShingleHashes]] generator WITH its 0-based
+    * span position (no interpreted HOF on the hot path — the r12
+    * lesson); the broadcast eval join keeps only matching (doc, pos)
+    * pairs, so the per-doc hit-set aggregate shuffles flagged positions
+    * only; the word-by-word mask rebuild (a HOF chain) runs over the
+    * CONTAMINATED docs alone, after the inner join. Masking replaces
+    * word-for-word, so positions never shift — `maskToken` must itself
+    * be a single space-free token for the same reason.
+    */
+  def maskContaminatedSpans(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maskToken: String = "<mask>"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maskToken.nonEmpty && !maskToken.contains(" "),
+      s"maskToken must be one space-free token, got '$maskToken'")
+    require(Seq(train, evalDocs).forall(d =>
+        !d.columns.exists(Set("__s", "__pos", "__hits", "__shingle"))),
+      "__s/__pos/__hits/__shingle are reserved by maskContaminatedSpans")
+    val evalShingles = explodedShingles(evalDocs, textCol, n, keep = Nil,
+        withHashes = false)
+      .select(col("__s").as("__shingle")).distinct()
+    val positioned = train.select(col(idCol),
+      graft.functions.WordShingleHashesFunction
+        .wordShingleHashes(col(textCol), n, withHashes = false, withPos = true)
+        .as(Seq("__pos", "__s")))
+    val hits = positioned
+      .join(broadcast(evalShingles), col("__s") === col("__shingle"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__pos"))).as("__hits"))
+    // positions index the plain space-split of the ORIGINAL text — the
+    // lowercased tokenization splits at the same offsets, so the mask
+    // lands on the original-case words
+    val words = split(col(textCol), " ")
+    val idxs = sequence(lit(0), size(words) - 1)
+    val covered = (i: Column) =>
+      exists(col("__hits"), h => i >= h && i < h + n)
+    train.join(hits, Seq(idCol)) // inner: contaminated docs only
+      .select(col(idCol),
+        array_join(
+          zip_with(words, idxs,
+            (w, i) => when(covered(i), lit(maskToken)).otherwise(w)),
+          " ").as("masked_text"),
+        size(filter(idxs, covered)).cast("long").as("n_masked_words"))
+  }
+
   /** `train` minus every doc whose shared-shingle count exceeds
     * `maxShared` (default 0: any overlap drops the doc). Left-anti on the
     * id — linear in the corpus.

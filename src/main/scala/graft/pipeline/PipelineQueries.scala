@@ -671,6 +671,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_clean"),
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
+    // the surgical form: contaminated docs keep their text with every
+    // eval-matching 5-gram's words masked — full masked text hash-gated
+    // against the oracle's own word-by-word rebuild
+    "q_decontam_mask" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontamination.maskContaminatedSpans(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 5)
+    }),
     // SEMANTIC decontamination: per corpus vector (id >= 10), the max
     // cosine to any eval vector (id < 10) and the nearest eval id, kept at
     // cosine >= 0 — the embedding-space leak detector n-grams cannot see
@@ -1565,6 +1574,24 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // span-mask replay: 1-based hit positions per train doc (DISTINCT —
+    // one position can match via several eval docs), then a word-by-word
+    // rebuild masking indexes covered by any [h, h+4] hit window
+    "q_decontam_mask" -> ("WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws " +
+      "FROM documents), " +
+      "sh AS (SELECT doc_id, i, array_to_string(list_slice(ws, i, i + 4), ' ') AS g " +
+      "FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)), " +
+      "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20), " +
+      "hits AS (SELECT sh.doc_id, list_sort(list(DISTINCT i)) AS hs " +
+      "FROM sh JOIN ev USING (g) WHERE doc_id >= 20 GROUP BY sh.doc_id), " +
+      "ow AS (SELECT doc_id, string_split(text, ' ') AS os FROM documents) " +
+      "SELECT h.doc_id, " +
+      "array_to_string(list_transform(generate_series(1, len(os)), " +
+      "j -> CASE WHEN len(list_filter(hs, x -> j >= x AND j <= x + 4)) > 0 " +
+      "THEN '<mask>' ELSE os[j] END), ' ') AS masked_text, " +
+      "len(list_filter(generate_series(1, len(os)), " +
+      "j -> len(list_filter(hs, x -> j >= x AND j <= x + 4)) > 0)) AS n_masked_words " +
+      "FROM hits h JOIN ow USING (doc_id)"),
     // semantic replay: full corpus×eval cosine cross product, top-1 per
     // corpus vector by (rounded cosine DESC, eval id ASC), threshold 0
     "q_decontam_semantic" -> ("WITH s AS (SELECT c.vec_id, q.vec_id AS qid, " +

@@ -159,6 +159,39 @@ class DecontaminationSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted shouldBe Array(11L, 12L, 13L)
   }
 
+  test("maskContaminatedSpans: leaked spans mask word-for-word, clean docs absent") {
+    val got = Decontamination.maskContaminatedSpans(
+      train, evalDocs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 embeds the full 9-word eval text at word offset 2: hits at
+    // positions 2..6, coverage 2..10 — original-case neighbors survive
+    got(1L) shouldBe (("prefix words " + Seq.fill(9)("<mask>").mkString(" ") +
+      " suffix", 9L))
+    // doc 3 shares ONE 5-gram at position 0 (case-insensitive match, the
+    // shingle convention) — the mask lands on the ORIGINAL-case words
+    got(3L) shouldBe ((Seq.fill(5)("<mask>").mkString(" ") + " elsewhere", 5L))
+    // clean docs (2) and too-short docs (4) are absent
+    got.keySet shouldBe Set(1L, 3L)
+    // a custom single-token mask threads through; spaced masks are
+    // rejected (they would shift word positions for downstream readers)
+    Decontamination.maskContaminatedSpans(
+      train, evalDocs, "doc_id", "text", n = 5, maskToken = "█")
+      .collect().map(_.getString(1)).foreach(_ should include("█"))
+    an[IllegalArgumentException] should be thrownBy
+      Decontamination.maskContaminatedSpans(
+        train, evalDocs, "doc_id", "text", n = 5, maskToken = "two words")
+    // the generator's position column agrees with the declarative
+    // posexplode over the shared shingle definition (the parity the
+    // corpus-wide fan-out's correctness rides on)
+    import spark.implicits._
+    val t = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val gen = t.select(graft.functions.WordShingleHashesFunction
+        .wordShingleHashes(col("text"), 2, withHashes = false, withPos = true)
+        .as(Seq("pos", "s")))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    gen shouldBe Seq((0, "a b"), (1, "b a"), (2, "a b"), (3, "b c"))
+  }
+
   test("semanticExposureReport: per-eval exposure counts, nearest train, threshold") {
     import spark.implicits._
     val r2 = (1.0 / math.sqrt(2)).toFloat
