@@ -146,6 +146,41 @@ object Decontamination {
       .filter(col("max_cosine") >= minCosine)
   }
 
+  /** The PAIR-LEVEL audit trail: one row per (train doc, eval doc) pair
+    * sharing at least one n-gram, with the distinct shared-shingle
+    * count — the provenance report that turns a contamination incident
+    * into a diff (WHICH benchmark item leaked into WHICH document,
+    * feeding both the drop list and the eval-integrity call).
+    * [[contaminationReport]] is this table's per-train marginal,
+    * [[evalExposureReport]] its per-eval one. Same broadcast-eval
+    * join-before-distinct discipline: only matched (train, eval,
+    * shingle) triples — bounded by the overlap, not the corpus — reach
+    * the exchange.
+    */
+  def contaminationPairs(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      hashed: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(Seq(train, evalDocs).forall(d =>
+        !d.columns.contains("__sh") && !d.columns.contains("__s")),
+      "__sh/__s are reserved by Decontamination")
+    val key: Column = if (hashed) col("__sh") else col("__s")
+    val evalShingles = explodedShingles(evalDocs, textCol, n,
+        keep = Seq(col(idCol)), withHashes = hashed)
+      .select(col(idCol).as("eval_id"), key.as("shingle")).distinct()
+    val trainShingles = explodedShingles(train, textCol, n,
+        keep = Seq(col(idCol)), withHashes = hashed)
+      .select(col(idCol).as("train_id"), key.as("shingle"))
+    trainShingles.join(broadcast(evalShingles), Seq("shingle"))
+      .select(col("train_id"), col("eval_id"), col("shingle")).distinct()
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The SEMANTIC [[evalExposureReport]] — the same question from the
     * BENCHMARK'S side that [[semanticReport]] answers from the corpus
     * side: per eval item, how many training docs sit within `minCosine`

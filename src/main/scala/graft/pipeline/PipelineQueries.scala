@@ -671,6 +671,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_clean"),
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
+    // the provenance audit trail: per (train, eval) doc pair, distinct
+    // shared 5-grams — contaminationReport's per-train marginal and
+    // evalExposureReport's per-eval one both derive from this table
+    "q_decontam_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontamination.contaminationPairs(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 5)
+    }),
     // the surgical form: contaminated docs keep their text with every
     // eval-matching 5-gram's words masked — full masked text hash-gated
     // against the oracle's own word-by-word rebuild
@@ -1574,6 +1583,16 @@ object PipelineQueries {
     // list_slice, distinct per side, join + per-doc count
     "q_decontaminate" -> (decontShinglesSql +
       "SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY doc_id"),
+    // pair replay: distinct per-side (doc, gram) pairs joined on the gram,
+    // grouped by both ids
+    "q_decontam_pairs" -> ("WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws " +
+      "FROM documents), " +
+      "sh AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS g " +
+      "FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)), " +
+      "evp AS (SELECT DISTINCT doc_id AS eval_id, g FROM sh WHERE doc_id < 20), " +
+      "trp AS (SELECT DISTINCT doc_id AS train_id, g FROM sh WHERE doc_id >= 20) " +
+      "SELECT train_id, eval_id, count(*) AS n_shared " +
+      "FROM trp JOIN evp USING (g) GROUP BY train_id, eval_id"),
     // span-mask replay: 1-based hit positions per train doc (DISTINCT —
     // one position can match via several eval docs), then a word-by-word
     // rebuild masking indexes covered by any [h, h+4] hit window

@@ -159,6 +159,22 @@ class DecontaminationSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted shouldBe Array(11L, 12L, 13L)
   }
 
+  test("contaminationPairs: the (train, eval) provenance table and its marginals") {
+    val pairs = Decontamination.contaminationPairs(
+      train, evalDocs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 shares all 5 eval shingles with eval 100; doc 3 shares 1
+    pairs shouldBe Map((1L, 100L) -> 5L, (3L, 100L) -> 1L)
+    // with a single eval doc the per-train sum over eval ids equals
+    // contaminationReport (in general the report counts a shingle shared
+    // with TWO eval docs once, the pair table once per pair — marginal
+    // by doc set, not by sum)
+    val report = Decontamination.contaminationReport(
+      train, evalDocs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum } shouldBe report
+  }
+
   test("maskContaminatedSpans: leaked spans mask word-for-word, clean docs absent") {
     val got = Decontamination.maskContaminatedSpans(
       train, evalDocs, "doc_id", "text", n = 5)
