@@ -536,6 +536,55 @@ object Decontamination {
     docs.filter(coalesce(!arrays_overlap(shingleHashes, lit(evalHashes)), lit(true)))
   }
 
+  /** [[maskContaminatedSpans]] as a STATELESS STREAMING gate — the
+    * ingestion-time form ([[dropContaminatedStreaming]]'s pattern applied
+    * to masking): the eval set ships as the driver-collected xxhash64
+    * shingle array ([[evalShingleHashes]]) and each row masks its own
+    * leaked spans entirely within the row — no per-doc aggregation, no
+    * state, per-batch cost ∝ batch size like every streaming curation
+    * gate here (the HOF chain is per-row over one document's words, not
+    * a corpus-wide fan-out). Word i masks when ANY n-gram window
+    * starting in [i−n+1, i] hits the eval set — the batch form's
+    * coverage rule, modulo the 64-bit hash (a collision can only
+    * over-mask, with ~n²/2⁻⁶⁴ probability). Unlike the batch REPORT
+    * form, every row passes through (a stream cannot drop-and-report):
+    * clean rows keep `textCol` verbatim with `n_masked_words = 0`, and
+    * null text stays null with 0.
+    */
+  def maskContaminatedStreaming(
+      docs: DataFrame,
+      evalHashes: Array[Long],
+      textCol: String,
+      n: Int,
+      maskToken: String = "<mask>"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maskToken.nonEmpty && !maskToken.contains(" "),
+      s"maskToken must be one space-free token, got '$maskToken'")
+    require(!docs.columns.exists(Set("masked_text", "n_masked_words")),
+      "masked_text/n_masked_words are reserved by maskContaminatedStreaming")
+    val words = split(col(textCol), " ")
+    val hitFlags = transform(
+      shinglesOfWords(split(lower(col(textCol)), " "), n),
+      s => array_contains(lit(evalHashes), xxhash64(s)))
+    // word i is covered iff some flagged n-gram STARTS within n-1 words
+    // before it; the window start range is non-empty whenever any shingle
+    // exists (i - n + 1 <= numShingles - 1 for every word index). The
+    // no-shingle case guards through CASE, not &&: a short doc's
+    // sequence(0, -1) would otherwise build a DESCENDING range whose -1
+    // feeds element_at(…, 0) — an ANSI-mode job failure
+    val covered = (i: Column) =>
+      when(size(hitFlags) > 0, exists(
+        sequence(greatest(i - n + 1, lit(0)), least(i, size(hitFlags) - 1)),
+        h => element_at(hitFlags, h + 1))).otherwise(lit(false))
+    val idxs = sequence(lit(0), size(words) - 1)
+    docs
+      .withColumn("masked_text", array_join(
+        zip_with(words, idxs,
+          (w, i) => when(covered(i), lit(maskToken)).otherwise(w)), " "))
+      .withColumn("n_masked_words",
+        coalesce(size(filter(idxs, covered)).cast("long"), lit(0L)))
+  }
+
   /** The eval shingle index persisted as a hash-bucketed managed table —
     * the [[dropContaminatedStreaming]] form for eval sets too large to ship
     * as a literal array: every micro-batch's stream-static anti join then

@@ -208,6 +208,31 @@ class DecontaminationSpec extends SparkTestBase {
     gen shouldBe Seq((0, "a b"), (1, "b a"), (2, "a b"), (3, "b c"))
   }
 
+  test("maskContaminatedStreaming ≡ the batch mask, stateless and pass-through") {
+    import spark.implicits._
+    val hashes = Decontamination.evalShingleHashes(evalDocs, "text", n = 5)
+    val got = Decontamination.maskContaminatedStreaming(
+      train, hashes, "text", n = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("masked_text"), r.getAs[Long]("n_masked_words")))).toMap
+    // contaminated docs agree row-for-row with the batch report form
+    val batch = Decontamination.maskContaminatedSpans(
+      train, evalDocs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    batch.foreach { case (id, m) => got(id) shouldBe m }
+    // clean and too-short docs PASS THROUGH verbatim with 0 (the stream
+    // cannot drop-and-report)
+    got(2L)._1 shouldBe "completely different sentence about cooking pasta with olive oil"
+    got(2L)._2 shouldBe 0L
+    got(4L) shouldBe (("too short", 0L))
+    // null text stays null/0 rather than erroring the batch
+    val nulls = Decontamination.maskContaminatedStreaming(
+      Seq((9L, null: String)).toDF("doc_id", "text"), hashes, "text", n = 5)
+      .collect().head
+    nulls.isNullAt(nulls.fieldIndex("masked_text")) shouldBe true
+    nulls.getAs[Long]("n_masked_words") shouldBe 0L
+  }
+
   test("semanticExposureReport: per-eval exposure counts, nearest train, threshold") {
     import spark.implicits._
     val r2 = (1.0 / math.sqrt(2)).toFloat

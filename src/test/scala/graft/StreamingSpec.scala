@@ -342,6 +342,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ingestion-time span masking is stateless: leaks mask in-stream, clean rows verbatim") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evalDocs = Seq((100L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val hashes = graft.pipeline.Decontamination.evalShingleHashes(evalDocs, "text", n = 5)
+    val input = MemoryStream[(Long, String)]
+    val masked = graft.pipeline.Decontamination.maskContaminatedStreaming(
+      input.toDF().toDF("doc_id", "text"), hashes, "text", n = 5)
+    val query = masked.writeStream.format("memory").queryName("maskgate")
+      .outputMode("append").start()
+    withQuery(query) {
+      input.addData(
+        (1L, "a clean document about fishing boats and calm weather patterns"),
+        (2L, "we know the secret benchmark answer is forty two exactly as leaked"))
+      query.processAllAvailable()
+      val out = s.table("maskgate")
+        .select("doc_id", "masked_text", "n_masked_words")
+        .as[(Long, String, Long)].collect()
+        .map { case (k, v, n) => k -> ((v, n)) }.toMap
+      // the leaked 8-word span (word offsets 2..9) masks; neighbors keep
+      out(2L) shouldBe (("we know " + Seq.fill(8)("<mask>").mkString(" ") +
+        " as leaked", 8L))
+      // clean rows pass through verbatim with 0 — and the query is
+      // STATELESS (pure projection, no state operator)
+      out(1L) shouldBe (("a clean document about fishing boats and calm weather patterns", 0L))
+      query.lastProgress.stateOperators shouldBe empty
+    }
+  }
+
   test("streaming media near-dup gate: phash bands against the static index") {
     val s = spark
     import s.implicits._
