@@ -225,6 +225,34 @@ object Decontamination {
         col("__m.__cos").as("max_cosine"), (-col("__m.__nid")).as("nearest_train"))
   }
 
+  /** The SEMANTIC pair table — [[contaminationPairs]]' embedding-space
+    * sibling: one row per (train doc, eval doc) pair whose cosine clears
+    * `minCosine`, with the (6-decimal rounded) cosine. [[semanticReport]]
+    * is its per-train argmax, [[semanticExposureReport]] its per-eval
+    * aggregate. Broadcast-eval map-side scoring with the pair gate
+    * applied BEFORE anything shuffles; the output is bounded by the
+    * flagged overlap, not the corpus×eval product — size the threshold
+    * accordingly (a low threshold over a large corpus IS the cross
+    * product).
+    */
+  def semanticContaminationPairs(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalIdCol: String,
+      minCosine: Double): DataFrame = {
+    require(!train.columns.contains("__qvec") && !train.columns.contains("__q"),
+      "__qvec/__q are reserved by semanticContaminationPairs")
+    val q = evalDocs.select(col(evalIdCol).as("__q"), col(vecCol).as("__qvec"))
+    train.select(col(idCol), col(vecCol))
+      .join(broadcast(q))
+      .select(col(idCol).as("train_id"), col("__q").as("eval_id"),
+        round(graft.functions.VectorFunctions.cosineSimilarity(
+          col(vecCol), col("__qvec")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** [[semanticReport]] through the IVF index — the CORPUS-SCALE form:
     * the broadcast variant evaluates |corpus| × |eval| cosines in one
     * map-side pass, which is exact but stops scaling when the eval set

@@ -715,6 +715,14 @@ object PipelineQueries {
         "vec_id", "embedding", "vec_id", minCosine = 0.2, nprobe = 16,
         corpusFilter = col("vec_id") >= 10)
     }),
+    // the semantic pair table: every (corpus, eval) pair at cosine >= 0.5
+    // with its rounded cosine — the embedding-space provenance diff
+    "q_decontam_semantic_pairs" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Decontamination.semanticContaminationPairs(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", minCosine = 0.5)
+    }),
     // the benchmark-integrity view: per eval item, how many corpus vectors
     // sit within cosine 0.2 and the closest one — the semantic analog of
     // q_decontaminate_exposure, same broadcast-eval pair-gated shape
@@ -1632,6 +1640,15 @@ object PipelineQueries {
       "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, qid) AS rn FROM s) " +
       "SELECT vec_id, max_cosine, nearest_eval FROM r " +
       "WHERE rn = 1 AND max_cosine >= 0.2"),
+    // pair replay: the raw flagged cross-product rows above the threshold
+    "q_decontam_semantic_pairs" -> ("SELECT c.vec_id AS train_id, " +
+      "q.vec_id AS eval_id, " +
+      "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])), 6) AS cosine " +
+      "FROM embeddings c, embeddings q " +
+      "WHERE c.vec_id >= 10 AND q.vec_id < 10 AND " +
+      "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])), 6) >= 0.5"),
     // exposure replay: flagged pairs grouped by EVAL id, top-1 by
     // (cosine DESC, train id ASC) for the nearest-train columns
     "q_decontam_semantic_exposure" -> ("WITH s AS (SELECT q.vec_id AS qid, " +

@@ -264,6 +264,32 @@ class DecontaminationSpec extends SparkTestBase {
       .collect().head.getLong(3) shouldBe 20L
   }
 
+  test("semanticContaminationPairs: flagged pairs only, marginals agree with the reports") {
+    import spark.implicits._
+    val r2 = (1.0 / math.sqrt(2)).toFloat
+    val eval = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.6f, 0.8f)),
+      (12L, Array(-1f, 0f)), (13L, Array(r2, r2)))
+      .toDF("vec_id", "embedding")
+    val pairs = Decontamination.semanticContaminationPairs(
+      corpus, eval, "vec_id", "embedding", "vec_id", minCosine = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.keySet shouldBe Set((10L, 1L), (11L, 1L), (11L, 2L), (13L, 1L), (13L, 2L))
+    pairs((10L, 1L)) shouldBe 1.0
+    pairs((11L, 2L)) shouldBe 0.8
+    // the per-train argmax of the pair table IS semanticReport
+    val report = Decontamination.semanticReport(
+      corpus, eval, "vec_id", "embedding", "vec_id", minCosine = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    pairs.groupBy(_._1._1).foreach { case (t, m) =>
+      val best = m.toSeq.map { case ((_, e), c) => (c, e) }
+        .sortBy { case (c, e) => (-c, e) }.head
+      report(t) shouldBe ((best._1, best._2))
+    }
+  }
+
   test("semanticReportIvf ≡ semanticReport at full probing; plan never shuffles corpus vectors") {
     import spark.implicits._
     val r2 = (1.0 / math.sqrt(2)).toFloat
