@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * semantics).
   *
   * Left rows with no prior right row keep NULL matched columns (left-join
-  * semantics). Matched columns are prefixed `asof_` — left columns with
-  * that prefix would collide and are rejected.
+  * semantics). Matched columns come from THE single nearest right row,
+  * carried as one struct — a genuine null value in the matched row stays
+  * null (it never resurrects an older row's value, and a match can never
+  * mix columns from different right rows). Matched columns are prefixed
+  * `asof_` — left columns with that prefix would collide and are rejected.
   *
   * The window partitions by key alone, so ONE pathologically hot key
   * serializes onto one task; [[asofJoinBackwardSalted]] is the remedy
@@ -108,9 +111,12 @@ object AsOfJoin {
       forward: Boolean): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val rightVals = right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    if (rightVals.isEmpty) return left // nothing to attach
     val asofCols = rightVals.map("asof_" + _)
     require(!left.columns.exists(asofCols.contains),
       s"left side already has asof_-prefixed columns: ${left.columns.filter(asofCols.contains).mkString(", ")}")
+    require(!left.columns.contains("__asof_row"),
+      "__asof_row is reserved by the as-of join")
 
     val isHot = col(key).isin(hot: _*)
     // content-hash salt ([[SkewJoin.contentSalt]]): pure function of row
@@ -126,9 +132,16 @@ object AsOfJoin {
       .withColumn("__asof_ts", col(leftTs))
       .withColumn("__asof_left", lit(1))
       .withColumn("__asof_salt", leftSalt)
+    // the matched right row travels as ONE struct, so the carry-forward
+    // attaches THE nearest right row wholesale: a genuine NULL in that
+    // row's value stays null (per-column last(ignoreNulls) used to
+    // resurrect an OLDER row's value under it — and could even stitch a
+    // match from DIFFERENT right rows column by column, which no ASOF
+    // semantics anywhere permit). One window expression instead of one
+    // per value column, too.
     val ru = right.select(
-      (col(key) +: col(rightTs).as("__asof_ts") +:
-        rightVals.map(c => col(c).as("asof_" + c))): _*)
+      col(key), col(rightTs).as("__asof_ts"),
+      struct(rightVals.map(col): _*).as("__asof_row"))
       .withColumn("__asof_left", lit(0))
       .withColumn("__asof_salt", explode(rightSalts))
 
@@ -141,11 +154,12 @@ object AsOfJoin {
       .orderBy(tsOrder, col("__asof_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    asofCols
-      .foldLeft(lu.unionByName(ru, allowMissingColumns = true)) {
-        case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val matched = lu.unionByName(ru, allowMissingColumns = true)
+      .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
       .filter(col("__asof_left") === 1)
-      .drop("__asof_ts", "__asof_left", "__asof_salt")
+    rightVals.foldLeft(matched) { (df, c) =>
+        df.withColumn("asof_" + c, col("__asof_row").getField(c))
+      }
+      .drop("__asof_ts", "__asof_left", "__asof_salt", "__asof_row")
   }
 }

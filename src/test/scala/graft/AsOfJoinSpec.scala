@@ -216,4 +216,29 @@ class AsOfJoinSpec extends SparkTestBase {
     plan should include("Window")
     plan should not include "Join"
   }
+  test("the match is ONE right row: its nulls stay null, columns never mix rows") {
+    // per-column last(ignoreNulls) used to resurrect an OLDER row's value
+    // under a genuine null in the matched row — and could stitch the
+    // matched columns from DIFFERENT right rows. DuckDB/pandas ASOF attach
+    // the single nearest row wholesale; pin that.
+    val quotes = Seq[(Long, Long, Option[Double], Option[String])](
+      (1L, 10L, Some(1.0), Some("a")),
+      (1L, 20L, None, Some("b")),      // nearest for ts >= 20: null price
+      (1L, 30L, Some(3.0), None)       // nearest for ts >= 30: null venue
+    ).toDF("k", "qts", "price", "venue")
+    val trades = Seq((1L, 25L, 100L), (1L, 35L, 200L)).toDF("k", "ts", "qty")
+    val got = AsOfJoin.asofJoinBackward(trades, quotes, "k", "ts", "qts")
+      .select(col("ts"), col("asof_price"), col("asof_venue"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+    got shouldBe Set(
+      (25L, None, Some("b")),     // the 20L row verbatim — NOT (1.0, "b")
+      (35L, Some(3.0), None))     // the 30L row verbatim — NOT (3.0, "b")
+    // forward mirror: nearest later row's nulls also stay null
+    val fwd = AsOfJoin.asofJoinForward(trades, quotes, "k", "ts", "qts")
+      .filter(col("ts") === 25L).select("asof_price", "asof_venue").collect().head
+    fwd.isNullAt(1) shouldBe true // the 30L row's venue
+    fwd.getDouble(0) shouldBe 3.0
+  }
 }
