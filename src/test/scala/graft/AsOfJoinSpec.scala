@@ -241,4 +241,43 @@ class AsOfJoinSpec extends SparkTestBase {
     fwd.isNullAt(1) shouldBe true // the 30L row's venue
     fwd.getDouble(0) shouldBe 3.0
   }
+  test("randomized differential: asof ≡ brute-force reference, nulls and salting included") {
+    // seeded sweep over random (key, ts) layouts with nullable value
+    // columns — the class the null-carry fix covers, pinned broadly.
+    // Right (key, ts) pairs are unique: among equal-ts right rows the
+    // pick is unordered by every ASOF implementation, so a differential
+    // test must not manufacture that ambiguity.
+    val rnd = new scala.util.Random(0xA50F)
+    (0 until 3).foreach { round =>
+      val right = (0 until 40).map { _ =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(30).toLong,
+          if (rnd.nextBoolean()) Some(rnd.nextInt(100).toDouble) else None,
+          if (rnd.nextInt(4) == 0) None else Some("v" + rnd.nextInt(10)))
+      }.distinctBy(r => (r._1, r._2))
+      val left = (0 until 60).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(32).toLong, i.toLong))
+      val rdf = right.toDF("k", "rts", "price", "venue")
+      val ldf = left.toDF("k", "ts", "row_id")
+      def reference(forward: Boolean) = left.map { case (k, ts, id) =>
+        val cand = right.filter(r =>
+          r._1 == k && (if (forward) r._2 >= ts else r._2 <= ts))
+        val m = if (cand.isEmpty) None
+          else Some(if (forward) cand.minBy(_._2) else cand.maxBy(_._2))
+        (id, m.flatMap(_._3), m.flatMap(_._4))
+      }.toSet
+      def got(df: org.apache.spark.sql.DataFrame) =
+        df.select("row_id", "asof_price", "asof_venue").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+      withClue(s"round $round (seeded — replays exactly): ") {
+        got(AsOfJoin.asofJoinBackward(ldf, rdf, "k", "ts", "rts")) shouldBe reference(false)
+        got(AsOfJoin.asofJoinForward(ldf, rdf, "k", "ts", "rts")) shouldBe reference(true)
+        got(AsOfJoin.asofJoinBackwardSalted(ldf, rdf, "k", "ts", "rts",
+          hot = Seq(0L, 1L), buckets = 4)) shouldBe reference(false)
+        got(AsOfJoin.asofJoinForwardSalted(ldf, rdf, "k", "ts", "rts",
+          hot = Seq(2L), buckets = 3)) shouldBe reference(true)
+      }
+    }
+  }
 }
