@@ -29,5 +29,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks inside ONE JVM (driver + executor
+  // share the heap); at 8g the dedup/text families spent 70-150 s of
+  // task-attributed GC per bench pass (r21 baseline artifact) and the worst
+  // reps burned 40-130 s of run_ms in collection stalls. 32g on the 128 GiB
+  // host cut the family's GC to ~0 and its wall time 2-6x (r21 A/B:
+  // q_dedup_ngram_planted 10.2→0.97 s med, q_dedup_semantic_drop 10.8→0.98,
+  // q_profile_hot_approx 5.8→0.64). Parameterized: the driver can still pin
+  // SPARK_DRIVER_MEM; at cluster scale executor memory is sized per
+  // executor, not by this local-run default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -151,6 +151,23 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "100")
       .config("spark.ui.retainedJobs", "300")
       .config("spark.ui.retainedStages", "300")
+      // AQE partition sizing (r21, guide §2.2): coalesce post-shuffle
+      // partitions to the ADVISORY size instead of maximizing parallelism
+      // (parallelismFirst=true splits every small exchange across all 32
+      // cores — 1 MB min-size partitions, so a 200 KB label/signature frame
+      // still schedules 32 tasks/exchange; the dedup/CC/graph families ran
+      // 200-600 such tasks per query). Scale-adaptive, not a local[32]
+      // constant: the advisory target derives task counts from DATA SIZE at
+      // any scale (a 100 GB exchange still gets ~1600 tasks at 64 MB).
+      // Spark's own tuning guide recommends parallelismFirst=false.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // Cached plans keep their static 32-partition layout with this off
+      // (the default); on, the materialized cache AND everything reading it
+      // coalesce adaptively like any other exchange — the dedup signature
+      // caches and crawl-frontier link cache were the remaining fixed
+      // 32-task stages.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -73,11 +73,16 @@ object LabelPropagation {
     // out partitioned+sorted on src — the in-session bucketed edge table
     // (the CC/PageRank layout; AQE off only while this checkpoint plans,
     // see Dedup.withAqeOff)
-    val e = Dedup.withAqeOff(sess)(ckpt(directed
+    val symmetrized = directed
       .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
+    // data-size-adaptive layout width (r21, [[Dedup.layoutPartitionCount]]):
+    // small graphs lay out narrow, above-advisory graphs keep the static
+    // shuffle-partition width — same rationale as the CC/PageRank layouts
+    val nParts = Dedup.layoutPartitionCount(symmetrized)
+    val e = Dedup.withAqeOff(sess)(ckpt(symmetrized
+      .repartition(nParts, col("src"))
       .sortWithinPartitions(col("src"))))
     val driverCap =
       if (driverFinishEdges >= 0L) driverFinishEdges
@@ -98,12 +103,21 @@ object LabelPropagation {
             Seq("id"), "left")
           .select(col("id"), coalesce(col("__seed"), col("id")).as("label"))
     })
+    // narrow-regime pins ([[Dedup.pinToLayout]], no-ops at full width): the
+    // label side of the edge join and the relabel join are explicitly
+    // co-partitioned with the layout so the edge table never re-shuffles;
+    // the vote pin sits below its groupBy (hash(dst, n) satisfies both
+    // aggregations), trading map-side partials away only where the edge
+    // table is provably small
+    def pin(df: DataFrame, key: String): DataFrame =
+      Dedup.pinToLayout(df, nParts, key)
     for (_ <- 1 to iterations) {
-      val votes = e.join(labels, e("src") === labels("id"))
+      val votes = pin(e.join(pin(labels, "id"), e("src") === labels("id"))
+          .select(col("dst"), col("label")), "dst")
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("__new"))
-      labels = Dedup.cache(labels
+      labels = Dedup.cache(pin(labels, "id")
         .join(votes, labels("id") === votes("dst"), "left")
         .select(labels("id"), coalesce(col("__new"), labels("label")).as("label")))
     }

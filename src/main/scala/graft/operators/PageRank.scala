@@ -81,14 +81,23 @@ object PageRank {
     val sess = edges.sparkSession
     def withAqeOff[T](body: => T): T = Dedup.withAqeOff(sess)(body)
     // one edge shuffle for the whole run: dedup, then lay out by src — the
-    // in-session form of a bucketed+sorted edge table
-    val e = withAqeOff(ckpt(edges
+    // in-session form of a bucketed+sorted edge table. Layout width is
+    // data-size-adaptive (r21, [[Dedup.layoutPartitionCount]]): the AQE-off
+    // planning pins every round stage co-partitioned with these tables at
+    // this count, so a small graph runs narrow rounds (the 50-host bench
+    // graph ran 588 thirty-two-task-wide stages before) while an
+    // above-advisory edge table keeps the full static width. ONE shared
+    // count for edges/verts/degrees keeps every round join co-partitioned.
+    val deduped = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .repartition(col("src"))
+    val nParts = Dedup.layoutPartitionCount(deduped)
+    val e = withAqeOff(ckpt(deduped
+      .repartition(nParts, col("src"))
       .sortWithinPartitions(col("src"))))
     val verts = withAqeOff(ckpt(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()))
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+        .repartition(nParts, col("id"))))
     val nV = verts.agg(count(lit(1)).as("n_v"))
     // exchange-free over the src-partitioned edges; checkpoints hash(src)
     val outDeg = withAqeOff(ckpt(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))))
@@ -110,15 +119,27 @@ object PageRank {
         seeded.crossJoin(broadcast(total))
           .select(col("id"), (col("__raw") / col("__tot")).as("rank"))
     }
+    // In the narrow-layout regime ([[Dedup.pinToLayout]]) the round's
+    // label-sized frames are explicitly pinned to the layout width so every
+    // join against the checkpointed layouts stays co-partitioned and the
+    // edge table never re-shuffles; at full width the pins are no-ops and
+    // the rounds plan adaptive (r16) exactly as before. The contribution
+    // pin sits BELOW the groupBy (hash(dst, n) satisfies the aggregation's
+    // distribution, so the aggregate runs in place) — that trades the
+    // map-side partial aggregation away, which is only acceptable because
+    // this branch is gated on the edge table being provably small.
+    def pin(df: DataFrame, key: String): DataFrame =
+      graft.pipeline.Dedup.pinToLayout(df, nParts, key)
     for (_ <- 1 to iterations) {
       val withDeg = ckpt(ranks
         .join(outDeg, ranks("id") === outDeg("src"), "left")
         .select(col("id"), col("rank"), col("deg")))
       val dangling = withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val shares = withDeg.filter(col("deg").isNotNull)
-        .select(col("id"), (col("rank") / col("deg").cast("double")).as("share"))
-      val contribs = e.join(shares, e("src") === shares("id"))
+      val shares = pin(withDeg.filter(col("deg").isNotNull)
+        .select(col("id"), (col("rank") / col("deg").cast("double")).as("share")), "id")
+      val contribs = pin(e.join(shares, e("src") === shares("id"))
+          .select(col("dst"), col("share")), "dst")
         .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
       ranks = verts.join(contribs, verts("id") === contribs("dst"), "left")
         .crossJoin(broadcast(nV)).crossJoin(broadcast(dangling))

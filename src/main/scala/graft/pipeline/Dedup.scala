@@ -141,6 +141,67 @@ object Dedup {
     // PLAN checkpoint layouts under it, never a job.)
     graft.ConfGuard.withSessionConf(sess, "spark.sql.adaptive.enabled", "false")(body)
 
+  /** Data-size-adaptive partition count for the AQE-off checkpoint LAYOUTS
+    * (the CC/PageRank/LPA once-shuffled edge/vertex tables). Those layouts
+    * must plan with AQE suspended (a checkpoint planned under AQE carries
+    * UNKNOWN partitioning and the edge table would re-shuffle every round),
+    * which also pins them at the static `spark.sql.shuffle.partitions` —
+    * 32 tasks per stage over a KB-sized graph, and every per-round join
+    * co-partitioned with the layout inherits that width (r21 baseline:
+    * q_graph_pagerank ran 588 tasks for a 50-vertex graph). This applies
+    * the AQE coalescing POLICY to the layout by hand: partitions =
+    * ceil(estimated bytes / advisory), clamped to [1, shuffle.partitions].
+    *
+    * The size source is Catalyst's `LogicalPlan.stats.sizeInBytes` — the
+    * same estimate the planner trusts for broadcast decisions. Its error
+    * mode is safe here: size-only estimation never shrinks below the scan
+    * estimate through filters/aggregates and INFLATES through joins, so an
+    * unknown or join-derived size keeps the configured partition count (no
+    * change from today) while a provably-small input coalesces. Tunables:
+    * `spark.graft.layout.advisoryBytes` (default 64 MB, the AQE advisory
+    * default; <= 0 disables and always uses the static count).
+    */
+  private[graft] def layoutPartitionCount(df: DataFrame): Int = {
+    val sess = df.sparkSession
+    val maxParts =
+      math.max(1, sess.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val advisory =
+      sess.conf.get("spark.graft.layout.advisoryBytes", (64L << 20).toString).toLong
+    if (advisory <= 0) maxParts
+    else {
+      val bytes =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+      val n = (bytes + advisory - 1) / advisory
+      // floor at 2, not 1: `repartition(1, key)` plans as SinglePartition
+      // (not HashPartitioning(key, 1)), which the co-partitioning machinery
+      // does not match against a 1-partition hash layout — the pinned round
+      // joins would re-shuffle both sides back to the static width
+      // (probe-verified on this Spark)
+      if (n >= maxParts) maxParts else math.min(maxParts, math.max(2, n.toInt))
+    }
+  }
+
+  /** Pin `df` to the layout width by an explicit hash repartition on `key`
+    * when the layout is NARROWER than the static shuffle-partition count,
+    * else leave it to adaptive planning. The companion of
+    * [[layoutPartitionCount]]: a join between an n-partition checkpointed
+    * layout (n < static) and a side that needs a fresh exchange is NOT
+    * co-partitioned in Spark's eyes — EnsureRequirements re-shuffles BOTH
+    * sides up to the static count, i.e. the corpus-layout side re-shuffles
+    * every round, the exact cost the layout exists to remove (observed in
+    * PageRankSpec when the r21 narrow layout first landed). An explicit
+    * `repartition(n, key)` on the label-sized side gives both children the
+    * same satisfying partitioning, so the layout side feeds the join bare.
+    * At full width (`n == static`, the 100 TB regime) this is a no-op and
+    * the r16 adaptive round planning is unchanged.
+    */
+  private[graft] def pinToLayout(df: DataFrame, nParts: Int, key: String): DataFrame = {
+    val staticParts = math.max(
+      1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    if (nParts < staticParts) df.repartition(nParts, col(key)) else df
+  }
+
   /** Unpersist every frame cached by previous dedup calls (see [[cache]]).
     * Always safe: cached frames recompute transparently if read again.
     * Does NOT touch [[connectedComponents]] checkpoint blocks — those have
@@ -573,7 +634,7 @@ object Dedup {
     // PipelineSpec's checkpointed-edge-table plan tests.
     val sess = pairs.sparkSession
     def withAqeOff[T](body: => T): T = Dedup.withAqeOff(sess)(body)
-    val edges = withAqeOff(ckpt(pairs
+    val directed = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
@@ -586,7 +647,13 @@ object Dedup {
       // directed edge survives, `least` ignores the null neighbor, and x
       // labels itself — exactly the driver tier's isolated-node behavior.
       .filter(col("src").isNotNull)
-      .repartition(col("src"))
+    // layout width is data-size-adaptive (r21, [[layoutPartitionCount]]):
+    // the AQE-off planning below pins every stage co-partitioned with this
+    // table at the chosen count, so a provably-small graph lays out narrow
+    // instead of at the static shuffle-partition width
+    val nParts = layoutPartitionCount(directed)
+    val edges = withAqeOff(ckpt(directed
+      .repartition(nParts, col("src"))
       .sortWithinPartitions(col("src"))))
     // Round 1 degenerates: over identity labels (component = id), the
     // neighbor minimum is just min(dst) per src and the label-of-label
@@ -644,7 +711,11 @@ object Dedup {
       // exchanges per round, none edge-sized — and under AQE each
       // label-sized exchange coalesces to the frame's real parallelism
       // instead of the static shuffle-partition count.
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+      // labels pinned to the layout width in the narrow regime
+      // ([[pinToLayout]]) so the edge side feeds this join bare; at full
+      // width the pin is a no-op and the label side plans adaptive (r16)
+      val nbrMin = edges.join(pinToLayout(labels, nParts, "id"),
+          edges("src") === labels("id"))
         .groupBy(edges("dst")).agg(min(col("component")).as("nbr_min"))
         .select(edges("dst").as("n_id"), col("nbr_min"))
       // Chained pointer jumps: p₁ = label(component), p₂ = label(p₁), … —

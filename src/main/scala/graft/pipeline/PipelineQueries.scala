@@ -564,7 +564,11 @@ object PipelineQueries {
       val resp = Dedup.cache(graft.sources.Warc.responses(
         graft.sources.Warc.read(s, crawlWarcPath(s, dir))))
       val pages = resp.filter(col("status") === 200 && col("media_type") === "text/html")
-      val robots = s.range(0, 5).select(
+      // one partition for the 5-row robots table: a defaulted range() fans
+      // out to defaultParallelism (32) near-empty partitions, and every
+      // downstream union/join stage of the frontier chain inherited the
+      // width (r21: the 33/66-task stages behind q_crawl_frontier's 436)
+      val robots = s.range(0, 5, 1, 1).select(
         concat(lit("h"), col("id"), lit(".example")).as("host"),
         concat(
           when(col("id") === 1,

@@ -84,6 +84,9 @@ class PageRankSpec extends SparkTestBase {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // full-width layout regime (the 100 TB shape this test pins): disable
+    // the r21 size-adaptive narrowing so the fixture plans like a corpus
+    spark.conf.set("spark.graft.layout.advisoryBytes", "0")
     try {
       val edges = (0L until 500L).map(i => (i, (i + 1) % 500L)).toDF("src", "dst")
       val out = PageRank.pageRank(edges, "src", "dst", iterations = 3)
@@ -97,6 +100,38 @@ class PageRankSpec extends SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.unset("spark.graft.layout.advisoryBytes")
+    }
+  }
+
+  test("narrow layout regime: the edge table still never re-shuffles in a round") {
+    // r21: a below-advisory graph lays out at ceil(size/advisory) partitions
+    // (Dedup.layoutPartitionCount) and the round's label-sized frames are
+    // PINNED to that width (Dedup.pinToLayout) — without the pin,
+    // EnsureRequirements re-shuffles the narrow edge side back up to the
+    // static shuffle-partition count every round (the failure mode this
+    // test exists to keep loud). Same no-edge-exchange contract as the
+    // full-width test, in the regime the bench fixtures actually exercise.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 500L).map(i => (i, (i * 3 + 1) % 500L)).toDF("src", "dst")
+      val out = PageRank.pageRank(edges, "src", "dst", iterations = 3)
+      out.collect()
+      val plan = out.queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      // narrow regime engaged: the pinned label repartitions are 2-wide
+      // (the layout floor — see Dedup.layoutPartitionCount)
+      plan should include regex """Exchange hashpartitioning\(\w+#\d+L, 2\)"""
+      // and the edge scan feeds its join with no exchange and no sort
+      plan should include regex
+        """SortMergeJoin \[src#\d+L\], \[id#\d+L\], Inner\s*\n[\s:]*:- (\*\(\d+\) )?Scan ExistingRDD\[src#\d+L,dst#\d+L\]"""
+      plan should not include regex ("""Exchange hashpartitioning\(src#\d+L""")
+      plan should not include regex ("""Sort \[src#\d+L""")
+      out.collect().map(_.getDouble(1)).sum shouldBe 1.0 +- 1e-9
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      graft.pipeline.Dedup.clearCheckpoints()
     }
   }
 
