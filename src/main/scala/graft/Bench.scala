@@ -151,22 +151,19 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "100")
       .config("spark.ui.retainedJobs", "300")
       .config("spark.ui.retainedStages", "300")
-      // AQE partition sizing (r21, guide §2.2): coalesce post-shuffle
-      // partitions to the ADVISORY size instead of maximizing parallelism
-      // (parallelismFirst=true splits every small exchange across all 32
-      // cores — 1 MB min-size partitions, so a 200 KB label/signature frame
-      // still schedules 32 tasks/exchange; the dedup/CC/graph families ran
-      // 200-600 such tasks per query). Scale-adaptive, not a local[32]
-      // constant: the advisory target derives task counts from DATA SIZE at
-      // any scale (a 100 GB exchange still gets ~1600 tasks at 64 MB).
-      // Spark's own tuning guide recommends parallelismFirst=false.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-      // Cached plans keep their static 32-partition layout with this off
-      // (the default); on, the materialized cache AND everything reading it
-      // coalesce adaptively like any other exchange — the dedup signature
-      // caches and crawl-frontier link cache were the remaining fixed
-      // 32-task stages.
+      // AQE on cached plans (r21, guide §2.2): with this off (the
+      // default) every `Dedup.cache`/link-cache materialization keeps the
+      // static 32-partition layout and so does everything reading it —
+      // the dedup/text/crawl families ran 130-440 near-empty tasks per
+      // query behind those caches. On, the cache and its readers coalesce
+      // adaptively like any other exchange (task counts derive from data
+      // size at any scale). Deliberately NOT set:
+      // coalescePartitions.parallelismFirst=false — measured on this
+      // workload it over-coalesces CPU-dense candidate-verify joins down
+      // to single tasks (q_join_fuzzy_dfprefix 0.67 s → 6.96 s,
+      // q_join_interval 1.6 s → 3.3 s); the default parallelism-first
+      // coalescing already collapses the KB-dust exchanges once the
+      // cached plans participate.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

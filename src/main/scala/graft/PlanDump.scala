@@ -41,8 +41,6 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       // session parity with Bench (r21) so probed plans/stage shapes match
       // what the bench actually runs
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     extraConf.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -16,8 +16,6 @@ object Verify {
       // under the same AQE partition-sizing the bench runs with — see
       // Bench.scala for the rationale (none of these can change VALUES,
       // only partitioning/task counts, and the driver compare sorts rows)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,14 +46,20 @@ object Snapshot {
       .filter(col("__rn") === 1)
       .select((col(idCol).as("__cid") +: col(opCol).as("__op") +:
         dataCols.toIndexedSeq.map(c => col(c).as(s"__c_$c"))): _*)
-    base.join(latest, col(idCol) === col("__cid"), "full_outer")
+    // base presence is tagged EXPLICITLY (__base) rather than inferred
+    // from id nullability: a base row whose id is genuinely NULL
+    // (off-contract but historically passed through unchanged) never
+    // joins a change row, and an id-based guard would silently drop it —
+    // null id plus null __op fails both branches (ADVICE r20)
+    base.withColumn("__base", lit(1))
+      .join(latest, col(idCol) === col("__cid"), "full_outer")
       .filter(coalesce(col("__op"), lit("keep")) =!= "delete")
       // an UNRECOGNIZED op is a no-op on an existing id (the otherwise
       // branch keeps the base payload) — but for an id absent from the
       // base it must not INSERT a phantom row of null payload columns:
       // only an upsert can create a row (the malformed-feed tolerance the
       // tie rule above already promises)
-      .filter(col(idCol).isNotNull || col("__op") === "upsert")
+      .filter(col("__base").isNotNull || col("__op") === "upsert")
       .select(coalesce(col(idCol), col("__cid")).as(idCol) +:
         dataCols.toIndexedSeq.map(c =>
           when(col("__op") === "upsert", col(s"__c_$c")).otherwise(col(c)).as(c)): _*)

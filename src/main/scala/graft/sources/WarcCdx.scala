@@ -111,13 +111,27 @@ object WarcCdx {
     // and vacuum — take the same writer lock so a compact racing an
     // in-flight merge fails fast instead of deleting its files; a fresh
     // outDir has no layout (and no lock) to protect. The overwrite write
-    // deletes the lock file along with the dir, which is fine: from that
-    // point a racing writer fails loudly on the missing manifest.
-    def doCompact(): Unit = {
+    // deletes the lock file along with the dir, so the lock is
+    // RE-ASSERTED (same holder token, create-exclusive) immediately after
+    // the write: without that, the rest of the compact ran unlocked — a
+    // merge acquiring a fresh lock in the window interleaved with the
+    // in-flight renames, and compact's finally-delete then removed the
+    // merge's live lock, re-admitting a third writer (ADVICE r20). The
+    // token-checked delete in [[withWriterLock]] closes the second half.
+    def doCompact(relockToken: Option[String]): Unit = {
     spark.read.text(s"$dir/*.cdxj")
       .repartitionByRange(nParts, col("value"))
       .sortWithinPartitions(col("value"))
       .write.mode("overwrite").text(outDir)
+    relockToken.foreach { token =>
+      try writeLockFile(fs, lockPath(out), token)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"WarcCdx.compact: another writer acquired ${lockPath(out)} while the " +
+            "overwrite write had the directory (and lock) deleted — the layout " +
+            "may be interleaved; re-run compact once the other writer finishes", e)
+      }
+    }
     // canonicalize to GAP-NUMBERED part names (part-%012d, numbers
     // NameGap apart): [[mergeCompact]]'s split policy inserts new parts
     // BETWEEN existing ones by picking an unused number in the gap — a
@@ -138,8 +152,9 @@ object WarcCdx {
     }
     writeClusterIdx(fs, out)
     }
-    if (fs.exists(out)) withWriterLock(fs, out, "compact")(doCompact())
-    else doCompact()
+    if (fs.exists(out))
+      withWriterLockToken(fs, out, "compact")(token => doCompact(Some(token)))
+    else doCompact(None)
   }
 
   /** Gap between canonical part numbers — the headroom [[mergeCompact]]
@@ -198,7 +213,16 @@ object WarcCdx {
     if (name == "cluster.idx") Some(0L)
     else if (name.startsWith("cluster.idx.v") && name.length > 13 &&
       name.length <= 13 + 18 &&
-      name.substring(13).forall(_.isDigit)) Some(name.substring(13).toLong)
+      name.substring(13).forall(_.isDigit)) {
+      // round-trip canonicality (r21, ADVICE r20): accept only names that
+      // manifestName would itself produce — rejects 'cluster.idx.v0'
+      // (aliasing the legacy generation-0 'cluster.idx') and leading-zero
+      // forms like 'cluster.idx.v01' (duplicating v1), either of which
+      // would skew vacuum's takeRight(retain) and reader resolution with
+      // versions whose canonical file may not exist
+      val v = name.substring(13).toLong
+      if (manifestName(v) == name) Some(v) else None
+    }
     else None
 
   private def manifestVersions(
@@ -332,9 +356,40 @@ object WarcCdx {
     */
   private def withWriterLock[T](
       fs: org.apache.hadoop.fs.FileSystem, out: org.apache.hadoop.fs.Path,
-      op: String)(body: => T): T = {
-    val lock = new org.apache.hadoop.fs.Path(out, "_graft_cdx_writer.lock")
-    val w = try fs.create(lock, false)
+      op: String)(body: => T): T =
+    withWriterLockToken(fs, out, op)(_ => body)
+
+  private[graft] def lockPath(out: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(out, "_graft_cdx_writer.lock")
+
+  /** Create-exclusive write of the holder token into `lock` — throws
+    * IOException when the lock already exists (someone else holds it).
+    */
+  private def writeLockFile(
+      fs: org.apache.hadoop.fs.FileSystem, lock: org.apache.hadoop.fs.Path,
+      token: String): Unit = {
+    val w = fs.create(lock, false)
+    try w.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally w.close()
+  }
+
+  /** [[withWriterLock]] with the holder token exposed to `body` — for
+    * bodies that destroy and re-create the layout directory (compact's
+    * overwrite write) and must re-assert the SAME lock mid-flight. The
+    * final delete is token-checked: the lock is removed only while its
+    * contents still name this writer, so a racer's live lock (acquired in
+    * a window where ours was destroyed) is never deleted out from under
+    * it (ADVICE r20).
+    */
+  private def withWriterLockToken[T](
+      fs: org.apache.hadoop.fs.FileSystem, out: org.apache.hadoop.fs.Path,
+      op: String)(body: String => T): T = {
+    val lock = lockPath(out)
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "unknown-host" }
+    val token = s"$op pid=${ProcessHandle.current().pid()} host=$host " +
+      s"since=${java.time.Instant.now()} nonce=${java.util.UUID.randomUUID()}"
+    try writeLockFile(fs, lock, token)
     catch {
       case e: java.io.IOException =>
         val holder = try {
@@ -347,15 +402,16 @@ object WarcCdx {
           s"WarcCdx.$op: another writer holds $lock ($holder) — merge/vacuum are " +
             "single-writer; if that writer crashed, delete the lock file and retry", e)
     }
-    try {
-      val host = try java.net.InetAddress.getLocalHost.getHostName
-        catch { case _: java.net.UnknownHostException => "unknown-host" }
-      w.write((s"$op pid=${ProcessHandle.current().pid()} host=$host " +
-        s"since=${java.time.Instant.now()}")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally w.close()
-    try body
-    finally fs.delete(lock, false)
+    try body(token)
+    finally {
+      val mine = try {
+        val in = fs.open(lock)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == token
+        finally in.close()
+      } catch { case _: java.io.IOException => false }
+      if (mine) fs.delete(lock, false)
+    }
   }
 
   private def deleteUnlisted(
@@ -916,7 +972,9 @@ object WarcCdx {
       requests: DataFrame): DataFrame = {
     require(requests.columns.contains("urlkey") && requests.columns.contains("timestamp"),
       s"lookupClosestBatch needs urlkey + timestamp request columns, " +
-        s"got [${requests.columns.mkString(", ")}]")
+        s"got [${requests.columns.mkString(", ")}] — note the requests frame is " +
+        "evaluated more than once (part routing, then the join): materialize a " +
+        "nondeterministic request source first or lookups can silently miss")
     // pass-through request columns must not shadow the index schema the
     // join contributes (the markRevisits reserved-name rule)
     val reserved = Set("url", "mime", "digest", "rid", "offset", "length",

@@ -95,4 +95,25 @@ class SnapshotSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap shouldBe
       Map(1L -> "a", 2L -> "b")
   }
+
+  test("applyChangeLog: a base row with a genuinely NULL id passes through unchanged") {
+    // off-contract input, but the historical behavior (pre-r20) was
+    // pass-through; the r20 phantom-insert guard keyed on id nullability
+    // and silently dropped it (null id + null __op fails both branches) —
+    // base presence is now tagged explicitly (ADVICE r20 fix, r21)
+    val base = Seq((Some(1L), "a"), (None, "ghost"))
+      .toDF("doc_id", "text")
+    val changes = Seq((1L, "upsert", 1L, "A"))
+      .toDF("doc_id", "op", "seq", "text")
+    val out = Snapshot.applyChangeLog(base, changes)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+      .toMap
+    out shouldBe Map(Some(1L) -> "A", None -> "ghost")
+    // and a delete still cannot reach it: null never equals a change id
+    val del = Seq((1L, "delete", 1L, ""))
+      .toDF("doc_id", "op", "seq", "text")
+    Snapshot.applyChangeLog(base, del)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+      .toMap shouldBe Map(None -> "ghost")
+  }
 }

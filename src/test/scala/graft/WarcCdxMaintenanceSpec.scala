@@ -880,6 +880,34 @@ class WarcCdxMaintenanceSpec extends SparkTestBase {
     WarcCdx.readCompacted(spark, out).count() shouldBe before
   }
 
+  test("manifest names are round-trip canonical: v0 and leading zeros are foreign files") {
+    // ADVICE r20: 'cluster.idx.v0' used to parse as generation 0 (aliasing
+    // the legacy 'cluster.idx') and 'cluster.idx.v01' as 1 (duplicating
+    // v1) — duplicate/aliased versions whose canonical manifestName
+    // resolves to a different or missing file, skewing vacuum's
+    // takeRight(retain) and readManifest resolution. Only names
+    // manifestName itself produces are versions now.
+    WarcCdx.manifestVersionOf("cluster.idx") shouldBe Some(0L)
+    WarcCdx.manifestVersionOf("cluster.idx.v1") shouldBe Some(1L)
+    WarcCdx.manifestVersionOf("cluster.idx.v17") shouldBe Some(17L)
+    WarcCdx.manifestVersionOf("cluster.idx.v0") shouldBe None
+    WarcCdx.manifestVersionOf("cluster.idx.v01") shouldBe None
+    WarcCdx.manifestVersionOf("cluster.idx.v007") shouldBe None
+    // and a layout carrying such foreign files resolves as if they were
+    // any other debris
+    val out = tmp("graft_cdx_canon")
+    val seg = tmp("graft_cdx_canon_seg")
+    writeArchive(seg, mkPayloads(4))
+    WarcCdx.compact(spark, seg, out, nParts = 1)
+    val rows = WarcCdx.readCompacted(spark, out).collect().map(_.toString).sorted
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "cluster.idx.v0"), "zzz\tno-such-part\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "cluster.idx.v01"), "zzz\tno-such-part\n")
+    WarcCdx.manifestVersions(spark, out) shouldBe Seq(1L)
+    WarcCdx.readCompacted(spark, out).collect().map(_.toString).sorted shouldBe rows
+  }
+
   test("cluster.idx first keys are exact even when the first line exceeds one read chunk") {
     // r18 advice: a 64 KiB-truncated first key is NOT harmless — it is
     // part i's lower bound AND part i-1's UPPER bound in selectParts, so
