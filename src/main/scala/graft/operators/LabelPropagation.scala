@@ -76,14 +76,13 @@ object LabelPropagation {
     val symmetrized = directed
       .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-    // data-size-adaptive layout width (r21, [[Dedup.layoutPartitionCount]]):
-    // small graphs lay out narrow, above-advisory graphs keep the static
-    // shuffle-partition width — same rationale as the CC/PageRank layouts
+    // data-size-adaptive layout width (r21, [[Dedup.layoutPartitionCount]] /
+    // [[Dedup.distinctLayout]]): small graphs lay out narrow in ONE
+    // exchange, above-advisory graphs keep the static-width
+    // distinct-then-repartition shape — same rationale as CC/PageRank
     val nParts = Dedup.layoutPartitionCount(symmetrized)
-    val e = Dedup.withAqeOff(sess)(ckpt(symmetrized
-      .repartition(nParts, col("src"))
-      .sortWithinPartitions(col("src"))))
+    val e = Dedup.withAqeOff(sess)(ckpt(
+      Dedup.distinctLayout(symmetrized, nParts, "src")))
     val driverCap =
       if (driverFinishEdges >= 0L) driverFinishEdges
       else edges.sparkSession.conf

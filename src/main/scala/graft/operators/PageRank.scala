@@ -88,16 +88,13 @@ object PageRank {
     // graph ran 588 thirty-two-task-wide stages before) while an
     // above-advisory edge table keeps the full static width. ONE shared
     // count for edges/verts/degrees keeps every round join co-partitioned.
-    val deduped = edges
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
-    val nParts = Dedup.layoutPartitionCount(deduped)
-    val e = withAqeOff(ckpt(deduped
-      .repartition(nParts, col("src"))
-      .sortWithinPartitions(col("src"))))
-    val verts = withAqeOff(ckpt(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
-        .repartition(nParts, col("id"))))
+    val nParts = Dedup.layoutPartitionCount(raw)
+    val e = withAqeOff(ckpt(Dedup.distinctLayout(raw, nParts, "src")))
+    val verts = withAqeOff(ckpt(Dedup.distinctLayout(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))),
+      nParts, "id", sort = false)))
     val nV = verts.agg(count(lit(1)).as("n_v"))
     // exchange-free over the src-partitioned edges; checkpoints hash(src)
     val outDeg = withAqeOff(ckpt(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))))

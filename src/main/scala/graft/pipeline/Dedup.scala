@@ -162,16 +162,24 @@ object Dedup {
     * default; <= 0 disables and always uses the static count).
     */
   private[graft] def layoutPartitionCount(df: DataFrame): Int = {
-    val sess = df.sparkSession
+    val bytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    layoutPartitionsForBytes(df.sparkSession, bytes)
+  }
+
+  /** The bytes → layout-width rule shared by the stats-based
+    * [[layoutPartitionCount]] and the measured-storage CC path:
+    * ceil(bytes/advisory) clamped to [2, static shuffle partitions].
+    */
+  private[graft] def layoutPartitionsForBytes(
+      sess: org.apache.spark.sql.SparkSession, bytes: BigInt): Int = {
     val maxParts =
       math.max(1, sess.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val advisory =
       sess.conf.get("spark.graft.layout.advisoryBytes", (64L << 20).toString).toLong
     if (advisory <= 0) maxParts
     else {
-      val bytes =
-        try df.queryExecution.optimizedPlan.stats.sizeInBytes
-        catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
       val n = (bytes + advisory - 1) / advisory
       // floor at 2, not 1: `repartition(1, key)` plans as SinglePartition
       // (not HashPartitioning(key, 1)), which the co-partitioning machinery
@@ -180,6 +188,23 @@ object Dedup {
       // (probe-verified on this Spark)
       if (n >= maxParts) maxParts else math.min(maxParts, math.max(2, n.toInt))
     }
+  }
+
+  /** Persisted size (memory + disk) of `rdds`' storage blocks, when every
+    * one of them is currently tracked — the EXACT post-materialization
+    * byte count the CC layout is sized from (plan stats inflate through
+    * the LSH mining joins upstream and would pin every near-dup graph at
+    * the static width). Deserialized in-memory block sizes overestimate
+    * serialized bytes — the safe direction (a too-wide layout, never a
+    * too-narrow one).
+    */
+  private[graft] def storageBytes(
+      sess: org.apache.spark.sql.SparkSession, rdds: Seq[RDD[_]]): Option[Long] = {
+    if (rdds.isEmpty) return None
+    val ids = rdds.map(_.id).toSet
+    val infos = sess.sparkContext.getRDDStorageInfo.filter(i => ids(i.id))
+    if (infos.length != ids.size) None
+    else Some(infos.map(i => i.memSize + i.diskSize).sum)
   }
 
   /** Pin `df` to the layout width by an explicit hash repartition on `key`
@@ -200,6 +225,37 @@ object Dedup {
     val staticParts = math.max(
       1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     if (nParts < staticParts) df.repartition(nParts, col(key)) else df
+  }
+
+  /** Deduplicate `df` and lay it out hash-partitioned (and optionally
+    * sorted) on `key` at `nParts` — the shared edge-layout shape of the
+    * PageRank/LPA checkpoints, regime-split like [[pinToLayout]]:
+    *
+    *   - full width (`nParts == static`, the corpus regime): `distinct()`
+    *     FIRST — its partial aggregation dedups map-side so the exchange
+    *     carries ~|V|-ish partials, then the explicit layout repartition.
+    *     Two exchanges, the r14-r20 shape unchanged.
+    *   - narrow (`nParts < static`, a provably-small graph): ONE explicit
+    *     `repartition(nParts, key)` with the distinct applied in place on
+    *     top (hash(key) co-locates every duplicate of a (key, …) row, so
+    *     the aggregation needs no second exchange). The un-deduplicated
+    *     rows crossing the single exchange are bounded by the layout
+    *     advisory — the narrow gate is what makes the trade safe.
+    */
+  private[graft] def distinctLayout(
+      df: DataFrame, nParts: Int, key: String, sort: Boolean = true): DataFrame = {
+    val staticParts = math.max(
+      1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val laid =
+      if (nParts < staticParts) df.repartition(nParts, col(key)).distinct()
+      else {
+        val d = df.distinct()
+        // a single-column frame's distinct already hash-partitions on the
+        // key at the static width — an explicit repartition would stack a
+        // second, redundant exchange on top
+        if (df.columns.toSeq == Seq(key)) d else d.repartition(nParts, col(key))
+      }
+    if (sort) laid.sortWithinPartitions(col(key)) else laid
   }
 
   /** Unpersist every frame cached by previous dedup calls (see [[cache]]).
@@ -634,7 +690,25 @@ object Dedup {
     // PipelineSpec's checkpointed-edge-table plan tests.
     val sess = pairs.sparkSession
     def withAqeOff[T](body: => T): T = Dedup.withAqeOff(sess)(body)
-    val directed = pairs
+    // The pair list materializes ADAPTIVELY first (r21): the edge-layout
+    // checkpoint below must plan with AQE suspended, and without this
+    // lineage cut that non-adaptive planning swallows the ENTIRE upstream
+    // mining pipeline — LSH candidate generation, verify joins, pair
+    // aggregation all pinned at the static shuffle width and shut out of
+    // AQE's coalescing AND skew-join splitting (at corpus scale the skew
+    // handling on the bucket self-joins is the part that matters; at bench
+    // scale this was ~160 near-empty 32-wide tasks per CC query). Costs
+    // one transient pairs-sized block set, freed as soon as the edge
+    // table exists.
+    val matPairs = lazyCheckpoint(pairs.select(col("id_a"), col("id_b")))
+    val matPairsBlocks = checkpointRdds(matPairs)
+    // materialize NOW (one extra job boundary — the pipeline computes once
+    // either way) so the layout width below is sized from the pair list's
+    // ACTUAL stored bytes: plan stats inflate through the mining joins and
+    // would otherwise pin every LSH-derived graph at the static width
+    matPairs.count()
+    val measuredPairBytes = storageBytes(sess, matPairsBlocks)
+    val directed = matPairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
@@ -647,11 +721,15 @@ object Dedup {
       // directed edge survives, `least` ignores the null neighbor, and x
       // labels itself — exactly the driver tier's isolated-node behavior.
       .filter(col("src").isNotNull)
-    // layout width is data-size-adaptive (r21, [[layoutPartitionCount]]):
-    // the AQE-off planning below pins every stage co-partitioned with this
-    // table at the chosen count, so a provably-small graph lays out narrow
-    // instead of at the static shuffle-partition width
-    val nParts = layoutPartitionCount(directed)
+    // layout width is data-size-adaptive (r21): sized from the MEASURED
+    // pair-block bytes (×2 for the directed expansion) when available,
+    // plan stats otherwise. The AQE-off planning below pins every stage
+    // co-partitioned with this table at the chosen count, so a
+    // provably-small graph lays out narrow instead of at the static
+    // shuffle-partition width.
+    val nParts = measuredPairBytes
+      .map(b => layoutPartitionsForBytes(sess, BigInt(b) * 2))
+      .getOrElse(layoutPartitionCount(directed))
     val edges = withAqeOff(ckpt(directed
       .repartition(nParts, col("src"))
       .sortWithinPartitions(col("src"))))
@@ -674,6 +752,8 @@ object Dedup {
       sum(col("__deg")).as("edges")).head()
     var changed = if (firstStats.isNullAt(0)) 0L else firstStats.getLong(0)
     val edgeCount = if (firstStats.isNullAt(1)) 0L else firstStats.getLong(1)
+    // the edge table exists now — the transient pair blocks are dead weight
+    matPairsBlocks.foreach(_.unpersist(blocking = false))
     // Small-graph tier (see the scaladoc): when every directed edge fits a
     // bounded driver budget, one collect of the just-materialized edge
     // blocks + a union-find replaces the remaining barrier rounds.
