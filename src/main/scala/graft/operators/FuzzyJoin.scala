@@ -187,7 +187,12 @@ object FuzzyJoin {
         prefixGrams(r, "__rid", "__rs", "__rl"))
     } else {
       // one gram stream per side feeds the df aggregation AND the prefix
-      // pick — cached so the explode materializes once
+      // pick — cached so the explode materializes once. (r21 note: an
+      // explicit static-width repartition below the tagging was measured
+      // and REVERTED — it spread the O(G²) tagging but cost 358 near-empty
+      // tasks and 10× the summed task time on dimension-sized sides for a
+      // marginal wall gain; the tagging follows the input's scan
+      // parallelism, which is the honest width at corpus scale.)
       val lg = graft.pipeline.Dedup.cache(allGrams(l, "__lid", "__ls", "__ll"))
       val rg = graft.pipeline.Dedup.cache(allGrams(r, "__rid", "__rs", "__rl"))
       val dfTab = lg.select(col("__h")).unionAll(rg.select(col("__h")))
