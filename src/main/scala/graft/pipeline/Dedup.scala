@@ -150,7 +150,8 @@ object Dedup {
     * co-partitioned with the layout inherits that width (r21 baseline:
     * q_graph_pagerank ran 588 tasks for a 50-vertex graph). This applies
     * the AQE coalescing POLICY to the layout by hand: partitions =
-    * ceil(estimated bytes / advisory), clamped to [1, shuffle.partitions].
+    * ceil(estimated bytes / advisory), clamped to [2, shuffle.partitions]
+    * (see [[layoutPartitionsForBytes]] for the floor's rationale).
     *
     * The size source is Catalyst's `LogicalPlan.stats.sizeInBytes` — the
     * same estimate the planner trusts for broadcast decisions. Its error

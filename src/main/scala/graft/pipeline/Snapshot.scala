@@ -38,6 +38,8 @@ object Snapshot {
       val missing = dataCols.filterNot(changes.columns.contains)
       s"changes is missing base columns: ${missing.mkString(", ")}"
     })
+    require(!base.columns.contains("__base"),
+      "__base is reserved by applyChangeLog (the base-presence marker)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col(seqCol).desc, (col(opCol) === "delete").desc, col(opCol))
