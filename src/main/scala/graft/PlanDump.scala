@@ -42,6 +42,16 @@ object PlanDump {
       // session parity with Bench (r21) so probed plans/stage shapes match
       // what the bench actually runs
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // File-split count derives from SIZE, not core count (r21, guide §6):
+      // the default minPartitionNum = defaultParallelism shreds multi-file
+      // scans into per-file splits whenever totalBytes/cores < openCost —
+      // at sf0.1 a 30-directory LSH probe paid 30 task inits for ~1 MB of
+      // data (q_ann_lsh run_ms ~10 s). With the floor at 1 the packer is
+      // governed by maxPartitionBytes/openCostInBytes alone, which is the
+      // policy that holds at any scale (at 100 TB the default floor never
+      // binds — bytes/128 MB >> cores). Single-row-group single-file scans
+      // are unaffected (only one split ever carries rows).
+      .config("spark.sql.files.minPartitionNum", "1")
       .getOrCreate()
     extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,16 @@ object Verify {
       // Bench.scala for the rationale (none of these can change VALUES,
       // only partitioning/task counts, and the driver compare sorts rows)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // File-split count derives from SIZE, not core count (r21, guide §6):
+      // the default minPartitionNum = defaultParallelism shreds multi-file
+      // scans into per-file splits whenever totalBytes/cores < openCost —
+      // at sf0.1 a 30-directory LSH probe paid 30 task inits for ~1 MB of
+      // data (q_ann_lsh run_ms ~10 s). With the floor at 1 the packer is
+      // governed by maxPartitionBytes/openCostInBytes alone, which is the
+      // policy that holds at any scale (at 100 TB the default floor never
+      // binds — bytes/128 MB >> cores). Single-row-group single-file scans
+      // are unaffected (only one split ever carries rows).
+      .config("spark.sql.files.minPartitionNum", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

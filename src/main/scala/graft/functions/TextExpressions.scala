@@ -671,6 +671,81 @@ case class Sha1Base32Digest(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Feature-hashed bag-of-words vector of a text column — the fused map-side
+  * form of [[graft.pipeline.Similarity.hashEmbed]]'s convention: tokenize
+  * like `split(lower(text), " ")`, bucket each token by
+  * `conv(substring(md5(token), 1, 4), 16, 10) % dim` (the
+  * [[graft.pipeline.Sampling.md5Uniform]] construction — the first two md5
+  * bytes as an unsigned 16-bit int), and return the per-bucket counts as
+  * `array<long>` of length `dim`.
+  *
+  * Bit-equivalence with the declarative chain it replaces (r21): the
+  * tokenizer is `UTF8String.toLowerCase` + regex-split on " " with limit -1
+  * (trailing empties kept — exactly Spark's `split`, the same pairing
+  * [[WordShingleHashes]] documents), and the bucket of a token is the
+  * integer value of the md5 digest's first two bytes (== parsing the first
+  * 4 hex chars, what `conv(substring(md5(t),1,4),16,10)` computes) mod
+  * `dim` — both operands non-negative, so `%` and `pmod` agree. Counts are
+  * exact longs, so the output replays bitwise in any engine.
+  *
+  * Why it exists: the pre-r21 chain exploded the corpus to one row per
+  * token and rebuilt vectors through two hash aggregations plus a
+  * zero-fill join-back — three exchanges carrying token-level rows for a
+  * result that is a pure per-document map (guide §2.4: remove shuffles
+  * outright). This expression computes the vector in the scan's own
+  * whole-stage-codegen pass; a null text yields NULL (callers that want
+  * the zero vector coalesce it, preserving the old left-join semantics).
+  */
+case class HashEmbedVector(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_embed_vector"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  // one digest instance per thread — MessageDigest is stateful and tasks
+  // share a JVM in local mode
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashEmbed", this, classOf[HashEmbedVector].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val counts = new Array[Long](dim)
+    val md = md5Local.get()
+    // limit -1 keeps trailing empty tokens — Spark's split() semantics
+    val tokens = s.toLowerCase.split(space, -1)
+    var i = 0
+    while (i < tokens.length) {
+      md.reset()
+      val digest = md.digest(tokens(i).getBytes)
+      // first two md5 bytes as an unsigned 16-bit int == md5Uniform
+      val u = ((digest(0) & 0xff) << 8) | (digest(1) & 0xff)
+      counts(u % dim) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def sha1Base32Digest(payload: Column): Column =
     colOf(Sha1Base32Digest(exprOf(payload)))
@@ -695,4 +770,6 @@ object TextFunctions {
     colOf(BigramLogProb(exprOf(text), bigramCounts, contextCounts, alpha, denomAdd))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     colOf(UnicodeNormalize(exprOf(text), form))
+  def hashEmbedVector(text: Column, dim: Int): Column =
+    colOf(HashEmbedVector(exprOf(text), dim))
 }

@@ -59,43 +59,75 @@ object WordShinglesFunction {
   * partition-local `Generate` fan-out as built-in `explode`.
   */
 case class WordShingleHashes(
-    child: Expression, n: Int, withHashes: Boolean = true, withPos: Boolean = false)
+    child: Expression, n: Int, withHashes: Boolean = true, withPos: Boolean = false,
+    withSpans: Boolean = true)
     extends UnaryExpression with Generator with CodegenFallback {
   require(n >= 1, "shingle size must be >= 1")
+  require(withHashes || withSpans, "at least one of __h/span must be emitted")
 
   override def elementSchema: StructType = {
     val base =
-      if (withHashes)
-        StructField("__h", org.apache.spark.sql.types.LongType, nullable = false) ::
-          StructField("span", StringType, nullable = false) :: Nil
-      else
-        StructField("span", StringType, nullable = false) :: Nil
+      (if (withHashes)
+        StructField("__h", org.apache.spark.sql.types.LongType, nullable = false) :: Nil
+      else Nil) :::
+        (if (withSpans) StructField("span", StringType, nullable = false) :: Nil else Nil)
     StructType(
       if (withPos)
         StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false) :: base
       else base)
   }
 
-  private val space = UTF8String.fromString(" ")
-
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val s = child.eval(input).asInstanceOf[UTF8String]
     if (s == null) Nil
     else {
-      // limit -1 keeps trailing empty tokens — Spark's split() semantics
-      val tokens = s.toLowerCase.split(space, -1)
-      if (tokens.length < n) Nil
-      else (0 to tokens.length - n).map { i =>
-        val span = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(tokens, i, i + n): _*)
-        val base: Seq[Any] =
-          if (withHashes) {
-            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-              span.getBaseObject, span.getBaseOffset, span.numBytes, 42L)
-            Seq(h, span)
-          } else Seq(span)
-        // pos is the shingle's 0-BASED first-word index — what a masking
-        // consumer needs to address the words the span covers
-        InternalRow.fromSeq(if (withPos) i +: base else base)
+      // r21 hot-path form: ONE lowered byte copy per document, token
+      // boundaries from a byte scan — 0x20 never occurs inside a
+      // multi-byte UTF-8 sequence, so splitting on the space BYTE is
+      // bit-equal to the regex-split on " " with limit -1 (consecutive
+      // spaces yield empty tokens, the trailing empty is kept, "" is one
+      // empty token). Because the separators are single spaces, the span
+      // tokens[i..i+n) joined with " " is EXACTLY the byte range from
+      // token i's first byte to token i+n-1's last — so hashes come from
+      // the range with no per-shingle allocation at all, and span strings
+      // (when asked for) are zero-copy views over the document's bytes.
+      // The pre-r21 form allocated copyOfRange + concatWs per shingle.
+      val bytes = s.toLowerCase.getBytes
+      var nTokens = 1
+      var i = 0
+      while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+      if (nTokens < n) Nil
+      else {
+        // starts(t) = first byte of token t; token t ends where separator
+        // t begins (ends(t) == starts(t+1) - 1; the last ends at length)
+        val starts = new Array[Int](nTokens + 1)
+        starts(0) = 0
+        var t = 1
+        i = 0
+        while (i < bytes.length) {
+          if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+          i += 1
+        }
+        starts(nTokens) = bytes.length + 1
+        def endOf(tok: Int): Int = starts(tok + 1) - 1
+        (0 to nTokens - n).map { w =>
+          val from = starts(w)
+          val len = endOf(w + n - 1) - from
+          val base: Seq[Any] = {
+            val hashPart =
+              if (withHashes)
+                org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+                  bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+                  len, 42L) :: Nil
+              else Nil
+            val spanPart =
+              if (withSpans) UTF8String.fromBytes(bytes, from, len) :: Nil else Nil
+            hashPart ::: spanPart
+          }
+          // pos is the shingle's 0-BASED first-word index — what a masking
+          // consumer needs to address the words the span covers
+          InternalRow.fromSeq(if (withPos) w +: base else base)
+        }
       }
     }
   }
@@ -110,6 +142,7 @@ object WordShingleHashesFunction {
     * discarded on the corpus-wide fan-out).
     */
   def wordShingleHashes(
-      text: Column, n: Int, withHashes: Boolean = true, withPos: Boolean = false): Column =
-    colOf(WordShingleHashes(exprOf(text), n, withHashes, withPos))
+      text: Column, n: Int, withHashes: Boolean = true, withPos: Boolean = false,
+      withSpans: Boolean = true): Column =
+    colOf(WordShingleHashes(exprOf(text), n, withHashes, withPos, withSpans))
 }

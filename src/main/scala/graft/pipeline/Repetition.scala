@@ -43,12 +43,14 @@ object Repetition {
       s"input columns collide with Repetition's reserved names: " +
         docs.columns.filter(reserved).mkString(", "))
     // JVM-speed generator fan-out (the r12 interpreted-HOF lesson); the
-    // hash column is unused here — the profile needs the gram string
+    // profile needs the gram string alone, so the XXH64 column is not
+    // computed at all (withHashes = false — r21; the generator cannot be
+    // column-pruned from outside)
     val grams = docs
       .select(col(idCol),
-        graft.functions.WordShingleHashesFunction.wordShingleHashes(col(textCol), n)
-          .as(Seq("__gh", "__g")))
-      .select(col(idCol), col("__g"))
+        graft.functions.WordShingleHashesFunction
+          .wordShingleHashes(col(textCol), n, withHashes = false)
+          .as(Seq("__g")))
     grams
       .groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__c"))

@@ -58,10 +58,15 @@ object Similarity {
     * bucket is the same cross-engine construction as [[Splits]] /
     * [[Sampling.md5Uniform]], so the vectors replay exactly in any engine.
     *
-    * Shape: one explode → (doc, bucket) partial agg (map-side combine
-    * collapses repeats), then per-doc reassembly from a bucket→count map —
-    * the [[groupCentroids]] pattern. Docs with no tokens still emit (the
-    * zero vector).
+    * Shape (r21, guide §2.4): ONE map-side pass — the native
+    * [[graft.functions.HashEmbedVector]] expression computes each doc's
+    * bucket-count histogram inside the scan's codegen stage. The pre-r21
+    * chain exploded the corpus to token rows and reassembled vectors
+    * through two hash aggregations plus a zero-fill join-back (three
+    * exchanges of token-level data for a per-document map); values are
+    * bit-identical (same tokenizer, same md5 bucket, exact long counts —
+    * spec-pinned against the old chain). A NULL text still yields the
+    * zero vector, the old left-join's semantics.
     */
   def hashEmbed(
       docs: DataFrame,
@@ -69,23 +74,10 @@ object Similarity {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
-    val toks = docs.select(col(idCol),
-      explode(split(lower(col(textCol)), " ")).as("term"))
-    val counts = toks
-      .select(col(idCol),
-        (graft.pipeline.Sampling.md5Uniform(col("term")) % dim).as("b"))
-      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-    val vec = transform(sequence(lit(0), lit(dim - 1)),
-      i => coalesce(element_at(col("__m"), i), lit(0L)))
-    val assembled = counts.groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("__m"))
-      .select(col(idCol), vec.as("vec"))
-    // docs whose tokenization is empty (no rows survive the explode) still
-    // deserve a vector: left-join back and zero-fill
-    docs.select(col(idCol)).join(assembled, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("vec"),
-          transform(sequence(lit(0), lit(dim - 1)), _ => lit(0L))).as("vec"))
+    docs.select(col(idCol),
+      coalesce(
+        graft.functions.TextFunctions.hashEmbedVector(col(textCol), dim),
+        typedLit(Array.fill(dim)(0L))).as("vec"))
   }
 
   /** Per-group mean embedding — the semantic summary behind source-level

@@ -150,7 +150,7 @@ object TextAnalysis {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     require(k > 0, s"k must be positive, got $k")
     val exploded = explodedSliceHashes(docs, n)
-    val candidateHashes = topSpanHashes(exploded, minDocs, k)
+    val candidateHashes = topSpanHashes(explodedHashesOnly(docs, n), minDocs, k)
     exploded
       .join(broadcast(candidateHashes), Seq("__h"), "left_semi")
       .groupBy(col("span"), col("doc_id"))
@@ -175,6 +175,16 @@ object TextAnalysis {
   private def explodedSliceHashes(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.WordShingleHashesFunction.wordShingleHashes(col("text"), n))
+
+  /** The hash-only fan-out for the THRESHOLD pass ([[topSpanHashes]]):
+    * Spark cannot column-prune inside a generator, so the span-string
+    * column the mining aggregation never reads is not built at all
+    * (r21 — `withSpans = false` skips even the zero-copy span view).
+    */
+  private def explodedHashesOnly(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.WordShingleHashesFunction.wordShingleHashes(
+        col("text"), n, withSpans = false))
 
   /** The hash-side mining pass shared by [[duplicatedSpans]] and
     * [[dropBoilerplate]]: per-hash (total occurrences, distinct docs) over
@@ -222,7 +232,7 @@ object TextAnalysis {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     require(k > 0, s"k must be positive, got $k")
     val exploded = explodedSliceHashes(docs, n)
-    val candidateHashes = topSpanHashes(exploded, minDocs, k)
+    val candidateHashes = topSpanHashes(explodedHashesOnly(docs, n), minDocs, k)
     // ONE candidate-narrowed pass feeds BOTH the exact string-side top-k
     // and the membership gate (pre-r16 each consumer re-scanned the
     // corpus-wide shingle stream — three full passes; now the threshold
@@ -379,11 +389,12 @@ object TextAnalysis {
     // ONE corpus explode feeds the two model aggregations AND the scoring
     // join — cached (doc_id rides along; the model aggs just ignore it).
     // The fan-out is the JVM-speed generator, not the interpreted
-    // transform/slice HOF (the r12 lesson; hash column unused here).
+    // transform/slice HOF (the r12 lesson); the unused hash column is not
+    // computed at all (withHashes = false, r21).
     val bg = Dedup.cache(docs.select(col("doc_id"),
-      graft.functions.WordShingleHashesFunction.wordShingleHashes(col("text"), 2)
-        .as(Seq("__h", "bigram")))
-      .select(col("doc_id"), col("bigram"))
+      graft.functions.WordShingleHashesFunction
+        .wordShingleHashes(col("text"), 2, withHashes = false)
+        .as(Seq("bigram")))
       .withColumn("ctx", substring_index(col("bigram"), " ", 1)))
     val bigramCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bigram")).limit(bigramK)
@@ -433,8 +444,9 @@ object TextAnalysis {
     require(contextK > 0, s"contextK must be positive, got $contextK")
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val bgAll = Dedup.cache(docs.select(
-      graft.functions.WordShingleHashesFunction.wordShingleHashes(col("text"), 2)
-        .as(Seq("__h", "bigram")))
+      graft.functions.WordShingleHashesFunction
+        .wordShingleHashes(col("text"), 2, withHashes = false)
+        .as(Seq("bigram")))
       .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("ctx")))
     val b2 = bgAll.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bigram")).limit(bigramK)

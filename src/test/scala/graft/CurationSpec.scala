@@ -178,7 +178,12 @@ class CurationSpec extends SparkTestBase {
       (1L, "The License  HEADER text appears "),
       (2L, "a b c"),
       (3L, "a b"),
-      (4L, null.asInstanceOf[String])
+      (4L, null.asInstanceOf[String]),
+      // multi-byte UTF-8 + case folding that changes byte length (the r21
+      // byte-scan tokenizer must stay bit-equal to regex split + lower)
+      (5L, "Straße ÉCOLE straße école Ĳs ĳs"),
+      (6L, " leading and  double  spaces kept "),
+      (7L, "")
     ).toDF("doc_id", "text")
     val viaGenerator = docs.select(col("doc_id"),
         graft.functions.WordShingleHashesFunction.wordShingleHashes(col("text"), 3))
@@ -195,6 +200,12 @@ class CurationSpec extends SparkTestBase {
     val b = viaBuiltins.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
     g shouldBe b
     g.nonEmpty shouldBe true
+    // the hash-only mining mode (withSpans = false) emits the same hashes
+    val hashOnly = docs.select(col("doc_id"),
+        graft.functions.WordShingleHashesFunction.wordShingleHashes(
+          col("text"), 3, withSpans = false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    hashOnly shouldBe g.map(t => (t._1, t._2)).sorted
   }
 
   test("dropBoilerplate removes every carrier of a mined span, keeps the rest") {

@@ -131,6 +131,45 @@ class TopKSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy Similarity.hashEmbed(d, dim = 1)
   }
 
+  test("hashEmbed: fused expression is bit-equal to the declarative md5 chain") {
+    // the r21 HashEmbedVector expression replaced explode + md5Uniform +
+    // two aggregations + zero-fill join; this pins the replacement to the
+    // exact construction the oracle replays, over the tokenizer's edge
+    // cases (empty string -> one empty token, consecutive/trailing spaces
+    // keep empty tokens, uppercase + non-ASCII lowercasing)
+    val d = Seq(
+      (1L, ""),                       // split("") = [""] — md5("") bucket counted
+      (2L, "a  b"),                   // consecutive spaces: empty middle token
+      (3L, "trailing space "),        // limit -1 keeps the trailing empty
+      (4L, "MiXeD Case ÉCOLE Straße"),
+      (5L, "alpha beta alpha gamma beta alpha"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val dim = 16
+    val declarative = {
+      val toks = d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val counts = toks
+        .select(col("doc_id"), (graft.pipeline.Sampling.md5Uniform(col("term")) % dim).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val vecExpr = transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L)))
+      val assembled = counts.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("__m"))
+        .select(col("doc_id"), vecExpr.as("vec"))
+      d.select(col("doc_id")).join(assembled, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("vec"), transform(sequence(lit(0), lit(dim - 1)), _ => lit(0L))).as("vec"))
+    }
+    val want = declarative.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = Similarity.hashEmbed(d, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    got shouldBe want
+    // and the plan is one map-side projection: no exchange, no join
+    val plan = Similarity.hashEmbed(d, dim = dim).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   test("groupCentroids: dimension-wise mean, order preserved, no raw-vector collect") {
     val vecs = Seq(
       (1L, "a", Seq(1.0f, 0.0f, 2.0f)),
