@@ -119,21 +119,46 @@ case class SimHash64(child: Expression)
   }
 
   def compute(tokens: ArrayData): Long = {
-    val votes = new Array[Int](64)
+    // votes(b) = 2·ones(b) − n, so the sign bit only needs the ONES count
+    // per position. SWAR form (r21): eight 8-bit lanes per accumulator
+    // long count bit positions {j, j+8, …, j+56} at once — 8 shift+mask
+    // adds per token instead of 64 branchy updates; lanes flush to the
+    // exact 32-bit counters every 255 tokens (an 8-bit lane's capacity),
+    // so the counts — and the resulting hash — are bit-identical to the
+    // per-bit loop at any document length.
+    val ones = new Array[Int](64)
+    val acc = new Array[Long](8)
     val n = tokens.numElements()
+    var pending = 0
     var i = 0
     while (i < n) {
       val h = TextHashing.hashUtf8(tokens.getUTF8String(i))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      var j = 0
+      while (j < 8) {
+        acc(j) += (h >>> j) & 0x0101010101010101L
+        j += 1
+      }
+      pending += 1
+      if (pending == 255 || i == n - 1) {
+        var jj = 0
+        while (jj < 8) {
+          val a = acc(jj)
+          var k = 0
+          while (k < 8) {
+            ones(jj + 8 * k) += ((a >>> (8 * k)) & 0xffL).toInt
+            k += 1
+          }
+          acc(jj) = 0L
+          jj += 1
+        }
+        pending = 0
       }
       i += 1
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    // votes(b) > 0  ⇔  2·ones(b) > n
+    while (b < 64) { if (2L * ones(b) > n) out |= (1L << b); b += 1 }
     out
   }
 

@@ -47,21 +47,23 @@ object Decontamination {
     TextAnalysis.shinglesOfWords(words, n)
 
   /** Explodes `textCol`'s shingles through the JVM-speed
-    * [[graft.functions.WordShingleHashes]] generator as (`__sh`, `__s`) =
-    * (xxhash64, string) pairs — one tokenization per row with no
-    * interpreted HOF in the corpus-wide fan-out (the r12 lesson). The hash
-    * is bit-equal to `xxhash64(__s)` (parity-tested in CurationSpec);
-    * string-keyed callers pass `withHashes = false` and get `__s` alone,
-    * skipping the per-shingle XXH64 on the corpus-wide fan-out entirely
-    * (ADVICE r15 — the unhashed paths were computing and discarding it).
+    * [[graft.functions.WordShingleHashes]] generator — one tokenization
+    * per row with no interpreted HOF in the corpus-wide fan-out (the r12
+    * lesson). Hash-keyed callers (`withHashes = true`) get `__sh` ALONE
+    * (the hash is bit-equal to `xxhash64` of the span string,
+    * parity-tested in CurationSpec) — every such caller keys on the hash
+    * and never reads the string, so since r21 the span column is not
+    * built at all. String-keyed callers pass `withHashes = false` and get
+    * `__s` alone, skipping the per-shingle XXH64 instead (ADVICE r15 —
+    * the unhashed paths were computing and discarding it).
     */
   private def explodedShingles(
       df: DataFrame, textCol: String, n: Int, keep: Seq[Column],
       withHashes: Boolean = true): DataFrame =
     df.select(keep :+
       graft.functions.WordShingleHashesFunction
-        .wordShingleHashes(col(textCol), n, withHashes)
-        .as(if (withHashes) Seq("__sh", "__s") else Seq("__s")): _*)
+        .wordShingleHashes(col(textCol), n, withHashes, withSpans = !withHashes)
+        .as(if (withHashes) Seq("__sh") else Seq("__s")): _*)
 
   /** One row per CONTAMINATED training doc: (`idCol`, n_shared) where
     * n_shared counts the distinct n-gram shingles the doc shares with the

@@ -96,6 +96,44 @@ class TextExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash64 SWAR lane counting is bit-equal to the per-bit vote loop") {
+    // the r21 SWAR form counts ones in eight 8-bit lanes flushed every 255
+    // tokens; this replays the original per-bit ±1 vote loop over token
+    // lists that cross the lane-flush boundary (255/256/511 tokens), empty
+    // and single-token docs, and duplicate-heavy content
+    val rng = new scala.util.Random(7)
+    def refSimhash(tokens: Seq[String]): Long = {
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = {
+          // FNV-1a + mix, the TextHashing construction
+          val bytes = t.getBytes("UTF-8")
+          var x = 0xcbf29ce484222325L
+          bytes.foreach(b => x = (x ^ (b & 0xffL)) * 0x100000001b3L)
+          var y = x + 0x9e3779b97f4a7c15L
+          y = (y ^ (y >>> 30)) * 0xbf58476d1ce4e5b9L
+          y = (y ^ (y >>> 27)) * 0x94d049bb133111ebL
+          y = y ^ (y >>> 31)
+          y
+        }
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val docs = Seq(0, 1, 2, 254, 255, 256, 511, 600).map { n =>
+      Seq.tabulate(n)(i => s"w${rng.nextInt(40)}_$i")
+    } :+ Seq.fill(300)("dup")
+    val got = docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("doc_id", "tokens")
+      .select(col("doc_id"), simhash64(col("tokens")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.zipWithIndex.foreach { case (ts, i) =>
+      withClue(s"doc $i (${ts.length} tokens): ") {
+        got(i.toLong) shouldBe refSimhash(ts)
+      }
+    }
+  }
+
   test("signatureAgreement counts equal positions and rejects length mismatch") {
     val agree = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L))).toDF("a", "b")
       .select(signatureAgreement(col("a"), col("b"))).head().getDouble(0)
