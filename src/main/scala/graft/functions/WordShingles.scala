@@ -146,3 +146,59 @@ object WordShingleHashesFunction {
       withSpans: Boolean = true): Column =
     colOf(WordShingleHashes(exprOf(text), n, withHashes, withPos, withSpans))
 }
+
+/** Adjacent CHARACTER pairs of each lowercased word, one row per pair — the
+  * BPE merge-statistic fan-out ([[graft.pipeline.TextAnalysis.bpeMergePairs]]).
+  * Bit-equal to the declarative nested-HOF chain
+  * `explode(flatten(transform(split(lower(text), " "), w ->
+  * transform(sequence(1, length(w) - 1), i -> substr(w, i, 2)))))`:
+  * tokenization is the same byte-scan-on-0x20 as [[WordShingleHashes]]
+  * (≡ regex split with limit -1), `length`/`substr` are CODE-POINT based in
+  * Spark, so pairs step one code point at a time via
+  * `UTF8String.numBytesForFirstByte` — exactly what `substringSQL` walks.
+  * The point: the HOF chain interprets two nested lambdas per element and
+  * allocates an array-of-arrays per document (the r12 lesson); this
+  * generator emits zero-copy views over one lowered byte copy per doc.
+  */
+case class CharBigrams(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(StructField("pair", StringType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) Nil
+    else {
+      val bytes = s.toLowerCase.getBytes
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var tokStart = 0
+      var i = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == ' ') {
+          // token = bytes[tokStart, i): walk its code points; each one
+          // after the first closes a two-code-point window starting at the
+          // previous code point's first byte
+          var prevStart = -1
+          var p = tokStart
+          while (p < i) {
+            val next = math.min(p + UTF8String.numBytesForFirstByte(bytes(p)), i)
+            if (prevStart >= 0)
+              out += InternalRow(UTF8String.fromBytes(bytes, prevStart, next - prevStart))
+            prevStart = p
+            p = next
+          }
+          tokStart = i + 1
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CharBigramsFunction {
+  def charBigrams(text: Column): Column = colOf(CharBigrams(exprOf(text)))
+}

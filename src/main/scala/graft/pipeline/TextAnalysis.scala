@@ -386,16 +386,20 @@ object TextAnalysis {
     require(bigramK > 0, s"bigramK must be positive, got $bigramK")
     require(contextK > 0, s"contextK must be positive, got $contextK")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    // ONE corpus explode feeds the two model aggregations AND the scoring
-    // join — cached (doc_id rides along; the model aggs just ignore it).
-    // The fan-out is the JVM-speed generator, not the interpreted
-    // transform/slice HOF (the r12 lesson); the unused hash column is not
-    // computed at all (withHashes = false, r21).
-    val bg = Dedup.cache(docs.select(col("doc_id"),
+    // The corpus fan-out feeds the two model aggregations AND the scoring
+    // join; each consumer re-runs the map-side generator rather than
+    // reading a cache (r21): caching value-serialized every bigram STRING
+    // into storage memory — infeasible at corpus scale and measured
+    // SLOWER than three generator passes at sf0.1 once the byte-offset
+    // generator landed (q_text_bigram_lm 0.68 s → 0.29 s, ppl_drop
+    // 0.79 → 0.52). The fan-out is the JVM-speed generator, not the
+    // interpreted transform/slice HOF (the r12 lesson); the unused hash
+    // column is not computed at all (withHashes = false, r21).
+    val bg = docs.select(col("doc_id"),
       graft.functions.WordShingleHashesFunction
         .wordShingleHashes(col("text"), 2, withHashes = false)
         .as(Seq("bigram")))
-      .withColumn("ctx", substring_index(col("bigram"), " ", 1)))
+      .withColumn("ctx", substring_index(col("bigram"), " ", 1))
     val bigramCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bigram")).limit(bigramK)
     val contextCounts = bg.groupBy(col("ctx")).agg(count(lit(1)).as("c1"))
@@ -443,11 +447,13 @@ object TextAnalysis {
     require(bigramK > 0, s"bigramK must be positive, got $bigramK")
     require(contextK > 0, s"contextK must be positive, got $contextK")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val bgAll = Dedup.cache(docs.select(
+    // uncached for the same reason as bigramLogProb's fan-out (r21): two
+    // generator passes beat value-serializing every bigram string
+    val bgAll = docs.select(
       graft.functions.WordShingleHashesFunction
         .wordShingleHashes(col("text"), 2, withHashes = false)
         .as(Seq("bigram")))
-      .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("ctx")))
+      .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("ctx"))
     val b2 = bgAll.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bigram")).limit(bigramK)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -680,12 +686,11 @@ object TextAnalysis {
     */
   def bpeMergePairs(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val words = split(lower(col("text")), " ")
-    val pairs = explode(flatten(transform(words, w =>
-      when(length(w) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(w) - 1),
-          i => w.substr(i, lit(2)))))))
-    docs.select(pairs.as("pair"))
+    // the corpus fan-out is the native CharBigrams generator (r21): the
+    // declarative form nested two interpreted HOF lambdas per element and
+    // allocated an array-of-arrays per document; pair values are bit-equal
+    // (spec-pinned, incl. multi-byte code points)
+    docs.select(graft.functions.CharBigramsFunction.charBigrams(col("text")).as(Seq("pair")))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)

@@ -208,6 +208,31 @@ class CurationSpec extends SparkTestBase {
     hashOnly shouldBe g.map(t => (t._1, t._2)).sorted
   }
 
+  test("CharBigrams generator is bit-equal to the nested-HOF substr chain") {
+    // the r21 native fan-out behind bpeMergePairs; pinned against the
+    // declarative form over code-point edge cases (multi-byte chars whose
+    // lowercase changes byte length, 1-char words, empty/multi-space text)
+    val docs = Seq(
+      (1L, "Hello BPE merge pairs"),
+      (2L, "É Straße ĲS x yz"),
+      (3L, "a"),
+      (4L, ""),
+      (5L, "double  space tail "),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val words = split(lower(col("text")), " ")
+    val viaHof = docs.select(explode(flatten(transform(words, w =>
+      when(org.apache.spark.sql.functions.length(w) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), org.apache.spark.sql.functions.length(w) - 1),
+          i => w.substr(i, lit(2))))))).as("pair"))
+      .collect().map(_.getString(0)).sorted
+    val viaGen = docs.select(
+        graft.functions.CharBigramsFunction.charBigrams(col("text")).as(Seq("pair")))
+      .collect().map(_.getString(0)).sorted
+    viaGen shouldBe viaHof
+    viaGen.nonEmpty shouldBe true
+  }
+
   test("dropBoilerplate removes every carrier of a mined span, keeps the rest") {
     val docs = Seq(
       (1L, "the license header text appears here once"),
