@@ -274,14 +274,23 @@ object Search {
       .limit(poolK)
       .select(col(idCol),
         row_number().over(w.orderBy(col("c").desc, col(idCol))).as("r_sem"))
-    // fuse: lex term + sem term in that fixed order
-    lex.join(sem, Seq(idCol), "full")
-      .select(col(idCol),
-        round(
-          coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0)),
-          6).as("rrf_score"),
-        col("r_lex"), col("r_sem"))
+    // fuse as UNION + per-id aggregate (r21): the full-outer join form
+    // planned a sort-merge join — two exchanges plus two sorts over the
+    // 2·poolK pool rows. One exchange does the same work. Values are
+    // bitwise-unchanged: each pool row contributes its own term plus a
+    // literal 0.0 (x + 0.0 == x for the strictly-positive rrf terms), and
+    // a doc in both pools sums exactly two doubles — IEEE addition of two
+    // terms is commutative bitwise, so the arbitrary union order cannot
+    // move the pre-round value.
+    val contrib =
+      coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0))
+    lex.withColumn("r_sem", lit(null).cast("int"))
+      .unionByName(sem.withColumn("r_lex", lit(null).cast("int")))
+      .select(col(idCol), contrib.as("__c"), col("r_lex"), col("r_sem"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__c")), 6).as("rrf_score"),
+        max(col("r_lex")).as("r_lex"), max(col("r_sem")).as("r_sem"))
       .orderBy(col("rrf_score").desc, col(idCol))
       .limit(k)
   }
