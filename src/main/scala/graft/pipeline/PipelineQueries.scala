@@ -926,16 +926,45 @@ object PipelineQueries {
     // every stage individually replayable so the whole funnel hash-checks
     "q_pipeline_funnel" -> ((s, dir) => {
       val d = docs(s, dir)
-      val s1 = d.join(Dedup.exact(d).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      // ONE pass (r21): the pre-r21 form unioned four stage aggregates, so
+      // the nested filter chain re-computed per stage (Dedup.exact ran
+      // three times). Every gate is a per-row flag — dedup survivorship is
+      // a left join against the (distinct-text-sized) keep-id set, quality
+      // and repetition are map-side expressions (the same RepetitionProfile
+      // gate dropRepetitive applies) — so all four counts come out of one
+      // conditional aggregation and reshape to the identical four rows.
       val words = size(split(col("text"), " "))
       val nonSpace = length(col("text")) - (words - 1)
-      val s2 = s1.filter(words >= 20 && nonSpace <= words * 12)
-      val s3 = Repetition.dropRepetitive(s2, n = 2, maxTopFraction = 0.08, maxDupFraction = 0.2)
-      def stage(df: DataFrame, idx: Int, name: String) =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
-      stage(d, 0, "all").union(stage(s1, 1, "dedup"))
-        .union(stage(s2, 2, "quality")).union(stage(s3, 3, "repetition"))
+      val rep = graft.functions.TextFunctions
+        .repetitionProfile(split(lower(col("text")), " "), 2)
+      val repFlagged = when(col("__r").isNotNull,
+        (col("__r.top_count").cast("double") / col("__r.n_grams").cast("double")) > 0.08 ||
+          (col("__r.dup").cast("double") / col("__r.n_grams").cast("double")) > 0.2)
+        .otherwise(lit(false))
+      val f1 = col("__keep").isNotNull
+      val f2 = f1 && words >= 20 && nonSpace <= words * 12
+      val f3 = f2 && !repFlagged
+      d.join(Dedup.exact(d).select(col("keep_id").as("doc_id"), lit(1).as("__keep")),
+          Seq("doc_id"), "left")
+        .withColumn("__r", rep)
+        .agg(count(lit(1)).as("n0"),
+          sum(when(f1, 1L).otherwise(0L)).as("n1"),
+          sum(when(f2, 1L).otherwise(0L)).as("n2"),
+          sum(when(f3, 1L).otherwise(0L)).as("n3"))
+        .select(explode(array(
+          struct(lit(0).as("stage_idx"), lit("all").as("stage"), col("n0").as("n_docs")),
+          struct(lit(1).as("stage_idx"), lit("dedup").as("stage"), col("n1").as("n_docs")),
+          struct(lit(2).as("stage_idx"), lit("quality").as("stage"), col("n2").as("n_docs")),
+          struct(lit(3).as("stage_idx"), lit("repetition").as("stage"), col("n3").as("n_docs"))))
+          .as("st"))
+        .select(col("st.stage_idx"), col("st.stage"), col("st.n_docs"))
+        // trivially true (counts are non-negative) but not provably so to
+        // the optimizer: without it a bare count() action prunes n0-n3 and
+        // with them the whole funnel (the reshape's cardinality is the
+        // 4-element literal array), and the bench row would measure only
+        // job overhead — this keeps the timed action computing what the
+        // query is for, at zero row-level cost
+        .filter(col("n_docs") >= 0)
     }),
     // keyword extraction: per-doc top-3 terms by log-free tf-idf ratio
     // (tf·N/df — every factor an exact integer, the bigram-lift precedent);
