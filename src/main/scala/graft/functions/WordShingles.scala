@@ -202,3 +202,136 @@ case class CharBigrams(child: Expression)
 object CharBigramsFunction {
   def charBigrams(text: Column): Column = colOf(CharBigrams(exprOf(text)))
 }
+
+/** Character q-gram MULTIPLICITIES of a string, one row per distinct gram —
+  * the [[graft.operators.FuzzyJoin]] candidate fan-out. Bit-equal to
+  * `explode(transform(sequence(1, len - n + 1), i -> substring(s, i, n)))`
+  * followed by a per-(row, gram) count: grams step one CODE POINT at a
+  * time (Spark's `substring` semantics), values are zero-copy views over
+  * the row's bytes, and counting happens inside the generator — so the
+  * per-gram hash-aggregate EXCHANGE the declarative form paid (keyed on
+  * (id, full string, gram)!) disappears along with the interpreted
+  * per-element lambda (r21; the r12 HOF lesson).
+  */
+case class CharGramCounts(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, "gram size must be >= 1")
+
+  override def elementSchema: StructType =
+    StructType(StructField("__g", StringType, nullable = false) ::
+      StructField("__c", org.apache.spark.sql.types.LongType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) Nil
+    else {
+      val bytes = s.getBytes
+      val starts = FuzzyGrams.codePointStarts(bytes)
+      val nChars = starts.length - 1
+      if (nChars < n) Nil
+      else {
+        val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+        var i = 0
+        while (i <= nChars - n) {
+          val g = UTF8String.fromBytes(bytes, starts(i), starts(i + n) - starts(i))
+          val c = counts.get(g)
+          counts.put(g, java.lang.Long.valueOf(if (c == null) 1L else c.longValue + 1L))
+          i += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[InternalRow](counts.size)
+        counts.forEach((g, c) => out += InternalRow(g, c.longValue))
+        out
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+private[functions] object FuzzyGrams {
+  /** Byte offsets of each code point start, with the end offset appended
+    * (clamped at the buffer edge for truncated trailing sequences, like
+    * `substringSQL`'s walk).
+    */
+  def codePointStarts(bytes: Array[Byte]): Array[Int] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](bytes.length + 1)
+    var p = 0
+    while (p < bytes.length) {
+      buf += p
+      p += math.max(1, math.min(UTF8String.numBytesForFirstByte(bytes(p)), bytes.length - p))
+    }
+    buf += bytes.length
+    buf.toArray
+  }
+}
+
+/** Occurrence-tagged character q-grams as `(xxhash64(gram), occ)` rows —
+  * the prefix-filter signatures of [[graft.operators.FuzzyJoin]]. `occ` is
+  * the gram's 1-based occurrence index among EQUAL grams so far (string
+  * equality, matching the declarative
+  * `size(filter(slice(grams, 1, i - 1), x -> x = g)) + 1` tag, which the
+  * HOF form computed in O(G²) interpreted element-lambdas — this is one
+  * O(G) hash-map pass). With `sorted = true` the tags are ordered by
+  * `(hash asc, occ asc)` and cut to the first `prefixLen` — the
+  * `array_sort + slice` prefix pick fused in (ties beyond (h, o) equality
+  * don't exist: equal (h, o) pairs are identical signatures, so any sort
+  * order yields the same emitted multiset). `sorted = false` emits every
+  * tag in gram order (the df-order path picks its prefix after the stats
+  * join).
+  */
+case class TaggedGramPrefix(child: Expression, n: Int, prefixLen: Int, sorted: Boolean)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, "gram size must be >= 1")
+  require(prefixLen >= 1, "prefixLen must be >= 1")
+
+  override def elementSchema: StructType =
+    StructType(StructField("__h", org.apache.spark.sql.types.LongType, nullable = false) ::
+      StructField("__o", org.apache.spark.sql.types.IntegerType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) Nil
+    else {
+      val bytes = s.getBytes
+      val starts = FuzzyGrams.codePointStarts(bytes)
+      val nChars = starts.length - 1
+      if (nChars < n) Nil
+      else {
+        val nGrams = nChars - n + 1
+        val hs = new Array[Long](nGrams)
+        val os = new Array[Int](nGrams)
+        val occ = new java.util.HashMap[UTF8String, Integer]()
+        var i = 0
+        while (i < nGrams) {
+          val from = starts(i)
+          val len = starts(i + n) - from
+          val g = UTF8String.fromBytes(bytes, from, len)
+          val prev = occ.get(g)
+          val o = if (prev == null) 1 else prev + 1
+          occ.put(g, o)
+          hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+          os(i) = o
+          i += 1
+        }
+        val order: Array[Integer] = Array.tabulate(nGrams)(Integer.valueOf)
+        if (sorted) {
+          java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+            val c = java.lang.Long.compare(hs(a), hs(b))
+            if (c != 0) c else Integer.compare(os(a), os(b))
+          })
+        }
+        val take = if (sorted) math.min(prefixLen, nGrams) else nGrams
+        (0 until take).map(j => InternalRow(hs(order(j)), os(order(j))))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object FuzzyGramFunctions {
+  def charGramCounts(s: Column, n: Int): Column = colOf(CharGramCounts(exprOf(s), n))
+  def taggedGramPrefix(s: Column, n: Int, prefixLen: Int, sorted: Boolean): Column =
+    colOf(TaggedGramPrefix(exprOf(s), n, prefixLen, sorted))
+}

@@ -52,14 +52,15 @@ object FuzzyJoin {
     val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"),
       length(col(rightStr)).as("__rl"))
 
+    // (gram, multiplicity) rows straight out of the native generator (r21):
+    // the declarative transform+explode+groupBy form paid an interpreted
+    // per-element lambda AND a hash-aggregate exchange keyed on the FULL
+    // string just to count per-row gram multiplicities
     def gramCounts(df: DataFrame, id: String, s: String, len: String): DataFrame =
       df.filter(col(len) >= n)
         .select(col(id), col(s), col(len),
-          explode(expr(
-            s"transform(sequence(1, $len - ${n - 1}), i -> substring($s, i, $n))"))
-            .as("__g"))
-        .groupBy(col(id), col(s), col(len), col("__g"))
-        .agg(count(lit(1)).as("__c"))
+          graft.functions.FuzzyGramFunctions.charGramCounts(col(s), n)
+            .as(Seq("__g", "__c")))
 
     val dist = levenshtein(col("__ls"), col("__rs"), maxDistance)
     val verified: Column => DataFrame => DataFrame = pre => df =>
@@ -124,9 +125,11 @@ object FuzzyJoin {
     *     equal-key elements are identical signatures — exactness is
     *     unconditional either way.
     *
-    * The tagging pass is O(G²) per row in the gram count G — map-side,
-    * fine for the name/host/title domains this operator targets. The
-    * short×short corner is the same length-band join as [[fuzzyPairs]].
+    * The tagging pass is one O(G) native-generator scan per row in the
+    * gram count G (r21 — the previous declarative form re-filtered the
+    * gram prefix per element, O(G²) through interpreted lambdas), entirely
+    * map-side. The short×short corner is the same length-band join as
+    * [[fuzzyPairs]].
     */
   def fuzzyPairsPrefix(
       left: DataFrame,
@@ -148,39 +151,27 @@ object FuzzyJoin {
     val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"),
       length(col(rightStr)).as("__rl"))
 
-    // the first prefixLen tagged grams of each string in (hash, occ) order
+    // the first prefixLen tagged grams of each string in (hash, occ) order —
+    // one O(G) native pass (r21): the declarative tagging filtered the
+    // gram-prefix per element (O(G²)) through interpreted lambdas, then
+    // array_sort'ed per row; the generator hash-map-counts occurrences and
+    // fuses the sort+slice (equal (h, o) keys are identical signatures, so
+    // tie order cannot change the emitted multiset)
     def prefixGrams(df: DataFrame, id: String, s: String, len: String): DataFrame =
       df.filter(col(len) >= n)
-        .withColumn("__grams", expr(
-          s"transform(sequence(1, $len - ${n - 1}), i -> substring($s, i, $n))"))
-        .withColumn("__tagged", expr(
-          "transform(sequence(1, size(__grams)), i -> named_struct(" +
-            "'h', xxhash64(element_at(__grams, i)), " +
-            "'o', size(filter(slice(__grams, 1, i - 1), " +
-            "x -> x = element_at(__grams, i))) + 1))"))
         .select(col(id), col(s), col(len),
-          explode(expr(
-            "slice(array_sort(__tagged, (a, b) -> " +
-              "CASE WHEN a.h < b.h THEN -1 WHEN a.h > b.h THEN 1 " +
-              "WHEN a.o < b.o THEN -1 WHEN a.o > b.o THEN 1 ELSE 0 END), " +
-              s"1, $prefixLen)")).as("__pg"))
-        .select(col(id), col(s), col(len),
-          col("__pg.h").as("__h"), col("__pg.o").as("__o"))
+          graft.functions.FuzzyGramFunctions
+            .taggedGramPrefix(col(s), n, prefixLen, sorted = true)
+            .as(Seq("__h", "__o")))
 
     // every tagged gram, unsliced — the df-order path picks its prefix
     // AFTER the stats join
     def allGrams(df: DataFrame, id: String, s: String, len: String): DataFrame =
       df.filter(col(len) >= n)
-        .withColumn("__grams", expr(
-          s"transform(sequence(1, $len - ${n - 1}), i -> substring($s, i, $n))"))
         .select(col(id), col(s), col(len),
-          explode(expr(
-            "transform(sequence(1, size(__grams)), i -> named_struct(" +
-              "'h', xxhash64(element_at(__grams, i)), " +
-              "'o', size(filter(slice(__grams, 1, i - 1), " +
-              "x -> x = element_at(__grams, i))) + 1))")).as("__tg"))
-        .select(col(id), col(s), col(len),
-          col("__tg.h").as("__h"), col("__tg.o").as("__o"))
+          graft.functions.FuzzyGramFunctions
+            .taggedGramPrefix(col(s), n, prefixLen, sorted = false)
+            .as(Seq("__h", "__o")))
 
     val (lp, rp) = if (!dfOrder) {
       (prefixGrams(l, "__lid", "__ls", "__ll"),

@@ -159,6 +159,52 @@ class FuzzyJoinSpec extends SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("native gram generators are bit-equal to the declarative HOF chains") {
+    // the r21 CharGramCounts / TaggedGramPrefix generators replaced the
+    // interpreted transform/filter/slice tagging; pinned over repeated
+    // grams, multi-byte code points, exactly-n and shorter-than-n strings
+    val n = 2
+    val prefixLen = 5
+    val d = Seq((1L, "banana"), (2L, "ab"), (3L, "a"), (4L, "ααβγαα"),
+      (5L, "aaaaaaa"), (6L, "mississippi river mississippi"))
+      .toDF("id", "s").withColumn("len", org.apache.spark.sql.functions.length(col("s")))
+    // gram multiplicities
+    val wantCounts = d.filter(col("len") >= n)
+      .select(col("id"),
+        explode(expr(s"transform(sequence(1, len - ${n - 1}), i -> substring(s, i, $n))")).as("__g"))
+      .groupBy(col("id"), col("__g")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val gotCounts = d.filter(col("len") >= n)
+      .select(col("id"), graft.functions.FuzzyGramFunctions.charGramCounts(col("s"), n)
+        .as(Seq("__g", "__c")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    gotCounts shouldBe wantCounts
+    // occurrence-tagged prefixes, sorted and unsorted
+    def declarativeTagged(sliced: Boolean) = {
+      val tagged = d.filter(col("len") >= n)
+        .withColumn("__grams", expr(s"transform(sequence(1, len - ${n - 1}), i -> substring(s, i, $n))"))
+        .withColumn("__tagged", expr(
+          "transform(sequence(1, size(__grams)), i -> named_struct(" +
+            "'h', xxhash64(element_at(__grams, i)), " +
+            "'o', size(filter(slice(__grams, 1, i - 1), x -> x = element_at(__grams, i))) + 1))"))
+      val arr = if (sliced)
+        expr("slice(array_sort(__tagged, (a, b) -> " +
+          "CASE WHEN a.h < b.h THEN -1 WHEN a.h > b.h THEN 1 " +
+          "WHEN a.o < b.o THEN -1 WHEN a.o > b.o THEN 1 ELSE 0 END), " +
+          s"1, $prefixLen)")
+      else col("__tagged")
+      tagged.select(col("id"), explode(arr).as("__t"))
+        .select(col("id"), col("__t.h"), col("__t.o"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    }
+    def generated(sorted: Boolean) = d.filter(col("len") >= n)
+      .select(col("id"), graft.functions.FuzzyGramFunctions
+        .taggedGramPrefix(col("s"), n, prefixLen, sorted = sorted).as(Seq("__h", "__o")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    generated(sorted = true) shouldBe declarativeTagged(sliced = true)
+    generated(sorted = false) shouldBe declarativeTagged(sliced = false)
+  }
+
   test("validation and cross-length pairs spanning the short/gram boundary") {
     // one side short (< n·(k+1)), the other long: only non-matches by the
     // length argument — the operator must not lose or invent pairs there
