@@ -84,22 +84,28 @@ object TextAnalysis {
     */
   def bigramStats(docs: DataFrame, k: Int = 100): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val words = docs.select(split(lower(col("text")), " ").as("__w"))
-    val tokens = words.select(explode(col("__w")).as("w"))
+    val tokens = docs.select(explode(split(lower(col("text")), " ")).as("w"))
     val unigrams = tokens.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val total = tokens.agg(count(lit(1)).as("n_total"))
-    val bigrams = words
-      .select(explode(expr(
-        "CASE WHEN size(__w) < 2 THEN array() ELSE " +
-          "transform(sequence(1, size(__w) - 1), i -> struct(__w[i - 1] AS a, __w[i] AS b)) END"))
-        .as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("c_ab"))
+    // N = Σ unigram counts — a vocabulary-sized aggregate, not a second
+    // corpus tokenize pass (r21); exact long arithmetic either way
+    val total = unigrams.agg(sum(col("c1")).as("n_total"))
+    // the bigram fan-out is the native word-shingle generator at n = 2
+    // (r21; the interpreted struct-pair transform allocated per element) —
+    // the span IS the output's `bigram` string, and the unigram join keys
+    // recover exactly: a token never contains a space, so the first/last
+    // space-separated segment of "a b" is a/b even when one is empty
+    val bigrams = docs
+      .select(graft.functions.WordShingleHashesFunction
+        .wordShingleHashes(col("text"), 2, withHashes = false).as(Seq("bigram")))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .select(col("bigram"), col("c_ab"),
+        substring_index(col("bigram"), " ", 1).as("a"),
+        substring_index(col("bigram"), " ", -1).as("b"))
     bigrams
       .join(broadcast(unigrams.select(col("w").as("a"), col("c1").as("c_a"))), Seq("a"))
       .join(broadcast(unigrams.select(col("w").as("b"), col("c1").as("c_b"))), Seq("b"))
       .crossJoin(broadcast(total))
-      .select(concat_ws(" ", col("a"), col("b")).as("bigram"), col("c_ab"),
+      .select(col("bigram"), col("c_ab"),
         // cast BEFORE the product: two hot-token unigram counts multiply
         // past Long.Max on a large corpus ("the" at ~3e10 squares to
         // ~9e20) and ANSI mode turns that overflow into a job failure —
