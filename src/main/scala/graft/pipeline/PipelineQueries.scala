@@ -850,7 +850,10 @@ object PipelineQueries {
     // top-50 vocabulary (deterministic tf-then-term cut)
     "q_text_oov" -> ((s, dir) => {
       val d = docs(s, dir)
-      TextAnalysis.oovStats(d, TextAnalysis.vocabulary(d, k = 50).select(col("term")))
+      // df-free top-k (r21): same (tf desc, term) cut as vocabulary — the
+      // OOV gate never reads df, so the Expand-doubling countDistinct is
+      // not computed
+      TextAnalysis.oovStats(d, TextAnalysis.topTermCounts(d, k = 50).select(col("term")))
     }),
     // adaptive per-language length gate: keep docs inside each language's
     // [p10, p90] n_chars band (QuantileFilter; exact percentile agrees with

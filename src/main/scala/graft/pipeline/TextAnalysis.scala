@@ -56,6 +56,21 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
 
+  /** [[vocabulary]] minus the document-frequency column — the SAME top-k
+    * term set and tf values (the cut is (tf desc, term); df plays no role
+    * in it), for consumers that never read df (r21): the exact
+    * `countDistinct` plans an Expand that doubles the exploded token
+    * stream through the aggregation, so df-free callers
+    * ([[unigramLogProb]], OOV term lists) were paying 2× exchange bytes
+    * for a discarded column.
+    */
+  def topTermCounts(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+
   /** Token-count histogram in fixed-width buckets — the corpus-shape sweep
     * behind packing/batching decisions (how much of the corpus is short
     * tail vs long documents). One map-side bucket expression + one tiny
@@ -300,7 +315,9 @@ object TextAnalysis {
     require(vocabK > 0, s"vocabK must be positive, got $vocabK")
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val tokens = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-    val vocab = vocabulary(docs, vocabK).select(col("term"), col("tf"))
+    // df-free top-k (r21): the vocabulary cut never used df, and the exact
+    // countDistinct Expand doubled the token stream through the exchange
+    val vocab = topTermCounts(docs, vocabK)
     val totals = tokens.agg(count(lit(1)).as("n_total"))
     val vsize = vocab.agg(count(lit(1)).as("v_size"))
     tokens
